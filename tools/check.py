@@ -1,0 +1,131 @@
+"""Local differential harness mirroring the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, sorted column names, and an order-insensitive canonical value
+hash — the same shape of check the driver records in CORRECTNESS_r{N}.json.
+
+Usage:  python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import hashlib
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_value(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    canon = sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
+    return sorted_cols, canon
+
+
+def value_hash(canon: list[str]) -> str:
+    h = hashlib.md5()
+    for line in canon:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from database_collector_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc()
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} (no oracle; rows-only check)")
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: duckdb oracle raised")
+            traceback.print_exc()
+            failures += 1
+            continue
+        s_cols, s_canon = canon_rows(scols, srows)
+        d_cols, d_canon = canon_rows(dcols, drows)
+        elapsed = time.time() - t0
+        if s_cols != d_cols:
+            print(f"FAIL  {name}: columns {s_cols} != {d_cols}")
+            failures += 1
+        elif len(s_canon) != len(d_canon):
+            print(f"FAIL  {name}: rowcount {len(s_canon)} != {len(d_canon)}")
+            failures += 1
+        elif value_hash(s_canon) != value_hash(d_canon):
+            diff = [(a, b) for a, b in zip(s_canon, d_canon) if a != b][:3]
+            print(f"FAIL  {name}: value hash mismatch; first diffs:")
+            for a, b in diff:
+                print(f"   spark : {a}\n   duckdb: {b}")
+            failures += 1
+        else:
+            print(f"ok    {name}: rows={len(s_canon)} ({elapsed:.1f}s)")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
