@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from database_collector_spark import workloads
+from database_collector_spark import workloads, workloads_ext
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(workloads.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 + extensions."""
+    return {**workloads.QUERIES, **workloads_ext.QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each ``queries()`` entry."""
-    return dict(workloads.ORACLES)
+    return {**workloads.ORACLES, **workloads_ext.ORACLES_EXT}

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
     from database_collector_spark import workloads
     from database_collector_spark.session import get_spark
 
@@ -32,7 +33,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     t_total0 = time.time()
-    for name, fn in workloads.QUERIES.items():
+    for name, fn in entrymod.queries().items():
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

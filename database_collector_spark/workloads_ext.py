@@ -1,0 +1,390 @@
+"""Extension workloads: the large-scale training-data operators (dedup,
+similarity search, text analysis, multimodal) as driver-gate entries.
+
+Same determinism conventions as workloads.py; hashing is md5 hex (string
+MIN is binary-collation in both engines), dot products accumulate in
+DECIMAL(38,12), ratios are integer rationals divided in double and rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_collector_spark.operators import dedup, multimodal, similarity, text
+from database_collector_spark.workloads import _t
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# distinct word-3-gram shingles per document (mirrors operators.dedup.shingles)
+_SQL_SHINGLES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
+  WHERE i <= len(t) - 2
+)
+"""
+
+_SQL_EMB_IDX = "idx AS (SELECT unnest(generate_series(1, 64)) AS i)"
+
+# quantized vectors + exact integer norms (mirrors operators.similarity)
+_SQL_QUANT = """
+qe AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+  FROM embeddings
+),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+norms AS (
+  SELECT q.vec_id, SUM(q.qe[i] * q.qe[i]) AS n2 FROM qe q, idx GROUP BY q.vec_id
+)
+"""
+
+
+def _stopword_values() -> str:
+    rows = [
+        f"('{lang}', '{w}')"
+        for lang, words in text.LANG_STOPWORDS.items()
+        for w in words
+    ]
+    return ", ".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (whitespace tokenizer; SURVEY
+    extension surface — text analysis)."""
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       length(text) AS n_chars,
+       round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')), 4) AS type_token_ratio,
+       round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) / len(string_split(text,' ')), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID with deterministic tie-break."""
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+sw(lang_cand, stopword) AS (VALUES {_stopword_values()}),
+votes AS (
+  SELECT doc_id, lang_cand, COUNT(*) AS votes FROM toks JOIN sw ON tok = stopword
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang_cand, votes,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY votes DESC, lang_cand ASC) AS rn
+  FROM votes
+)
+SELECT d.doc_id,
+       COALESCE(b.lang_cand, 'unknown') AS pred_lang,
+       CAST(COALESCE(b.votes, 0) AS BIGINT) AS votes,
+       d.lang AS actual_lang
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-saturation + stopword-ratio quality heuristic."""
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _sql_quality() -> str:
+    all_stops = sorted({w for ws in text.LANG_STOPWORDS.values() for w in ws})
+    lst = ", ".join(f"'{w}'" for w in all_stops)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> list_contains([{lst}], x))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stopwords,
+       round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.5 * (CAST(n_stopwords AS DOUBLE) / n_tokens), 4) AS quality_score
+FROM base
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling char-8-gram hash, window-4 min)."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH g AS (
+  SELECT doc_id, i AS pos, md5(substring(text, i, 8)) AS h
+  FROM documents, (SELECT unnest(generate_series(1, 600)) AS i) ii
+  WHERE i <= length(text) - 7
+),
+sel AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints, MIN(fp) AS min_fingerprint
+FROM sel GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; keep-first canonical policy."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) candidates, exact-Jaccard verified >= 0.8."""
+    return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+sigs AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_val
+  FROM sigs GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.8
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-blocked exact n-gram Jaccard pairs >= 0.3 (full recall)."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.3
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit term-frequency SimHash per document."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SIMHASH = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, substring(md5(tok), 1, 4) AS hx FROM toks),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN CAST(floor(
+                (strpos('0123456789abcdef', substring(hx, CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+                / CAST(pow(2, 3 - (j % 4)) AS INT)) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS c
+  FROM h, (SELECT unnest(generate_series(0, 15)) AS j) js
+),
+s AS (SELECT doc_id, j, SUM(c) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10."""
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_SIMILARITY_TOPK = f"""
+WITH {_SQL_QUANT},
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.qe[i] * c.qe[i]) AS dot
+  FROM qe q, qe c, idx
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.q_id, p.c_id,
+         CAST(p.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos_raw
+  FROM p JOIN norms nq ON nq.vec_id = p.q_id JOIN norms nc ON nc.vec_id = p.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cos_raw, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-projection LSH bucket id per vector (the ANN scale path)."""
+    return similarity.lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_ann_lsh() -> str:
+    planes = similarity.hyperplanes_int()
+    values = ", ".join(
+        f"({p}, {i + 1}, {w})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""
+WITH q0 AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+  FROM embeddings
+),
+w(plane, i, wv) AS (VALUES {values}),
+proj AS (
+  SELECT e.vec_id, w.plane, SUM(e.qe[w.i] * w.wv) AS p
+  FROM q0 e, w
+  GROUP BY 1, 2
+)
+SELECT pr.vec_id,
+       CAST(SUM(CASE WHEN pr.p > 0
+                     THEN CAST(pow(2, pr.plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket,
+       ANY_VALUE(e.label) AS label
+FROM proj pr JOIN embeddings e ON e.vec_id = pr.vec_id
+GROUP BY pr.vec_id
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    return similarity.embedding_near_dup(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH {_SQL_QUANT},
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.qe[i] * b.qe[i]) AS dot
+  FROM qe a, qe b, idx
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       round(CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+FROM p JOIN norms na ON na.vec_id = p.id_a JOIN norms nb ON nb.vec_id = p.id_b
+WHERE round(CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents as opaque payloads -> mapInPandas
+    stub feature extraction (size, header byte, checksum)."""
+    media = multimodal.to_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH b AS (
+  SELECT doc_id, i, ascii(substring(text, i, 1)) AS byte
+  FROM documents, (SELECT unnest(generate_series(1, 600)) AS i) ii
+  WHERE i <= length(text)
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_bytes,
+       CAST(ascii(substring(d.text, 1, 1)) AS INT) AS header_byte,
+       CAST(s.bytesum % 997 AS BIGINT) AS checksum_mod
+FROM documents d
+JOIN (SELECT doc_id, SUM(byte) AS bytesum FROM b GROUP BY doc_id) s
+  ON s.doc_id = d.doc_id
+"""
+
+
+QUERIES_EXT = {
+    "text_token_stats": q_text_token_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_topk": q_similarity_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "dedup_embedding": q_dedup_embedding,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES_EXT = {
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": _sql_quality(),
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "ann_lsh_buckets": _sql_ann_lsh(),
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+}
