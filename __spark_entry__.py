@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from database_collector_spark import workloads, workloads_ext
+from database_collector_spark import workloads, workloads_ext, workloads_ts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,9 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
-    return {**workloads.QUERIES, **workloads_ext.QUERIES_EXT}
+    return {
+        **workloads.QUERIES,
+        **workloads_ext.QUERIES_EXT,
+        **workloads_ts.QUERIES_TS,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each ``queries()`` entry."""
-    return {**workloads.ORACLES, **workloads_ext.ORACLES_EXT}
+    return {
+        **workloads.ORACLES,
+        **workloads_ext.ORACLES_EXT,
+        **workloads_ts.ORACLES_TS,
+    }

@@ -1,0 +1,312 @@
+"""Time-series / windowing / join-shape workloads (SURVEY.md §2.6, §2.7,
+§2.10 surface plus the metric-series alignment joins called out in §2.3).
+
+Same determinism conventions as workloads.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_collector_spark.workloads import _t
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window grouped counts — the batch twin of the streaming
+    windowed_counts operator (SURVEY §2.10): per (hour, event_type) count
+    and exact cents-sum of value."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user — the batch
+    analog of a session window, built from lag + cumulative sum. Two
+    window passes over one (user, ts) sort; the aggregation reuses the
+    same partitioning (no extra shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).withColumn(
+        "first_in_user",
+        F.when(F.lag("ts").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = with_gap.withColumn(
+        "session_seq",
+        F.sum(F.col("new_session") + F.col("first_in_user")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessioned.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+           + CASE WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS inc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(inc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'error' event aligned to the latest preceding
+    'click' by the same user (metric-series alignment, SURVEY §2.3 note).
+
+    Spark lacks a native ASOF JOIN; the scalable formulation is
+    union + single window sort (one shuffle on user_id), NOT a range join:
+    interleave clicks and errors in time order, carry the last click
+    timestamp forward, keep error rows. Ties (click.ts == error.ts) order
+    the click first, i.e. <= semantics.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    merged = clicks.unionByName(errors)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id AS error_event_id, e.user_id, e.ts AS error_ts,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = e.user_id AND c.ts <= e.ts)
+         AS last_click_ts
+FROM events e WHERE e.event_type = 'error'
+"""
+
+
+def q_histogram_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correct-mode histogram construction (SURVEY §2.6): cumulative
+    bucket counts with explicit le edges incl. +Inf, plus _sum/_count —
+    the expansion the reference loses by flattening (prometheus.go:101-107).
+
+    Bucketing = one pass assigning each row its smallest edge, then a
+    cumulative window over the tiny (group x edge) aggregate — never an
+    edges x rows blow-up.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    edges = [10.0, 20.0, 30.0, 40.0, 50.0]
+    first_edge = F.coalesce(
+        *[
+            F.when(F.col("l_quantity") <= F.lit(e), F.lit(e))
+            for e in edges
+        ],
+        F.lit(float("inf")),
+    )
+    per_edge = (
+        li.withColumn("le", first_edge)
+        .groupBy("l_returnflag", "le")
+        .agg(
+            F.count("*").alias("bucket_n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("le")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_edge.select(
+        "l_returnflag",
+        F.when(F.col("le") == float("inf"), F.lit("+Inf"))
+        .otherwise(F.col("le").cast("string"))
+        .alias("le"),
+        F.sum("bucket_n").over(w).alias("cumulative_count"),
+        (F.sum("qty_cents").over(w).cast("double") / 100).alias("running_sum"),
+    )
+
+
+SQL_HISTOGRAM_METRICS = """
+WITH per_edge AS (
+  SELECT l_returnflag,
+         COALESCE(CASE WHEN l_quantity <= 10 THEN 10.0 END,
+                  CASE WHEN l_quantity <= 20 THEN 20.0 END,
+                  CASE WHEN l_quantity <= 30 THEN 30.0 END,
+                  CASE WHEN l_quantity <= 40 THEN 40.0 END,
+                  CASE WHEN l_quantity <= 50 THEN 50.0 END,
+                  CAST('inf' AS DOUBLE)) AS le,
+         COUNT(*) AS bucket_n,
+         SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_cents
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       CASE WHEN le = CAST('inf' AS DOUBLE) THEN '+Inf' ELSE CAST(le AS VARCHAR) END AS le,
+       CAST(SUM(bucket_n) OVER w AS BIGINT) AS cumulative_count,
+       CAST(CAST(SUM(qty_cents) OVER w AS BIGINT) AS DOUBLE)/100 AS running_sum
+FROM per_edge
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY le
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_kv_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-list pivot to wide form (the SHOW SLAVE STATUS shape,
+    SURVEY §1.3 / FIXTURES F3): per user-cohort, one column per event
+    type. The pivot list is pinned — no distinct-values pre-scan."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("cohort", (F.col("user_id") % 10).cast("long"))
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+SQL_KV_PIVOT_WIDE = """
+SELECT user_id % 10 AS cohort,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS view,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error
+FROM events GROUP BY 1
+"""
+
+
+def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON -> typed struct with NULL-not-panic semantics
+    (SURVEY §1.2: the reference's unchecked type assertions become
+    explicit nullable fields; F3 scalar surface)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "j", F.from_json(F.col("props"), "k INT, missing_field STRING")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.col("j.missing_field").alias("missing_field"),
+        F.col("j.k").isNotNull().alias("has_k"),
+    )
+
+
+SQL_JSON_STRUCT_PARSE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       json_extract_string(props, '$.missing_field') AS missing_field,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k
+FROM events
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation (SURVEY §2.5 A5: free in Spark,
+    absent in the reference). grouping() flags disambiguate NULL keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx-count-distinct per event_type (sketch surface). No
+    oracle: HLL implementations differ across engines by design — the
+    driver records the rows-only check; exactness is covered by
+    engine_dispatch's COUNT(DISTINCT)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+QUERIES_TS = {
+    "events_hourly": q_events_hourly,
+    "sessionization": q_sessionization,
+    "asof_join": q_asof_join,
+    "histogram_metrics": q_histogram_metrics,
+    "kv_pivot_wide": q_kv_pivot_wide,
+    "json_struct_parse": q_json_struct_parse,
+    "rollup_counts": q_rollup_counts,
+    "approx_distinct": q_approx_distinct,
+}
+
+ORACLES_TS = {
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "sessionization": SQL_SESSIONIZATION,
+    "asof_join": SQL_ASOF_JOIN,
+    "histogram_metrics": SQL_HISTOGRAM_METRICS,
+    "kv_pivot_wide": SQL_KV_PIVOT_WIDE,
+    "json_struct_parse": SQL_JSON_STRUCT_PARSE,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    # approx_distinct intentionally has no oracle (HLL is engine-specific)
+}
