@@ -1,0 +1,103 @@
+"""Unit tests for dedup + text operators on hand-checkable micro-fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from database_collector_spark.operators import dedup, text
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t)) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_groups(spark):
+    d = _docs(spark, ["a b c", "a b c", "x y z"])
+    got = {r["canonical_doc_id"]: r["n_docs"] for r in dedup.exact_dedup(d).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_shingles_content_and_short_doc_guard(spark):
+    d = _docs(spark, ["a b c d", "a b"])  # second is shorter than n=3
+    got = {(r["doc_id"], r["shingle"]) for r in dedup.shingles(d).collect()}
+    assert got == {(0, "a b c"), (0, "b c d")}
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    d = _docs(spark, ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "q1 q2 q3 q4 q5"])
+    pairs = dedup.minhash_lsh_dedup(d, threshold=0.99).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(0, 1, 1.0)]
+
+
+def test_minhash_near_dup_caught(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base + " extra"  # one trailing token changed -> jaccard ~ 0.95
+    d = _docs(spark, [base, near, " ".join(f"z{i}" for i in range(40))])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_dedup(d, threshold=0.8).collect()}
+    assert (0, 1) in pairs
+    assert all(p[1] != 2 and p[0] != 2 for p in pairs)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc0 shingles: {a b c, b c d}; doc1: {a b c}; shared=1, union=2 -> 0.5
+    d = _docs(spark, ["a b c d", "a b c"])
+    got = dedup.ngram_jaccard_pairs(d, threshold=0.3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(0, 1, 0.5)]
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    d = _docs(spark, ["a b c d e", "a b c d e", "p q r s t"])
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    assert 0 <= got[0] < 2**16
+
+
+def test_token_stats_values(spark):
+    d = _docs(spark, ["aa bb aa"])
+    row = text.token_stats(d).collect()[0]
+    assert row["n_tokens"] == 3
+    assert row["n_distinct_tokens"] == 2
+    assert row["n_chars"] == 8
+    assert row["type_token_ratio"] == round(2 / 3, 4)
+    assert row["avg_token_len"] == 2.0
+
+
+def test_lang_id_votes_and_unknown(spark):
+    d = _docs(spark, ["the cat and the dog", "el perro que ladra", "zz yy xx"])
+    got = {r["doc_id"]: (r["pred_lang"], r["votes"]) for r in text.lang_id(d).collect()}
+    assert got[0] == ("en", 3)  # the, and, the
+    assert got[1] == ("es", 2)  # el, que
+    assert got[2] == ("unknown", 0)
+
+
+def test_lang_id_tie_breaks_alphabetically(spark):
+    d = _docs(spark, ["the el"])  # 1 en vote, 1 es vote -> 'en' wins (asc)
+    assert text.lang_id(d).collect()[0]["pred_lang"] == "en"
+
+
+def test_quality_score_formula(spark):
+    d = _docs(spark, ["the " * 49 + "the"])  # 50 tokens, all stopwords
+    row = text.quality_score(d).collect()[0]
+    assert row["n_tokens"] == 50
+    assert row["n_stopwords"] == 50
+    assert row["stopword_ratio"] == 1.0
+    assert row["quality_score"] == round(0.5 * 0.5 + 0.5 * 1.0, 4)
+
+
+def test_fingerprint_shared_substring_detected(spark):
+    """Winnowing guarantee: docs sharing a long substring share at least
+    one selected fingerprint (k=8, w=4 -> any common run >= 11 chars)."""
+    d = _docs(
+        spark,
+        [
+            "unique prefix COMMONSUBSTRINGHERE",
+            "COMMONSUBSTRINGHERE other suffix",
+            "totally different content",
+        ],
+    )
+    rows = text.fingerprint(d).collect()
+    assert {r["doc_id"] for r in rows} == {0, 1, 2}
+    assert all(r["n_fingerprints"] >= 1 for r in rows)

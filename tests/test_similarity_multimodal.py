@@ -1,0 +1,93 @@
+"""Unit tests for similarity search + multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from database_collector_spark.operators import multimodal, similarity
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    vecs = [
+        [1.0, 0.0, 0.0] + [0.0] * 61,   # query
+        [1.0, 0.1, 0.0] + [0.0] * 61,   # nearly parallel
+        [0.0, 1.0, 0.0] + [0.0] * 61,   # orthogonal
+        [-1.0, 0.0, 0.0] + [0.0] * 61,  # opposite
+    ]
+    got = similarity.cosine_topk(_embs(spark, vecs), query_filter="vec_id = 0", k=3).collect()
+    ranked = [(r["rank"], r["c_id"]) for r in sorted(got, key=lambda r: r["rank"])]
+    assert ranked == [(1, 1), (2, 2), (3, 3)]
+    by_c = {r["c_id"]: r["cos"] for r in got}
+    assert abs(by_c[1] - 1 / math.sqrt(1.01)) < 1e-4
+    assert abs(by_c[2]) < 1e-4
+    assert abs(by_c[3] + 1.0) < 1e-4
+
+
+def test_near_dup_threshold(spark):
+    vecs = [
+        [1.0, 0.0] + [0.0] * 62,
+        [1.0, 0.01] + [0.0] * 62,  # cos ~ 0.99995
+        [0.0, 1.0] + [0.0] * 62,   # cos 0 with both
+    ]
+    got = {(r["id_a"], r["id_b"]) for r in
+           similarity.embedding_near_dup(_embs(spark, vecs), threshold=0.99).collect()}
+    assert got == {(0, 1)}
+
+
+def test_lsh_buckets_parallel_vectors_collide(spark):
+    vecs = [
+        [0.5, 0.2, -0.3] + [0.1] * 61,
+        [0.5, 0.2, -0.3] + [0.1] * 61,      # identical -> same bucket
+        [x * 2 for x in [0.5, 0.2, -0.3] + [0.1] * 61],  # scaled -> same signs
+        [-0.5, -0.2, 0.3] + [-0.1] * 61,    # negated -> complement bucket
+    ]
+    got = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(_embs(spark, vecs)).collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == 255 - got[0]  # 8 planes: negation flips every sign bit
+    assert 0 <= got[0] < 256
+
+
+def test_quantization_exactness(spark):
+    """round(x * 2^20) must be bit-deterministic: same input -> same ints."""
+    vecs = [[0.1234567, -0.7654321] + [0.0] * 62] * 2
+    df = similarity.with_quantized(_embs(spark, vecs)).select("vec_id", "qe", "qnorm2")
+    rows = df.collect()
+    assert rows[0]["qe"] == rows[1]["qe"]
+    assert rows[0]["qnorm2"] == rows[1]["qnorm2"]
+    assert rows[0]["qe"][0] == round(0.1234567 * (1 << 20))
+
+
+def test_multimodal_plumbing_and_stub(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abc", lang="en", source="s", n_chars=3)]
+    )
+    media = multimodal.to_media(docs)
+    row = media.collect()[0]
+    assert row["media_type"] == "image"
+    assert bytes(row["payload"]) == b"abc"
+    assert row["meta"]["n_bytes"] == 3
+
+    feats = multimodal.extract_features(media).collect()[0]
+    assert feats["n_bytes"] == 3
+    assert feats["header_byte"] == ord("a")
+    assert feats["checksum_mod"] == (ord("a") + ord("b") + ord("c")) % 997
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abc", lang="en", source="s", n_chars=3)]
+    )
+    media = multimodal.to_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, decode_stub=False).collect()
