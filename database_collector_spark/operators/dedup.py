@@ -66,26 +66,21 @@ def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
 def minhash_signatures(
     sh: DataFrame, *, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """(doc_id, shingle) -> (doc_id, seed, minhash).
+    """(doc_id, shingle) -> one wide row per doc: (doc_id, n_sh, h0..h15).
 
-    h_s(doc) = MIN over shingles of md5('<s>:' || shingle). The seed prefix
-    gives ``num_hashes`` independent permutations from one pass; the MIN
-    aggregates map-side (partial agg) so the shuffle carries one row per
-    (doc, seed), not per shingle.
+    h_s(doc) = MIN over shingles of md5('<s>:' || shingle). All
+    ``num_hashes`` permutations AND the shingle-set size aggregate in ONE
+    groupBy pass — the shuffle carries one row per doc with partial
+    (map-side) mins, instead of num_hashes rows per (doc, seed). At 100 TB
+    this is the difference between one |shingles| shuffle and sixteen.
     """
-    seeds = F.explode(
-        F.array(*[F.lit(s) for s in range(num_hashes)])
-    ).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    mins = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
+        ).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *mins)
 
 
 def lsh_candidate_pairs(
@@ -94,20 +89,36 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs agreeing on ALL rows of any
-    band become a candidate pair.
+    """Band the wide signature and bucket-join: docs agreeing on ALL rows
+    of any band become a candidate pair.
 
-    band value = md5(concat of the band's minhashes in seed order) — one
-    32-byte join key per (doc, band). The self-join is on (band, band_val):
-    only same-bucket docs ever meet, which is the whole point of LSH at
-    scale. Output: distinct (doc_a, doc_b), doc_a < doc_b.
+    band value = md5('|'-concat of the band's minhashes in seed order) —
+    one 32-byte join key per (doc, band), derived by pure column ops (no
+    shuffle). The self-join is on (band, band_val): only same-bucket docs
+    ever meet, which is the whole point of LSH at scale. Output: distinct
+    (doc_a, doc_b), doc_a < doc_b.
     """
-    banded = signatures.withColumn(
-        "band", (F.col("seed") / F.lit(num_hashes // bands)).cast("int")
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{s}")
+                            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("band_val"),
+            )
+            for b in range(bands)
+        ]
     )
-    band_vals = banded.groupBy("doc_id", "band").agg(
-        F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).getField("minhash"))).alias("band_val")
-    )
+    band_vals = signatures.select(
+        "doc_id", F.explode(band_structs).alias("bv")
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
     a = band_vals.alias("a")
     b = band_vals.alias("b")
     return (
@@ -123,16 +134,16 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    sh: DataFrame, pairs: DataFrame, *, threshold: float = 0.8
+    sh: DataFrame, pairs: DataFrame, sizes: DataFrame, *, threshold: float = 0.8
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only.
 
     shared = |A ∩ B| via a shingle-equality join restricted to candidate
-    pairs; sizes via a broadcast of per-doc shingle counts. Jaccard is an
-    integer rational (shared / (|A|+|B|-shared)) -> double divide -> round,
-    engine-exact.
+    pairs (pairs are few post-LSH — Catalyst broadcasts them); ``sizes``
+    is (doc_id, n_sh), already computed by the signature pass. Jaccard is
+    an integer rational (shared / (|A|+|B|-shared)) -> double divide ->
+    round, engine-exact.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("sa")
     b = sh.alias("sb")
     shared = (
@@ -168,11 +179,20 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    candidates -> exact verify. Output (doc_a, doc_b, jaccard >= threshold)."""
+    candidates -> exact verify. Output (doc_a, doc_b, jaccard >= threshold).
+
+    Plan shape: the signature branch reads documents once (explode ->
+    single groupBy); the verify branch re-reads documents for the
+    candidate-restricted intersection join. Two scans total — at 100 TB
+    re-scanning beats caching an exploded shingle table many times the
+    corpus size, and the candidate set (post-LSH) is small enough to
+    broadcast into the verify.
+    """
     sh = shingles(docs, n=n)
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
     pairs = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
-    return jaccard_verify(sh, pairs, threshold=threshold)
+    sizes = sigs.select("doc_id", "n_sh")
+    return jaccard_verify(sh, pairs, sizes, threshold=threshold)
 
 
 def ngram_jaccard_pairs(
