@@ -44,43 +44,69 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
+def shingle_sets(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle SET per document: (doc_id, sh_arr).
 
-    Documents shorter than n tokens produce no shingles (guarded — Spark's
-    sequence() would otherwise run backwards on a negative span).
+    One narrow projection — no explode, no shuffle. Documents shorter than
+    n tokens are dropped (they have no shingles; mirrors the exploded
+    form, where such docs simply produce no rows).
+
+    The token array is materialized as a column BEFORE the transform lambda:
+    expressions inside higher-order-function lambdas get no common-
+    subexpression elimination, so referencing split(text) in the lambda body
+    would re-split the document once per shingle position.
     """
-    t = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    # The when() guard looks redundant with the row filter, but is not:
+    # InferFiltersFromGenerate derives a size(sh_arr) > 0 predicate from a
+    # downstream explode and pushes it next to the size filter, where it
+    # can evaluate the transform on short docs — whose descending
+    # sequence() would feed slice() a start of 0 (runtime error in ANSI
+    # mode). The guard makes the expression total; the filter keeps the
+    # "short docs produce no row" semantics.
     shingle_arr = F.when(
-        F.size(t) >= n,
+        F.size(F.col("t")) >= n,
         F.expr(
-            "transform(sequence(0, size(split(text,' ')) - %d), "
-            "i -> concat_ws(' ', slice(split(text,' '), i + 1, %d)))" % (n, n)
+            "transform(sequence(0, size(t) - %d), "
+            "i -> concat_ws(' ', slice(t, i + 1, %d)))" % (n, n)
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+    return (
+        toks.filter(F.size(F.col("t")) >= n)
+        .select("doc_id", F.array_distinct(shingle_arr).alias("sh_arr"))
+    )
+
+
+def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """Exploded long form (doc_id, shingle) — the blocking-join input."""
+    return shingle_sets(docs, n=n).select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
     )
 
 
 def minhash_signatures(
-    sh: DataFrame, *, num_hashes: int = DEFAULT_NUM_HASHES
+    docs: DataFrame, *, n: int = 3, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """(doc_id, shingle) -> one wide row per doc: (doc_id, n_sh, h0..h15).
+    """documents -> one wide row per doc: (doc_id, n_sh, h0..h15).
 
-    h_s(doc) = MIN over shingles of md5('<s>:' || shingle). All
-    ``num_hashes`` permutations AND the shingle-set size aggregate in ONE
-    groupBy pass — the shuffle carries one row per doc with partial
-    (map-side) mins, instead of num_hashes rows per (doc, seed). At 100 TB
-    this is the difference between one |shingles| shuffle and sixteen.
+    h_s(doc) = MIN over shingles of md5('<s>:' || shingle), computed as
+    array_min(transform(sh_arr, ...)) — a pure per-document projection.
+    ZERO shuffles for the whole signature table: the classic formulation
+    (explode shingles -> groupBy(doc) with num_hashes MIN aggregates)
+    shuffles one row per document anyway, but pays explode + partial-agg
+    hash-map churn on a shingle stream ~50x the corpus row count. At
+    100 TB signatures-at-scan-speed is the difference that matters.
     """
+    sets = shingle_sets(docs, n=n)
     mins = [
-        F.min(
-            F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
+        F.expr(
+            f"array_min(transform(sh_arr, x -> md5(concat('{s}', ':', x))))"
         ).alias(f"h{s}")
         for s in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *mins)
+    return sets.select(
+        "doc_id", F.size("sh_arr").cast("long").alias("n_sh"), *mins
+    )
 
 
 def lsh_candidate_pairs(
@@ -134,31 +160,37 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    sh: DataFrame, pairs: DataFrame, sizes: DataFrame, *, threshold: float = 0.8
+    sets: DataFrame, pairs: DataFrame, *, threshold: float = 0.8
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only.
 
-    shared = |A ∩ B| via a shingle-equality join restricted to candidate
-    pairs (pairs are few post-LSH — Catalyst broadcasts them); ``sizes``
-    is (doc_id, n_sh), already computed by the signature pass. Jaccard is
-    an integer rational (shared / (|A|+|B|-shared)) -> double divide ->
-    round, engine-exact.
+    The candidate pair list (small post-LSH) joins the per-doc shingle-set
+    table twice to attach both arrays, then |A ∩ B| is a single
+    array_intersect per pair — no exploded shingle-equality join, no
+    count shuffle. Jaccard is an integer rational
+    (shared / (|A|+|B|-shared)) -> double divide -> round, engine-exact.
+
+    At 100 TB: if the candidate list outgrows broadcast range, the two
+    attach joins shuffle on doc_id — still |pairs|-bounded, never
+    |shingles|-bounded.
     """
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    shared = (
-        pairs.join(a, pairs.doc_a == F.col("sa.doc_id"))
-        .join(
-            b,
-            (pairs.doc_b == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")
     )
     return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        F.broadcast(pairs)
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("shared"),
+            F.size("arr_a").alias("n_a"),
+            F.size("arr_b").alias("n_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -181,18 +213,16 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     candidates -> exact verify. Output (doc_a, doc_b, jaccard >= threshold).
 
-    Plan shape: the signature branch reads documents once (explode ->
-    single groupBy); the verify branch re-reads documents for the
-    candidate-restricted intersection join. Two scans total — at 100 TB
-    re-scanning beats caching an exploded shingle table many times the
-    corpus size, and the candidate set (post-LSH) is small enough to
-    broadcast into the verify.
+    Plan shape: both the signature branch and the verify branch are narrow
+    per-document projections over the corpus (two scans, zero wide
+    intermediates); the only shuffles are the tiny banded-signature
+    self-join and the candidate-pair attach joins. At 100 TB re-scanning
+    documents beats materializing an exploded shingle table many times the
+    corpus size.
     """
-    sh = shingles(docs, n=n)
-    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes)
     pairs = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
-    sizes = sigs.select("doc_id", "n_sh")
-    return jaccard_verify(sh, pairs, sizes, threshold=threshold)
+    return jaccard_verify(shingle_sets(docs, n=n), pairs, threshold=threshold)
 
 
 def ngram_jaccard_pairs(
@@ -214,10 +244,20 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # per-doc sizes from the narrow set table (no groupBy over the
+    # exploded stream); AQE picks broadcast vs shuffle for the attach joins
+    sizes = shingle_sets(docs, n=n).select(
+        "doc_id", F.size("sh_arr").cast("long").alias("n_sh")
+    )
     return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # Per-language stopword lists for the n-gram/voting language heuristic.
 # Tiny on purpose: broadcast as a literal VALUES relation; at 100 TB this
@@ -49,46 +48,35 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def _stopword_relation(spark) -> DataFrame:
-    rows = [
-        (lang, w) for lang, words in LANG_STOPWORDS.items() for w in words
-    ]
-    return spark.createDataFrame(rows, "lang_cand string, stopword string")
-
-
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-voting language identification.
 
-    explode tokens -> broadcast join the stopword list -> votes per
-    (doc, candidate) -> argmax with deterministic tie-break (votes desc,
-    lang asc); docs with zero votes -> 'unknown'. One shuffle (the vote
-    count), which AQE coalesces; the join is broadcast.
+    Votes for every candidate language are per-document array expressions
+    (count of tokens in that language's stopword set), and the argmax is a
+    strictly-greater fold over candidates in ascending-name order — which
+    reproduces the tie-break ``votes DESC, lang ASC`` exactly. The whole
+    operator is ONE narrow projection: no token explode, no join, no vote
+    shuffle, no window. At 100 TB this runs at scan speed; the
+    exploded-token broadcast-join formulation (the SQL twin) shuffles a
+    token stream ~50x the corpus row count.
+
+    Docs with zero votes for every language -> 'unknown' (the fold's
+    initial accumulator, never beaten without a strictly positive count).
     """
-    spark = docs.sparkSession
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    votes = (
-        toks.join(
-            F.broadcast(_stopword_relation(spark)),
-            toks.tok == F.col("stopword"),
-        )
-        .groupBy("doc_id", "lang_cand")
-        .agg(F.count("*").alias("votes"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("votes"), F.asc("lang_cand"))
-    best = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang_cand").alias("pred_lang"), "votes")
-    )
-    return (
-        docs.select("doc_id", "lang")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("pred_lang"), F.lit("unknown")).alias("pred_lang"),
-            F.coalesce(F.col("votes"), F.lit(0)).alias("votes"),
-            F.col("lang").alias("actual_lang"),
-        )
+    toks = docs.select("doc_id", "lang", tokens_col().alias("t"))
+    best_v: F.Column = F.lit(0)
+    best_l: F.Column = F.lit("unknown")
+    for lang in sorted(LANG_STOPWORDS):
+        words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        v = F.expr(f"size(filter(t, x -> array_contains(array({words}), x)))")
+        wins = v > best_v
+        best_l = F.when(wins, F.lit(lang)).otherwise(best_l)
+        best_v = F.when(wins, v).otherwise(best_v)
+    return toks.select(
+        "doc_id",
+        best_l.alias("pred_lang"),
+        best_v.cast("long").alias("votes"),
+        F.col("lang").alias("actual_lang"),
     )
 
 
@@ -130,26 +118,28 @@ def fingerprint(docs: DataFrame, *, k: int = 8, window: int = 4) -> DataFrame:
     fingerprint. Aggregated to (doc_id, n_fingerprints, min_fingerprint)
     to keep the gate output compact.
 
-    Plan shape: generator explode (no shuffle) -> window over (doc, pos)
-    (one shuffle on doc_id) -> agg on the same key (no second shuffle —
-    partitioning is reused).
+    Winnowing is per-document local, so the whole thing is array
+    expressions inside one projection: ZERO shuffles, no explode that
+    would duplicate the document text once per position (at 100 TB an
+    exploded (doc_id, pos, text) stream is ~300x the corpus), and no
+    window function. slice() truncates at the array end, which exactly
+    matches the SQL window frame ``ROWS BETWEEN CURRENT ROW AND w-1
+    FOLLOWING`` on the trailing positions.
     """
-    grams = docs.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))).alias("pos"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.expr(f"md5(substring(text, pos, {k}))").alias("h"),
+    hashes = F.expr(
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> md5(substring(text, i, {k})))"
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
+    fps = F.expr(
+        f"transform(sequence(1, size(harr)), j -> array_min(slice(harr, j, {window})))"
     )
-    selected = grams.withColumn("fp", F.min("h").over(w))
-    return selected.groupBy("doc_id").agg(
-        F.countDistinct("fp").alias("n_fingerprints"),
-        F.min("fp").alias("min_fingerprint"),
+    return (
+        docs.filter(F.length("text") >= k)
+        .select("doc_id", hashes.alias("harr"))
+        .select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size(F.array_distinct("fps")).cast("long").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fingerprint"),
+        )
     )

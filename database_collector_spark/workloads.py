@@ -38,8 +38,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        df = _fan_out(df)
+    return df
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread an under-split scan across the cluster.
+
+    The driver fixtures are single-row-group parquet files, so the scan
+    yields 1 input split and every downstream per-row computation runs on
+    one core. A 100 TB table arrives in thousands of splits and never hits
+    this; the repartition reproduces that natural layout locally (and is a
+    no-op decision at scale: it only fires when the source has fewer
+    splits than the cluster has slots). Applied to the per-row-compute
+    tables (documents, embeddings) where hashing/linear-algebra work
+    dwarfs the one-extra-pass shuffle; aggregation-shaped tables skip it —
+    partial aggregation already collapses their rows before any exchange.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _cents(c: str) -> F.Column:
