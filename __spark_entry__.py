@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from database_collector_spark import workloads, workloads_ext, workloads_ts
+from database_collector_spark import workloads, workloads2, workloads_ext, workloads_ts
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
     return {
         **workloads.QUERIES,
+        **workloads2.QUERIES2,
         **workloads_ext.QUERIES_EXT,
         **workloads_ts.QUERIES_TS,
     }
@@ -40,6 +41,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each ``queries()`` entry."""
     return {
         **workloads.ORACLES,
+        **workloads2.ORACLES2,
         **workloads_ext.ORACLES_EXT,
         **workloads_ts.ORACLES_TS,
     }

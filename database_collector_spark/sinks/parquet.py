@@ -23,7 +23,7 @@ def write_timeseries(
     out = df
     writer = None
     if partition_by_date:
-        out = df.withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+        out = df.withColumn("ds", F.to_date("ts"))
         writer = out.write.partitionBy("ds")
     else:
         writer = out.write

@@ -1,11 +1,22 @@
 """Custom stateful streaming operator via applyInPandasWithState
 (SURVEY.md §2.10 extension surface).
 
-The built-in groupBy().count() covers the reference's counter; this module
+The built-in groupBy().count() covers the reference's counter
+(collector/cmd/events-collector/events-collector.go:22-47); this module
 adds the operator Spark lacks natively: a per-key running counter with
 inactivity expiry (TTL) — the state-store-friendly shape for unbounded key
 spaces (event ids at 100 TB/day): keys that go quiet are evicted instead
 of accumulating forever.
+
+TTL is **event-time** driven (watermark + EventTimeTimeout), not
+processing-time: eviction then depends only on the data, so replays and
+backfills produce identical state transitions, and the micro-batch engine
+goes idle between arrivals (ProcessingTimeTimeout keeps scheduling
+timeout-check batches forever — an always-hot no-op loop at cluster
+scale). A key's timeout is set to max(event ts in batch) + TTL; it fires
+in the first batch whose watermark has passed that point, emitting a final
+``expired=true`` tombstone so a downstream sink can flush the closing
+value.
 """
 
 from __future__ import annotations
@@ -16,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_TTL_MS = 60 * 60 * 1000  # evict keys quiet for 1h of event time
 
 STATE_SCHEMA = T.StructType(
     [
@@ -32,37 +45,65 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_counts(
-    key: tuple,
-    batches: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (label,) = key
-    if state.hasTimedOut:
-        (total,) = state.get
-        state.remove()
+def _make_update_fn(ttl_ms: int):
+    def _update_counts(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (label,) = key
+        if state.hasTimedOut:
+            (total,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "event_id_label": [label],
+                    "rds_events_total": [total],
+                    "expired": [True],
+                }
+            )
+            return
+        n_new = 0
+        max_ts_ms = 0
+        for b in batches:
+            n_new += len(b)
+            if len(b):
+                # ts arrives as pandas Timestamp (UTC-naive) via Arrow
+                batch_max = b["ts"].max()
+                max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
+        total = (state.get[0] if state.exists else 0) + n_new
+        state.update((total,))
+        # quiet for ttl of *event time*: deterministic under replay
+        state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
         yield pd.DataFrame(
-            {"event_id_label": [label], "rds_events_total": [total], "expired": [True]}
+            {
+                "event_id_label": [label],
+                "rds_events_total": [total],
+                "expired": [False],
+            }
         )
-        return
-    n_new = sum(len(b) for b in batches)
-    total = (state.get[0] if state.exists else 0) + n_new
-    state.update((total,))
-    state.setTimeoutDuration(60 * 60 * 1000)  # evict keys quiet for 1h
-    yield pd.DataFrame(
-        {"event_id_label": [label], "rds_events_total": [total], "expired": [False]}
-    )
+
+    return _update_counts
 
 
-def running_counts_with_ttl(labeled_events: DataFrame) -> DataFrame:
-    """Streaming frame with an ``event_id_label`` column -> running counts
-    with 1h-inactivity eviction. Each update emits the new total; eviction
-    emits a final tombstone row with expired=true (so a downstream sink can
-    flush the closing value)."""
-    return labeled_events.groupBy("event_id_label").applyInPandasWithState(
-        _update_counts,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+def running_counts_with_ttl(
+    labeled_events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+    ttl_ms: int = DEFAULT_TTL_MS,
+) -> DataFrame:
+    """Streaming frame with ``event_id_label`` + event-time ``ts_col`` ->
+    running counts with event-time TTL eviction. Each update emits the new
+    total; eviction emits a final tombstone row with expired=true."""
+    return (
+        labeled_events.withWatermark(ts_col, watermark_delay)
+        .groupBy("event_id_label")
+        .applyInPandasWithState(
+            _make_update_fn(ttl_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -1,0 +1,511 @@
+"""Workloads batch 2: engine-completeness operators.
+
+SURVEY.md §2 notes the reference needs no joins/windows/set-ops of its own
+(§2.3, §2.7) but the target engine exposes Spark's full relational surface
+for the extension workloads; this batch pins that surface with DuckDB
+oracles: semi/anti joins, correlated aggregates, running windows,
+string/date scalar functions, CUBE grouping sets, unpivot, conditional
+aggregation, exact interpolated percentiles, argmax-per-group, and the
+1-probe IVF ANN search path.
+
+Determinism conventions (same as workloads.py): money via integer cents,
+window orderings made total with key tie-breaks, interpolation only at
+dyadic quantiles over integers (both engines' formulas are then exact),
+collected lists explicitly sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_collector_spark.operators import similarity
+from database_collector_spark.workloads import _cents, _t
+from database_collector_spark.workloads_ext import _SQL_QUANT
+
+# ---------------------------------------------------------------------------
+# joins beyond equi-inner
+# ---------------------------------------------------------------------------
+
+
+def q_semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI join (EXISTS / NOT EXISTS): per priority, how
+    many orders do / don't contain a line with quantity > 49.
+
+    The probe side is a distinct orderkey set — Catalyst plans both as one
+    shuffled join each on l_orderkey with the filter pushed into the
+    lineitem scan; no row multiplication ever materializes (semi/anti
+    short-circuit per probe hit), which is why EXISTS-shaped logic must
+    never be written as inner-join + distinct at 100 TB.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 49)
+        .select("l_orderkey")
+    )
+    on = orders["o_orderkey"] == big["l_orderkey"]
+    with_big = (
+        orders.join(big, on, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_with"))
+    )
+    without_big = (
+        orders.join(big, on, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_without"))
+    )
+    return with_big.join(without_big, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        F.coalesce("n_with", F.lit(0)).alias("n_with"),
+        F.coalesce("n_without", F.lit(0)).alias("n_without"),
+    )
+
+
+SQL_SEMI_ANTI_ORDERS = """
+WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 49)
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN b.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+       CAST(SUM(CASE WHEN b.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without
+FROM orders o LEFT JOIN big b ON o.o_orderkey = b.l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter (TPC-H Q17 shape): revenue of lines with
+    quantity below half their part's average quantity.
+
+    The correlated subquery decorrelates to a per-part aggregate joined
+    back — one shuffle for the agg, and the join side is |parts|-sized so
+    AQE broadcasts it. avg = exact cent-sum / count in double on both
+    engines; threshold compare in double is then bit-identical.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(_cents("l_quantity")).cast("double") / F.count("*") / 100).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(per_part.withColumnRenamed("l_partkey", "pk"), li["l_partkey"] == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_cents("l_extendedprice")).cast("double") / 100 / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+SQL_CORRELATED_AVG_FILTER = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100 AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100/7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# window functions: running / offset
+# ---------------------------------------------------------------------------
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history: running count, running spend, previous
+    order date, day gap. Ordering is made total with the o_orderkey
+    tie-break (same-day orders would otherwise make LAG nondeterministic).
+
+    One shuffle on o_custkey; all four window functions share the single
+    sort (same window spec -> one Window physical operator).
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        (F.sum(_cents("o_totalprice")).over(w).cast("double") / 100).alias(
+            "run_spend"
+        ),
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+            F.lit(0),
+        ).alias("days_since_prev"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS DOUBLE)/100 AS run_spend,
+       LAG(o_orderdate) OVER w AS prev_date,
+       CAST(COALESCE(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate), 0) AS INT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar function surface: strings, dates, case
+# ---------------------------------------------------------------------------
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (SURVEY §2.8 extension): regexp extraction,
+    case mapping, split-indexing, search position, length — all
+    whole-stage-codegen expressions, zero shuffles."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.upper("p_brand").alias("brand_up"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
+        F.length("p_name").alias("name_len"),
+        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_pos"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+       upper(p_brand) AS brand_up,
+       string_split(p_type, ' ')[1] AS type_first,
+       CAST(length(p_name) AS INT) AS name_len,
+       CAST(strpos(p_type, 'BRUSHED') AS INT) AS brushed_pos,
+       substring(p_name, 1, 5) AS name_prefix
+FROM part
+"""
+
+
+def q_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: orders per month with exact revenue. date_trunc
+    is a narrow expression; the month key (low cardinality) is the shuffle
+    key — the partition-prunable layout a 100 TB order lake would use."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")).cast("double") / 100).alias("revenue"),
+        )
+    )
+
+
+SQL_DATE_ROLLUP = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+def q_case_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE bucketing + HAVING: customer account-balance tiers per market
+    segment, keeping only (segment, tier) cells with > 50 members."""
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", tier.alias("tier"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 50)
+    )
+
+
+SQL_CASE_HAVING = """
+SELECT c_mktsegment,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS tier,
+       COUNT(*) AS n
+FROM customer
+GROUP BY 1, 2
+HAVING COUNT(*) > 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation surface: argmax, percentiles, cube, conditional, list
+# ---------------------------------------------------------------------------
+
+
+def q_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group via max_by: each nation's richest customer.
+
+    Ties are broken toward the smaller custkey by packing (balance,
+    -custkey) into one bigint ordering value — max_by on exact ties is
+    otherwise unspecified in both engines. Single partial-aggregatable
+    pass; contrast with topk_per_group, which pays a sort for the same
+    k=1 answer.
+    """
+    c = _t(spark, sf_dir, "customer")
+    order_val = _cents("c_acctbal") * F.lit(10_000_000) - F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", order_val).alias("richest_custkey"),
+        (F.max(_cents("c_acctbal")).cast("double") / 100).alias("max_acctbal"),
+    )
+
+
+SQL_ARGMAX_CUSTOMER = """
+SELECT c_nationkey,
+       arg_max(c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) * 10000000 - c_custkey) AS richest_custkey,
+       CAST(MAX(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100 AS max_acctbal
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per market segment.
+
+    Quantiles restricted to dyadic points (.25/.5/.75) over integer cents:
+    Spark's (1-d)*lo + d*hi and DuckDB's lo + d*(hi-lo) are then both
+    exact in double, so the engines agree bit-for-bit. (percentile_approx
+    is the 100 TB default; the exact form pins the semantics.)
+    """
+    cents = _cents("c_acctbal")
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.percentile(cents, F.lit(0.25)) / 100).alias("p25"),
+            (F.percentile(cents, F.lit(0.5)) / 100).alias("p50"),
+            (F.percentile(cents, F.lit(0.75)) / 100).alias("p75"),
+        )
+    )
+
+
+SQL_EXACT_PERCENTILES = """
+SELECT c_mktsegment,
+       quantile_cont(CAST(ROUND(c_acctbal*100) AS BIGINT), 0.25)/100 AS p25,
+       quantile_cont(CAST(ROUND(c_acctbal*100) AS BIGINT), 0.5)/100 AS p50,
+       quantile_cont(CAST(ROUND(c_acctbal*100) AS BIGINT), 0.75)/100 AS p75
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping_id over order priority x status
+    (SURVEY §2.5 A5 surface — free in Spark, absent in the reference)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_CUBE_COUNTS = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot of lineitem measures (the inverse of
+    kv_pivot_wide; the same melt the declarative metric config performs on
+    scraped wide rows). stack() is a generator projection — no shuffle."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+                "'discount', l_discount, 'tax', l_tax) AS (measure, value)"
+            ),
+        )
+    )
+
+
+SQL_UNPIVOT_MELT = """
+SELECT l_orderkey, l_linenumber, m.measure, m.value
+FROM lineitem,
+LATERAL (VALUES ('quantity', l_quantity), ('extendedprice', l_extendedprice),
+                ('discount', l_discount), ('tax', l_tax)) AS m(measure, value)
+WHERE l_orderkey <= 1000
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (filtered counts in one pass — the shape of
+    every scraper's status-bucket counters, SURVEY §2.5 A1/A4)."""
+    big = _cents("o_totalprice") > 15_000_000
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "n_finished"
+            ),
+            F.sum(F.when(big, 1).otherwise(0)).alias("n_big"),
+            F.round(
+                F.sum(F.when(big, 1).otherwise(0)) / F.count("*"), 4
+            ).alias("big_ratio"),
+        )
+    )
+
+
+SQL_CONDITIONAL_AGG = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) > 15000000 THEN 1 ELSE 0 END) AS n_big,
+       round(CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) > 15000000 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS big_ratio
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect_set is unordered in any
+    distributed engine, so the contract is sort_array(collect_set(...)) —
+    the only portable list-agg semantics."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.sort_array(F.collect_set("s_suppkey")).alias("suppkeys"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_SORTED_LIST_AGG = """
+SELECT s_nationkey, list_sort(list(DISTINCT s_suppkey)) AS suppkeys, COUNT(*) AS n
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVF-style 1-probe search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flavored ANN: coarse quantizer = sign-projection LSH bucket;
+    probe = exact cosine top-3 within the query's own bucket only.
+
+    This is the 100 TB search path the brute-force similarity_topk is the
+    oracle for: the bucket id is the partition key at rest, so one probe
+    touches one partition instead of the whole corpus. Recall loss vs
+    brute force is the measured LSH tradeoff, not an implementation gap.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = similarity.lsh_buckets(emb).select("vec_id", "bucket")
+    base = similarity.with_quantized(emb).join(buckets, "vec_id")
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("qnorm2").alias("q_n2"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("qnorm2").alias("c_n2"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_bucket") == F.col("c_bucket"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                similarity._dot("q_qe", "c_qe").cast("double")
+                / (
+                    F.sqrt(F.col("q_n2").cast("double"))
+                    * F.sqrt(F.col("c_n2").cast("double"))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+def _sql_ann_ivf() -> str:
+    from database_collector_spark.workloads_ext import _sql_ann_lsh
+
+    # reuse the bucket SQL as a CTE by nesting the full select
+    bucket_sql = _sql_ann_lsh().strip()
+    return f"""
+WITH {_SQL_QUANT},
+buckets AS ({bucket_sql}),
+p AS (
+  SELECT qb.vec_id AS q_id, cb.vec_id AS c_id, SUM(q.qe[i] * c.qe[i]) AS dot
+  FROM buckets qb
+  JOIN buckets cb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.vec_id
+  JOIN qe q ON q.vec_id = qb.vec_id
+  JOIN qe c ON c.vec_id = cb.vec_id
+  CROSS JOIN idx
+  WHERE qb.vec_id < 10
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.q_id, p.c_id,
+         CAST(p.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos_raw
+  FROM p JOIN norms nq ON nq.vec_id = p.q_id JOIN norms nc ON nc.vec_id = p.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cos_raw, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES2 = {
+    "semi_anti_orders": q_semi_anti_orders,
+    "correlated_avg_filter": q_correlated_avg_filter,
+    "window_running": q_window_running,
+    "string_funcs": q_string_funcs,
+    "date_rollup": q_date_rollup,
+    "case_having": q_case_having,
+    "argmax_customer": q_argmax_customer,
+    "exact_percentiles": q_exact_percentiles,
+    "cube_counts": q_cube_counts,
+    "unpivot_melt": q_unpivot_melt,
+    "conditional_agg": q_conditional_agg,
+    "sorted_list_agg": q_sorted_list_agg,
+    "ann_ivf_probe": q_ann_ivf_probe,
+}
+
+ORACLES2 = {
+    "semi_anti_orders": SQL_SEMI_ANTI_ORDERS,
+    "correlated_avg_filter": SQL_CORRELATED_AVG_FILTER,
+    "window_running": SQL_WINDOW_RUNNING,
+    "string_funcs": SQL_STRING_FUNCS,
+    "date_rollup": SQL_DATE_ROLLUP,
+    "case_having": SQL_CASE_HAVING,
+    "argmax_customer": SQL_ARGMAX_CUSTOMER,
+    "exact_percentiles": SQL_EXACT_PERCENTILES,
+    "cube_counts": SQL_CUBE_COUNTS,
+    "unpivot_melt": SQL_UNPIVOT_MELT,
+    "conditional_agg": SQL_CONDITIONAL_AGG,
+    "sorted_list_agg": SQL_SORTED_LIST_AGG,
+    "ann_ivf_probe": _sql_ann_ivf(),
+}

@@ -82,6 +82,11 @@ def test_run_loop_ticks_bounded():
 
 
 def test_stateful_running_counts_with_ttl(spark):
+    # Each ingest runs as a bounded availableNow pass restarting from the
+    # same checkpoint (an always-on query with state timeouts never goes
+    # idle, so processAllAvailable would hang). Event-time TTL makes
+    # eviction deterministic: it fires when the *watermark* passes
+    # last-seen-ts + 1h, regardless of wall clock.
     from database_collector_spark.streaming.stateful import running_counts_with_ttl
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -89,43 +94,59 @@ def test_stateful_running_counts_with_ttl(spark):
 
         src = f"{tmp}/in"
         os.makedirs(src)
-        with open(f"{src}/b1.json", "w") as f:
-            f.write(
-                "\n".join(
-                    json.dumps({"event_id_label": x})
-                    for x in ["A", "A", "B"]
+
+        def run_pass() -> set:
+            # memory sink can't recover from a checkpoint; foreachBatch can
+            emitted: set = set()
+
+            def sink(batch_df, _batch_id):
+                emitted.update(
+                    (r["event_id_label"], r["rds_events_total"], r["expired"])
+                    for r in batch_df.collect()
                 )
+
+            stream = spark.readStream.schema(
+                "event_id_label string, ts timestamp"
+            ).json(src)
+            q = (
+                running_counts_with_ttl(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
-        stream = (
-            spark.readStream.schema("event_id_label string").json(src)
+            try:
+                assert q.awaitTermination(120), "stream pass did not finish"
+            finally:
+                q.stop()
+            return emitted
+
+        def write_batch(fname: str, rows: list[tuple[str, str]]) -> None:
+            with open(f"{src}/{fname}", "w") as f:
+                f.write(
+                    "\n".join(
+                        json.dumps({"event_id_label": k, "ts": ts})
+                        for k, ts in rows
+                    )
+                )
+
+        write_batch(
+            "b1.json",
+            [("A", "2024-06-01T10:00:00"), ("A", "2024-06-01T10:01:00"),
+             ("B", "2024-06-01T10:02:00")],
         )
-        q = (
-            running_counts_with_ttl(stream)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName("ttl_counts")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            got = {
-                (r["event_id_label"], r["rds_events_total"], r["expired"])
-                for r in spark.sql("SELECT * FROM ttl_counts").collect()
-            }
-            assert got == {("A", 2, False), ("B", 1, False)}
-            with open(f"{src}/b2.json", "w") as f:
-                f.write(json.dumps({"event_id_label": "A"}))
-            q.processAllAvailable()
-            got = {
-                (r["event_id_label"], r["rds_events_total"])
-                for r in spark.sql(
-                    "SELECT * FROM ttl_counts WHERE expired = false"
-                ).collect()
-            }
-            assert ("A", 3) in got  # running count accumulated across batches
-        finally:
-            q.stop()
+        assert run_pass() == {("A", 2, False), ("B", 1, False)}
+
+        # pass 2: A updates (recovered state: 2 + 1), and once the
+        # watermark reaches 12:00 the engine's follow-up batch fires B's
+        # 11:02 timeout -> tombstone with its final total
+        write_batch("b2.json", [("A", "2024-06-01T12:00:00")])
+        assert run_pass() == {("A", 3, False), ("B", 1, True)}
+
+        # pass 3: B is gone; only the new key C appears
+        write_batch("b3.json", [("C", "2024-06-01T12:30:00")])
+        assert run_pass() == {("C", 1, False)}
 
 
 def test_parquet_sink_partitioned(spark):
@@ -141,7 +162,7 @@ def test_parquet_sink_partitioned(spark):
         write_timeseries(df, f"{tmp}/ts")
         back = read_timeseries(spark, f"{tmp}/ts")
         assert back.count() == 2
-        assert sorted(r["ds"] for r in back.select("ds").collect()) == [
+        assert sorted(str(r["ds"]) for r in back.select("ds").collect()) == [
             "2024-06-01",
             "2024-06-02",
         ]

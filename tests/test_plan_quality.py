@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the 100 TB claims in operator docstrings
+(zero-shuffle, pushdown, broadcast) pinned against the executed plan, so a
+refactor that silently introduces a shuffle or blocks pushdown fails CI —
+not a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lang_id_is_zero_shuffle(spark):
+    from database_collector_spark.operators.text import lang_id
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(lang_id(_t(spark, SF, "documents")))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_fingerprint_is_zero_shuffle(spark):
+    from database_collector_spark.operators.text import fingerprint
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(fingerprint(_t(spark, SF, "documents")))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    from database_collector_spark.operators.dedup import minhash_signatures
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(minhash_signatures(_t(spark, SF, "documents")))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    from database_collector_spark.workloads import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned read: none of the untouched columns reach the scan
+    assert "l_partkey" not in plan and "l_suppkey" not in plan
+    # stays in whole-stage codegen (no Python in the hot path)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shipping_priority_broadcasts_dims(spark):
+    from database_collector_spark.workloads import q_shipping_priority
+
+    plan = _plan(q_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_planned_as_semi_and_anti(spark):
+    from database_collector_spark.workloads2 import q_semi_anti_orders
+
+    plan = _plan(q_semi_anti_orders(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_window_running_single_sort(spark):
+    from database_collector_spark.workloads2 import q_window_running
+
+    plan = _plan(q_window_running(spark, SF))
+    # all four window functions share one Window operator (one sort)
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 1
+
+
+def test_enrich_histogram_expansion_no_python(spark):
+    """The core §2.4 transform is pure JVM expressions end-to-end."""
+    from pyspark.sql import Row
+
+    from database_collector_spark.model.schemas import METRIC_SAMPLE_SCHEMA
+    from database_collector_spark.operators.enrich import enrich
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                name="m",
+                metric_type="GAUGE",
+                labels={"a": "1"},
+                value=1.0,
+                ts=None,
+                buckets=None,
+                quantiles=None,
+                sample_sum=None,
+                sample_count=None,
+            )
+        ],
+        METRIC_SAMPLE_SCHEMA,
+    )
+    plan = _plan(
+        enrich(df, host="h.x.y", engine="mysql", region="r", account_id="a")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
