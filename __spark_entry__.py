@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from database_collector_spark import workloads, workloads2, workloads_ext, workloads_ts
+from database_collector_spark import (
+    workloads,
+    workloads2,
+    workloads3,
+    workloads_ext,
+    workloads_ts,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **workloads.QUERIES,
         **workloads2.QUERIES2,
+        **workloads3.QUERIES3,
         **workloads_ext.QUERIES_EXT,
         **workloads_ts.QUERIES_TS,
     }
@@ -42,6 +49,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **workloads.ORACLES,
         **workloads2.ORACLES2,
+        **workloads3.ORACLES3,
         **workloads_ext.ORACLES_EXT,
         **workloads_ts.ORACLES_TS,
     }

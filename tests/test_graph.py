@@ -1,0 +1,48 @@
+"""Connected-components operator (operators/graph.py): known topologies."""
+
+from __future__ import annotations
+
+from database_collector_spark.operators import graph
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def _components(spark, edges, **kw):
+    rows = graph.connected_components(_pairs(spark, edges), **kw).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_cc_isolated_pairs(spark):
+    assert _components(spark, [(1, 2), (3, 4)]) == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_cc_chain_converges_past_diameter(spark):
+    # 5-node chain: min label must travel the whole diameter
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert _components(spark, edges) == {n: 1 for n in range(1, 6)}
+
+
+def test_cc_clique_and_edge_direction_irrelevant(spark):
+    # triangle given with mixed orientation + a reversed pair
+    edges = [(7, 6), (6, 8), (8, 7), (10, 9)]
+    got = _components(spark, edges)
+    assert got == {6: 6, 7: 6, 8: 6, 9: 9, 10: 9}
+
+
+def test_cc_max_iter_bounds_work(spark):
+    # one round is not enough for a chain of 4 -> labels not yet converged,
+    # but the operator still returns a full assignment (bounded work)
+    got = _components(spark, [(1, 2), (2, 3), (3, 4)], max_iter=1)
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] == 1  # direct neighbor adopted the min
+
+
+def test_cluster_summary_shapes(spark):
+    comp = graph.connected_components(_pairs(spark, [(1, 2), (2, 3), (5, 6)]))
+    rows = {
+        r["component"]: (r["n_docs"], r["doc_ids"])
+        for r in graph.cluster_summary(comp).collect()
+    }
+    assert rows == {1: (3, [1, 2, 3]), 5: (2, [5, 6])}

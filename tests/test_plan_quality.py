@@ -99,3 +99,32 @@ def test_enrich_histogram_expansion_no_python(spark):
         enrich(df, host="h.x.y", engine="mysql", region="r", account_id="a")
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_window_frames_single_sort(spark):
+    from database_collector_spark.workloads3 import q_window_frames
+
+    plan = _plan(q_window_frames(spark, SF))
+    # moving-avg frame, running frame, percent_rank and ntile all share
+    # the (o_custkey; o_orderdate, o_orderkey) ordering -> one Exchange,
+    # one Sort, window ops stacked on top without re-partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Sort ") <= 1
+
+
+def test_range_join_is_equi_join_on_bucket(spark):
+    from database_collector_spark.workloads3 import q_range_join_buckets
+
+    plan = _plan(q_range_join_buckets(spark, SF))
+    # the trailing-window theta predicate must NOT plan as a nested loop:
+    # bucketing turns it into a hash-joinable equi condition
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_scan(spark):
+    from database_collector_spark.workloads3 import q_grouping_sets
+
+    plan = _plan(q_grouping_sets(spark, SF))
+    # one Expand feeding one aggregate: all three granularities from one scan
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") - plan.count("Scan parquet []") <= 1
