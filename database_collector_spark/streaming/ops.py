@@ -1,0 +1,101 @@
+"""Streaming operator surface beyond the reference's counter
+(SURVEY.md §2.10 lists watermarks/windows/sessionization as "none" in the
+reference — these are the extension operators a 100 TB stream needs).
+
+Every operator here bounds its state with a watermark: an unbounded-key
+stream (event ids, content hashes) must evict state or the state store
+grows without limit. The batch twins of these shapes live in
+workloads_ts.py (sessionization, tumbling windows) and workloads3.py
+(range join) — same semantics, same column names, so a pipeline can run
+one definition in either mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit the first row per key, drop replays
+    that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``): the
+    plain form keeps every key seen since stream start — unbounded state
+    for a content-hash key space. The watermarked form evicts a key's
+    state once the watermark passes its last occurrence, trading
+    unbounded memory for a bounded re-emission horizon — the correct
+    trade for dedup of a document firehose, where replays are
+    delivery-retry artifacts arriving within minutes, not year-later
+    repeats (those are batch dedup's job, operators/dedup.py).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def session_window_agg(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows: per-key activity runs closed by a `gap` of
+    silence (the streaming twin of workloads_ts sessionization, which
+    does the same with lag()+cumsum in batch).
+
+    ``F.session_window`` keeps session state per active key and emits a
+    row when the watermark passes session_end + gap — state is bounded
+    by ACTIVE sessions, not by history. Output is append-mode (a session
+    row is final once emitted)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    join_key: str = "user_id",
+    lookback: str = "2 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an interval condition: right-side
+    rows within [left.ts - lookback, left.ts] for the same key (the
+    streaming twin of workloads3 range_join_buckets).
+
+    Both sides MUST be watermarked and the join condition must bound
+    event time on both sides — that pair of bounds is what lets the
+    engine discard buffered rows (state eviction); an unbounded
+    stream-stream join buffers both streams forever."""
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    return left.withWatermark(left_ts, watermark).join(
+        right.withWatermark(right_ts, watermark),
+        (left[join_key] == right[join_key])
+        & (rt >= lt - F.expr(f"INTERVAL {lookback}"))
+        & (rt <= lt),
+        "inner",
+    ).drop(right[join_key])

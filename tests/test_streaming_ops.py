@@ -1,0 +1,150 @@
+"""Streaming extension operators (streaming/ops.py): watermarked dedup,
+session windows, stream-stream interval join — each driven through a file
+source with availableNow passes and a foreachBatch collector."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+
+def _run_stream(spark, src, build, ckpt, out_mode="append"):
+    rows = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    q = (
+        build(src)
+        .writeStream.outputMode(out_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "stream pass did not finish"
+    finally:
+        q.stop()
+    return rows
+
+
+def _write(src, fname, records):
+    with open(f"{src}/{fname}", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in records))
+
+
+def test_streaming_dedup_within_watermark(spark):
+    from database_collector_spark.streaming.ops import streaming_dedup
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        _write(
+            src,
+            "b1.json",
+            [
+                {"doc_hash": "h1", "ts": "2024-06-01T10:00:00"},
+                {"doc_hash": "h1", "ts": "2024-06-01T10:00:30"},  # replay, dropped
+                {"doc_hash": "h2", "ts": "2024-06-01T10:01:00"},
+            ],
+        )
+
+        def build(path):
+            stream = spark.readStream.schema("doc_hash string, ts timestamp").json(
+                path
+            )
+            return streaming_dedup(
+                stream, key_cols=["doc_hash"], watermark="10 minutes"
+            )
+
+        got = _run_stream(spark, src, build, f"{tmp}/ckpt")
+        assert sorted(r["doc_hash"] for r in got) == ["h1", "h2"]
+
+        # second pass: h1 replays again within horizon -> still dropped;
+        # h3 is new -> emitted
+        _write(
+            src,
+            "b2.json",
+            [
+                {"doc_hash": "h1", "ts": "2024-06-01T10:02:00"},
+                {"doc_hash": "h3", "ts": "2024-06-01T10:02:30"},
+            ],
+        )
+        got = _run_stream(spark, src, build, f"{tmp}/ckpt")
+        assert sorted(r["doc_hash"] for r in got) == ["h3"]
+
+
+def test_session_window_closes_on_gap(spark):
+    from database_collector_spark.streaming.ops import session_window_agg
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        # user 1: two events 5 min apart (one session), then 2h of silence
+        _write(
+            src,
+            "b1.json",
+            [
+                {"user_id": 1, "ts": "2024-06-01T10:00:00", "value": 2.0},
+                {"user_id": 1, "ts": "2024-06-01T10:05:00", "value": 3.0},
+            ],
+        )
+
+        def build(path):
+            stream = spark.readStream.schema(
+                "user_id long, ts timestamp, value double"
+            ).json(path)
+            return session_window_agg(stream, gap="30 minutes", watermark="0 seconds")
+
+        got = _run_stream(spark, src, build, f"{tmp}/ckpt")
+        assert got == []  # watermark has not passed session_end + gap yet
+
+        # an event far in the future advances the watermark past the
+        # first session -> it is finalized and emitted
+        _write(src, "b2.json", [{"user_id": 2, "ts": "2024-06-01T13:00:00", "value": 1.0}])
+        got = _run_stream(spark, src, build, f"{tmp}/ckpt")
+        assert len(got) == 1
+        r = got[0]
+        assert r["user_id"] == 1
+        assert r["n_events"] == 2
+        assert r["session_value"] == 5.0
+        assert str(r["session_start"]).startswith("2024-06-01 10:00:00")
+        # session end = last event + gap
+        assert str(r["session_end"]).startswith("2024-06-01 10:35:00")
+
+
+def test_stream_stream_interval_join(spark):
+    from database_collector_spark.streaming.ops import stream_stream_interval_join
+
+    with tempfile.TemporaryDirectory() as tmp:
+        la, ra = f"{tmp}/l", f"{tmp}/r"
+        os.makedirs(la)
+        os.makedirs(ra)
+        _write(
+            la,
+            "l1.json",
+            [{"user_id": 1, "l_ts": "2024-06-01T10:02:00", "l_id": 100}],
+        )
+        _write(
+            ra,
+            "r1.json",
+            [
+                {"user_id": 1, "r_ts": "2024-06-01T10:01:00", "r_id": 200},  # in window
+                {"user_id": 1, "r_ts": "2024-06-01T09:00:00", "r_id": 201},  # too old
+                {"user_id": 2, "r_ts": "2024-06-01T10:01:30", "r_id": 202},  # other key
+            ],
+        )
+
+        def build(_):
+            left = spark.readStream.schema(
+                "user_id long, l_ts timestamp, l_id long"
+            ).json(la)
+            right = spark.readStream.schema(
+                "user_id long, r_ts timestamp, r_id long"
+            ).json(ra)
+            return stream_stream_interval_join(left, right, lookback="2 minutes")
+
+        got = _run_stream(spark, la, build, f"{tmp}/ckpt")
+        assert [(r["l_id"], r["r_id"]) for r in got] == [(100, 200)]
