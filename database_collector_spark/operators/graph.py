@@ -49,30 +49,42 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # dedup pair graphs are usually tiny relative to the cluster; collapse
+    # them to one partition so each fixpoint round is one task, not
+    # shuffle-partitions tasks of a few rows each (size-gated: a big graph
+    # keeps its parallelism)
+    if edges.count() < 100_000:
+        edges = edges.coalesce(1)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
     for _ in range(max_iter):
-        # min over own label and every neighbor's label
+        # min over own label and every neighbor's label; labels only ever
+        # decrease, so "changed" is detectable inside the same pass (a
+        # flag column) instead of a separate old-vs-new shuffle join
         neighbor_labels = (
             edges.join(labels, edges["v"] == labels["node"])
             .select(F.col("u").alias("node"), "component")
         )
-        new_labels = (
+        mins = (
             labels.union(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("mn"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("component", "old")
+            .join(mins, "node")
+            .select(
+                "node",
+                F.col("mn").alias("component"),
+                (F.col("mn") < F.col("old")).alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()  # narrow scan, no shuffle
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels
