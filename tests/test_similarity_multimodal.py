@@ -91,3 +91,43 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = multimodal.to_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_resize_fixed_output_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "abcdef")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.resize(multimodal.to_media(docs), out_w=4, out_h=4).collect()
+    }
+    # every payload, whatever its size, lands on exactly out_w*out_h bytes
+    assert all(len(r["resized"]) == 16 for r in rows.values())
+    assert rows[1]["out_w"] == 4 and rows[1]["out_h"] == 4
+    # uniform input -> uniform output (nearest-neighbor preserves values)
+    assert set(rows[1]["resized"]) == {ord("x")}
+
+
+def test_resize_batch_cap_preserves_rows(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    out = multimodal.resize(
+        multimodal.to_media(docs), max_rows_per_batch=3
+    )
+    assert out.count() == 10  # rebatching never drops or duplicates rows
+
+
+def test_frame_sample_cardinality_and_stride(spark):
+    # 10 frames of 4 bytes; every 3rd sampled -> frames 0, 3, 6, 9
+    payload_text = "".join(chr(ord("a") + i) * 4 for i in range(10))
+    docs = spark.createDataFrame([(7, payload_text)], "doc_id long, text string")
+    rows = (
+        multimodal.frame_sample(
+            multimodal.to_media(docs), frame_bytes=4, every_nth=3
+        )
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [bytes(r["frame"]) for r in rows] == [b"aaaa", b"dddd", b"gggg", b"jjjj"]
