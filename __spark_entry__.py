@@ -23,6 +23,7 @@ from database_collector_spark import (
     workloads,
     workloads2,
     workloads3,
+    workloads4,
     workloads_ext,
     workloads_ts,
 )
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads.QUERIES,
         **workloads2.QUERIES2,
         **workloads3.QUERIES3,
+        **workloads4.QUERIES4,
         **workloads_ext.QUERIES_EXT,
         **workloads_ts.QUERIES_TS,
     }
@@ -50,6 +52,7 @@ def oracle_sql() -> dict[str, str]:
         **workloads.ORACLES,
         **workloads2.ORACLES2,
         **workloads3.ORACLES3,
+        **workloads4.ORACLES4,
         **workloads_ext.ORACLES_EXT,
         **workloads_ts.ORACLES_TS,
     }

@@ -1,0 +1,239 @@
+"""Workloads batch 4: classic multi-join / nested-aggregate shapes.
+
+The reference never joins (SURVEY.md §2.3); these pin the full-engine
+behavior a user of any analytics engine expects, in the canonical
+TPC-H-like forms: market-share (multi-way join + conditional share-of-
+total), argmax-of-aggregate (top supplier), two-level aggregation
+(customer order-count distribution incl. zero counts via left join),
+time-series gap detection (lag windows over event streams), and decile
+bucketing (ntile feeding a re-aggregation).
+
+Determinism: integer-cents money, shares as exact-long ratios divided in
+double and rounded, epoch-second gaps as longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_collector_spark.workloads import _cents, _t
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region revenue share per order year (TPC-H Q8 shape).
+
+    Join tree: lineitem ⋈ orders (the one big-big shuffle, on orderkey)
+    ⋈ customer ⋈ nation ⋈ region — everything after the fact join is a
+    broadcast (dims are orders-of-magnitude smaller; Catalyst chooses
+    broadcast under the threshold, and at 100 TB they still are). The
+    share-of-year denominator is a window over the tiny post-agg frame,
+    never a second scan."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", _cents("l_extendedprice").alias("cents"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("yr", "r_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("yr")
+    return per.select(
+        "yr",
+        "r_name",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH per AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, r_name,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT CAST(yr AS INT) AS yr, r_name,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       round(CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+FROM per
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the maximum revenue (TPC-H Q15 shape:
+    aggregate, then filter against the aggregate-of-the-aggregate).
+
+    The max is a scalar from the tiny per-supplier frame — computed as a
+    1-row broadcast-joined aggregate, NOT a driver-side collect (the
+    pattern survives any cardinality)."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("cents"))
+    )
+    mx = rev.agg(F.max("cents").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["cents"] == mx["mx"])
+        .join(
+            _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+            rev["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(CAST(cents AS DOUBLE) / 100.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE cents = (SELECT MAX(cents) FROM rev)
+"""
+
+
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count, INCLUDING zero-order
+    customers (TPC-H Q13 shape): left join + count of the nullable side,
+    then re-aggregate the per-customer counts. Two shuffles on shrinking
+    data (customer-sized, then count-of-counts-sized)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_CUST_ORDER_DISTRIBUTION = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-stream gap detection: number of silences longer
+    than 1 hour and the longest silence, from lag() over one per-user
+    time sort. The window order is made total with event_id so ties at
+    the same timestamp are deterministic. At scale this is one shuffle
+    on user_id and a sort within partitions — the canonical
+    time-series-quality scan."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .withColumn(
+            "gap_s",
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.coalesce(
+                F.sum(F.when(F.col("gap_s") > 3600, 1).otherwise(0)), F.lit(0)
+            ).alias("n_gaps_1h"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )
+
+
+SQL_GAP_DETECT = """
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+           AS gap_s
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gaps_1h,
+       MAX(gap_s) AS max_gap_s
+FROM g
+GROUP BY user_id
+"""
+
+
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing feeding a re-aggregation: orders ntile(10)'d by
+    total price (ordered totally with the key tie-break), then per-decile
+    count and exact bounds. The ntile is one global sort — at 100 TB the
+    same result comes from approx quantile cut points + a bucket
+    expression, trading exactness for parallelism; this is the exact
+    form the gate can hash."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", _cents("o_totalprice").alias("cents"))
+        .withColumn("decile", F.ntile(10).over(Window.orderBy("cents", "o_orderkey")))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("cents").cast("double") / 100.0, 2).alias("lo"),
+            F.round(F.max("cents").cast("double") / 100.0, 2).alias("hi"),
+        )
+    )
+
+
+SQL_DECILE_STATS = """
+WITH d AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(MIN(cents) AS DOUBLE) / 100.0, 2) AS lo,
+       round(CAST(MAX(cents) AS DOUBLE) / 100.0, 2) AS hi
+FROM d
+GROUP BY decile
+"""
+
+
+QUERIES4 = {
+    "market_share": q_market_share,
+    "top_supplier": q_top_supplier,
+    "cust_order_distribution": q_cust_order_distribution,
+    "gap_detect": q_gap_detect,
+    "decile_stats": q_decile_stats,
+}
+
+ORACLES4 = {
+    "market_share": SQL_MARKET_SHARE,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "cust_order_distribution": SQL_CUST_ORDER_DISTRIBUTION,
+    "gap_detect": SQL_GAP_DETECT,
+    "decile_stats": SQL_DECILE_STATS,
+}

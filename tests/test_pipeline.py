@@ -169,3 +169,67 @@ def test_parquet_sink_partitioned(spark):
         # date partition prunes: filtered read touches one partition
         one = back.filter(F.col("ds") == "2024-06-01")
         assert one.count() == 1
+
+
+def test_overwrite_partitions_is_idempotent(spark):
+    from database_collector_spark.sinks.parquet import (
+        overwrite_partitions,
+        read_timeseries,
+        write_timeseries,
+    )
+
+    d1 = dt.datetime(2024, 6, 1, 10)
+    d2 = dt.datetime(2024, 6, 2, 10)
+    base = spark.createDataFrame(
+        [
+            Row(labels={"__name__": "m"}, value=1.0, ts=d1),
+            Row(labels={"__name__": "m"}, value=2.0, ts=d2),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_timeseries(base, f"{tmp}/ts")
+        # re-run of day 2's tick with a corrected value: only day 2 replaced
+        rerun = spark.createDataFrame(
+            [Row(labels={"__name__": "m"}, value=20.0, ts=d2)]
+        )
+        overwrite_partitions(rerun, f"{tmp}/ts")
+        got = {
+            str(r["ds"]): r["value"]
+            for r in read_timeseries(spark, f"{tmp}/ts").collect()
+        }
+        assert got == {"2024-06-01": 1.0, "2024-06-02": 20.0}
+        # running the same re-run again changes nothing (idempotent)
+        overwrite_partitions(rerun, f"{tmp}/ts")
+        assert read_timeseries(spark, f"{tmp}/ts").count() == 2
+        # the per-write conf override did not leak into the session
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            == "static"
+        )
+
+
+def test_compact_partitions_one_file_per_date(spark):
+    import glob
+
+    from database_collector_spark.sinks.parquet import (
+        compact_partitions,
+        read_timeseries,
+        write_timeseries,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # three appends -> several files per date partition
+        for v in (1.0, 2.0, 3.0):
+            df = spark.createDataFrame(
+                [
+                    Row(labels={"m": "x"}, value=v, ts=dt.datetime(2024, 6, 1, 10)),
+                    Row(labels={"m": "x"}, value=v, ts=dt.datetime(2024, 6, 2, 10)),
+                ]
+            )
+            write_timeseries(df, f"{tmp}/ts")
+        assert len(glob.glob(f"{tmp}/ts/ds=2024-06-01/*.parquet")) >= 3
+        compact_partitions(spark, f"{tmp}/ts")
+        for ds in ("2024-06-01", "2024-06-02"):
+            assert len(glob.glob(f"{tmp}/ts/ds={ds}/*.parquet")) == 1
+        # content survives byte-for-byte in row terms
+        assert read_timeseries(spark, f"{tmp}/ts").count() == 6
