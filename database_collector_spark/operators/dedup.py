@@ -234,48 +234,50 @@ def ngram_jaccard_pairs(
     suppression) to keep the blocking subquadratic.
 
     Blocking is grouped pair-GENERATION, not a self-join: group the
-    exploded (doc_id, shingle) stream by shingle once, emit each
+    exploded (doc_id, n_sh, shingle) stream by shingle once, emit each
     bucket's i<j pairs with an array comprehension, and count pairs.
     Two shuffles total (bucket build + pair count). The equivalent
     self-join shuffles the shingle stream twice for the join, hash-probes
     |stream| rows, and then still pays the pair-count shuffle — same
     output, three wide stages instead of two, measured ~1.6x slower at
-    sf0.1. Bucket doc lists are sorted, so emitted pairs are ordered
-    (doc_a < doc_b) by construction.
+    sf0.1. Bucket doc lists are sorted by doc_id (first struct field),
+    so emitted pairs are ordered (doc_a < doc_b) by construction.
+
+    Each doc's shingle-set SIZE rides along through the bucket into the
+    generated pair, so the Jaccard denominator is available straight off
+    the pair-count aggregate — no per-doc size table, which would cost a
+    second scan of the corpus plus two attach joins over the ~|pairs|
+    stream (both measurably slower than the few extra bytes per shuffle
+    row).
     """
-    sh = shingles(docs, n=n)
+    sh = shingle_sets(docs, n=n).select(
+        "doc_id",
+        F.size("sh_arr").cast("long").alias("n_sh"),
+        F.explode("sh_arr").alias("shingle"),
+    )
     buckets = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    shared = (
+    return (
         buckets.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.n_sh AS n_a, y.n_sh AS n_b))))"
                 )
             ).alias("pr")
         )
-        .groupBy(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
+        .groupBy(
+            F.col("pr.doc_a").alias("doc_a"),
+            F.col("pr.doc_b").alias("doc_b"),
+            F.col("pr.n_a").alias("n_a"),
+            F.col("pr.n_b").alias("n_b"),
+        )
         .agg(F.count("*").alias("shared"))
-    )
-    # per-doc sizes from the narrow set table (no groupBy over the
-    # exploded stream); AQE picks broadcast vs shuffle for the attach joins
-    sizes = shingle_sets(docs, n=n).select(
-        "doc_id", F.size("sh_arr").cast("long").alias("n_sh")
-    )
-    return (
-        shared.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
-            "doc_b",
-        )
         .select(
             "doc_a",
             "doc_b",

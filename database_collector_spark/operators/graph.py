@@ -55,10 +55,16 @@ def connected_components(
     # keeps its parallelism)
     if edges.count() < 100_000:
         edges = edges.coalesce(1)
+    # fused round 0: initially every neighbor's label IS its id, so the
+    # first propagation needs no join — label = min(node, neighbors)
+    # straight off the edge list (one aggregation, one round saved)
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mnv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("mnv")).alias("component"),
+        )
     )
     for _ in range(max_iter):
         # min over own label and every neighbor's label; labels only ever
