@@ -24,6 +24,7 @@ from database_collector_spark import (
     workloads2,
     workloads3,
     workloads4,
+    workloads5,
     workloads_ext,
     workloads_ts,
 )
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads2.QUERIES2,
         **workloads3.QUERIES3,
         **workloads4.QUERIES4,
+        **workloads5.QUERIES5,
         **workloads_ext.QUERIES_EXT,
         **workloads_ts.QUERIES_TS,
     }
@@ -53,6 +55,7 @@ def oracle_sql() -> dict[str, str]:
         **workloads2.ORACLES2,
         **workloads3.ORACLES3,
         **workloads4.ORACLES4,
+        **workloads5.ORACLES5,
         **workloads_ext.ORACLES_EXT,
         **workloads_ts.ORACLES_TS,
     }

@@ -1,0 +1,212 @@
+"""Workloads batch 5: deterministic dataset curation operators.
+
+A training-data pipeline does more than filter and dedup: it SAMPLES
+(stratified, so small languages aren't drowned), SPLITS (train/val/test
+that must never shift between runs or engines), and NORMALIZES text
+before tokenization. The reference has none of these (it is a metrics
+ETL, SURVEY.md §0); they are extension operators sized for the 100 TB
+documents corpus.
+
+Every operator here is deterministic ACROSS ENGINES: randomness is
+replaced by md5 of the stable key — both Spark and DuckDB produce the
+identical lowercase hex digest for the same UTF-8 string, so ordering
+and threshold comparisons agree bit-for-bit and the DuckDB oracle can
+hash-check the full result. At scale that determinism is the feature,
+not a test convenience: a re-run on new hardware yields the same split,
+and the sample needs no seed-state coordination between executors.
+
+Plan shapes (all one wide stage past the scan):
+- stratified sample: row_number per stratum over md5 order — one shuffle
+  on the stratum key; no global sort, no driver-side sampling state.
+- hash split: pure map-side label assignment (the split column is a
+  scalar expression) + one partial-agg shuffle for the bookkeeping.
+- normalization / lexical stats: per-row scalar pipeline (regex +
+  array ops, all JVM codegen — no Python) + one partial-agg shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_collector_spark.workloads import _t
+
+
+def _doc_hash() -> F.Column:
+    """Deterministic uniform 'random' per doc: md5 hex of the id string."""
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: k=100 docs per language.
+
+    Per-stratum rank over the md5 hash (uniform, engine-portable) and
+    keep the k smallest — an exact-k per-stratum sample, unlike
+    rate-based Bernoulli sampling whose stratum counts wobble. One
+    shuffle on `lang`; the window sorts within each stratum only. At
+    100 TB with few strata the per-stratum sort is the cost — if strata
+    are huge, pre-filter with a generous hash-prefix threshold (e.g.
+    keep ~10*k/|stratum| by threshold) before ranking so the sort sees
+    a sliver of the data; at fixture scale the direct rank is optimal.
+    """
+    w = Window.partitionBy("lang").orderBy(_doc_hash())
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 100)
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, rk FROM r WHERE rk <= 100
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by hash bucket (~80/10/10), verified by
+    per-split bookkeeping counts.
+
+    The split label is a scalar CASE over the first hex byte of the doc
+    hash — lexicographic compare on hex ('cc' = 204/256 ~ 79.7%,
+    'e6' = 230/256 ~ 89.8%), identical in any engine, no numeric hex
+    parse needed. Stable under corpus growth: a doc's split never
+    changes when neighbors are added, the property that prevents
+    train/test leakage across dataset versions. Pure map-side until the
+    final tiny aggregate.
+    """
+    b = F.substring(_doc_hash(), 1, 2)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test").alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+) GROUP BY split
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pipeline stats: lowercase, strip non-alphanumerics,
+    collapse whitespace — then per-language char/token bookkeeping.
+
+    The normalizer is the standard pre-tokenization scrub; emitting the
+    per-language before/after sums (exact longs) pins every stage of the
+    scalar pipeline. All regex work is JVM codegen (no Python UDF); one
+    partial-agg shuffle moves |langs| rows.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.length("text").alias("c_raw"),
+            F.length(norm).alias("c_norm"),
+            F.size(F.split(norm, " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c_raw").alias("chars_raw"),
+            F.sum("c_norm").alias("chars_norm"),
+            F.sum("n_tok").alias("tokens"),
+        )
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(LENGTH(text)) AS chars_raw,
+       SUM(LENGTH(norm)) AS chars_norm,
+       SUM(len(string_split(norm, ' '))) AS tokens
+FROM (
+  SELECT lang, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+) GROUP BY lang
+"""
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per language: distinct tokens / total tokens.
+
+    A standard corpus-quality signal (low TTR = repetitive/boilerplate
+    text worth down-weighting). Per-row array ops (split, distinct,
+    size) stay in codegen; the ratio is derived from the two exact long
+    sums AFTER aggregation, so the double division happens once per
+    group on identical integers in both engines — no ulp drift.
+    """
+    toks = F.split(F.col("text"), " ")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.size(toks).cast("long").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("tokens"), F.sum("n_uniq").alias("uniq_tokens"))
+        .select(
+            "lang",
+            "tokens",
+            "uniq_tokens",
+            F.round(
+                F.col("uniq_tokens").cast("double") / F.col("tokens").cast("double"), 6
+            ).alias("ttr"),
+        )
+    )
+
+
+SQL_LEXICAL_DIVERSITY = """
+SELECT lang, tokens, uniq_tokens,
+       round(CAST(uniq_tokens AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS ttr
+FROM (
+  SELECT lang,
+         SUM(len(string_split(text, ' '))) AS tokens,
+         SUM(len(list_distinct(string_split(text, ' ')))) AS uniq_tokens
+  FROM documents GROUP BY lang
+)
+"""
+
+
+QUERIES5 = {
+    "sample_stratified": q_sample_stratified,
+    "hash_split": q_hash_split,
+    "text_normalize": q_text_normalize,
+    "lexical_diversity": q_lexical_diversity,
+}
+
+ORACLES5 = {
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "hash_split": SQL_HASH_SPLIT,
+    "text_normalize": SQL_TEXT_NORMALIZE,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+}

@@ -1,0 +1,60 @@
+"""Dataset-curation operators (workloads5): stratified sampling,
+hash splits, normalization, lexical diversity.
+
+Invariants, not goldens — the DuckDB differential gate pins exact
+values; these pin the semantic contracts that must survive refactors.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from database_collector_spark import workloads5
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    rows = workloads5.q_sample_stratified(spark, SF).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    totals = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for lang, rks in by_lang.items():
+        expected = min(100, totals[lang])
+        assert sorted(rks) == list(range(1, expected + 1))
+
+
+def test_stratified_sample_is_deterministic(spark):
+    a = {(r["lang"], r["doc_id"]) for r in workloads5.q_sample_stratified(spark, SF).collect()}
+    b = {(r["lang"], r["doc_id"]) for r in workloads5.q_sample_stratified(spark, SF).collect()}
+    assert a == b
+
+
+def test_hash_split_partitions_everything_once(spark):
+    rows = workloads5.q_hash_split(spark, SF).collect()
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows) == total
+    frac = {r["split"]: r["n_docs"] / total for r in rows}
+    assert frac["train"] == pytest.approx(204 / 256, abs=0.05)
+    assert frac["val"] == pytest.approx(26 / 256, abs=0.03)
+
+
+def test_normalize_never_grows_text(spark):
+    for r in workloads5.q_text_normalize(spark, SF).collect():
+        assert r["chars_norm"] <= r["chars_raw"]
+        assert r["tokens"] >= r["n_docs"]  # every doc has >=1 token
+
+
+def test_lexical_diversity_bounds(spark):
+    for r in workloads5.q_lexical_diversity(spark, SF).collect():
+        assert 0 < r["uniq_tokens"] <= r["tokens"]
+        assert 0 < r["ttr"] <= 1.0
