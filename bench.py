@@ -30,6 +30,11 @@ def main() -> None:
     workloads.q_pricing_summary(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and the Python worker pool + Arrow lanes, so the first
+    # mapInPandas query isn't billed ~4s of daemon spin-up
+    spark.range(spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_total0 = time.time()
