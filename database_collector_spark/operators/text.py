@@ -48,6 +48,29 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def subtoken_estimate(docs: DataFrame, *, chars_per_subtoken: int = 4) -> DataFrame:
+    """BPE-ish token-count estimate without a vocabulary: each whitespace
+    word contributes ceil(len/4) subtokens (the empirical ~4-chars-per-
+    BPE-token rule), so long words cost proportionally more — the property
+    budget planning needs and a bare whitespace count lacks.
+
+    Pure higher-order array expression (transform + aggregate), zero
+    Python: per-row work stays in codegen, and the 100 TB plan is a
+    map-only scan feeding whatever aggregation consumes the estimate.
+    """
+    est = F.expr(
+        "aggregate(transform(split(text, ' '), "
+        f"w -> CAST(ceil(length(w) / {chars_per_subtoken}.0) AS BIGINT)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col()).cast("long").alias("n_words"),
+        est.alias("n_subtokens_est"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-voting language identification.
 

@@ -197,11 +197,49 @@ FROM (
 """
 
 
+def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budget: whitespace words vs BPE-ish subtoken
+    estimate (operators/text.py::subtoken_estimate), with the inflation
+    ratio derived from the exact long sums post-agg."""
+    from database_collector_spark.operators import text
+
+    return (
+        text.subtoken_estimate(_t(spark, sf_dir, "documents"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("words"),
+            F.sum("n_subtokens_est").alias("subtokens_est"),
+        )
+        .select(
+            "lang",
+            "words",
+            "subtokens_est",
+            F.round(
+                F.col("subtokens_est").cast("double") / F.col("words").cast("double"), 6
+            ).alias("inflation"),
+        )
+    )
+
+
+SQL_TOKEN_ESTIMATE = """
+SELECT lang, words, subtokens_est,
+       round(CAST(subtokens_est AS DOUBLE) / CAST(words AS DOUBLE), 6) AS inflation
+FROM (
+  SELECT lang,
+         SUM(len(string_split(text, ' '))) AS words,
+         SUM(list_sum(list_transform(string_split(text, ' '),
+             w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS subtokens_est
+  FROM documents GROUP BY lang
+)
+"""
+
+
 QUERIES5 = {
     "sample_stratified": q_sample_stratified,
     "hash_split": q_hash_split,
     "text_normalize": q_text_normalize,
     "lexical_diversity": q_lexical_diversity,
+    "token_estimate": q_token_estimate,
 }
 
 ORACLES5 = {
@@ -209,4 +247,5 @@ ORACLES5 = {
     "hash_split": SQL_HASH_SPLIT,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    "token_estimate": SQL_TOKEN_ESTIMATE,
 }

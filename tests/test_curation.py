@@ -54,6 +54,14 @@ def test_normalize_never_grows_text(spark):
         assert r["tokens"] >= r["n_docs"]  # every doc has >=1 token
 
 
+def test_subtoken_estimate_dominates_word_count(spark):
+    # every word contributes >= 1 subtoken, so the estimate never
+    # undercounts words; inflation is bounded by the longest-word regime
+    for r in workloads5.q_token_estimate(spark, SF).collect():
+        assert r["subtokens_est"] >= r["words"]
+        assert 1.0 <= r["inflation"] < 10.0
+
+
 def test_lexical_diversity_bounds(spark):
     for r in workloads5.q_lexical_diversity(spark, SF).collect():
         assert 0 < r["uniq_tokens"] <= r["tokens"]
