@@ -128,3 +128,33 @@ def test_grouping_sets_single_scan(spark):
     # one Expand feeding one aggregate: all three granularities from one scan
     assert plan.count("Expand") >= 1
     assert plan.count("Scan parquet") - plan.count("Scan parquet []") <= 1
+
+
+def test_hash_split_label_is_map_side_scalar(spark):
+    from database_collector_spark.workloads5 import q_hash_split
+
+    plan = _plan(q_hash_split(spark, SF))
+    # split assignment is a scalar projection: the only exchange is the
+    # final 3-row aggregate's, after map-side partials; no Python anywhere
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_single_stratum_shuffle(spark):
+    from database_collector_spark.workloads5 import q_sample_stratified
+
+    plan = _plan(q_sample_stratified(spark, SF))
+    # one exchange on the stratum key; the rank sorts within strata only
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_curation_scalar_pipelines_stay_in_codegen(spark):
+    from database_collector_spark.workloads5 import (
+        q_lexical_diversity,
+        q_text_normalize,
+        q_token_estimate,
+    )
+
+    for q in (q_text_normalize, q_lexical_diversity, q_token_estimate):
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
