@@ -234,12 +234,89 @@ FROM (
 """
 
 
+def q_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length filter: keep docs inside the per-language [p25, p75]
+    char-count band (interquartile keep — the standard outlier trim before
+    training), and report per-language kept/total bookkeeping.
+
+    The thresholds are an aggregate-of-the-corpus joined back against the
+    corpus: the quantile frame is |langs| rows, so the join back is a
+    broadcast and the second scan filters map-side. Quantiles restricted
+    to dyadic points over integer chars — exact in both engines (same
+    trick as exact_percentiles). At 100 TB swap percentile for
+    approx_percentile: thresholds then differ per run, which is why the
+    gate pins the exact form.
+    """
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    bands = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.75)).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bands), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(
+                ((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+                .cast("long")
+            ).alias("kept"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+    )
+
+
+SQL_LENGTH_TRIM = """
+WITH bands AS (
+  SELECT lang, quantile_cont(n_chars, 0.25) AS lo, quantile_cont(n_chars, 0.75) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, COUNT(*) AS total,
+       SUM(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS kept,
+       MIN(b.lo) AS lo, MIN(b.hi) AS hi
+FROM documents d JOIN bands b ON d.lang = b.lang
+GROUP BY d.lang
+"""
+
+
+def q_crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-embedding linkage: documents ⋈ embeddings on id, aggregated
+    per (lang, label) — the canonical multimodal-pipeline shape (every
+    curriculum/balance decision joins doc metadata to vector-side labels).
+
+    Both sides shuffle on the shared key; at 100 TB this is THE join to
+    co-locate — write both tables bucketed by id (sinks/bucketed.py) and
+    it runs with zero Exchange. Embedding payloads are never touched:
+    only id + label leave the vector table's scan (column pruning).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        docs.join(vecs, docs["doc_id"] == vecs["vec_id"])
+        .groupBy("lang", "label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SQL_CROSSMODAL_JOIN = """
+SELECT lang, label, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY lang, label
+"""
+
+
 QUERIES5 = {
     "sample_stratified": q_sample_stratified,
     "hash_split": q_hash_split,
     "text_normalize": q_text_normalize,
     "lexical_diversity": q_lexical_diversity,
     "token_estimate": q_token_estimate,
+    "length_trim": q_length_trim,
+    "crossmodal_join": q_crossmodal_join,
 }
 
 ORACLES5 = {
@@ -248,4 +325,6 @@ ORACLES5 = {
     "text_normalize": SQL_TEXT_NORMALIZE,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "token_estimate": SQL_TOKEN_ESTIMATE,
+    "length_trim": SQL_LENGTH_TRIM,
+    "crossmodal_join": SQL_CROSSMODAL_JOIN,
 }

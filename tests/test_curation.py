@@ -66,3 +66,20 @@ def test_lexical_diversity_bounds(spark):
     for r in workloads5.q_lexical_diversity(spark, SF).collect():
         assert 0 < r["uniq_tokens"] <= r["tokens"]
         assert 0 < r["ttr"] <= 1.0
+
+
+def test_length_trim_keeps_about_half(spark):
+    # [p25, p75] band: about half of each stratum survives (interpolated
+    # thresholds can exclude one boundary value on each side), band ordered
+    for r in workloads5.q_length_trim(spark, SF).collect():
+        assert r["lo"] <= r["hi"]
+        assert r["total"] // 2 - 2 <= r["kept"] <= r["total"]
+
+
+def test_crossmodal_join_covers_matched_ids(spark):
+    rows = workloads5.q_crossmodal_join(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id")
+    matched = docs.join(vecs, docs["doc_id"] == vecs["vec_id"]).count()
+    assert sum(r["n"] for r in rows) == matched
+    assert matched > 0
