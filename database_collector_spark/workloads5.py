@@ -309,6 +309,62 @@ GROUP BY lang, label
 """
 
 
+# mixture weights: per-source keep rates (the "data recipe"). Rates map to
+# 4-hex-digit md5-prefix thresholds (floor(rate * 65536)), so the keep
+# decision is the same lexicographic compare in every engine.
+MIXTURE_RATES = {
+    **{f"src{i}": 0.9 for i in range(5)},
+    **{f"src{i}": 0.5 for i in range(5, 10)},
+    **{f"src{i}": 0.2 for i in range(10, 20)},
+}
+
+
+def _rate_threshold(rate: float) -> str:
+    return format(int(rate * 65536), "04x")
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted downsampling: each source kept at its recipe rate
+    (web-heavy corpora get downweighted, books/code upweighted — the
+    standard pretraining-mix operation), deterministically.
+
+    The weights table is tiny and broadcast; the keep decision is a pure
+    map-side compare of the doc hash prefix against the source's
+    threshold, so the plan is scan → broadcast-join → filter-free
+    aggregate with no corpus shuffle before the bookkeeping agg. Rerun-
+    and growth-stable like hash_split: a doc's fate depends only on its
+    id and its source's rate.
+    """
+    weights = spark.createDataFrame(
+        [(s, r, _rate_threshold(r)) for s, r in sorted(MIXTURE_RATES.items())],
+        "source string, rate double, thr string",
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.substring(_doc_hash(), 1, 4).alias("h4"))
+        .join(F.broadcast(weights), "source")
+        .groupBy("source", "rate")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("h4") < F.col("thr")).cast("long")).alias("kept"),
+        )
+    )
+
+
+def _sql_mixture() -> str:
+    values = ", ".join(
+        f"('{s}', {r}, '{_rate_threshold(r)}')" for s, r in sorted(MIXTURE_RATES.items())
+    )
+    return f"""
+WITH w(source, rate, thr) AS (VALUES {values})
+SELECT d.source, w.rate, COUNT(*) AS total,
+       SUM(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < w.thr
+                THEN 1 ELSE 0 END) AS kept
+FROM documents d JOIN w ON d.source = w.source
+GROUP BY d.source, w.rate
+"""
+
+
 QUERIES5 = {
     "sample_stratified": q_sample_stratified,
     "hash_split": q_hash_split,
@@ -317,6 +373,7 @@ QUERIES5 = {
     "token_estimate": q_token_estimate,
     "length_trim": q_length_trim,
     "crossmodal_join": q_crossmodal_join,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLES5 = {
@@ -327,4 +384,5 @@ ORACLES5 = {
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "length_trim": SQL_LENGTH_TRIM,
     "crossmodal_join": SQL_CROSSMODAL_JOIN,
+    "mixture_sample": _sql_mixture(),
 }

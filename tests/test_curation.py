@@ -76,6 +76,13 @@ def test_length_trim_keeps_about_half(spark):
         assert r["total"] // 2 - 2 <= r["kept"] <= r["total"]
 
 
+def test_mixture_sample_tracks_recipe_rates(spark):
+    for r in workloads5.q_mixture_sample(spark, SF).collect():
+        assert 0 <= r["kept"] <= r["total"]
+        # small strata: generous tolerance, but the rate must still steer
+        assert r["kept"] / r["total"] == pytest.approx(r["rate"], abs=0.25)
+
+
 def test_crossmodal_join_covers_matched_ids(spark):
     rows = workloads5.q_crossmodal_join(spark, SF).collect()
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
