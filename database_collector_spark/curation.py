@@ -1,0 +1,82 @@
+"""End-to-end training-data curation pipeline.
+
+Composes the extension operators into the canonical prep DAG a corpus
+goes through before tokenization:
+
+    quality filter → exact dedup (keep canonical) → deterministic
+    train/val/test split → partitioned lake write
+
+Everything stays one declarative plan until the sink — Catalyst fuses
+the quality scalar pipeline into the scan, the dedup semi-join is the
+single corpus shuffle, and the split label is a map-side expression —
+so the whole pipeline costs scan + one shuffle + write. The write
+lands partitioned by (split, lang): low cardinality (3 × |langs|
+directories), prunes both the trainer's reads (split=train) and
+per-language budget queries, and uses dynamic partition overwrite so a
+re-run replaces exactly the partitions it produces (idempotent retries,
+same policy as sinks/parquet.py).
+
+Near-dup tiers (minhash_lsh_dedup → connected_components) slot in
+between the exact tier and the split as an anti-join against the
+cluster non-canonical set; they are kept out of the default DAG because
+their cost profile is corpus-dependent (see SCALE.md) — the hook is the
+``extra_drop`` parameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_collector_spark.operators import dedup, text
+
+
+def split_col(key: str = "doc_id") -> F.Column:
+    """Deterministic ~80/10/10 split label from the md5 of the id —
+    identical rule to the hash_split gate query (leakage-stable: a doc's
+    split never changes as the corpus grows)."""
+    b = F.substring(F.md5(F.col(key).cast("string")), 1, 2)
+    return F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    quality_min: float = 0.3,
+    extra_drop: DataFrame | None = None,
+) -> DataFrame:
+    """documents → curated, split-labeled documents.
+
+    ``extra_drop``: optional single-column (doc_id) frame of additional
+    removals — e.g. non-canonical members of near-dup clusters — applied
+    as a left-anti join.
+    """
+    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    kept = (
+        docs.join(scored, "doc_id")
+        .filter(F.col("quality_score") >= quality_min)
+        .drop("quality_score")
+    )
+    # exact tier: keep one doc per identical text (canonical = min doc_id)
+    canon = dedup.exact_dedup(kept).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    kept = kept.join(canon, "doc_id", "left_semi")
+    if extra_drop is not None:
+        kept = kept.join(
+            extra_drop.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    return kept.withColumn("split", split_col())
+
+
+def write_curated(curated: DataFrame, path: str) -> None:
+    """Land the curated corpus partitioned by (split, lang) with dynamic
+    partition overwrite — re-running a curation batch replaces its own
+    partitions and never duplicates or truncates others'."""
+    spark = curated.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        curated.write.partitionBy("split", "lang").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

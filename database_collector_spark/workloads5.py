@@ -365,6 +365,49 @@ GROUP BY d.source, w.rate
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation DAG (curation.py::curate — quality filter →
+    exact dedup → split) verified end-to-end via per-(split, lang)
+    bookkeeping. One query hash-pins the COMPOSITION of the operators,
+    not just each in isolation."""
+    from database_collector_spark import curation
+
+    return (
+        curation.curate(_t(spark, sf_dir, "documents"), quality_min=0.3)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def _sql_curation() -> str:
+    from database_collector_spark.operators import text as _text
+
+    stops = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in _text.LANG_STOPWORDS.values() for w in ws})
+    )
+    return f"""
+WITH scored AS (
+  SELECT *,
+         round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+               + 0.5 * (CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains([{stops}], x))) AS DOUBLE)
+                        / len(string_split(text, ' '))), 4) AS q
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE q >= 0.3),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+curated AS (
+  SELECT k.*,
+         CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept k JOIN canon USING (doc_id)
+)
+SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM curated GROUP BY split, lang
+"""
+
+
 QUERIES5 = {
     "sample_stratified": q_sample_stratified,
     "hash_split": q_hash_split,
@@ -374,6 +417,7 @@ QUERIES5 = {
     "length_trim": q_length_trim,
     "crossmodal_join": q_crossmodal_join,
     "mixture_sample": q_mixture_sample,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES5 = {
@@ -385,4 +429,5 @@ ORACLES5 = {
     "length_trim": SQL_LENGTH_TRIM,
     "crossmodal_join": SQL_CROSSMODAL_JOIN,
     "mixture_sample": _sql_mixture(),
+    "curation_pipeline": _sql_curation(),
 }

@@ -1,0 +1,54 @@
+"""End-to-end curation pipeline (curation.py): quality filter → exact
+dedup → split → partitioned idempotent write."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from database_collector_spark import curation
+from database_collector_spark.operators import text
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_curate_filters_dedups_and_splits(spark):
+    docs = _docs(spark)
+    out = curation.curate(docs, quality_min=0.3)
+    rows = out.collect()
+    assert 0 < len(rows) <= docs.count()
+    # split covers every surviving row with the three labels only
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # no duplicate texts survive the exact tier
+    n_texts = out.select("text").distinct().count()
+    assert n_texts == len(rows)
+    # every survivor clears the quality bar
+    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    joined = out.join(scored, "doc_id").filter(F.col("quality_score") < 0.3)
+    assert joined.count() == 0
+
+
+def test_extra_drop_anti_joins(spark):
+    docs = _docs(spark)
+    base = curation.curate(docs)
+    some_ids = base.select("doc_id").limit(5)
+    smaller = curation.curate(docs, extra_drop=some_ids)
+    assert smaller.count() == base.count() - 5
+
+
+def test_write_curated_is_idempotent_and_partitioned(spark, tmp_path):
+    out_dir = str(tmp_path / "curated")
+    curated = curation.curate(_docs(spark))
+    curation.write_curated(curated, out_dir)
+    n1 = spark.read.parquet(out_dir).count()
+    # partition layout: split=... directories exist
+    assert any(d.startswith("split=") for d in os.listdir(out_dir))
+    # re-run replaces, never appends
+    curation.write_curated(curated, out_dir)
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 == curated.count()
