@@ -478,6 +478,100 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: probe the query's own LSH cell AND every
+    Hamming-distance-1 neighbor cell (flip each of the 8 sign bits).
+
+    The standard recall lever for sign-projection IVF: a near neighbor
+    that lands just across one hyperplane is recovered without touching
+    the rest of the corpus — 9 cells probed out of 256 instead of 1,
+    still ~3% of the data. The probe list is a per-query explode (9 rows
+    per query, query side stays broadcastable); candidate cells can't
+    overlap (each vector lives in exactly one cell), so no dedup pass is
+    needed before ranking.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = similarity.lsh_buckets(emb).select("vec_id", "bucket")
+    base = similarity.with_quantized(emb).join(buckets, "vec_id")
+    masks = F.array([F.lit(0)] + [F.lit(1 << i) for i in range(8)])
+    q = (
+        base.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("qe").alias("q_qe"),
+            F.col("qnorm2").alias("q_n2"),
+            F.explode(masks).alias("m"),
+            F.col("bucket"),
+        )
+        .select(
+            "q_id", "q_qe", "q_n2",
+            F.col("bucket").bitwiseXOR(F.col("m")).alias("probe"),
+        )
+    )
+    c = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("qnorm2").alias("c_n2"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("probe") == F.col("c_bucket"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                similarity._dot("q_qe", "c_qe").cast("double")
+                / (
+                    F.sqrt(F.col("q_n2").cast("double"))
+                    * F.sqrt(F.col("c_n2").cast("double"))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+def _sql_ann_ivf_multiprobe() -> str:
+    from database_collector_spark.workloads_ext import _sql_ann_lsh
+
+    bucket_sql = _sql_ann_lsh().strip()
+    return f"""
+WITH {_SQL_QUANT},
+buckets AS ({bucket_sql}),
+masks AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m),
+p AS (
+  SELECT qb.vec_id AS q_id, cb.vec_id AS c_id, SUM(q.qe[i] * c.qe[i]) AS dot
+  FROM buckets qb
+  CROSS JOIN masks
+  JOIN buckets cb ON cb.bucket = xor(qb.bucket, masks.m) AND cb.vec_id <> qb.vec_id
+  JOIN qe q ON q.vec_id = qb.vec_id
+  JOIN qe c ON c.vec_id = cb.vec_id
+  CROSS JOIN idx
+  WHERE qb.vec_id < 10
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.q_id, p.c_id,
+         CAST(p.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos_raw
+  FROM p JOIN norms nq ON nq.vec_id = p.q_id JOIN norms nc ON nc.vec_id = p.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cos_raw, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES2 = {
     "semi_anti_orders": q_semi_anti_orders,
     "correlated_avg_filter": q_correlated_avg_filter,
@@ -492,6 +586,7 @@ QUERIES2 = {
     "conditional_agg": q_conditional_agg,
     "sorted_list_agg": q_sorted_list_agg,
     "ann_ivf_probe": q_ann_ivf_probe,
+    "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
 }
 
 ORACLES2 = {
@@ -508,4 +603,5 @@ ORACLES2 = {
     "conditional_agg": SQL_CONDITIONAL_AGG,
     "sorted_list_agg": SQL_SORTED_LIST_AGG,
     "ann_ivf_probe": _sql_ann_ivf(),
+    "ann_ivf_multiprobe": _sql_ann_ivf_multiprobe(),
 }

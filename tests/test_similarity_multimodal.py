@@ -131,3 +131,20 @@ def test_frame_sample_cardinality_and_stride(spark):
     )
     assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
     assert [bytes(r["frame"]) for r in rows] == [b"aaaa", b"dddd", b"gggg", b"jjjj"]
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    # 1-probe candidates (mask 0) are a subset of the 9-cell probe set,
+    # so for every query the best multiprobe hit is at least as good
+    from database_collector_spark.workloads2 import (
+        q_ann_ivf_multiprobe,
+        q_ann_ivf_probe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    best = {
+        r["q_id"]: r["cos"]
+        for r in q_ann_ivf_multiprobe(spark, sf).filter("rank = 1").collect()
+    }
+    for r in q_ann_ivf_probe(spark, sf).filter("rank = 1").collect():
+        assert best[r["q_id"]] >= r["cos"]
