@@ -408,6 +408,55 @@ FROM curated GROUP BY split, lang
 """
 
 
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation DAG with the near-dup tier attached: quality
+    filter → exact dedup → NEAR-dup drop (MinHash-LSH pairs → connected
+    components → drop non-canonical members) → split. The extra_drop
+    hook exercised end-to-end; oracle composes the recursive
+    transitive-closure CTE with the curation SQL."""
+    from database_collector_spark import curation
+    from database_collector_spark.operators import dedup as _dedup
+    from database_collector_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_lsh_dedup(docs)
+    comp = graph.connected_components(pairs)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        curation.curate(docs, quality_min=0.3, extra_drop=drop)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def _sql_curation_full() -> str:
+    from database_collector_spark.workloads_ext import SQL_DEDUP_MINHASH_LSH
+
+    base = _sql_curation().strip()
+    assert base.startswith("WITH ")
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_LSH}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+{base[len("WITH "):].replace(
+    "FROM kept k JOIN canon USING (doc_id)",
+    "FROM kept k JOIN canon USING (doc_id) ANTI JOIN dropped USING (doc_id)",
+)}
+"""
+
+
 QUERIES5 = {
     "sample_stratified": q_sample_stratified,
     "hash_split": q_hash_split,
@@ -418,6 +467,7 @@ QUERIES5 = {
     "crossmodal_join": q_crossmodal_join,
     "mixture_sample": q_mixture_sample,
     "curation_pipeline": q_curation_pipeline,
+    "curation_full": q_curation_full,
 }
 
 ORACLES5 = {
@@ -430,4 +480,5 @@ ORACLES5 = {
     "crossmodal_join": SQL_CROSSMODAL_JOIN,
     "mixture_sample": _sql_mixture(),
     "curation_pipeline": _sql_curation(),
+    "curation_full": _sql_curation_full(),
 }
