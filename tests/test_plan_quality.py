@@ -148,6 +148,15 @@ def test_stratified_sample_single_stratum_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_ann_multiprobe_broadcasts_query_side(spark):
+    from database_collector_spark.workloads2 import q_ann_ivf_multiprobe
+
+    plan = _plan(q_ann_ivf_multiprobe(spark, SF))
+    # the 9-cell probe explode stays on the tiny query side, which must
+    # broadcast — a shuffle join here would move the whole corpus per probe
+    assert "BroadcastHashJoin" in plan
+
+
 def test_curation_scalar_pipelines_stay_in_codegen(spark):
     from database_collector_spark.workloads5 import (
         q_lexical_diversity,
