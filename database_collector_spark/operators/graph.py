@@ -98,8 +98,14 @@ def connected_components(
 
 def cluster_summary(components: DataFrame) -> DataFrame:
     """(component, n_docs, doc_ids sorted) — the dedup-cluster report:
-    every doc except the component id itself is a candidate for removal."""
+    every doc except the component id itself is a candidate for removal.
+    ``doc_ids`` is the numerically-sorted id list joined with ',' — a
+    scalar column, so differential harnesses (and lake formats without
+    nested-type support) consume it directly."""
     return components.groupBy("component").agg(
         F.count("*").alias("n_docs"),
-        F.sort_array(F.collect_list("node")).alias("doc_ids"),
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(node)), x -> CAST(x AS STRING))"),
+            ",",
+        ).alias("doc_ids"),
     )

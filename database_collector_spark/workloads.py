@@ -309,7 +309,7 @@ def q_kv_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_KV_NUMERIC_PARSE = """
 SELECT variable_name, COUNT(*) AS n_samples,
-       SUM(CAST(TRY_CAST(variable_value AS DOUBLE) AS BIGINT)) AS sum_value
+       CAST(SUM(CAST(TRY_CAST(variable_value AS DOUBLE) AS BIGINT)) AS BIGINT) AS sum_value
 FROM (
   SELECT event_id, 'k' AS variable_name, json_extract_string(props, '$.k') AS variable_value FROM events
   UNION ALL

@@ -365,8 +365,8 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONDITIONAL_AGG = """
 SELECT o_orderpriority, COUNT(*) AS n,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) > 15000000 THEN 1 ELSE 0 END) AS n_big,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) > 15000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
        round(CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) > 15000000 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS big_ratio
 FROM orders GROUP BY o_orderpriority
 """
@@ -375,19 +375,25 @@ FROM orders GROUP BY o_orderpriority
 def q_sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic list aggregation: collect_set is unordered in any
     distributed engine, so the contract is sort_array(collect_set(...)) —
-    the only portable list-agg semantics."""
+    the only portable list-agg semantics. Emitted as a ','-joined string
+    (numeric sort first, then stringify) so the differential gate's
+    canonicalizer sees a scalar column."""
     return (
         _t(spark, sf_dir, "supplier")
         .groupBy("s_nationkey")
         .agg(
-            F.sort_array(F.collect_set("s_suppkey")).alias("suppkeys"),
+            F.array_join(
+                F.expr("transform(sort_array(collect_set(s_suppkey)), x -> CAST(x AS STRING))"),
+                ",",
+            ).alias("suppkeys"),
             F.count("*").alias("n"),
         )
     )
 
 
 SQL_SORTED_LIST_AGG = """
-SELECT s_nationkey, list_sort(list(DISTINCT s_suppkey)) AS suppkeys, COUNT(*) AS n
+SELECT s_nationkey, array_to_string(list_sort(list(DISTINCT s_suppkey)), ',') AS suppkeys,
+       COUNT(*) AS n
 FROM supplier GROUP BY s_nationkey
 """
 

@@ -473,7 +473,7 @@ reach AS (
 comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 SELECT component,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       list_sort(list(node)) AS doc_ids
+       array_to_string(list_sort(list(node)), ',') AS doc_ids
 FROM comp
 GROUP BY component
 """

@@ -98,7 +98,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_HASH_SPLIT = """
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM (
   SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
@@ -143,9 +143,9 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_NORMALIZE = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(LENGTH(text)) AS chars_raw,
-       SUM(LENGTH(norm)) AS chars_norm,
-       SUM(len(string_split(norm, ' '))) AS tokens
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_raw,
+       CAST(SUM(LENGTH(norm)) AS BIGINT) AS chars_norm,
+       CAST(SUM(len(string_split(norm, ' '))) AS BIGINT) AS tokens
 FROM (
   SELECT lang, text,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -190,8 +190,8 @@ SELECT lang, tokens, uniq_tokens,
        round(CAST(uniq_tokens AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS ttr
 FROM (
   SELECT lang,
-         SUM(len(string_split(text, ' '))) AS tokens,
-         SUM(len(list_distinct(string_split(text, ' ')))) AS uniq_tokens
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+         CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS uniq_tokens
   FROM documents GROUP BY lang
 )
 """
@@ -226,9 +226,9 @@ SELECT lang, words, subtokens_est,
        round(CAST(subtokens_est AS DOUBLE) / CAST(words AS DOUBLE), 6) AS inflation
 FROM (
   SELECT lang,
-         SUM(len(string_split(text, ' '))) AS words,
-         SUM(list_sum(list_transform(string_split(text, ' '),
-             w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS subtokens_est
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words,
+         CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+             w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT) AS subtokens_est
   FROM documents GROUP BY lang
 )
 """
@@ -273,7 +273,7 @@ WITH bands AS (
   FROM documents GROUP BY lang
 )
 SELECT d.lang, COUNT(*) AS total,
-       SUM(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS kept,
+       CAST(SUM(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS BIGINT) AS kept,
        MIN(b.lo) AS lo, MIN(b.hi) AS hi
 FROM documents d JOIN bands b ON d.lang = b.lang
 GROUP BY d.lang
@@ -303,7 +303,7 @@ def q_crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CROSSMODAL_JOIN = """
-SELECT lang, label, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+SELECT lang, label, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY lang, label
 """
@@ -357,9 +357,9 @@ def _sql_mixture() -> str:
     )
     return f"""
 WITH w(source, rate, thr) AS (VALUES {values})
-SELECT d.source, w.rate, COUNT(*) AS total,
-       SUM(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < w.thr
-                THEN 1 ELSE 0 END) AS kept
+SELECT d.source, CAST(w.rate AS DOUBLE) AS rate, COUNT(*) AS total,
+       CAST(SUM(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < w.thr
+                THEN 1 ELSE 0 END) AS BIGINT) AS kept
 FROM documents d JOIN w ON d.source = w.source
 GROUP BY d.source, w.rate
 """
@@ -403,7 +403,7 @@ curated AS (
               ELSE 'test' END AS split
   FROM kept k JOIN canon USING (doc_id)
 )
-SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM curated GROUP BY split, lang
 """
 

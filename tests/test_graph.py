@@ -45,4 +45,4 @@ def test_cluster_summary_shapes(spark):
         r["component"]: (r["n_docs"], r["doc_ids"])
         for r in graph.cluster_summary(comp).collect()
     }
-    assert rows == {1: (3, [1, 2, 3]), 5: (2, [5, 6])}
+    assert rows == {1: (3, "1,2,3"), 5: (2, "5,6")}
