@@ -334,11 +334,18 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with no corpus shuffle before the bookkeeping agg. Rerun-
     and growth-stable like hash_split: a doc's fate depends only on its
     id and its source's rate.
+
+    The recipe is inlined as a VALUES LocalRelation, not
+    ``createDataFrame``: driver-local Python rows would otherwise enter
+    the plan as a Python-RDD scan, forcing Python worker startup and row
+    pickling onto the broadcast build side of an otherwise pure-JVM plan
+    (measured ~3.7 s of the query's former 5.2 s bench cost).
     """
-    weights = spark.createDataFrame(
-        [(s, r, _rate_threshold(r)) for s, r in sorted(MIXTURE_RATES.items())],
-        "source string, rate double, thr string",
+    values = ", ".join(
+        f"('{s}', CAST({r} AS DOUBLE), '{_rate_threshold(r)}')"
+        for s, r in sorted(MIXTURE_RATES.items())
     )
+    weights = spark.sql(f"SELECT * FROM VALUES {values} AS t(source, rate, thr)")
     return (
         _t(spark, sf_dir, "documents")
         .select("source", F.substring(_doc_hash(), 1, 4).alias("h4"))
