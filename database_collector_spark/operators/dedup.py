@@ -25,6 +25,34 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands x 4 rows
 
+_INFER_GEN_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def _exclude_infer_filters_from_generate(df: DataFrame) -> None:
+    """Disable InferFiltersFromGenerate for this session.
+
+    The rule derives ``size(arr) > 0 AND isnotnull(arr)`` from an explode,
+    and predicate pushdown then drags that predicate — with the FULL
+    generator expression substituted into it — below any repartition down
+    to the scan. For the shingle pipeline that means the whole
+    transform/array_distinct chain is evaluated a second time per input
+    row, before the fan-out exchange (i.e. at the scan's parallelism, one
+    task for a single-split file): measured 6.7 s of an 8 s explode stage
+    at sf0.1. The inferred predicate is semantically redundant here —
+    ``shingle_sets`` already filters ``size(t) >= n``, which guarantees a
+    non-null, non-empty shingle array — so excluding the rule changes no
+    results, only the plan.
+    """
+    spark = df.sparkSession
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        cur = None
+    if not cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _INFER_GEN_RULE)
+    elif _INFER_GEN_RULE not in cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules", cur + "," + _INFER_GEN_RULE)
+
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate grouping by content hash.
@@ -64,12 +92,14 @@ def shingle_sets(docs: DataFrame, *, n: int = 3) -> DataFrame:
     # sequence() would feed slice() a start of 0 (runtime error in ANSI
     # mode). The guard makes the expression total; the filter keeps the
     # "short docs produce no row" semantics.
+    # direct element indexing, not slice(): slice allocates a copy of the
+    # n-token window per position (~|tokens| array allocations per doc);
+    # t[i+j] lookups are O(1) on the backing array — measured 2x faster
+    # over the fixture corpus with byte-identical output
+    window = ", ' ', ".join(f"t[i + {j}]" for j in range(n))
     shingle_arr = F.when(
         F.size(F.col("t")) >= n,
-        F.expr(
-            "transform(sequence(0, size(t) - %d), "
-            "i -> concat_ws(' ', slice(t, i + 1, %d)))" % (n, n)
-        ),
+        F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat({window}))"),
     ).otherwise(F.array().cast("array<string>"))
     return (
         toks.filter(F.size(F.col("t")) >= n)
@@ -79,6 +109,7 @@ def shingle_sets(docs: DataFrame, *, n: int = 3) -> DataFrame:
 
 def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
     """Exploded long form (doc_id, shingle) — the blocking-join input."""
+    _exclude_infer_filters_from_generate(docs)
     return shingle_sets(docs, n=n).select(
         "doc_id", F.explode("sh_arr").alias("shingle")
     )
@@ -226,12 +257,22 @@ def minhash_lsh_dedup(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, *, n: int = 3, threshold: float = 0.3
+    docs: DataFrame, *, n: int = 3, threshold: float = 0.3, df_max: int | None = 64
 ) -> DataFrame:
     """Shingle-blocked exact Jaccard: candidates = any pair sharing a
-    shingle (full recall); at scale requires bounding shingle document
-    frequency (drop shingles appearing in > df_max docs — stopword-gram
-    suppression) to keep the blocking subquadratic.
+    kept shingle.
+
+    ``df_max`` bounds shingle document frequency: buckets with more than
+    ``df_max`` docs are dropped before pair generation (stopword-gram
+    suppression). Pair generation is quadratic PER BUCKET, so one
+    boilerplate shingle ("all rights reserved") appearing in d docs would
+    otherwise emit d(d-1)/2 pairs — at corpus scale a multi-billion-row
+    explosion from a single hot 3-gram. The cap makes the worst bucket
+    cost df_max²/2 regardless of corpus size. Recall tradeoff, explicit:
+    a pair sharing ONLY dropped shingles is missed, and surviving pairs'
+    shared-counts exclude dropped shingles (denominators stay full-set
+    sizes), so reported jaccard is a lower bound. ``df_max=None`` restores
+    full recall for bounded-frequency corpora.
 
     Blocking is grouped pair-GENERATION, not a self-join: group the
     exploded (doc_id, n_sh, shingle) stream by shingle once, emit each
@@ -250,6 +291,7 @@ def ngram_jaccard_pairs(
     stream (both measurably slower than the few extra bytes per shuffle
     row).
     """
+    _exclude_infer_filters_from_generate(docs)
     sh = shingle_sets(docs, n=n).select(
         "doc_id",
         F.size("sh_arr").cast("long").alias("n_sh"),
@@ -260,14 +302,20 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if df_max is not None:
+        buckets = buckets.filter(F.size("ds") <= df_max)
     return (
         buckets.select(
+            # index-pair comprehension via O(1) element lookups; the
+            # slice()-based form copied the bucket's tail array once per
+            # left element (O(bucket²) allocation on top of the O(bucket²)
+            # pairs themselves)
             F.explode(
                 F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), "
-                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                    "x.n_sh AS n_a, y.n_sh AS n_b))))"
+                    "flatten(transform(sequence(0, size(ds) - 2), i -> "
+                    "transform(sequence(i + 1, size(ds) - 1), "
+                    "j -> struct(ds[i].doc_id AS doc_a, ds[j].doc_id AS doc_b, "
+                    "ds[i].n_sh AS n_a, ds[j].n_sh AS n_b))))"
                 )
             ).alias("pr")
         )

@@ -201,15 +201,23 @@ WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.8
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-blocked exact n-gram Jaccard pairs >= 0.3 (full recall)."""
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    """Shingle-blocked exact n-gram Jaccard pairs >= 0.3, shingle
+    document frequency capped at 64 (the scale-safe default; the fixture
+    corpus has no shingle above DF 25, so the cap is exercised
+    structurally here and semantically by the skewed-fixture pytest)."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), df_max=64)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_SQL_SHINGLES},
+kept_sh AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64) k
+    ON k.shingle = sh.shingle
+),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept_sh a JOIN kept_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)

@@ -47,6 +47,38 @@ def test_ngram_jaccard_exact_value(spark):
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(0, 1, 0.5)]
 
 
+def test_ngram_jaccard_df_max_suppresses_hot_shingle(spark):
+    # 12 docs share ONLY the boilerplate shingle "all rights reserved"
+    # (DF 12); each doc is otherwise unique. Uncapped blocking generates
+    # 12*11/2 = 66 candidate pairs from that single bucket; df_max below
+    # the bucket size drops it entirely.
+    texts = [f"all rights reserved u{i} v{i} w{i}" for i in range(12)]
+    # plus one genuine near-dup pair sharing rare shingles
+    base = " ".join(f"t{i}" for i in range(20))
+    texts += [base, base + " tail"]
+    d = _docs(spark, texts)
+
+    uncapped = dedup.ngram_jaccard_pairs(d, threshold=0.0, df_max=None).collect()
+    capped = dedup.ngram_jaccard_pairs(d, threshold=0.0, df_max=8).collect()
+    boiler = {(r["doc_a"], r["doc_b"]) for r in uncapped if r["doc_a"] < 12 and r["doc_b"] < 12}
+    assert len(boiler) == 66  # the blow-up the cap exists to prevent
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert not any(a < 12 and b < 12 for a, b in capped_pairs)
+    assert (12, 13) in capped_pairs  # rare-shingle near-dup survives
+
+
+def test_ngram_jaccard_capped_is_lower_bound(spark):
+    # two docs share a hot shingle AND rare shingles: with the hot one
+    # dropped, shared shrinks but denominators stay full-set sizes
+    texts = ["h h h a b c", "h h h a b x"] + [f"h h h p{i} q{i} r{i}" for i in range(6)]
+    d = _docs(spark, texts)
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(d, threshold=0.0, df_max=None).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in dedup.ngram_jaccard_pairs(d, threshold=0.0, df_max=4).collect()}
+    assert capped[(0, 1)] < full[(0, 1)]
+
+
 def test_simhash_identical_docs_equal_hash(spark):
     d = _docs(spark, ["a b c d e", "a b c d e", "p q r s t"])
     got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d).collect()}
