@@ -18,9 +18,14 @@ same policy as sinks/parquet.py).
 
 Near-dup tiers (minhash_lsh_dedup → connected_components) slot in
 between the exact tier and the split as an anti-join against the
-cluster non-canonical set; they are kept out of the default DAG because
-their cost profile is corpus-dependent (see SCALE.md) — the hook is the
-``extra_drop`` parameter.
+cluster non-canonical set; ``near_dup=True`` attaches that tier, and it
+runs over the quality-filtered, exact-deduped survivors — NOT the raw
+corpus. Ordering matters: computed on the raw corpus, a cluster whose
+canonical member (min doc_id) is itself removed by the quality filter
+would lose every member, leaving no representative of that content in
+the output. The tier stays off by default because its cost profile is
+corpus-dependent (see SCALE.md); ``extra_drop`` remains the hook for
+externally-computed removals.
 """
 
 from __future__ import annotations
@@ -43,13 +48,21 @@ def curate(
     docs: DataFrame,
     *,
     quality_min: float = 0.3,
+    near_dup: bool = False,
     extra_drop: DataFrame | None = None,
 ) -> DataFrame:
     """documents → curated, split-labeled documents.
 
+    ``near_dup``: attach the MinHash-LSH near-dup tier AFTER the quality
+    and exact tiers — pairs, components and canonical selection are all
+    computed over the surviving set, so every cluster keeps exactly one
+    surviving representative (min surviving doc_id). At corpus scale,
+    persist/checkpoint the survivor frame first: the tier re-derives it
+    twice (signature branch + verify branch) by design.
+
     ``extra_drop``: optional single-column (doc_id) frame of additional
-    removals — e.g. non-canonical members of near-dup clusters — applied
-    as a left-anti join.
+    removals — e.g. an externally computed block list — applied last as
+    a left-anti join.
     """
     scored = text.quality_score(docs).select("doc_id", "quality_score")
     kept = (
@@ -62,6 +75,15 @@ def curate(
         F.col("canonical_doc_id").alias("doc_id")
     )
     kept = kept.join(canon, "doc_id", "left_semi")
+    if near_dup:
+        from database_collector_spark.operators import graph
+
+        pairs = dedup.minhash_lsh_dedup(kept)
+        comp = graph.connected_components(pairs)
+        nd_drop = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        kept = kept.join(nd_drop, "doc_id", "left_anti")
     if extra_drop is not None:
         kept = kept.join(
             extra_drop.select("doc_id").distinct(), "doc_id", "left_anti"

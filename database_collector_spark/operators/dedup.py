@@ -201,9 +201,13 @@ def jaccard_verify(
     count shuffle. Jaccard is an integer rational
     (shared / (|A|+|B|-shared)) -> double divide -> round, engine-exact.
 
-    At 100 TB: if the candidate list outgrows broadcast range, the two
-    attach joins shuffle on doc_id — still |pairs|-bounded, never
-    |shingles|-bounded.
+    No explicit broadcast hint on the pair list: Spark honors explicit
+    hints regardless of actual size, and the candidate count is
+    data-dependent (a band-bucket blowup on a low-entropy corpus could
+    make it huge) — a forced broadcast would OOM the driver exactly when
+    LSH misbehaves. AQE broadcasts it dynamically whenever the runtime
+    size is small (the common case) and otherwise degrades to a shuffle
+    join that stays |pairs|-bounded, never |shingles|-bounded.
     """
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")
@@ -212,7 +216,7 @@ def jaccard_verify(
         F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")
     )
     return (
-        F.broadcast(pairs)
+        pairs
         .join(a, "doc_a")
         .join(b, "doc_b")
         .select(

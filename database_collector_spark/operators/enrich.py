@@ -26,11 +26,30 @@ from pyspark.sql import functions as F
 
 PIPELINE_JOB = "database-collector"
 
+# Label names the pipeline itself stamps. A scraped/source label with one
+# of these names (a TOML spec can declare e.g. an 'engine' label) is
+# dropped before the merge: Spark's default mapKeyDedupPolicy=EXCEPTION
+# would otherwise abort the whole enrichment batch with
+# DUPLICATED_MAP_KEY, and the precedence choice — pipeline identity wins
+# over source-declared collisions — must be deliberate, not a session
+# config accident. (The reference appends the duplicate label,
+# prometheus.go:40-65, producing an invalid duplicate-label series.)
+RESERVED_LABELS = ("__name__", "identifier", "job", "region", "accountId", "engine")
+
 
 def identifier_from_host(host: Column) -> Column:
     """host truncated at the first '.' (prometheus.go:48) — RDS hostname ->
     instance id."""
     return F.split(host, "\\.").getItem(0)
+
+
+def _source_labels(*also_reserved: str) -> Column:
+    """Source label map, null-safe, with reserved (and per-series extra,
+    e.g. 'le'/'quantile') keys stripped so map_concat never sees a
+    duplicate."""
+    reserved = list(RESERVED_LABELS) + list(also_reserved)
+    m = F.coalesce(F.col("labels"), F.create_map().cast("map<string,string>"))
+    return F.map_filter(m, lambda k, _v: ~k.isin(*reserved))
 
 
 def enrich(
@@ -89,10 +108,7 @@ def enrich(
         # emit ONE sample under the bare name with value = sample_sum.
         value = F.when(is_scalar, F.col("value")).otherwise(F.col("sample_sum"))
         return base.select(
-            F.map_concat(
-                F.coalesce(F.col("labels"), F.create_map().cast("map<string,string>")),
-                pipeline_labels,
-            ).alias("labels"),
+            F.map_concat(_source_labels(), pipeline_labels).alias("labels"),
             value.alias("value"),
             F.col("__ts").alias("ts"),
         )
@@ -101,17 +117,14 @@ def enrich(
     # `<name>_bucket{le=...}` series plus `_sum`/`_count`; summaries into
     # `{quantile=...}` plus `_sum`/`_count`.
     scalars = base.filter(is_scalar).select(
-        F.map_concat(
-            F.coalesce(F.col("labels"), F.create_map().cast("map<string,string>")),
-            pipeline_labels,
-        ).alias("labels"),
+        F.map_concat(_source_labels(), pipeline_labels).alias("labels"),
         F.col("value"),
         F.col("__ts").alias("ts"),
     )
 
     def _with_name_and_extra(name_col: Column, extra_key: str | None, extra_val: Column | None) -> Column:
         m = F.map_concat(
-            F.coalesce(F.col("labels"), F.create_map().cast("map<string,string>")),
+            _source_labels(*([extra_key] if extra_key is not None else [])),
             F.create_map(
                 F.lit("__name__"), name_col,
                 F.lit("identifier"), identifier_from_host(F.lit(host)),

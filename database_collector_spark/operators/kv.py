@@ -13,9 +13,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Public mysqld_exporter state-word mapping (upstream behavior; the
-# reference pins v0.16.0 at collector/go.mod:20).
-_TRUTHY = ("on", "yes", "true", "primary", "connecting")
-_FALSY = ("off", "no", "false", "null", "-1", "disabled")
+# reference pins v0.16.0 at collector/go.mod:20). Note 'connecting' maps
+# to 0: upstream treats Slave_IO_Running='Connecting' as NOT running —
+# replication health must not read healthy while the IO thread is still
+# trying to reach the primary.
+_TRUTHY = ("on", "yes", "true", "primary")
+_FALSY = ("off", "no", "false", "null", "-1", "disabled", "connecting")
 
 
 def parse_numeric(kv: DataFrame, *, name_prefix: str = "mysql_global_status_") -> DataFrame:
@@ -45,9 +48,14 @@ def pivot_wide(kv: DataFrame, names: list[str]) -> DataFrame:
     ``names`` must be the explicit pivot list: at 100 TB an implicit pivot
     would first run a distinct-values job over the whole input; pinning the
     columns keeps this a single pass.
+
+    The cell aggregate is MIN, not first(): first() is whichever partition
+    reports first, so duplicate variable_name rows (e.g. a unioned
+    multi-source scrape) would make repeated runs disagree and break any
+    differential hash downstream.
     """
     return (
         kv.groupBy()
         .pivot("variable_name", names)
-        .agg(F.first("variable_value"))
+        .agg(F.min("variable_value"))
     )

@@ -418,33 +418,41 @@ FROM curated GROUP BY split, lang
 def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete curation DAG with the near-dup tier attached: quality
     filter → exact dedup → NEAR-dup drop (MinHash-LSH pairs → connected
-    components → drop non-canonical members) → split. The extra_drop
-    hook exercised end-to-end; oracle composes the recursive
-    transitive-closure CTE with the curation SQL."""
+    components → drop non-canonical members) → split. The near-dup tier
+    runs over the quality/exact SURVIVORS, so each cluster keeps exactly
+    one surviving representative (a raw-corpus tier could drop an entire
+    cluster whose canonical member failed the quality filter). Oracle
+    composes the parameterized MinHash CTE chain over the same survivor
+    CTE with the recursive transitive-closure."""
     from database_collector_spark import curation
-    from database_collector_spark.operators import dedup as _dedup
-    from database_collector_spark.operators import graph
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = _dedup.minhash_lsh_dedup(docs)
-    comp = graph.connected_components(pairs)
-    drop = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
     return (
-        curation.curate(docs, quality_min=0.3, extra_drop=drop)
+        curation.curate(_t(spark, sf_dir, "documents"), quality_min=0.3, near_dup=True)
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
     )
 
 
 def _sql_curation_full() -> str:
-    from database_collector_spark.workloads_ext import SQL_DEDUP_MINHASH_LSH
+    from database_collector_spark.operators import text as _text
+    from database_collector_spark.workloads_ext import sql_minhash_lsh_ctes
 
-    base = _sql_curation().strip()
-    assert base.startswith("WITH ")
+    stops = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in _text.LANG_STOPWORDS.values() for w in ws})
+    )
     return f"""
-WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_LSH}),
+WITH RECURSIVE scored AS (
+  SELECT *,
+         round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+               + 0.5 * (CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains([{stops}], x))) AS DOUBLE)
+                        / len(string_split(text, ' '))), 4) AS q
+  FROM documents
+),
+kept0 AS (SELECT * FROM scored WHERE q >= 0.3),
+exact_canon AS (SELECT MIN(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)),
+kept AS (SELECT k.* FROM kept0 k JOIN exact_canon USING (doc_id)),
+{sql_minhash_lsh_ctes(table="kept")},
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
@@ -457,10 +465,15 @@ reach AS (
 ),
 comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
 dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component),
-{base[len("WITH "):].replace(
-    "FROM kept k JOIN canon USING (doc_id)",
-    "FROM kept k JOIN canon USING (doc_id) ANTI JOIN dropped USING (doc_id)",
-)}
+curated AS (
+  SELECT k.*,
+         CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept k ANTI JOIN dropped USING (doc_id)
+)
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM curated GROUP BY split, lang
 """
 
 

@@ -19,14 +19,58 @@ from database_collector_spark.workloads import _t
 # ---------------------------------------------------------------------------
 
 # distinct word-3-gram shingles per document (mirrors operators.dedup.shingles)
-_SQL_SHINGLES = """
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+
+
+def _sql_shingles(table: str = "documents") -> str:
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
   FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
   WHERE i <= len(t) - 2
 )
 """
+
+
+_SQL_SHINGLES = _sql_shingles()
+
+
+def sql_minhash_lsh_ctes(table: str = "documents") -> str:
+    """The MinHash-LSH pipeline as a CTE chain ending in ``pairs`` —
+    parameterized by source table so composed oracles (e.g. the full
+    curation DAG) can run it over an intermediate CTE."""
+    return f"""{_sql_shingles(table)},
+sigs AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_val
+  FROM sigs GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+  FROM shared
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.8
+)"""
 
 _SQL_EMB_IDX = "idx AS (SELECT unnest(generate_series(1, 64)) AS i)"
 
@@ -167,36 +211,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_MINHASH_LSH = f"""
-WITH {_SQL_SHINGLES},
-sigs AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) s
-  GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
-         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_val
-  FROM sigs GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-),
-shared AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY 1, 2
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
-SELECT doc_a, doc_b,
-       round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
-FROM shared
-JOIN sizes na ON na.doc_id = doc_a
-JOIN sizes nb ON nb.doc_id = doc_b
-WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.8
+WITH {sql_minhash_lsh_ctes()}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 

@@ -41,6 +41,28 @@ def test_extra_drop_anti_joins(spark):
     assert smaller.count() == base.count() - 5
 
 
+def test_near_dup_tier_runs_over_survivors(spark):
+    # doc 0: 58 unique tokens, no stopwords -> q = 0.29 < 0.3 (dropped by
+    # the quality tier). docs 1 and 2 extend it with two stopwords each
+    # -> q ~ 0.317 (kept) and are near-dups of each other (jaccard ~0.93)
+    # AND of doc 0 (~0.95). Computed over the raw corpus, the cluster
+    # {0,1,2} would canonicalize on doc 0 — which quality then removes,
+    # silently losing the content. Over the survivors, cluster {1,2}
+    # keeps doc 1.
+    base = " ".join(f"w{i}" for i in range(58))
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base + " the and", "en", "s", len(base) + 8),
+        (2, base + " of to", "en", "s", len(base) + 6),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.curate(docs, quality_min=0.3, near_dup=True)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1}
+
+
 def test_write_curated_is_idempotent_and_partitioned(spark, tmp_path):
     out_dir = str(tmp_path / "curated")
     curated = curation.curate(_docs(spark))

@@ -100,6 +100,35 @@ def test_source_labels_carried(spark):
     assert gauge[0]["labels"]["instance"] == "a"
 
 
+def test_reserved_label_collision_pipeline_wins(spark):
+    # a source label named like a pipeline label ('engine' here — a
+    # plausible TOML-spec label) must not abort the batch under Spark's
+    # default mapKeyDedupPolicy=EXCEPTION; the pipeline value wins
+    rows = [
+        Row(
+            name="custom_metric", metric_type="GAUGE",
+            labels={"engine": "spoofed", "job": "spoofed", "db": "x"},
+            value=1.0, ts=dt.datetime(2024, 5, 31, 12, 0, 0),
+            buckets=None, quantiles=None, sample_sum=None, sample_count=None,
+        ),
+        Row(
+            name="hist_metric", metric_type="HISTOGRAM",
+            labels={"le": "spoofed", "engine": "spoofed"},
+            value=None, ts=dt.datetime(2024, 5, 31, 12, 0, 0),
+            buckets=[Row(le=1.0, cumulative_count=2)],
+            quantiles=None, sample_sum=3.0, sample_count=2,
+        ),
+    ]
+    df = spark.createDataFrame(rows, METRIC_SAMPLE_SCHEMA)
+    out = enrich(df, **_kw()).collect()
+    gauge = [r for r in out if r["labels"]["__name__"] == "custom_metric"][0]
+    assert gauge["labels"]["engine"] == "mysql"
+    assert gauge["labels"]["job"] == "database-collector"
+    assert gauge["labels"]["db"] == "x"  # non-reserved labels survive
+    bucket = [r for r in out if r["labels"]["__name__"] == "hist_metric_bucket"][0]
+    assert bucket["labels"]["le"] == "1.0"  # series key, never the spoof
+
+
 def test_correct_mode_explodes_histogram(spark):
     out = enrich(_samples(spark), **_kw()).collect()
     names = [r["labels"]["__name__"] for r in out]

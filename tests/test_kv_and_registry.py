@@ -18,6 +18,7 @@ def test_parse_numeric_drops_junk_maps_states(spark):
             Row(variable_name="Read_only", variable_value="OFF"),
             Row(variable_name="Rsa_public_key", variable_value="-----BEGIN"),
             Row(variable_name="Null_value", variable_value=None),
+            Row(variable_name="Slave_IO_Running", variable_value="Connecting"),
         ],
         KV_SCHEMA,
     )
@@ -25,6 +26,8 @@ def test_parse_numeric_drops_junk_maps_states(spark):
     assert out["mysql_global_status_threads_connected"] == 42.0
     assert out["mysql_global_status_slave_running"] == 1.0
     assert out["mysql_global_status_read_only"] == 0.0
+    # upstream mysqld_exporter parity: 'Connecting' is a NON-running state
+    assert out["mysql_global_status_slave_io_running"] == 0.0
     assert "mysql_global_status_rsa_public_key" not in out
     assert "mysql_global_status_null_value" not in out
 
