@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "lang_id", "quality_score", "doc_fingerprint", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "similarity_topk", "ann_lsh_buckets", "dedup_embedding",
+    "dedup_embedding_lsh",
     "multimodal_features", "events_hourly", "sessionization", "asof_join",
     "histogram_metrics", "kv_pivot_wide", "json_struct_parse",
     "rollup_counts", "approx_distinct",

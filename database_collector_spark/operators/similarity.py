@@ -140,57 +140,19 @@ def lsh_buckets(
     return base.select("vec_id", bucket.alias("bucket"), "label")
 
 
-def embedding_near_dup(
-    embeddings: DataFrame, *, threshold: float = 0.45, block_size: int = 1024
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, all-pairs i<j) as a
-    blocked distributed GEMM.
-
-    Per-pair ``aggregate(zip_with(...))`` dot products allocate an
-    intermediate array per candidate pair — O(n²) interpreted work. The
-    blocked formulation instead groups vectors into dense row blocks
-    (collect_list per block — one narrow shuffle of n rows), joins block
-    pairs (bi <= bj, a #blocks² join of tiny rows), and computes each
-    block-pair's full cosine submatrix with one Arrow-batched numpy matmul
-    inside ``mapInPandas``. No driver-side collect anywhere; each task is
-    an independent (block_a x block_b) tile, which is exactly how the tile
-    decomposition would be laid out on a 1000-executor cluster.
-
-    Exactness: quantized components are ints < 2^21, so products < 2^42
-    and 64-dim sums < 2^48 — all integers exactly representable in
-    float64, so numpy's matmul (any summation order) returns the exact
-    integer dot product; the cosine divide/round then matches the SQL
-    oracle bit-for-bit.
-
-    At 100 TB the same tile kernel runs restricted to lsh_buckets()
-    collisions (bucket-local tiles) instead of all block pairs.
-    """
+def _make_tile_kernel(threshold: float):
+    """Arrow-batched numpy tile kernel shared by the exact and
+    bucket-restricted near-dup operators: consumes rows of
+    (vecs_a, vecs_b) struct-lists, emits the (id_a < id_b, cos >=
+    threshold) pairs of each tile via one matmul."""
     import pandas as pd
-
-    base = with_quantized(embeddings).select(
-        "vec_id", F.floor(F.col("vec_id") / block_size).alias("blk"), "qe", "qnorm2"
-    )
-    blocks = base.groupBy("blk").agg(
-        F.collect_list(F.struct("vec_id", "qe", "qnorm2")).alias("vecs")
-    )
-    pairs = (
-        blocks.alias("a")
-        .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))
-        .select(
-            F.col("a.vecs").alias("vecs_a"),
-            F.col("b.vecs").alias("vecs_b"),
-            (F.col("a.blk") == F.col("b.blk")).alias("same_blk"),
-        )
-    )
 
     def tile_kernel(batches):
         import numpy as np
 
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
-            for vecs_a, vecs_b, same in zip(
-                pdf["vecs_a"], pdf["vecs_b"], pdf["same_blk"]
-            ):
+            for vecs_a, vecs_b in zip(pdf["vecs_a"], pdf["vecs_b"]):
                 ids_a = np.array([v["vec_id"] for v in vecs_a], dtype=np.int64)
                 ids_b = np.array([v["vec_id"] for v in vecs_b], dtype=np.int64)
                 ma = np.array([v["qe"] for v in vecs_a], dtype=np.float64)
@@ -214,6 +176,116 @@ def embedding_near_dup(
                     }
                 )
 
+    return tile_kernel
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, *, threshold: float = 0.45, block_size: int = 1024
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs i<j) as a
+    blocked distributed GEMM.
+
+    Per-pair ``aggregate(zip_with(...))`` dot products allocate an
+    intermediate array per candidate pair — O(n²) interpreted work. The
+    blocked formulation instead groups vectors into dense row blocks
+    (collect_list per block — one narrow shuffle of n rows), joins block
+    pairs (bi <= bj, a #blocks² join of tiny rows), and computes each
+    block-pair's full cosine submatrix with one Arrow-batched numpy matmul
+    inside ``mapInPandas``. No driver-side collect anywhere; each task is
+    an independent (block_a x block_b) tile, which is exactly how the tile
+    decomposition would be laid out on a 1000-executor cluster.
+
+    Exactness: quantized components are ints < 2^21, so products < 2^42
+    and 64-dim sums < 2^48 — all integers exactly representable in
+    float64, so numpy's matmul (any summation order) returns the exact
+    integer dot product; the cosine divide/round then matches the SQL
+    oracle bit-for-bit.
+
+    At 100 TB the same tile kernel runs restricted to lsh_buckets()
+    collisions — ``embedding_near_dup_lsh`` below — instead of all block
+    pairs.
+    """
+    base = with_quantized(embeddings).select(
+        "vec_id", F.floor(F.col("vec_id") / block_size).alias("blk"), "qe", "qnorm2"
+    )
+    blocks = base.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "qe", "qnorm2")).alias("vecs")
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+    )
     return pairs.mapInPandas(
-        tile_kernel, schema="id_a bigint, id_b bigint, cos double"
+        _make_tile_kernel(threshold), schema="id_a bigint, id_b bigint, cos double"
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.45,
+    block_size: int = 1024,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucket-restricted embedding near-dup — the 100 TB path promised by
+    ``embedding_near_dup``: tiles form only between blocks of the SAME
+    sign-projection LSH bucket, so total work is sum over buckets of
+    |bucket|² instead of corpus². The block join is keyed on (bucket,
+    blk): at rest the bucket id is the partition key, so every tile's
+    inputs are co-located and no tile ever crosses buckets.
+
+    Bucket assignment and quantization happen in ONE narrow projection
+    (no join against a separate lsh_buckets() pass — the bucket is a
+    pure function of the vector).
+
+    Recall: a pair survives only if all ``n_planes`` sign projections
+    agree — P(agree) = (1 - θ/π)^n_planes for angle θ. The fixture
+    corpus has only moderate-cosine pairs (all 14 exact pairs at sf0.01
+    sit in cos 0.45–0.51, θ≈63°, per-plane p≈0.65), so measured recall
+    is 0/14 at 8 planes and 4/14 at 2 planes — the gate query pins the
+    2-plane setting to keep its cross-engine evidence non-trivial. At a
+    production dedup threshold (cos ≥ 0.9, θ≤26°, p≈0.86) 8-plane
+    recall is ~0.3 per probe and the standard levers apply: fewer
+    planes (bigger buckets, more work), OR-amplification across several
+    independent plane sets, or Hamming-1 multi-probe as in
+    ``workloads2.q_ann_ivf_multiprobe``.
+    """
+    planes = hyperplanes_int(n_planes=n_planes, seed=seed)
+    base = with_quantized(embeddings)
+    bucket = F.lit(0).cast("long")
+    for p_idx, wts in enumerate(planes):
+        w_lit = "array(" + ",".join(f"CAST({x} AS BIGINT)" for x in wts) + ")"
+        proj = F.expr(
+            f"aggregate(zip_with(qe, {w_lit}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+    base = base.select(
+        "vec_id",
+        bucket.alias("bucket"),
+        F.floor(F.col("vec_id") / block_size).alias("blk"),
+        "qe",
+        "qnorm2",
+    )
+    blocks = base.groupBy("bucket", "blk").agg(
+        F.collect_list(F.struct("vec_id", "qe", "qnorm2")).alias("vecs")
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.blk") <= F.col("b.blk")),
+        )
+        .select(
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+    )
+    return pairs.mapInPandas(
+        _make_tile_kernel(threshold), schema="id_a bigint, id_b bigint, cos double"
     )

@@ -43,6 +43,31 @@ def test_near_dup_threshold(spark):
     assert got == {(0, 1)}
 
 
+def test_near_dup_lsh_subset_of_exact_and_catches_identicals(spark):
+    vecs = [
+        [1.0, 0.0] + [0.0] * 62,
+        [1.0, 0.01] + [0.0] * 62,   # cos ~ 0.99995 -> same signs, same bucket
+        [0.0, 1.0] + [0.0] * 62,    # orthogonal
+        [-1.0, 0.0] + [0.0] * 62,   # opposite
+    ]
+    exact = {(r["id_a"], r["id_b"]) for r in
+             similarity.embedding_near_dup(_embs(spark, vecs), threshold=0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           similarity.embedding_near_dup_lsh(_embs(spark, vecs), threshold=0.99).collect()}
+    assert lsh == exact == {(0, 1)}  # near-identicals never straddle planes
+
+
+def test_near_dup_lsh_join_is_bucket_keyed(spark):
+    from database_collector_spark.workloads import _t
+
+    plan = similarity.embedding_near_dup_lsh(
+        _t(spark, "/root/testdata/sf0.001", "embeddings")
+    )._jdf.queryExecution().executedPlan().toString()
+    # tiles must meet on the bucket hash key — never a cross product
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_buckets_parallel_vectors_collide(spark):
     vecs = [
         [0.5, 0.2, -0.3] + [0.1] * 61,
