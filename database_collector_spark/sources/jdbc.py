@@ -41,30 +41,39 @@ def read_catalog_query(
     spark: SparkSession,
     *,
     engine: str,
-    host: str,
-    port: int,
+    host: str | None = None,
+    port: int | None = None,
     username: str,
     password: str,
-    dbname: str | None,
+    dbname: str | None = None,
     query: str,
     query_timeout: int = 10,
+    url: str | None = None,
+    driver: str | None = None,
 ) -> DataFrame:
     """One scraper read: full-query pushdown, single partition.
 
     Catalog results are 10^2-10^4 rows — numPartitions=1 mirrors the
     reference's 1-connection budget and avoids pointless range-splitting;
     queryTimeout mirrors oracle-exporter.go:21.
+
+    ``url`` overrides the engine DSN template for endpoints needing
+    custom connection properties (or an embedded engine in tests);
+    ``driver`` pins the JDBC driver class when the URL prefix isn't
+    auto-registered with java.sql.DriverManager.
     """
-    return (
+    reader = (
         spark.read.format("jdbc")
-        .option("url", jdbc_url(engine, host, port, dbname))
+        .option("url", url or jdbc_url(engine, host, port, dbname))
         .option("query", query)
         .option("user", username)
         .option("password", password)
         .option("numPartitions", 1)
         .option("queryTimeout", query_timeout)
-        .load()
     )
+    if driver is not None:
+        reader = reader.option("driver", driver)
+    return reader.load()
 
 
 def read_table_partitioned(
