@@ -16,14 +16,20 @@ truncated per round with ``localCheckpoint`` so the plan does not grow
 and eventually overwhelms the optimizer). Convergence is detected by a
 changed-label count, one lightweight action per round.
 
-For adversarial high-diameter graphs the alternating large-star/
-small-star variant (Kiveris et al., "Connected Components in MapReduce
-and Beyond") converges in O(log d) rounds with the same join primitive;
-``max_iter`` bounds the work either way and the fixpoint test makes
-termination explicit rather than silent.
+For adversarial high-diameter graphs ``algorithm="star"`` selects the
+alternating large-star/small-star variant (Kiveris et al., "Connected
+Components in MapReduce and Beyond", public): each round hooks larger
+neighbors onto the neighborhood minimum (large-star) then collapses
+smaller neighbors onto it (small-star), halving path lengths — O(log d)
+rounds with the same join primitive, where min-label propagation needs
+O(d). ``max_iter`` bounds the work either way; hitting the bound
+without a fixpoint emits an explicit warning instead of silently
+returning partial labels.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +41,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Undirected connected components of an edge list.
 
@@ -42,7 +49,13 @@ def connected_components(
     Output: ``(node, component)`` where component = min node id reachable
     — the canonical-representative convention of exact_dedup (min doc_id
     keeps the keep-first policy uniform across dedup tiers).
+
+    ``algorithm``: "minlabel" (default — O(diameter) rounds, the right
+    cost for clique-shaped dedup graphs) or "star" (O(log d) rounds for
+    high-diameter chains).
     """
+    if algorithm == "star":
+        return _star_components(pairs, src=src, dst=dst, max_iter=max_iter)
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -93,7 +106,101 @@ def connected_components(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"connected_components(minlabel) hit max_iter={max_iter} before the "
+            "fixpoint; labels may span partial components. Raise max_iter or use "
+            'algorithm="star" (O(log d) rounds) for high-diameter graphs.',
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
+
+
+def _star_components(
+    pairs: DataFrame, *, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star / small-star rounds (Kiveris et al.).
+
+    large-star: every node hooks its STRICTLY LARGER neighbors onto
+    m(u) = min(Γ(u) ∪ {u}).  small-star: with edges oriented high→low,
+    every node re-points its smaller neighbors (and itself) at the
+    minimum. Both are one groupBy + one join over the current edge set;
+    path lengths roughly halve per round, so a chain of length d closes
+    in O(log d) rounds. Convergence = edge set unchanged, detected by a
+    (count, xor-of-hashes) checksum — one tiny aggregate per round
+    against the checkpointed frame.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if edges.count() < 100_000:
+        edges = edges.coalesce(1)
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(edges)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over both orientations
+        und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            und.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over high→low orientation (large-star output already is)
+        p = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = p.groupBy("u").agg(F.min("v").alias("m"))
+        joined = p.join(m2, "u")
+        edges = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        warnings.warn(
+            f"connected_components(star) hit max_iter={max_iter} before the edge "
+            "set stabilized; labels may span partial components.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # fixpoint edges are stars (node, root): label non-roots by their root,
+    # roots (and any node whose edges fully collapsed) by themselves
+    assignment = edges.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+    return nodes.join(assignment, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
 
 
 def cluster_summary(components: DataFrame) -> DataFrame:

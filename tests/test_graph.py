@@ -33,10 +33,48 @@ def test_cc_clique_and_edge_direction_irrelevant(spark):
 
 def test_cc_max_iter_bounds_work(spark):
     # one round is not enough for a chain of 4 -> labels not yet converged,
-    # but the operator still returns a full assignment (bounded work)
-    got = _components(spark, [(1, 2), (2, 3), (3, 4)], max_iter=1)
+    # but the operator still returns a full assignment (bounded work) and
+    # warns that the fixpoint was not reached
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = _components(spark, [(1, 2), (2, 3), (3, 4)], max_iter=1)
+    assert any("max_iter" in str(w.message) for w in caught)
     assert set(got) == {1, 2, 3, 4}
     assert got[2] == 1  # direct neighbor adopted the min
+
+
+def test_cc_star_matches_minlabel_on_small_graphs(spark):
+    edges = [(1, 2), (3, 4), (7, 6), (6, 8), (8, 7), (10, 9)]
+    assert _components(spark, edges, algorithm="star") == _components(spark, edges)
+
+
+def test_cc_star_long_path_converges_in_log_rounds(spark):
+    # 1000-node path graph: diameter 999. minlabel needs ~999 rounds;
+    # large-star/small-star halves path lengths per round, so 15 rounds
+    # (≈ log2(999) + slack) must reach the fixpoint WITHOUT the
+    # truncation warning.
+    import warnings
+
+    n = 1000
+    edges = [(i, i + 1) for i in range(1, n)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = _components(spark, edges, algorithm="star", max_iter=15)
+    assert not any("max_iter" in str(w.message) for w in caught)
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_cc_star_truncation_warns(spark):
+    import warnings
+
+    edges = [(i, i + 1) for i in range(1, 64)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = _components(spark, edges, algorithm="star", max_iter=1)
+    assert any("max_iter" in str(w.message) for w in caught)
+    assert set(got) == set(range(1, 65))  # full assignment even when truncated
 
 
 def test_cluster_summary_shapes(spark):
