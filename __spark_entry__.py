@@ -48,7 +48,8 @@ _CHECK_FIRST = [
     "hash_split", "text_normalize", "lexical_diversity", "token_estimate",
     "length_trim", "crossmodal_join", "mixture_sample", "curation_pipeline",
     "curation_full",
-    # round-1 unchecked (sat past the 50-entry window)
+    # round-1 unchecked (sat past the 50-entry window) + round-2 new gates
+    "engine_rejects",
     "lang_id", "quality_score", "doc_fingerprint", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "similarity_topk", "ann_lsh_buckets", "dedup_embedding",

@@ -275,6 +275,41 @@ GROUP BY route
 """
 
 
+def q_engine_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warn-skip side of engine dispatch (SURVEY §2.2 P2).
+
+    collector/cmd/collector/database-collector.go:67-69 logs-and-skips
+    targets whose engine has no route; ``sources.registry.rejects`` is the
+    operator form. Same shape here: the event_types the alias CASE of
+    q_engine_dispatch does NOT route, counted — exactly what the reference
+    would emit as warning lines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("web"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("commerce"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        ev.withColumn("route", route)
+        .filter(F.col("route").isNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_skipped"))
+    )
+
+
+SQL_ENGINE_REJECTS = """
+SELECT event_type, COUNT(*) AS n_skipped
+FROM (
+  SELECT CASE WHEN event_type IN ('click','view') THEN 'web'
+              WHEN event_type IN ('purchase','signup') THEN 'commerce'
+              ELSE NULL END AS route, event_type
+  FROM events
+) WHERE route IS NULL
+GROUP BY event_type
+"""
+
+
 def q_kv_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K/V catalog rows -> numeric parse, non-numeric dropped (SURVEY §1.1).
 
@@ -480,6 +515,7 @@ QUERIES: dict[str, QueryFn] = {
     "grouped_counter": q_grouped_counter,
     "registry_diff": q_registry_diff,
     "engine_dispatch": q_engine_dispatch,
+    "engine_rejects": q_engine_rejects,
     "kv_numeric_parse": q_kv_numeric_parse,
     "label_enrich": q_label_enrich,
     "topk_per_group": q_topk_per_group,
@@ -494,6 +530,7 @@ ORACLES: dict[str, str] = {
     "grouped_counter": SQL_GROUPED_COUNTER,
     "registry_diff": SQL_REGISTRY_DIFF,
     "engine_dispatch": SQL_ENGINE_DISPATCH,
+    "engine_rejects": SQL_ENGINE_REJECTS,
     "kv_numeric_parse": SQL_KV_NUMERIC_PARSE,
     "label_enrich": SQL_LABEL_ENRICH,
     "topk_per_group": SQL_TOPK_PER_GROUP,
