@@ -55,7 +55,7 @@ _CHECK_FIRST = [
     "similarity_topk", "ann_lsh_buckets", "dedup_embedding",
     "dedup_embedding_lsh",
     "multimodal_features", "events_hourly", "sessionization", "asof_join",
-    "histogram_metrics", "kv_pivot_wide", "json_struct_parse",
+    "histogram_metrics", "summary_quantiles", "kv_pivot_wide", "json_struct_parse",
     "rollup_counts", "approx_distinct",
     # reference-parity flagships + scale-path queries (green r1; kept in
     # window so the core surface stays continuously re-verified)

@@ -289,11 +289,66 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-metric flatten (SURVEY §2.5 A3): the Prometheus SUMMARY
+    expansion `name{quantile=q}` + `name_sum` + `name_count` that
+    operators/enrich.py:169-190 performs on METRIC_SAMPLE rows, as an
+    oracle-checkable batch query.
+
+    Quantiles restricted to dyadic points over integer cents (the
+    exact_percentiles convention) so both engines agree bit-for-bit;
+    output is the long row-per-series shape of the remote-write sink.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        (F.percentile(cents, F.lit(0.5)) / 100).alias("q50"),
+        (F.percentile(cents, F.lit(0.75)) / 100).alias("q75"),
+        (F.sum(cents).cast("double") / 100).alias("s"),
+        F.count("*").cast("double").alias("c"),
+    )
+
+    def series(name: str, quantile: str | None, value: str) -> DataFrame:
+        return agg.select(
+            "l_returnflag",
+            F.lit(name).alias("series_name"),
+            F.lit(quantile).cast("string").alias("quantile"),
+            F.col(value).alias("value"),
+        )
+
+    return (
+        series("price", "0.5", "q50")
+        .unionByName(series("price", "0.75", "q75"))
+        .unionByName(series("price_sum", None, "s"))
+        .unionByName(series("price_count", None, "c"))
+    )
+
+
+SQL_SUMMARY_QUANTILES = """
+WITH agg AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5)/100 AS q50,
+         quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.75)/100 AS q75,
+         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS s,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'price' AS series_name, '0.5' AS quantile, q50 AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'price' AS series_name, '0.75' AS quantile, q75 AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'price_sum' AS series_name, NULL AS quantile, s AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'price_count' AS series_name, NULL AS quantile, c AS value FROM agg
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
     "histogram_metrics": q_histogram_metrics,
+    "summary_quantiles": q_summary_quantiles,
     "kv_pivot_wide": q_kv_pivot_wide,
     "json_struct_parse": q_json_struct_parse,
     "rollup_counts": q_rollup_counts,
@@ -305,6 +360,7 @@ ORACLES_TS = {
     "sessionization": SQL_SESSIONIZATION,
     "asof_join": SQL_ASOF_JOIN,
     "histogram_metrics": SQL_HISTOGRAM_METRICS,
+    "summary_quantiles": SQL_SUMMARY_QUANTILES,
     "kv_pivot_wide": SQL_KV_PIVOT_WIDE,
     "json_struct_parse": SQL_JSON_STRUCT_PARSE,
     "rollup_counts": SQL_ROLLUP_COUNTS,
