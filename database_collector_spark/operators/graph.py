@@ -54,11 +54,18 @@ def connected_components(
     cost for clique-shaped dedup graphs) or "star" (O(log d) rounds for
     high-diameter chains).
     """
-    if algorithm == "star":
-        return _star_components(pairs, src=src, dst=dst, max_iter=max_iter)
-    edges = (
+    # materialize the pair list BEFORE the two-orientation union: the
+    # union references `pairs` twice, and an un-materialized reference
+    # would execute the (often expensive — e.g. MinHash-LSH) upstream
+    # plan once per orientation
+    p = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    if algorithm == "star":
+        return _star_components(p, src="u", dst="v", max_iter=max_iter)
+    edges = (
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
