@@ -49,7 +49,7 @@ _CHECK_FIRST = [
     "length_trim", "crossmodal_join", "mixture_sample", "curation_pipeline",
     "curation_full",
     # round-1 unchecked (sat past the 50-entry window) + round-2 new gates
-    "engine_rejects",
+    "engine_rejects", "repetition_stats", "sequence_pack", "dedup_incremental",
     "lang_id", "quality_score", "doc_fingerprint", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "similarity_topk", "ann_lsh_buckets", "dedup_embedding",

@@ -91,6 +91,51 @@ def curate(
     return kept.withColumn("split", split_col())
 
 
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    budget_tokens: int = 512,
+    stream_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training chunks.
+
+    The tokenizer-feeding step after curation: documents are laid out in
+    a deterministic order per stream (``stream_col`` partitions, e.g.
+    per-language shards) and a document belongs to the chunk containing
+    its START offset in the concatenated token stream —
+    ``chunk_id = floor(tokens_before / budget)``. Contiguous greedy fill:
+    chunks may overflow by at most one document (standard
+    concat-then-split packing), and the assignment is a pure function of
+    (order, token counts), so re-runs and engine ports agree exactly —
+    no bin-packing heuristic whose result depends on traversal order.
+
+    One shuffle (the per-stream window); token counts are whitespace
+    words here — swap in ``text.subtoken_estimate`` for budget-accurate
+    BPE-ish counts.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(stream_col, order_col, n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            stream_col,
+            order_col,
+            "n_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget_tokens)
+            .cast("long")
+            .alias("chunk_id"),
+        )
+    )
+
+
 def write_curated(curated: DataFrame, path: str) -> None:
     """Land the curated corpus partitioned by (split, lang) with dynamic
     partition overwrite — re-running a curation batch replaces its own

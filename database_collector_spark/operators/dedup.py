@@ -140,21 +140,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_values(
     signatures: DataFrame,
     *,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Band the wide signature and bucket-join: docs agreeing on ALL rows
-    of any band become a candidate pair.
-
-    band value = md5('|'-concat of the band's minhashes in seed order) —
-    one 32-byte join key per (doc, band), derived by pure column ops (no
-    shuffle). The self-join is on (band, band_val): only same-bucket docs
-    ever meet, which is the whole point of LSH at scale. Output: distinct
-    (doc_a, doc_b), doc_a < doc_b.
-    """
+    """(doc_id, band, band_val) — the LSH bucket keys of a signature
+    table. band_val = md5('|'-concat of the band's minhashes in seed
+    order): one 32-byte join key per (doc, band), pure column ops."""
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -173,9 +167,29 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    band_vals = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(band_structs).alias("bv")
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    ).select(
+        "doc_id", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Band the wide signature and bucket-join: docs agreeing on ALL rows
+    of any band become a candidate pair.
+
+    band value = md5('|'-concat of the band's minhashes in seed order) —
+    one 32-byte join key per (doc, band), derived by pure column ops (no
+    shuffle). The self-join is on (band, band_val): only same-bucket docs
+    ever meet, which is the whole point of LSH at scale. Output: distinct
+    (doc_a, doc_b), doc_a < doc_b.
+    """
+    band_vals = band_values(signatures, num_hashes=num_hashes, bands=bands)
     a = band_vals.alias("a")
     b = band_vals.alias("b")
     return (
@@ -191,7 +205,11 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    sets: DataFrame, pairs: DataFrame, *, threshold: float = 0.8
+    sets: DataFrame,
+    pairs: DataFrame,
+    *,
+    threshold: float = 0.8,
+    sets_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only.
 
@@ -212,7 +230,9 @@ def jaccard_verify(
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")
     )
-    b = sets.select(
+    # sets_b: separate set table for the doc_b side (cross-corpus verify,
+    # e.g. incremental new-vs-existing pairs); defaults to the same table
+    b = (sets_b if sets_b is not None else sets).select(
         F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")
     )
     return (
@@ -258,6 +278,63 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes)
     pairs = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
     return jaccard_verify(shingle_sets(docs, n=n), pairs, threshold=threshold)
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup check of a NEW batch against an EXISTING corpus — the
+    nightly-ingest shape: which incoming documents duplicate content the
+    lake already holds?
+
+    Candidates are band-bucket collisions BETWEEN the sides only (the
+    band join is new x corpus) — corpus x corpus pairs never form, so a
+    steady-state 100 TB lake pays |new| signature scans plus a join whose
+    corpus side is touched only in colliding buckets, NOT a re-dedup of
+    the whole lake. In practice the corpus band table is computed once
+    and persisted (it is a pure function of content); each ingest then
+    joins its fresh bands against the stored table. Exact-Jaccard verify
+    runs per side (sets_b), so neither side's shingle table is unioned.
+
+    Output: (new_doc, corpus_doc, jaccard >= threshold). A new doc with
+    any row here is a drop candidate; doc_ids must be unique across both
+    sides (the lake's global-id contract).
+    """
+    new_b = band_values(
+        minhash_signatures(new_docs, n=n, num_hashes=num_hashes),
+        num_hashes=num_hashes, bands=bands,
+    )
+    old_b = band_values(
+        minhash_signatures(corpus_docs, n=n, num_hashes=num_hashes),
+        num_hashes=num_hashes, bands=bands,
+    )
+    cands = (
+        new_b.alias("a")
+        .join(
+            old_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = jaccard_verify(
+        shingle_sets(new_docs, n=n),
+        cands,
+        threshold=threshold,
+        sets_b=shingle_sets(corpus_docs, n=n),
+    )
+    return verified.select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("corpus_doc"),
+        "jaccard",
+    )
 
 
 def ngram_jaccard_pairs(

@@ -132,6 +132,62 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, *, n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals: top n-gram fraction and duplicate
+    n-gram fraction per document (the standard boilerplate/spam filters
+    for training-corpus curation).
+
+    - ``top_gram_frac``  = occurrences of the most frequent n-gram / total
+      n-grams (high -> one phrase dominates the document);
+    - ``dup_gram_frac``  = (total - distinct) / total n-grams (fraction of
+      n-gram occurrences that are repeats).
+
+    All n-grams of a document live in ONE row's token array, so both
+    signals are per-row array expressions: the n-gram list is a
+    slice-transform, the duplicate fraction is array_distinct, and the
+    top-gram count is a run-length fold over the SORTED gram array (max
+    run of equal neighbors == max frequency). ZERO shuffles, no explode —
+    the exploded groupBy(doc_id, gram) formulation (the SQL twin) moves a
+    gram stream ~|tokens| x corpus through an exchange; this runs at scan
+    speed, O(L log L) per document. Ties on frequency need no break: only
+    the count is emitted. Docs with < n tokens are dropped (no grams).
+    """
+    grams = F.expr(
+        f"transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {n})))"
+    )
+    top_run = F.expr(
+        "aggregate(sort_array(grams), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(x <=> acc.prev, acc.run + 1L, 1L), "
+        "  'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))), "
+        "acc -> acc.best)"
+    )
+    return (
+        docs.select("doc_id", tokens_col().alias("t"))
+        .filter(F.size("t") >= n)
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            top_run.alias("top_gram_n"),
+            (F.size("grams") - F.size(F.array_distinct("grams")))
+            .cast("long")
+            .alias("dup_gram_n"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "top_gram_n",
+            "dup_gram_n",
+            F.round(F.col("top_gram_n") / F.col("n_grams"), 4).alias("top_gram_frac"),
+            F.round(F.col("dup_gram_n") / F.col("n_grams"), 4).alias("dup_gram_frac"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, *, k: int = 8, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (rolling-hash selection).
 

@@ -477,6 +477,40 @@ FROM curated GROUP BY split, lang
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunk assignment (curation.pack_sequences), reported
+    per (lang, chunk): how many docs and tokens each training chunk
+    holds. Chunk id = floor(start offset / budget) over the per-language
+    doc_id-ordered token stream — deterministic concat-then-split
+    packing, one window shuffle."""
+    from database_collector_spark import curation
+
+    packed = curation.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget_tokens=2048
+    )
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+
+SQL_SEQUENCE_PACK = """
+WITH sized AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang, n_tokens,
+         CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
+                    / 2048) AS BIGINT) AS chunk_id
+  FROM sized
+)
+SELECT lang, chunk_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+FROM packed GROUP BY lang, chunk_id
+"""
+
+
 QUERIES5 = {
     "sample_stratified": q_sample_stratified,
     "hash_split": q_hash_split,
@@ -488,6 +522,7 @@ QUERIES5 = {
     "mixture_sample": q_mixture_sample,
     "curation_pipeline": q_curation_pipeline,
     "curation_full": q_curation_full,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLES5 = {
@@ -501,4 +536,5 @@ ORACLES5 = {
     "mixture_sample": _sql_mixture(),
     "curation_pipeline": _sql_curation(),
     "curation_full": _sql_curation_full(),
+    "sequence_pack": SQL_SEQUENCE_PACK,
 }

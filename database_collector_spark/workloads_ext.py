@@ -189,6 +189,43 @@ FROM sel GROUP BY doc_id
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top / duplicate bigram fractions.
+
+    Spark side is a zero-shuffle run-length fold over sorted per-row gram
+    arrays (operators/text.py:repetition_stats); the oracle is the
+    classic exploded groupBy formulation — semantics identical, plan
+    deliberately different.
+    """
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+counts AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(MAX(c) AS BIGINT) AS top_gram_n,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_gram_n
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_grams, top_gram_n, dup_gram_n,
+       ROUND(CAST(top_gram_n AS DOUBLE) / n_grams, 4) AS top_gram_frac,
+       ROUND(CAST(dup_gram_n AS DOUBLE) / n_grams, 4) AS dup_gram_frac
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -213,6 +250,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {sql_minhash_lsh_ctes()}
 SELECT doc_a, doc_b, jaccard FROM pairs
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus near-dup (the nightly-ingest shape): docs with
+    doc_id % 7 == 0 play the incoming batch, the rest the existing lake.
+    Candidates form ONLY across the two sides (no corpus x corpus
+    re-dedup); oracle = the full symmetric pair set filtered to
+    cross-side pairs, which is the same set because band collision is
+    symmetric."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return dedup.incremental_minhash_pairs(new, corpus)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {sql_minhash_lsh_ctes()}
+SELECT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+       CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
+       jaccard
+FROM pairs
+WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)
 """
 
 
@@ -434,8 +494,10 @@ QUERIES_EXT = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_stats": q_repetition_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
@@ -450,8 +512,10 @@ ORACLES_EXT = {
     "lang_id": SQL_LANG_ID,
     "quality_score": _sql_quality(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "repetition_stats": SQL_REPETITION_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "similarity_topk": SQL_SIMILARITY_TOPK,

@@ -90,3 +90,39 @@ def test_crossmodal_join_covers_matched_ids(spark):
     matched = docs.join(vecs, docs["doc_id"] == vecs["vec_id"]).count()
     assert sum(r["n"] for r in rows) == matched
     assert matched > 0
+
+
+def test_pack_sequences_chunk_boundaries(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    texts = ["a b c d", "e f g h i", "j k l", "m n o p q r s t u v w x"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en") for i, t in enumerate(texts)]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["chunk_id"])
+        for r in curation.pack_sequences(docs, budget_tokens=10).collect()
+    }
+    # starts at offsets 0, 4, 9, 12 -> chunks 0, 0, 0, 1
+    assert got == {0: (4, 0), 1: (5, 0), 2: (3, 0), 3: (12, 1)}
+
+
+def test_pack_sequences_streams_are_independent(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c", lang="en"),
+            Row(doc_id=1, text="x y z", lang="de"),
+        ]
+    )
+    got = {
+        (r["lang"], r["doc_id"]): r["chunk_id"]
+        for r in curation.pack_sequences(docs, budget_tokens=4).collect()
+    }
+    # each language stream starts its own chunk 0
+    assert got == {("en", 0): 0, ("de", 1): 0}

@@ -79,6 +79,26 @@ def test_ngram_jaccard_capped_is_lower_bound(spark):
     assert capped[(0, 1)] < full[(0, 1)]
 
 
+def test_incremental_pairs_cross_side_only(spark):
+    from pyspark.sql import Row as R
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    mk = lambda rows: spark.createDataFrame(
+        [R(doc_id=i, text=t, lang="en", source="s", n_chars=len(t)) for i, t in rows]
+    )
+    # corpus holds doc 1; the new batch holds two identical copies of the
+    # same text (10, 11) plus an unrelated doc (12)
+    corpus = mk([(1, base)])
+    new = mk([(10, base), (11, base), (12, "completely different words here indeed")])
+    got = {
+        (r["new_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in dedup.incremental_minhash_pairs(new, corpus).collect()
+    }
+    # both identical new docs match the corpus doc at jaccard 1.0 ...
+    assert got == {(10, 1): 1.0, (11, 1): 1.0}
+    # ... and the new x new duplicate pair (10, 11) was never formed
+
+
 def test_simhash_identical_docs_equal_hash(spark):
     d = _docs(spark, ["a b c d e", "a b c d e", "p q r s t"])
     got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d).collect()}
@@ -95,6 +115,25 @@ def test_token_stats_values(spark):
     assert row["n_chars"] == 8
     assert row["type_token_ratio"] == round(2 / 3, 4)
     assert row["avg_token_len"] == 2.0
+
+
+def test_repetition_stats_values(spark):
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b]
+    # n_grams=5, top ("a b")=3, distinct=2 -> dup = 5-2 = 3
+    d = _docs(spark, ["a b a b a b", "x"])
+    rows = text.repetition_stats(d).collect()
+    assert len(rows) == 1  # the 1-token doc has no bigrams and is dropped
+    r = rows[0]
+    assert (r["n_grams"], r["top_gram_n"], r["dup_gram_n"]) == (5, 3, 3)
+    assert r["top_gram_frac"] == 0.6
+    assert r["dup_gram_frac"] == 0.6
+
+
+def test_repetition_stats_all_unique(spark):
+    r = text.repetition_stats(_docs(spark, ["q w e r t y"])).collect()[0]
+    assert (r["n_grams"], r["top_gram_n"], r["dup_gram_n"]) == (5, 1, 0)
+    assert r["top_gram_frac"] == 0.2
+    assert r["dup_gram_frac"] == 0.0
 
 
 def test_lang_id_votes_and_unknown(spark):
