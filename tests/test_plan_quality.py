@@ -167,3 +167,42 @@ def test_curation_scalar_pipelines_stay_in_codegen(spark):
     for q in (q_text_normalize, q_lexical_diversity, q_token_estimate):
         plan = _plan(q(spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    from database_collector_spark.operators.text import repetition_stats
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(repetition_stats(_t(spark, SF, "documents")))
+    # the run-length fold keeps both repetition signals per-row: no gram
+    # explode, no (doc_id, gram) exchange
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate explode" not in plan
+
+
+def test_pack_sequences_single_stream_shuffle(spark):
+    from database_collector_spark import curation
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(curation.pack_sequences(_t(spark, SF, "documents")))
+    # one exchange on the stream key feeding the running-sum window
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_pairs_band_join_not_cartesian(spark):
+    from database_collector_spark.operators.dedup import incremental_minhash_pairs
+    from database_collector_spark.workloads import _t
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, SF, "documents")
+    plan = _plan(
+        incremental_minhash_pairs(
+            docs.filter(F.col("doc_id") % 7 == 0),
+            docs.filter(F.col("doc_id") % 7 != 0),
+        )
+    )
+    # candidates must come from the (band, band_val) equi-join, never a
+    # product over either corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
