@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     "curation_full",
     # round-1 unchecked (sat past the 50-entry window) + round-2 new gates
     "engine_rejects", "repetition_stats", "sequence_pack", "dedup_incremental",
+    "ann_ivf_kmeans",
     "lang_id", "quality_score", "doc_fingerprint", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "similarity_topk", "ann_lsh_buckets", "dedup_embedding",

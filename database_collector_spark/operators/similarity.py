@@ -140,6 +140,103 @@ def lsh_buckets(
     return base.select("vec_id", bucket.alias("bucket"), "label")
 
 
+def assign_centroids(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Attach ``cid`` = nearest centroid (exact integer squared distance,
+    ties to the lowest cid). Centroids ride along as ONE nested-array
+    literal and the argmin is a data-driven transform + array_position —
+    k is small by definition, so assignment is a pure projection: no
+    join, no shuffle, scan speed at any corpus size. (An unrolled
+    per-centroid when()-chain computes the same thing but its codegen
+    unit grows with k*dim and Janino-recompiles per training iteration —
+    measured ~10x slower end-to-end than this single generic expression.)
+
+    ``base`` must carry ``qe``/``qnorm2`` (see ``with_quantized``).
+
+    The centroid table arrives as a broadcast ONE-ROW frame rather than
+    literals: the assignment expression is then byte-identical across
+    training iterations, so whole-stage codegen compiles once instead of
+    re-Janino-compiling a k*dim-literal tree per iteration (the literal
+    form measured ~2x slower per iteration on the fixture corpus purely
+    from compile time). The broadcast nested-loop join against one row
+    is a map-side attach — still no shuffle.
+    """
+    spark = base.sparkSession
+    cent_row = spark.createDataFrame(
+        [(centroids, [sum(x * x for x in c) for c in centroids])],
+        "cents array<array<bigint>>, cnorms array<bigint>",
+    )
+    dists = F.transform(
+        F.col("cents"),
+        lambda c, i: F.col("qnorm2")
+        - 2
+        * F.aggregate(
+            F.zip_with("qe", c, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        + F.element_at(F.col("cnorms"), i + 1),
+    )
+    # array_position returns the FIRST index of the minimum -> lowest cid
+    return (
+        base.crossJoin(F.broadcast(cent_row))
+        .withColumn(
+            "cid", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        .drop("cents", "cnorms")
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, *, k: int = 8, iters: int = 3, dim: int = EMBED_DIM
+) -> list[list[int]]:
+    """Deterministic Lloyd's k-means in quantized integer space — the
+    trained coarse quantizer for IVF (``lsh_buckets`` is the untrained
+    alternative; real IVF trains its cells).
+
+    Determinism (and the cross-engine gate) comes from three choices:
+    init = the k lowest vec_ids' vectors (no RNG); assignment ties break
+    to the lowest cid; and new centroids are RE-QUANTIZED to integers
+    (round(sum/count), half-away) each round — sums and counts are exact
+    integers in both engines, so the division is the same IEEE double and
+    the rounded centroid is bit-identical, keeping every later distance
+    comparison exact. An empty cluster keeps its previous centroid.
+
+    Per-iteration driver traffic is k rows of centroid components (the
+    same bounded reduce MLlib's KMeans does); all per-vector work is a
+    literal-centroid projection plus one (cid, pos) partial-agg shuffle
+    of the posexploded components — at 100 TB that shuffle moves
+    k*dim*|partitions| partial rows, not |vectors|*dim.
+    """
+    # materialize the quantized corpus once: every iteration re-reads it,
+    # and the checkpoint also keeps each iteration's plan flat (at lake
+    # scale this is the persist() MLlib's trainer does on its input)
+    base = (
+        with_quantized(embeddings)
+        .select("vec_id", "qe", "qnorm2")
+        .localCheckpoint(eager=True)
+    )
+    cents: list[list[int]] = [
+        list(r["qe"]) for r in base.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = assign_centroids(base, cents)
+        comp = (
+            assigned.select("cid", F.posexplode("qe").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(F.sum("val").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("comp")
+            )
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in comp:
+            new.setdefault(r["cid"], [0] * dim)[r["pos"]] = r["comp"]
+        cents = [new.get(ci, cents[ci]) for ci in range(k)]
+    return cents
+
+
 def _make_tile_kernel(threshold: float):
     """Arrow-batched numpy tile kernel shared by the exact and
     bucket-restricted near-dup operators: consumes rows of

@@ -578,6 +578,84 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: deterministic Lloyd's k-means
+    (operators/similarity.py:kmeans_centroids) instead of the untrained
+    sign-projection buckets of ann_ivf_probe. Gate output = the trained
+    cell structure: per cell, member count, member-id checksum and
+    centroid-component checksum — any divergence in any iteration's
+    assignment or centroid arithmetic changes at least one of them.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=3)
+    assigned = similarity.assign_centroids(
+        similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"), cents
+    )
+    checksum = F.element_at(
+        F.array(*[F.lit(int(sum(c))).cast("long") for c in cents]),
+        F.col("cid") + 1,
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("members_checksum"),
+        )
+        .withColumn("centroid_checksum", checksum)
+    )
+
+
+def _sql_kmeans_ivf(k: int = 8, iters: int = 3) -> str:
+    """The same deterministic Lloyd iterations, unrolled as CTEs."""
+    dist = (
+        "list_dot_product(q.qe, q.qe) - 2 * list_dot_product(q.qe, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, qe, cid FROM (
+    SELECT q.vec_id, q.qe, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM qe q CROSS JOIN {cent} c) WHERE rn = 1
+)"""
+
+    ctes = [
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qe AS c
+  FROM (SELECT vec_id, qe FROM qe ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(iters):
+        ctes.append(assign(f"a{it}", f"c{it}"))
+        ctes.append(
+            f"""s{it} AS (
+  SELECT cid, i AS pos,
+         CAST(ROUND(CAST(SUM(qe[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+  FROM a{it}, idx GROUP BY cid, i
+)"""
+        )
+        ctes.append(
+            f"""c{it + 1} AS (
+  SELECT cid, list(comp ORDER BY pos) AS c FROM s{it} GROUP BY cid
+  UNION ALL
+  SELECT cid, c FROM c{it} WHERE cid NOT IN (SELECT cid FROM s{it})
+)"""
+        )
+    ctes.append(assign("afinal", f"c{iters}"))
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_SQL_QUANT},
+{body}
+SELECT a.cid, COUNT(*) AS n_members,
+       CAST(SUM(a.vec_id) AS BIGINT) AS members_checksum,
+       CAST(cc.s AS BIGINT) AS centroid_checksum
+FROM afinal a
+JOIN (SELECT cid, list_sum(c) AS s FROM c{iters}) cc USING (cid)
+GROUP BY a.cid, cc.s
+"""
+
+
 QUERIES2 = {
     "semi_anti_orders": q_semi_anti_orders,
     "correlated_avg_filter": q_correlated_avg_filter,
@@ -593,6 +671,7 @@ QUERIES2 = {
     "sorted_list_agg": q_sorted_list_agg,
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
 }
 
 ORACLES2 = {
@@ -610,4 +689,5 @@ ORACLES2 = {
     "sorted_list_agg": SQL_SORTED_LIST_AGG,
     "ann_ivf_probe": _sql_ann_ivf(),
     "ann_ivf_multiprobe": _sql_ann_ivf_multiprobe(),
+    "ann_ivf_kmeans": _sql_kmeans_ivf(),
 }

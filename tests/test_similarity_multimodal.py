@@ -81,6 +81,36 @@ def test_lsh_buckets_parallel_vectors_collide(spark):
     assert 0 <= got[0] < 256
 
 
+def test_kmeans_clusters_separable_data(spark):
+    # two clean clusters along different axes; init (two lowest ids)
+    # seeds one centroid in each
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.9, 0.1, 0.0, 0.0],
+        [0.1, 0.9, 0.0, 0.0],
+    ]
+    emb = _embs(spark, vecs)
+    cents = similarity.kmeans_centroids(emb, k=2, iters=2, dim=4)
+    assert len(cents) == 2 and all(len(c) == 4 for c in cents)
+    assigned = similarity.assign_centroids(
+        similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"), cents
+    )
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+    # deterministic: retraining yields byte-identical centroids
+    assert cents == similarity.kmeans_centroids(emb, k=2, iters=2, dim=4)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # all points identical -> every vector lands on centroid 0 from
+    # round 1 on; centroid 1 must survive as its init value, not vanish
+    emb = _embs(spark, [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0]])
+    cents = similarity.kmeans_centroids(emb, k=2, iters=2, dim=2)
+    assert len(cents) == 2
+    assert cents[0] == cents[1]  # init was identical points; both survive
+
+
 def test_quantization_exactness(spark):
     """round(x * 2^20) must be bit-deterministic: same input -> same ints."""
     vecs = [[0.1234567, -0.7654321] + [0.0] * 62] * 2
