@@ -31,6 +31,14 @@ _INFER_GEN_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGener
 def _exclude_infer_filters_from_generate(df: DataFrame) -> None:
     """Disable InferFiltersFromGenerate for this session.
 
+    NOTE this is a SESSION-GLOBAL setting, applied deliberately: optimizer
+    rules take effect at action time, so a save-and-restore around lazy
+    plan construction would not govern execution. ``session.get_spark``
+    already sets it at session build (the primary path — keeps plans
+    independent of operator call order); this call-site setter only covers
+    foreign sessions (e.g. the external driver's plain SparkSession) and
+    is additive-idempotent.
+
     The rule derives ``size(arr) > 0 AND isnotnull(arr)`` from an explode,
     and predicate pushdown then drags that predicate — with the FULL
     generator expression substituted into it — below any repartition down

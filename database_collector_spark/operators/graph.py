@@ -54,6 +54,10 @@ def connected_components(
     cost for clique-shaped dedup graphs) or "star" (O(log d) rounds for
     high-diameter chains).
     """
+    if algorithm not in ("minlabel", "star"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected 'minlabel' or 'star'"
+        )
     # materialize the pair list BEFORE the two-orientation union: the
     # union references `pairs` twice, and an un-materialized reference
     # would execute the (often expensive — e.g. MinHash-LSH) upstream
@@ -138,20 +142,26 @@ def _star_components(
     (count, xor-of-hashes) checksum — one tiny aggregate per round
     against the checkpointed frame.
     """
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # node inventory from the UNFILTERED pairs: a node whose only edges
+    # are self-loops still gets a (node, node) row, matching minlabel
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    if edges.count() < 100_000:
+    # same size gate as minlabel: a tiny pair graph runs each round as one
+    # task; re-applied to every per-round rebuild below so later rounds do
+    # not revert to shuffle-partitions near-empty tasks
+    small = edges.count() < 100_000
+    if small:
         edges = edges.coalesce(1)
 
     def _checksum(e: DataFrame) -> tuple:
@@ -186,8 +196,10 @@ def _star_components(
             .filter(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        if small:
+            edges = edges.coalesce(1)
+        edges = edges.localCheckpoint(eager=True)
         cur = _checksum(edges)
         if cur == prev:
             converged = True

@@ -120,6 +120,22 @@ def cosine_topk(
     )
 
 
+def _bucket_col(planes: list[list[int]]) -> F.Column:
+    """Sign-projection bucket id over a ``qe`` column: bucket = sum over
+    planes of (projection > 0) << plane_index, with each projection an
+    exact integer dot product against the pre-quantized plane weights.
+    Shared by ``lsh_buckets`` and the bucket-restricted near-dup so the
+    bucketing scheme cannot silently diverge between them."""
+    bucket = F.lit(0).cast("long")
+    for p_idx, wts in enumerate(planes):
+        w_lit = "array(" + ",".join(f"CAST({x} AS BIGINT)" for x in wts) + ")"
+        proj = F.expr(
+            f"aggregate(zip_with(qe, {w_lit}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+    return bucket
+
+
 def lsh_buckets(
     embeddings: DataFrame, *, n_planes: int = 8, seed: int = 42
 ) -> DataFrame:
@@ -130,14 +146,7 @@ def lsh_buckets(
     """
     planes = hyperplanes_int(n_planes=n_planes, seed=seed)
     base = embeddings.withColumn("qe", quantize())
-    bucket = F.lit(0).cast("long")
-    for p_idx, wts in enumerate(planes):
-        w_lit = "array(" + ",".join(f"CAST({x} AS BIGINT)" for x in wts) + ")"
-        proj = F.expr(
-            f"aggregate(zip_with(qe, {w_lit}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-    return base.select("vec_id", bucket.alias("bucket"), "label")
+    return base.select("vec_id", _bucket_col(planes).alias("bucket"), "label")
 
 
 def assign_centroids(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
@@ -218,6 +227,9 @@ def kmeans_centroids(
     cents: list[list[int]] = [
         list(r["qe"]) for r in base.orderBy("vec_id").limit(k).collect()
     ]
+    # a corpus smaller than k trains the k it can seed (every vector its
+    # own centroid is the exact degenerate answer, not an error)
+    k = len(cents)
     for _ in range(iters):
         assigned = assign_centroids(base, cents)
         comp = (
@@ -353,17 +365,9 @@ def embedding_near_dup_lsh(
     ``workloads2.q_ann_ivf_multiprobe``.
     """
     planes = hyperplanes_int(n_planes=n_planes, seed=seed)
-    base = with_quantized(embeddings)
-    bucket = F.lit(0).cast("long")
-    for p_idx, wts in enumerate(planes):
-        w_lit = "array(" + ",".join(f"CAST({x} AS BIGINT)" for x in wts) + ")"
-        proj = F.expr(
-            f"aggregate(zip_with(qe, {w_lit}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-    base = base.select(
+    base = with_quantized(embeddings).select(
         "vec_id",
-        bucket.alias("bucket"),
+        _bucket_col(planes).alias("bucket"),
         F.floor(F.col("vec_id") / block_size).alias("blk"),
         "qe",
         "qnorm2",

@@ -43,6 +43,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate substitutes the full generator expression
+        # into an inferred size()>0 predicate and pushes it below exchanges —
+        # for the shingle pipeline that re-evaluates the whole
+        # transform/array_distinct chain at scan parallelism (measured 6.7 s
+        # of an 8 s explode stage at sf0.1; see operators/dedup.py). Every
+        # explode in this engine already guards its input explicitly, so the
+        # inferred predicate is redundant here. Set at session build (not
+        # per-query) because optimizer rules apply at ACTION time — a
+        # save-and-restore around lazy plan construction would not govern
+        # execution, and a hidden per-operator setter would make unrelated
+        # plans order-dependent.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -88,7 +88,11 @@ def fetch_secret_string(
     try:
         value: str | None = client.get_secret_value(SecretId=name)["SecretString"]
     except Exception:
-        value = None
+        # transient failure: do NOT negative-cache — the next refresh must
+        # retry immediately, or one throttle/timeout would hide a healthy
+        # target for the whole TTL (the reference cache stores successes
+        # only)
+        return None
     _secret_cache[name] = (now, value)
     return value
 

@@ -62,6 +62,10 @@ def read_catalog_query(
     ``driver`` pins the JDBC driver class when the URL prefix isn't
     auto-registered with java.sql.DriverManager.
     """
+    if url is None and (host is None or port is None):
+        # fail at the call site, not as an opaque JDBC error against
+        # host "None" at .load() time
+        raise ValueError("read_catalog_query needs either url or host+port")
     reader = (
         spark.read.format("jdbc")
         .option("url", url or jdbc_url(engine, host, port, dbname))
