@@ -288,6 +288,36 @@ def minhash_lsh_dedup(
     return jaccard_verify(shingle_sets(docs, n=n), pairs, threshold=threshold)
 
 
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, *, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share any token
+    n-gram with a held-out evaluation set (the standard pre-training
+    hygiene step — contaminated docs leak test answers into training).
+
+    Output: (doc_id, n_hit_shingles) for every corpus doc with >= 1
+    overlapping distinct n-gram; anti-join the result to drop them.
+
+    Plan shape at 100 TB: the benchmark side is DISTINCT n-grams of an
+    evaluation suite — bounded small BY DEFINITION (benchmarks are
+    thousands of docs, not corpora), hence the explicit broadcast is a
+    contract, not a data-dependent guess (cf. jaccard_verify, where the
+    pair list is unbounded and the hint is deliberately absent). The
+    corpus side explodes to an n-gram stream but that is a narrow
+    flat-map feeding a broadcast-hash SEMI-shaped join at scan
+    parallelism: only MATCHING (doc, gram) rows — contamination is rare
+    by construction — reach the per-doc count exchange. Nothing
+    |corpus|-sized ever shuffles.
+    """
+    bench_sh = shingles(benchmark, n=n).select("shingle").distinct()
+    return (
+        shingles(docs, n=n)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

@@ -276,6 +276,34 @@ WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 13 == 0 play the
+    held-out evaluation set; every other doc sharing a distinct token
+    4-gram with it is flagged with its overlap count. (4-grams keep the
+    gate non-degenerate on the synthetic shared-vocabulary corpus; real
+    decontamination uses ~13-grams.)"""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter(F.col("doc_id") % 13 != 0),
+        docs.filter(F.col("doc_id") % 13 == 0),
+        n=4,
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh4 AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 3), ' ') AS shingle
+  FROM toks, (SELECT unnest(generate_series(1, 600)) AS i) ii
+  WHERE i <= len(t) - 3
+)
+SELECT c.doc_id, COUNT(*) AS n_hit_shingles
+FROM (SELECT * FROM sh4 WHERE doc_id % 13 <> 0) c
+JOIN (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 13 = 0) b USING (shingle)
+GROUP BY c.doc_id
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-blocked exact n-gram Jaccard pairs >= 0.3, shingle
     document frequency capped at 64 (the scale-safe default; the fixture
@@ -498,6 +526,7 @@ QUERIES_EXT = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
+    "decontaminate": q_decontaminate,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
@@ -516,6 +545,7 @@ ORACLES_EXT = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "decontaminate": SQL_DECONTAMINATE,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "similarity_topk": SQL_SIMILARITY_TOPK,

@@ -79,6 +79,21 @@ def test_ngram_jaccard_capped_is_lower_bound(spark):
     assert capped[(0, 1)] < full[(0, 1)]
 
 
+def test_decontaminate_flags_overlap_only(spark):
+    corpus = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta",   # shares a 4-gram with bench
+        "one two three four five six seven",     # clean
+    ])
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta other words here", "en", "s", 38)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r["n_hit_shingles"]
+           for r in dedup.decontaminate(corpus, bench, n=4).collect()}
+    # doc 0 shares exactly one distinct 4-gram: "alpha beta gamma delta"
+    assert got == {0: 1}
+
+
 def test_incremental_pairs_cross_side_only(spark):
     from pyspark.sql import Row as R
 

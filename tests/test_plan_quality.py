@@ -206,3 +206,20 @@ def test_incremental_pairs_band_join_not_cartesian(spark):
     # product over either corpus
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from database_collector_spark.operators.dedup import decontaminate
+    from database_collector_spark.workloads import _t
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, SF, "documents")
+    plan = _plan(
+        decontaminate(
+            docs.filter(F.col("doc_id") % 13 != 0),
+            docs.filter(F.col("doc_id") % 13 == 0),
+        )
+    )
+    # the benchmark n-gram set joins broadcast: the corpus n-gram stream
+    # must never shuffle to meet it
+    assert "BroadcastHashJoin" in plan
