@@ -80,19 +80,23 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingle_sets(docs: DataFrame, *, n: int = 3) -> DataFrame:
+def shingle_sets(
+    docs: DataFrame, *, n: int = 3, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Distinct word n-gram shingle SET per document: (doc_id, sh_arr).
 
     One narrow projection — no explode, no shuffle. Documents shorter than
     n tokens are dropped (they have no shingles; mirrors the exploded
-    form, where such docs simply produce no rows).
+    form, where such docs simply produce no rows). ``carry`` names extra
+    input columns to keep alongside (e.g. an event-time column for
+    streaming composition).
 
     The token array is materialized as a column BEFORE the transform lambda:
     expressions inside higher-order-function lambdas get no common-
     subexpression elimination, so referencing split(text) in the lambda body
     would re-split the document once per shingle position.
     """
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    toks = docs.select("doc_id", *carry, F.split(F.col("text"), " ").alias("t"))
     # The when() guard looks redundant with the row filter, but is not:
     # InferFiltersFromGenerate derives a size(sh_arr) > 0 predicate from a
     # downstream explode and pushes it next to the size filter, where it
@@ -111,7 +115,7 @@ def shingle_sets(docs: DataFrame, *, n: int = 3) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     return (
         toks.filter(F.size(F.col("t")) >= n)
-        .select("doc_id", F.array_distinct(shingle_arr).alias("sh_arr"))
+        .select("doc_id", *carry, F.array_distinct(shingle_arr).alias("sh_arr"))
     )
 
 
@@ -124,7 +128,11 @@ def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, *, n: int = 3, num_hashes: int = DEFAULT_NUM_HASHES
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """documents -> one wide row per doc: (doc_id, n_sh, h0..h15).
 
@@ -136,7 +144,7 @@ def minhash_signatures(
     hash-map churn on a shingle stream ~50x the corpus row count. At
     100 TB signatures-at-scan-speed is the difference that matters.
     """
-    sets = shingle_sets(docs, n=n)
+    sets = shingle_sets(docs, n=n, carry=carry)
     mins = [
         F.expr(
             f"array_min(transform(sh_arr, x -> md5(concat('{s}', ':', x))))"
@@ -144,7 +152,7 @@ def minhash_signatures(
         for s in range(num_hashes)
     ]
     return sets.select(
-        "doc_id", F.size("sh_arr").cast("long").alias("n_sh"), *mins
+        "doc_id", *carry, F.size("sh_arr").cast("long").alias("n_sh"), *mins
     )
 
 
@@ -153,6 +161,7 @@ def band_values(
     *,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, band, band_val) — the LSH bucket keys of a signature
     table. band_val = md5('|'-concat of the band's minhashes in seed
@@ -176,9 +185,12 @@ def band_values(
         ]
     )
     return signatures.select(
-        "doc_id", F.explode(band_structs).alias("bv")
+        "doc_id", *carry, F.explode(band_structs).alias("bv")
     ).select(
-        "doc_id", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+        "doc_id",
+        *carry,
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
     )
 
 

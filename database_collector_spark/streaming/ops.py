@@ -99,3 +99,98 @@ def stream_stream_interval_join(
         & (rt <= lt),
         "inner",
     ).drop(right[join_key])
+
+
+def streaming_incremental_dedup(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    threshold: float = 0.8,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``dedup.incremental_minhash_pairs``: a document
+    firehose checked for near-duplicates against a STATIC corpus, fully
+    in-plan.
+
+    Every stage is either a narrow projection on the stream (shingle ->
+    signature -> band keys, all per-row expressions) or a STREAM-STATIC
+    join (band match, corpus shingle-set attach) — stateless by
+    construction, so no join state accumulates. The only stateful
+    operator is the watermarked dedup that collapses multi-band hits of
+    the same (new_doc, corpus_doc) pair to one emission; its state
+    evicts at the watermark horizon. At lake scale the static side is
+    the persisted corpus band/shingle tables, refreshed per ingest batch
+    (they are pure functions of content), so the stream never re-scans
+    the lake.
+
+    Emits (new_doc, corpus_doc, jaccard >= threshold, ts) in append mode.
+    """
+    from database_collector_spark.operators import dedup as _dedup
+
+    kw = {}
+    if num_hashes is not None:
+        kw["num_hashes"] = num_hashes
+    nh = kw.get("num_hashes", _dedup.DEFAULT_NUM_HASHES)
+    nb = bands if bands is not None else _dedup.DEFAULT_BANDS
+
+    new_bands = _dedup.band_values(
+        _dedup.minhash_signatures(
+            stream_docs, n=n, num_hashes=nh, carry=(ts_col, "text")
+        ),
+        num_hashes=nh,
+        bands=nb,
+        carry=(ts_col, "text"),
+    )
+    corpus_bands = _dedup.band_values(
+        _dedup.minhash_signatures(corpus_docs, n=n, num_hashes=nh),
+        num_hashes=nh,
+        bands=nb,
+    ).select(F.col("doc_id").alias("corpus_doc"), "band", "band_val")
+
+    cands = (
+        new_bands.join(corpus_bands, ["band", "band_val"])
+        .select(
+            F.col("doc_id").alias("new_doc"), "corpus_doc", ts_col, "text"
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["new_doc", "corpus_doc"])
+    )
+
+    corpus_sets = _dedup.shingle_sets(corpus_docs, n=n).select(
+        F.col("doc_id").alias("corpus_doc"), F.col("sh_arr").alias("arr_b")
+    )
+    # the stream doc's shingle set is re-derived from its own text — a
+    # projection, not a join; re-using shingle_sets keeps the expression
+    # identical to the batch path
+    with_arr = _dedup.shingle_sets(
+        cands.withColumnRenamed("new_doc", "doc_id"),
+        n=n,
+        carry=("corpus_doc", ts_col),
+    ).select(
+        F.col("doc_id").alias("new_doc"), "corpus_doc", ts_col,
+        F.col("sh_arr").alias("arr_a"),
+    )
+    return (
+        with_arr.join(corpus_sets, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            ts_col,
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("shared"),
+            F.size("arr_a").alias("n_a"),
+            F.size("arr_b").alias("n_b"),
+        )
+        .select(
+            "new_doc",
+            "corpus_doc",
+            ts_col,
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

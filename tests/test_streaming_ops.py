@@ -148,3 +148,51 @@ def test_stream_stream_interval_join(spark):
 
         got = _run_stream(spark, la, build, f"{tmp}/ckpt")
         assert [(r["l_id"], r["r_id"]) for r in got] == [(100, 200)]
+
+
+def test_streaming_incremental_dedup_vs_static_corpus(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark.streaming.ops import streaming_incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="completely unrelated corpus content lives here"),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        _write(
+            src,
+            "b1.json",
+            [
+                # near-dup of corpus doc 1 (identical text -> jaccard 1.0)
+                {"doc_id": 10, "text": base, "ts": "2024-06-01T10:00:00"},
+                # clean doc: no corpus band collision
+                {"doc_id": 11, "text": "fresh novel words nobody wrote before now",
+                 "ts": "2024-06-01T10:00:10"},
+            ],
+        )
+
+        def build(path):
+            stream = spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).json(path)
+            return streaming_incremental_dedup(stream, corpus)
+
+        got = _run_stream(spark, src, build, f"{tmp}/ckpt")
+        assert [(r["new_doc"], r["corpus_doc"], r["jaccard"]) for r in got] == [
+            (10, 1, 1.0)
+        ]
+
+        # replay of doc 10 within the watermark horizon -> suppressed
+        _write(
+            src,
+            "b2.json",
+            [{"doc_id": 10, "text": base, "ts": "2024-06-01T10:01:00"}],
+        )
+        got = _run_stream(spark, src, build, f"{tmp}/ckpt")
+        assert got == []
