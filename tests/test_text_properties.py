@@ -1,0 +1,72 @@
+"""Property-based invariants for the text/curation extension operators
+(SURVEY.md §5 item 5 style): random token streams through the real Spark
+transforms, checked against a plain-Python reference implementation.
+
+Hypothesis drives input generation only; example counts stay modest —
+each example is a full Spark job.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from database_collector_spark import curation
+from database_collector_spark.operators import text
+
+token = st.text(alphabet="abcxyz", min_size=1, max_size=3)
+doc_tokens = st.lists(token, min_size=2, max_size=30)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(doc_tokens, min_size=1, max_size=4))
+def test_repetition_stats_matches_python_reference(spark, docs):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["top_gram_n"], r["dup_gram_n"])
+        for r in text.repetition_stats(df).collect()
+    }
+    for i, toks in enumerate(docs):
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        counts = Counter(grams)
+        assert got[i] == (
+            len(grams),
+            max(counts.values()),
+            len(grams) - len(counts),
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(doc_tokens, min_size=1, max_size=6),
+    budget=st.integers(min_value=1, max_value=40),
+)
+def test_pack_sequences_invariants(spark, docs, budget):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks), lang="en") for i, toks in enumerate(docs)]
+    )
+    rows = sorted(
+        curation.pack_sequences(df, budget_tokens=budget).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # every doc assigned exactly once, in order
+    assert [r["doc_id"] for r in rows] == list(range(len(docs)))
+    # chunk ids are non-decreasing along the stream and match the
+    # floor(start_offset / budget) contract
+    start = 0
+    for r in rows:
+        assert r["chunk_id"] == start // budget
+        start += r["n_tokens"]
