@@ -48,10 +48,16 @@ def curate(
     docs: DataFrame,
     *,
     quality_min: float = 0.3,
+    repetition_max: float | None = None,
     near_dup: bool = False,
     extra_drop: DataFrame | None = None,
 ) -> DataFrame:
     """documents → curated, split-labeled documents.
+
+    ``repetition_max``: optional Gopher-style repetition gate — drop docs
+    whose duplicate-bigram fraction exceeds the bound (boilerplate/spam).
+    Like the quality score it is a per-row scalar (zero-shuffle), so the
+    filter fuses into the same scan.
 
     ``near_dup``: attach the MinHash-LSH near-dup tier AFTER the quality
     and exact tiers — pairs, components and canonical selection are all
@@ -70,6 +76,15 @@ def curate(
         .filter(F.col("quality_score") >= quality_min)
         .drop("quality_score")
     )
+    if repetition_max is not None:
+        rep = text.repetition_stats(docs).select("doc_id", "dup_gram_frac")
+        kept = (
+            kept.join(rep, "doc_id", "left")
+            .filter(
+                F.coalesce(F.col("dup_gram_frac"), F.lit(0.0)) <= repetition_max
+            )
+            .drop("dup_gram_frac")
+        )
     # exact tier: keep one doc per identical text (canonical = min doc_id)
     canon = dedup.exact_dedup(kept).select(
         F.col("canonical_doc_id").alias("doc_id")

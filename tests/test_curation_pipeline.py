@@ -74,3 +74,30 @@ def test_write_curated_is_idempotent_and_partitioned(spark, tmp_path):
     curation.write_curated(curated, out_dir)
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2 == curated.count()
+
+
+def test_curate_repetition_gate_drops_boilerplate(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    stops = "the a of and to in is"  # high quality score (all stopwords)
+    docs = spark.createDataFrame(
+        [
+            # varied doc: every bigram distinct -> dup_gram_frac 0
+            Row(doc_id=1, text=stops + " x y z w", lang="en", source="s",
+                n_chars=30),
+            # boilerplate: one phrase repeated -> high dup_gram_frac
+            Row(doc_id=2, text=" ".join([stops] * 8), lang="en", source="s",
+                n_chars=100),
+        ]
+    )
+    base = {r["doc_id"] for r in curation.curate(docs, quality_min=0.0).collect()}
+    assert base == {1, 2}
+    gated = {
+        r["doc_id"]
+        for r in curation.curate(
+            docs, quality_min=0.0, repetition_max=0.5
+        ).collect()
+    }
+    assert gated == {1}
