@@ -77,13 +77,15 @@ def curate(
         .drop("quality_score")
     )
     if repetition_max is not None:
-        rep = text.repetition_stats(docs).select("doc_id", "dup_gram_frac")
+        # fused scalar filter, not a join against a stats table: the gram
+        # array materializes as its own projection (CollapseProject keeps
+        # non-cheap expressions single-evaluation), the fraction derives
+        # from it, and the whole gate rides the same scan — zero shuffle
+        toks = F.split(F.col("text"), " ")
         kept = (
-            kept.join(rep, "doc_id", "left")
-            .filter(
-                F.coalesce(F.col("dup_gram_frac"), F.lit(0.0)) <= repetition_max
-            )
-            .drop("dup_gram_frac")
+            kept.withColumn("__rep_grams", text.grams_of(toks))
+            .filter(text.dup_gram_frac(F.col("__rep_grams")) <= repetition_max)
+            .drop("__rep_grams")
         )
     # exact tier: keep one doc per identical text (canonical = min doc_id)
     canon = dedup.exact_dedup(kept).select(

@@ -255,20 +255,35 @@ def jaccard_verify(
     b = (sets_b if sets_b is not None else sets).select(
         F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")
     )
+    return jaccard_from_arrays(
+        pairs.join(a, "doc_a").join(b, "doc_b"),
+        keys=("doc_a", "doc_b"),
+        threshold=threshold,
+    )
+
+
+def jaccard_from_arrays(
+    attached: DataFrame,
+    *,
+    keys: tuple[str, ...],
+    threshold: float,
+) -> DataFrame:
+    """(keys..., arr_a, arr_b) -> (keys..., jaccard >= threshold).
+
+    THE one definition of the exact-Jaccard arithmetic (integer rational
+    -> double divide -> round 4 -> non-strict threshold) shared by the
+    batch verifiers and the streaming twin — the engine-exactness
+    contract lives here, in one place.
+    """
     return (
-        pairs
-        .join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
+        attached.select(
+            *keys,
             F.size(F.array_intersect("arr_a", "arr_b")).alias("shared"),
             F.size("arr_a").alias("n_a"),
             F.size("arr_b").alias("n_b"),
         )
         .select(
-            "doc_a",
-            "doc_b",
+            *keys,
             F.round(
                 F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
             ).alias("jaccard"),

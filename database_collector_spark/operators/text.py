@@ -132,6 +132,32 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def grams_of(tokens: F.Column, *, n: int = 2) -> F.Column:
+    """Token n-gram array of a token-array column, total over short
+    inputs (< n tokens -> empty array; an unguarded sequence() would run
+    descending and feed slice() an invalid start under ANSI mode).
+    Shared by ``repetition_stats`` and curation's fused repetition gate
+    so the gram definition cannot diverge."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_gram_frac(grams: F.Column) -> F.Column:
+    """Duplicate-gram fraction of an already-materialized gram-array
+    column (0.0 when empty) — the fused-filter form of
+    ``repetition_stats``'s dup_gram_frac for scans that must not join a
+    stats table. Callers materialize ``grams_of(...)`` as its own column
+    first so the transform evaluates once."""
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+    )
+
+
 def repetition_stats(docs: DataFrame, *, n: int = 2) -> DataFrame:
     """Gopher-style repetition signals: top n-gram fraction and duplicate
     n-gram fraction per document (the standard boilerplate/spam filters
@@ -152,10 +178,7 @@ def repetition_stats(docs: DataFrame, *, n: int = 2) -> DataFrame:
     speed, O(L log L) per document. Ties on frequency need no break: only
     the count is emitted. Docs with < n tokens are dropped (no grams).
     """
-    grams = F.expr(
-        f"transform(sequence(1, size(t) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(t, i, {n})))"
-    )
+    grams = grams_of(F.col("t"), n=n)
     top_run = F.expr(
         "aggregate(sort_array(grams), "
         "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "

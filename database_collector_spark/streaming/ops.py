@@ -131,10 +131,7 @@ def streaming_incremental_dedup(
     """
     from database_collector_spark.operators import dedup as _dedup
 
-    kw = {}
-    if num_hashes is not None:
-        kw["num_hashes"] = num_hashes
-    nh = kw.get("num_hashes", _dedup.DEFAULT_NUM_HASHES)
+    nh = num_hashes if num_hashes is not None else _dedup.DEFAULT_NUM_HASHES
     nb = bands if bands is not None else _dedup.DEFAULT_BANDS
 
     new_bands = _dedup.band_values(
@@ -174,23 +171,8 @@ def streaming_incremental_dedup(
         F.col("doc_id").alias("new_doc"), "corpus_doc", ts_col,
         F.col("sh_arr").alias("arr_a"),
     )
-    return (
-        with_arr.join(corpus_sets, "corpus_doc")
-        .select(
-            "new_doc",
-            "corpus_doc",
-            ts_col,
-            F.size(F.array_intersect("arr_a", "arr_b")).alias("shared"),
-            F.size("arr_a").alias("n_a"),
-            F.size("arr_b").alias("n_b"),
-        )
-        .select(
-            "new_doc",
-            "corpus_doc",
-            ts_col,
-            F.round(
-                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return _dedup.jaccard_from_arrays(
+        with_arr.join(corpus_sets, "corpus_doc"),
+        keys=("new_doc", "corpus_doc", ts_col),
+        threshold=threshold,
     )
