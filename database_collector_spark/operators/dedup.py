@@ -315,6 +315,70 @@ def minhash_lsh_dedup(
     return jaccard_verify(shingle_sets(docs, n=n), pairs, threshold=threshold)
 
 
+def simhash_pairs(
+    docs: DataFrame, *, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming ball — the search step the
+    signature operator feeds (SCALE.md: "Hamming-ball search buckets by
+    signature prefix").
+
+    Pigeonhole blocking: the b-bit signature splits into
+    ``max_hamming + 1`` contiguous blocks; two signatures within Hamming
+    distance ``max_hamming`` must agree EXACTLY on at least one block, so
+    candidates are the (block_idx, block_val) bucket collisions — never
+    an all-pairs product — and the exact ``bit_count(xor)`` check then
+    prunes false bucketmates. At corpus scale the block id is a
+    partition key like the LSH band: each bucket's pair generation is
+    local, and worst-case bucket size is governed by block width
+    (bits / (max_hamming+1)) — widen ``bits`` if buckets run hot.
+
+    Output: (doc_a, doc_b, hamming <= max_hamming), doc_a < doc_b.
+    """
+    n_blocks = max_hamming + 1
+    sigs = simhash(docs, bits=bits).localCheckpoint(eager=True)
+    # block j covers bit offsets [j*w, min((j+1)*w, bits)) with w = ceil
+    w = -(-bits // n_blocks)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("block"),
+                (
+                    F.shiftrightunsigned(F.col("simhash"), j * w)
+                    % F.lit(1 << min(w, bits - j * w))
+                ).alias("block_val"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    blocks = sigs.select(
+        "doc_id", "simhash", F.explode(block_structs).alias("bv")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bv.block").alias("block"),
+        F.col("bv.block_val").alias("block_val"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def decontaminate(
     docs: DataFrame, benchmark: DataFrame, *, n: int = 8
 ) -> DataFrame:

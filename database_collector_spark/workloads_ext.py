@@ -357,6 +357,23 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball SimHash search: pairs within Hamming <= 2 via
+    pigeonhole block bucketing + exact bit_count verify. The oracle is
+    the ALL-PAIRS ground truth — pigeonhole blocking is lossless for the
+    ball radius, so the bucketed plan must reproduce it exactly."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH sig AS ({SQL_DEDUP_SIMHASH.strip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -529,6 +546,7 @@ QUERIES_EXT = {
     "decontaminate": q_decontaminate,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "similarity_topk": q_similarity_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "dedup_embedding": q_dedup_embedding,
@@ -548,6 +566,7 @@ ORACLES_EXT = {
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "ann_lsh_buckets": _sql_ann_lsh(),
     "dedup_embedding": SQL_DEDUP_EMBEDDING,

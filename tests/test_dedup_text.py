@@ -79,6 +79,35 @@ def test_ngram_jaccard_capped_is_lower_bound(spark):
     assert capped[(0, 1)] < full[(0, 1)]
 
 
+def test_simhash_pairs_identical_docs_at_hamming_zero(spark):
+    d = _docs(spark, ["a b c d e f g h", "a b c d e f g h", "q r s t u v w x"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(d).collect()
+    }
+    assert got.get((0, 1)) == 0
+    # the unrelated doc must not pair with either twin inside the ball
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_simhash_pairs_matches_brute_force(spark):
+    # blocking is pigeonhole-lossless: bucketed pairs == all-pairs truth
+    texts = [f"tok{i} tok{i+1} tok{i+2} shared common words here" for i in range(8)]
+    d = _docs(spark, texts)
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d).collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(d).collect()
+    }
+    assert got == brute
+
+
 def test_decontaminate_flags_overlap_only(spark):
     corpus = _docs(spark, [
         "alpha beta gamma delta epsilon zeta",   # shares a 4-gram with bench
