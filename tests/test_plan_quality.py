@@ -223,3 +223,13 @@ def test_decontaminate_broadcasts_benchmark(spark):
     # the benchmark n-gram set joins broadcast: the corpus n-gram stream
     # must never shuffle to meet it
     assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_pairs_bucketed_not_cartesian(spark):
+    from database_collector_spark.operators.dedup import simhash_pairs
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(simhash_pairs(_t(spark, SF, "documents")))
+    # candidates come from the (block, block_val) equi-join buckets
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
