@@ -103,31 +103,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp forward, keep error rows. Ties (click.ts == error.ts) order
     the click first, i.e. <= semantics.
     """
+    from database_collector_spark.operators.timeseries import asof_join
+
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("kind")
-    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+        "user_id", "ts", "event_id"
     )
-    merged = clicks.unionByName(errors)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.withColumn(
-        "last_click_ts",
-        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
-    )
-    return (
-        carried.filter(F.col("kind") == 1)
-        .select(
-            F.col("event_id").alias("error_event_id"),
-            "user_id",
-            F.col("ts").alias("error_ts"),
-            "last_click_ts",
-        )
+    return asof_join(errors, clicks, on="ts", by=("user_id",)).select(
+        F.col("event_id").alias("error_event_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        F.col("ts_right").alias("last_click_ts"),
     )
 
 
