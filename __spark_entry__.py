@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     # round-1 unchecked (sat past the 50-entry window) + round-2 new gates
     "engine_rejects", "repetition_stats", "sequence_pack", "dedup_incremental",
     "ann_ivf_kmeans", "decontaminate", "dedup_simhash_pairs",
+    "dedup_embedding_lsh_multi",
     "lang_id", "quality_score", "doc_fingerprint", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "similarity_topk", "ann_lsh_buckets", "dedup_embedding",
@@ -63,7 +64,7 @@ _CHECK_FIRST = [
     # get no row, so this list must never exceed the cap)
     "pricing_summary", "long_running_sessions", "grouped_counter",
     "registry_diff", "engine_dispatch", "label_enrich", "shipping_priority",
-    "topk_per_group", "set_ops",
+    "topk_per_group",
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 

@@ -506,6 +506,54 @@ WHERE round(CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.
 """
 
 
+def q_dedup_embedding_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified (4-table) bucket-restricted embedding near-dup:
+    recall 10/14 vs the exact pair set at fixture scale (single table:
+    4/14), zero false positives."""
+    return similarity.embedding_near_dup_lsh_multi(
+        _t(spark, sf_dir, "embeddings"), n_planes=2, n_tables=4
+    )
+
+
+def _sql_dedup_embedding_lsh_multi(n_planes: int = 2, n_tables: int = 4) -> str:
+    values = ", ".join(
+        f"({t}, {p}, {i + 1}, {w})"
+        for t in range(n_tables)
+        for p, plane in enumerate(
+            similarity.hyperplanes_int(n_planes=n_planes, seed=42 + t)
+        )
+        for i, w in enumerate(plane)
+    )
+    return f"""
+WITH {_SQL_QUANT},
+w(tbl, plane, i, wv) AS (VALUES {values}),
+proj AS (
+  SELECT e.vec_id, w.tbl, w.plane, SUM(e.qe[w.i] * w.wv) AS p
+  FROM qe e, w
+  GROUP BY 1, 2, 3
+),
+bkt AS (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN p > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.id_a, c.id_b, SUM(a.qe[i] * b.qe[i]) AS dot
+  FROM cand c JOIN qe a ON a.vec_id = c.id_a JOIN qe b ON b.vec_id = c.id_b, idx
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       round(CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+FROM p JOIN norms na ON na.vec_id = p.id_a JOIN norms nb ON nb.vec_id = p.id_b
+WHERE round(CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.45
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -551,6 +599,7 @@ QUERIES_EXT = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_embedding_lsh_multi": q_dedup_embedding_lsh_multi,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -571,5 +620,6 @@ ORACLES_EXT = {
     "ann_lsh_buckets": _sql_ann_lsh(),
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
+    "dedup_embedding_lsh_multi": _sql_dedup_embedding_lsh_multi(),
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
