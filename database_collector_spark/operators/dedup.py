@@ -335,16 +335,28 @@ def simhash_pairs(
     Output: (doc_a, doc_b, hamming <= max_hamming), doc_a < doc_b.
     """
     n_blocks = max_hamming + 1
+    if bits % 4 != 0:
+        raise ValueError(f"bits={bits} must be a multiple of 4 (md5 nibbles)")
+    if n_blocks > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_blocks} blocks of >=1 bit "
+            f"but the signature has only {bits} bits"
+        )
     sigs = simhash(docs, bits=bits).localCheckpoint(eager=True)
-    # block j covers bit offsets [j*w, min((j+1)*w, bits)) with w = ceil
-    w = -(-bits // n_blocks)
+    # widths distributed evenly (bits//n_blocks, +1 for the first
+    # bits%n_blocks blocks) so every block is non-empty — a ceil-width
+    # scheme would leave trailing blocks zero-width when bits is not
+    # divisible, degenerating their bucket to a corpus-wide constant
+    base_w, extra = divmod(bits, n_blocks)
+    widths = [base_w + (1 if j < extra else 0) for j in range(n_blocks)]
+    offsets = [sum(widths[:j]) for j in range(n_blocks)]
     block_structs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("block"),
                 (
-                    F.shiftrightunsigned(F.col("simhash"), j * w)
-                    % F.lit(1 << min(w, bits - j * w))
+                    F.shiftrightunsigned(F.col("simhash"), offsets[j])
+                    % F.lit(1 << widths[j])
                 ).alias("block_val"),
             )
             for j in range(n_blocks)

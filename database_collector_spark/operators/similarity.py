@@ -429,29 +429,13 @@ def embedding_near_dup_lsh(
     independent plane sets, or Hamming-1 multi-probe as in
     ``workloads2.q_ann_ivf_multiprobe``.
     """
-    planes = hyperplanes_int(n_planes=n_planes, seed=seed)
-    base = with_quantized(embeddings).select(
-        "vec_id",
-        _bucket_col(planes).alias("bucket"),
-        F.floor(F.col("vec_id") / block_size).alias("blk"),
-        "qe",
-        "qnorm2",
-    )
-    blocks = base.groupBy("bucket", "blk").agg(
-        F.collect_list(F.struct("vec_id", "qe", "qnorm2")).alias("vecs")
-    )
-    pairs = (
-        blocks.alias("a")
-        .join(
-            blocks.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.blk") <= F.col("b.blk")),
-        )
-        .select(
-            F.col("a.vecs").alias("vecs_a"),
-            F.col("b.vecs").alias("vecs_b"),
-        )
-    )
-    return pairs.mapInPandas(
-        _make_tile_kernel(threshold), schema="id_a bigint, id_b bigint, cos double"
+    # exactly the n_tables=1 case of the OR-amplified variant — one
+    # bucketing scheme, one tile pipeline, defined once
+    return embedding_near_dup_lsh_multi(
+        embeddings,
+        threshold=threshold,
+        block_size=block_size,
+        n_planes=n_planes,
+        n_tables=1,
+        seed=seed,
     )

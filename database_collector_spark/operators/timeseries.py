@@ -46,11 +46,19 @@ def asof_join(
 
     One shuffle total: both sides union into a single per-key window
     sort; at equal timestamps the right row orders first so ties are
-    inclusive in both directions.
+    inclusive in both directions. If several RIGHT rows share the same
+    (by, on), the carried values come deterministically from the one
+    with the greatest ``value_cols`` tuple (a total order — never
+    whichever duplicate a shuffle happened to emit last).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(
             f"unknown direction {direction!r}: expected 'backward' or 'forward'"
+        )
+    if on in value_cols:
+        raise ValueError(
+            f"on={on!r} is carried automatically as '{on}{suffix}'; "
+            "listing it in value_cols would emit a duplicate column"
         )
     lcols = left.columns
     l_side = left.select(
@@ -71,9 +79,18 @@ def asof_join(
     merged = l_side.unionByName(r_side)
 
     ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
+    # the trailing value-struct ordering totalizes ties among right rows
+    # sharing (by, on): the carried last() deterministically picks the
+    # GREATEST value tuple, instead of whichever duplicate the shuffle
+    # happened to order last
+    tiebreak = (
+        [F.asc(F.struct(*[F.col(f"__v_{c}") for c in value_cols]))]
+        if value_cols
+        else []
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(ts_order, F.asc("__kind"))
+        .orderBy(ts_order, F.asc("__kind"), *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(

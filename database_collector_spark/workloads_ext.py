@@ -472,38 +472,8 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_embedding_lsh(n_planes: int = 2) -> str:
-    planes = similarity.hyperplanes_int(n_planes=n_planes)
-    values = ", ".join(
-        f"({p}, {i + 1}, {w})"
-        for p, plane in enumerate(planes)
-        for i, w in enumerate(plane)
-    )
-    return f"""
-WITH {_SQL_QUANT},
-w(plane, i, wv) AS (VALUES {values}),
-proj AS (
-  SELECT e.vec_id, w.plane, SUM(e.qe[w.i] * w.wv) AS p
-  FROM qe e, w
-  GROUP BY 1, 2
-),
-bkt AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN p > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
-),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.qe[i] * b.qe[i]) AS dot
-  FROM qe a
-  JOIN bkt ba ON ba.vec_id = a.vec_id
-  JOIN qe b ON a.vec_id < b.vec_id
-  JOIN bkt bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket, idx
-  GROUP BY 1, 2
-)
-SELECT p.id_a, p.id_b,
-       round(CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
-FROM p JOIN norms na ON na.vec_id = p.id_a JOIN norms nb ON nb.vec_id = p.id_b
-WHERE round(CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.45
-"""
+    # single-table case of the multi-table builder — one SQL definition
+    return _sql_dedup_embedding_lsh_multi(n_planes=n_planes, n_tables=1)
 
 
 def q_dedup_embedding_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:

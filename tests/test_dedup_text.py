@@ -216,3 +216,32 @@ def test_fingerprint_shared_substring_detected(spark):
     rows = text.fingerprint(d).collect()
     assert {r["doc_id"] for r in rows} == {0, 1, 2}
     assert all(r["n_fingerprints"] >= 1 for r in rows)
+
+
+def test_simhash_pairs_nondivisible_bits_still_lossless(spark):
+    # bits=16, max_hamming=4 -> 5 blocks of widths 4,3,3,3,3: every block
+    # non-empty, blocking still == brute force
+    texts = [f"tok{i} tok{i+1} tok{i+2} shared common words here" for i in range(6)]
+    d = _docs(spark, texts)
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d).collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(d, max_hamming=4).collect()
+    }
+    assert got == brute
+
+
+def test_simhash_pairs_rejects_impossible_params(spark):
+    import pytest
+
+    d = _docs(spark, ["a b c d e f"])
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(d, bits=5)
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(d, bits=4, max_hamming=4)

@@ -75,3 +75,21 @@ def test_asof_rejects_unknown_direction(spark):
     trades, prices = _frames(spark)
     with pytest.raises(ValueError):
         asof_join(trades, prices, by=("sym",), direction="nearest")
+
+
+def test_asof_duplicate_right_ts_resolves_deterministically(spark):
+    trades = spark.createDataFrame([Row(sym="A", ts=15, qty=1)])
+    prices = spark.createDataFrame(
+        [Row(sym="A", ts=10, px=1.0), Row(sym="A", ts=10, px=9.9)]
+    )
+    for _ in range(3):
+        r = asof_join(
+            trades, prices, by=("sym",), value_cols=("px",)
+        ).collect()[0]
+        assert (r["ts_right"], r["px_right"]) == (10, 9.9)  # greatest tuple
+
+
+def test_asof_rejects_on_in_value_cols(spark):
+    trades, prices = _frames(spark)
+    with pytest.raises(ValueError):
+        asof_join(trades, prices, by=("sym",), value_cols=("ts",))
