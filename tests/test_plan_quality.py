@@ -233,3 +233,13 @@ def test_simhash_pairs_bucketed_not_cartesian(spark):
     # candidates come from the (block, block_val) equi-join buckets
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_sort_no_range_join(spark):
+    from database_collector_spark.workloads_ts import q_asof_join
+
+    plan = _plan(q_asof_join(spark, SF))
+    # union + one per-key window sort; never a nested-loop range join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
