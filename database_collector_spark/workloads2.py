@@ -605,8 +605,10 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_ivf(k: int = 8, iters: int = 3) -> str:
-    """The same deterministic Lloyd iterations, unrolled as CTEs."""
+def _sql_kmeans_ctes(k: int = 8, iters: int = 3) -> str:
+    """The deterministic Lloyd iterations unrolled as a CTE chain ending
+    in ``afinal`` (vec_id, qe, cid) and ``c{iters}`` (cid, c) — shared by
+    the training gate and the trained-probe gate."""
     dist = (
         "list_dot_product(q.qe, q.qe) - 2 * list_dot_product(q.qe, c.c)"
         " + list_dot_product(c.c, c.c)"
@@ -646,13 +648,87 @@ def _sql_kmeans_ivf(k: int = 8, iters: int = 3) -> str:
     body = ",\n".join(ctes)
     return f"""
 WITH {_SQL_QUANT},
-{body}
+{body}"""
+
+
+def _sql_kmeans_ivf(k: int = 8, iters: int = 3) -> str:
+    return f"""{_sql_kmeans_ctes(k, iters)}
 SELECT a.cid, COUNT(*) AS n_members,
        CAST(SUM(a.vec_id) AS BIGINT) AS members_checksum,
        CAST(cc.s AS BIGINT) AS centroid_checksum
 FROM afinal a
 JOIN (SELECT cid, list_sum(c) AS s FROM c{iters}) cc USING (cid)
 GROUP BY a.cid, cc.s
+"""
+
+
+def q_ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over the TRAINED cells: each query vector (vec_id < 10)
+    ranks exact cosine against its own k-means cell only — the probe
+    step completing the train -> assign -> probe IVF story
+    (`ann_ivf_probe` is the same search over untrained sign-projection
+    buckets). One probe touches one cell partition at any corpus size.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=3)
+    base = similarity.assign_centroids(
+        similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"), cents
+    )
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("qnorm2").alias("q_n2"),
+        F.col("cid").alias("q_cid"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("qnorm2").alias("c_n2"),
+        F.col("cid").alias("c_cid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_cid") == F.col("c_cid"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                similarity._dot("q_qe", "c_qe").cast("double")
+                / (
+                    F.sqrt(F.col("q_n2").cast("double"))
+                    * F.sqrt(F.col("c_n2").cast("double"))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+def _sql_kmeans_probe(k: int = 8, iters: int = 3) -> str:
+    return f"""{_sql_kmeans_ctes(k, iters)},
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_dot_product(q.qe, c.qe)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 6) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.qe, c.qe)
+                    / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                    c.vec_id ASC) AS rank
+  FROM afinal q
+  JOIN afinal c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT q_id, c_id, cos, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 3
 """
 
 
