@@ -41,10 +41,13 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_total0, 3)
+        timings[name] = round(time.time() - t0, 2)
+    total = round(time.time() - t_total0, 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # One COMPACT line: the driver captures a bounded stdout tail, and the
+    # default json.dumps spacing pushed a ~90-query line past that buffer
+    # (BENCH_r03 recorded "parsed": null with the line head truncated).
     print(
         json.dumps(
             {
@@ -53,7 +56,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -31,14 +31,17 @@ ANCHOR_TS = "2001-09-01 00:00:00"  # deterministic stand-in for SYSDATE/now()
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated table.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read nanos as long and convert to microsecond timestamps
-    (truncation — matching how DuckDB surfaces the same column to clients).
+    ``events.parquet`` has shipped with two generations of ``ts`` physical
+    type: TIMESTAMP(NANOS) (which Spark's parquet reader surfaces only via
+    ``nanosAsLong``) and plain TIMESTAMP(MICROS). Adapt to whichever this
+    fixture carries so queries always see a microsecond timestamp column
+    (nanos truncate — matching how DuckDB surfaces the same column).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":  # nanos surfaced as long
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):

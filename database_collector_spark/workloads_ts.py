@@ -50,7 +50,10 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_gap = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            # epoch seconds via LTZ: NTZ->LTZ reads the naive value in the
+            # session tz (UTC), and LTZ->long is legal where NTZ->long isn't
+            F.col("ts").cast("timestamp_ltz").cast("long")
+            - F.lag(F.col("ts").cast("timestamp_ltz").cast("long")).over(w)
             > 1800,
             F.lit(1),
         )
@@ -83,8 +86,9 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, event_id, ts,
-         SUM(inc) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(SUM(inc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
   FROM g
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
