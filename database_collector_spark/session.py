@@ -56,6 +56,12 @@ def get_spark(
         # plans order-dependent.
         .config("spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        # Some events.parquet fixture generations carry TIMESTAMP(NANOS),
+        # which Spark only reads with this flag (surfaced as long; the
+        # reader in workloads._t converts back to a timestamp). Harmless
+        # for MICROS files — set once here instead of mutating session
+        # conf inside a table reader (hidden side effect, not thread-safe).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

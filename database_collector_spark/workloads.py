@@ -38,7 +38,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (nanos truncate — matching how DuckDB surfaces the same column).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session.py sets nanosAsLong at build time; guard here only for
+        # foreign sessions (the external driver may construct its own) and
+        # skip the mutation when the conf is already in effect.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes)["ts"] == "bigint":  # nanos surfaced as long
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

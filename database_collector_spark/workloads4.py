@@ -154,8 +154,13 @@ def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .select("user_id", "event_id", "ts")
         .withColumn(
+            # same epoch-seconds idiom as q_sessionization (NTZ->LTZ reads
+            # the naive value in the UTC session tz; LTZ->long floors) so
+            # gap semantics are uniform across the time-series queries and
+            # well-defined for both MICROS and NTZ fixture generations
             "gap_s",
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+            F.col("ts").cast("timestamp_ltz").cast("long")
+            - F.lag(F.col("ts").cast("timestamp_ltz").cast("long")).over(w),
         )
     )
     return (
@@ -188,16 +193,68 @@ GROUP BY user_id
 
 
 def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile bucketing feeding a re-aggregation: orders ntile(10)'d by
+    """Decile bucketing feeding a re-aggregation: orders NTILE(10)'d by
     total price (ordered totally with the key tie-break), then per-decile
-    count and exact bounds. The ntile is one global sort — at 100 TB the
-    same result comes from approx quantile cut points + a bucket
-    expression, trading exactness for parallelism; this is the exact
-    form the gate can hash."""
+    count and exact bounds.
+
+    A bare ``ntile(10).over(Window.orderBy(...))`` funnels the whole table
+    through ONE task (Spark's "No Partition Defined" warning) — a genuine
+    scale-killer at 100 TB. This computes the *identical* result with the
+    canonical distributed-ranking pattern instead:
+
+    1. ``repartitionByRange`` on the full sort key — partitions are
+       globally ordered ranges, each ~n/P rows (RangePartitioner samples
+       boundaries; AQE-independent).
+    2. per-partition row counts -> cumulative offsets. The collect is
+       bounded by the partition count (hundreds of rows on a real
+       cluster), never by data size.
+    3. global rank = within-partition ``row_number`` + offset. The window
+       partitions on ``pid``, so every partition ranks in parallel.
+    4. NTILE(k) from the rank in closed form: with n rows, q = n div k,
+       rem = n mod k, the first rem buckets hold q+1 rows —
+       rank <= rem*(q+1)  ->  bucket = (rank-1) div (q+1) + 1,
+       else bucket = rem + (rank-1-rem*(q+1)) div q + 1.
+
+    Total cost: one range shuffle + one tiny count + one pid-partitioned
+    window — vs the single-task global sort. The DuckDB oracle keeps the
+    plain NTILE form; bit-identical output is the proof of equivalence."""
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins the sampled range boundaries (and therefore
+    # pid assignment) so the counts pass and the rank pass see one layout
+    ranged = (
+        df.repartitionByRange(n_parts, "cents", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    n = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    q, rem = divmod(n, 10)
+    boundary = rem * (q + 1)
+    off_expr = F.coalesce(
+        *[F.when(F.col("pid") == p, F.lit(o)) for p, o in offsets.items()],
+        F.lit(0),
+    )
+    w = Window.partitionBy("pid").orderBy("cents", "o_orderkey")
+    ranked = ranged.withColumn("rk", F.row_number().over(w) + off_expr)
+    # integer `div` keeps the bucket math exact at any cardinality;
+    # max(q,1) guards the (unreachable when q=0) else branch against
+    # div-by-zero under ANSI mode
+    decile = F.when(
+        F.col("rk") <= boundary,
+        F.expr(f"(rk - 1) div {q + 1}"),
+    ).otherwise(F.lit(rem) + F.expr(f"(rk - 1 - {boundary}) div {max(q, 1)}"))
     return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", _cents("o_totalprice").alias("cents"))
-        .withColumn("decile", F.ntile(10).over(Window.orderBy("cents", "o_orderkey")))
+        ranked.withColumn("decile", (decile + 1).cast("int"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),

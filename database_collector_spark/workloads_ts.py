@@ -79,7 +79,11 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSIONIZATION = """
 WITH g AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+         -- floor(epoch(..)) matches Spark's cast-to-long truncation exactly
+         -- even for sub-second timestamps straddling the 1800 s boundary
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END
            + CASE WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS inc
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -269,15 +273,33 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx-count-distinct per event_type (sketch surface). No
-    oracle: HLL implementations differ across engines by design — the
-    driver records the rows-only check; exactness is covered by
-    engine_dispatch's COUNT(DISTINCT)."""
+    """HLL approx-count-distinct per event_type (sketch surface), emitted
+    as a *bounded-error verdict* so the gate can hash it cross-engine:
+    HLL sketch values differ between engines by design, but Spark's HLL++
+    seed is fixed, so "approx within 5% of exact" is deterministic — the
+    output carries the exact count plus that boolean, and the DuckDB
+    oracle computes the exact side with a literal TRUE verdict. A false
+    row on the Spark side hash-mismatches, which is precisely the failure
+    we want the gate to catch (default rsd=0.05 => ~5% relative error)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id").cast("double")
+                - F.countDistinct("user_id").cast("double")
+            )
+            <= 0.05 * F.countDistinct("user_id").cast("double")
+        ).alias("within_5pct"),
     )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
 
 
 def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,5 +377,7 @@ ORACLES_TS = {
     "kv_pivot_wide": SQL_KV_PIVOT_WIDE,
     "json_struct_parse": SQL_JSON_STRUCT_PARSE,
     "rollup_counts": SQL_ROLLUP_COUNTS,
-    # approx_distinct intentionally has no oracle (HLL is engine-specific)
+    # HLL sketch values are engine-specific, so the oracle checks the
+    # bounded-error verdict (exact count + within_5pct) instead
+    "approx_distinct": SQL_APPROX_DISTINCT,
 }
