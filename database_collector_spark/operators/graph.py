@@ -34,6 +34,11 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# minlabel rounds before auto-escalating to the star variant: dedup
+# similarity graphs are cliques/short chains (diameter 2-4, SURVEY §2 ext),
+# so needing more than this many rounds is itself the high-diameter signal
+_STAR_FALLBACK_ROUNDS = 8
+
 
 def connected_components(
     pairs: DataFrame,
@@ -52,7 +57,11 @@ def connected_components(
 
     ``algorithm``: "minlabel" (default — O(diameter) rounds, the right
     cost for clique-shaped dedup graphs) or "star" (O(log d) rounds for
-    high-diameter chains).
+    high-diameter chains). The default auto-escalates: if minlabel has
+    not reached the fixpoint after ``_STAR_FALLBACK_ROUNDS`` rounds the
+    graph is evidently high-diameter, so the remaining budget switches to
+    the star variant instead of grinding out O(d) rounds — adversarial
+    chains converge without user intervention.
     """
     if algorithm not in ("minlabel", "star"):
         raise ValueError(
@@ -90,7 +99,7 @@ def connected_components(
             F.least(F.col("u"), F.col("mnv")).alias("component"),
         )
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # min over own label and every neighbor's label; labels only ever
         # decrease, so "changed" is detectable inside the same pass (a
         # flag column) instead of a separate old-vs-new shuffle join
@@ -117,6 +126,14 @@ def connected_components(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+        # still changing after the fallback threshold: the graph is
+        # high-diameter (chains, not the clique-shaped dedup norm) —
+        # restart on the star variant, whose O(log d) rounds close it
+        # within any sane budget. Only taken when budget remains, so an
+        # explicit tiny max_iter keeps its bounded-work-plus-warning
+        # contract.
+        if i + 1 >= _STAR_FALLBACK_ROUNDS and i + 1 < max_iter:
+            return _star_components(p, src="u", dst="v", max_iter=max_iter)
     else:
         warnings.warn(
             f"connected_components(minlabel) hit max_iter={max_iter} before the "

@@ -45,6 +45,22 @@ def test_cc_max_iter_bounds_work(spark):
     assert got[2] == 1  # direct neighbor adopted the min
 
 
+def test_cc_auto_fallback_closes_adversarial_chain(spark):
+    # 64-node path, DEFAULT algorithm: minlabel alone would need ~63
+    # rounds (> default max_iter=20), but after _STAR_FALLBACK_ROUNDS
+    # non-converged rounds the operator escalates to the star variant and
+    # must reach the fixpoint with NO truncation warning — adversarial
+    # high-diameter inputs converge without user intervention.
+    import warnings
+
+    edges = [(i, i + 1) for i in range(1, 64)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = _components(spark, edges)
+    assert not any("max_iter" in str(w.message) for w in caught)
+    assert got == {i: 1 for i in range(1, 65)}
+
+
 def test_cc_star_matches_minlabel_on_small_graphs(spark):
     edges = [(1, 2), (3, 4), (7, 6), (6, 8), (8, 7), (10, 9)]
     assert _components(spark, edges, algorithm="star") == _components(spark, edges)
