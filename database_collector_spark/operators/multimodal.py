@@ -3,11 +3,17 @@ BASELINE.json north star).
 
 Images/audio/video ride as opaque ``binary`` columns with a typed metadata
 struct. The Spark-side contract — schema, Arrow batch shape, partition
-sizing — is real and tested; the actual media decode is STUBBED (the
-image/audio libraries are not in this container): ``decode_stub=True``
-derives deterministic fake features from the bytes, and
-``decode_stub=False`` raises NotImplementedError where a real decoder
-(PIL/librosa/ffmpeg) would plug in.
+sizing — is real and tested. Decode has two tiers:
+
+* **Real, dependency-free**: binary PPM (P6) — a header parse + raw RGB
+  bytes, so ``decode_ppm``/``decode_image`` do actual bytes→pixels work
+  with numpy only. ``extract_features(decode_stub=False)`` and
+  ``resize(decode_stub=False)`` run on decoded pixels via this path.
+* **Stubbed**: compressed formats (JPEG/audio/video) need PIL/librosa/
+  ffmpeg, which are not in this container; ``frame_sample`` keeps an
+  honest NotImplementedError for ``decode_stub=False`` and the
+  ``decode_stub=True`` paths derive deterministic fake features from the
+  raw bytes.
 
 Design for 100 TB of media:
 * mapInPandas, not a row UDF: Arrow moves the binary batches, pandas
@@ -21,12 +27,39 @@ Design for 100 TB of media:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# binary PPM: "P6" <ws> width <ws> height <ws> maxval <ONE ws> raw RGB
+# triplets (netpbm spec; '#' comments are not emitted by any writer here
+# and are rejected as malformed rather than silently misparsed)
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def decode_ppm(payload: bytes):
+    """Parse one binary (P6) PPM into ``(w, h, pixels)`` where pixels is
+    a ``uint8`` ndarray of shape ``(w*h, 3)`` — or ``None`` if malformed
+    (wrong magic, maxval > 255, or truncated pixel data). Pure
+    numpy/stdlib: the dependency-free real-decode tier."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        return None
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval > 255 or w <= 0 or h <= 0:  # 2-byte samples unsupported
+        return None
+    data = payload[m.end() : m.end() + w * h * 3]
+    if len(data) < w * h * 3:
+        return None
+    return w, h, np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -70,30 +103,111 @@ def to_media(docs: DataFrame, *, media_type: str = "image") -> DataFrame:
     )
 
 
+def to_ppm_media(docs: DataFrame) -> DataFrame:
+    """documents -> real binary P6 images, synthesized JVM-side at scan
+    speed (no Python): w = 2 + doc_id%7, h = 2 + doc_id%5, channel-
+    constant pixels r/g/b = (doc_id*7 + 0/1/2) % 256. The closed form
+    makes pixel statistics SQL-derivable, so the decode path is
+    oracle-checkable end-to-end; the payload itself is a spec-conformant
+    PPM built with printf + unhex(repeat(hex-triplet)) — every byte of
+    header and raster is real."""
+    return (
+        docs.select("doc_id")
+        .withColumn("w", (F.lit(2) + F.col("doc_id") % 7).cast("int"))
+        .withColumn("h", (F.lit(2) + F.col("doc_id") % 5).cast("int"))
+        .withColumn(
+            "payload",
+            F.expr(
+                "concat("
+                "  encode(printf('P6\\n%d %d\\n255\\n', w, h), 'UTF-8'),"
+                "  unhex(repeat(concat("
+                "    lpad(hex((doc_id*7) % 256), 2, '0'),"
+                "    lpad(hex((doc_id*7 + 1) % 256), 2, '0'),"
+                "    lpad(hex((doc_id*7 + 2) % 256), 2, '0')), w*h)))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.lit("image").alias("media_type"),
+            "payload",
+            F.struct(
+                F.length("payload").cast("long").alias("n_bytes"),
+                F.lit("image/x-portable-pixmap").alias("declared_format"),
+            ).alias("meta"),
+        )
+    )
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """REAL bytes→pixels decode over binary payloads: parse each P6
+    header, reinterpret the raster as an (n,3) uint8 array, emit per-
+    channel pixel sums + parsed dimensions. Malformed payloads yield
+    null stats (null-not-panic, SURVEY §1.2) instead of failing the
+    batch. Same mapInPandas/Arrow plumbing as the stub tier — this is
+    the working ``decode_stub=False`` path the stubs model."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "w", "h", "sum_r", "sum_g", "sum_b")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                decoded = decode_ppm(p)
+                if decoded is None:
+                    for k in ("w", "h", "sum_r", "sum_g", "sum_b"):
+                        out[k].append(None)
+                    continue
+                w, h, px = decoded
+                sums = px.sum(axis=0, dtype="int64")
+                out["w"].append(w)
+                out["h"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, schema=IMAGE_STATS_SCHEMA)
+
+
 def extract_features(media: DataFrame, *, decode_stub: bool = True) -> DataFrame:
     """Batch feature extraction over binary payloads via mapInPandas.
 
     Stub features (deterministic, engine-checkable): payload size, first
-    byte, byte-sum mod 997. A real decoder replaces the vectorized stub
-    body with image decode / resample / frame-sample — same plumbing,
-    same schema discipline.
+    byte, byte-sum mod 997 — computed over the RAW payload bytes when
+    ``decode_stub=True``, or over the DECODED pixel raster when
+    ``decode_stub=False`` (real P6 decode via ``decode_ppm``; malformed
+    payloads get null stats). Same schema either way: the stub models
+    exactly what the real path produces.
 
-    The stub itself is numpy-vectorized per Arrow batch (one buffer
-    concat + prefix-sum instead of a Python loop over rows): the whole
-    point of the mapInPandas contract is batch-at-a-time compute, so the
+    The kernel is numpy-vectorized per Arrow batch (one buffer concat +
+    prefix-sum instead of a Python loop over rows): the whole point of
+    the mapInPandas contract is batch-at-a-time compute, so the
     reference implementation should model it.
     """
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not decode_stub:
-            raise NotImplementedError(
-                "real media decode needs PIL/librosa/ffmpeg — not in this "
-                "container; stub features are the tested contract"
-            )
         import numpy as np
 
         for pdf in batches:
-            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            if decode_stub:
+                payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            else:
+                # real tier: the "bytes" we featurize are the pixel raster
+                decoded = [decode_ppm(p) for p in pdf["payload"]]
+                payloads = [
+                    b"" if d is None else d[2].tobytes() for d in decoded
+                ]
             lens = np.array([len(p) for p in payloads], dtype=np.int64)
             buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
             ends = np.cumsum(lens)
@@ -137,10 +251,12 @@ def resize(
 ) -> DataFrame:
     """Image resize plumbing: binary in, fixed-size binary out.
 
-    Stub decode treats the payload as a row-major byte grid (side =
-    floor(sqrt(n)) — deterministic, no decoder) and nearest-neighbor
-    samples it to (out_w, out_h); a real pipeline replaces ``_grid`` with
-    PIL decode + Image.resize and keeps everything else.
+    ``decode_stub=True`` treats the payload as a row-major byte grid
+    (side = floor(sqrt(n)) — deterministic, no decoder);
+    ``decode_stub=False`` REALLY decodes P6 PPM payloads and resamples
+    the luminance plane ((r+g+b)//3) of the actual w x h image. Both
+    paths share the nearest-neighbor index map — the same math PIL
+    NEAREST does.
 
     ``max_rows_per_batch`` is the memory contract: Arrow hands mapInPandas
     whole batches, so batch size x payload size must fit the executor —
@@ -149,17 +265,21 @@ def resize(
     slices oversized batches itself, which is the portable form).
     """
 
-    def _grid(p: bytes) -> tuple[bytes, int]:
-        if not decode_stub:
-            raise NotImplementedError("real image decode needs PIL")
-        side = max(1, int(len(p) ** 0.5))
-        return p[: side * side], side
+    def _grid(p: bytes) -> tuple[bytes, int, int]:
+        if decode_stub:
+            side = max(1, int(len(p) ** 0.5))
+            return p[: side * side], side, side
+        decoded = decode_ppm(p)
+        if decoded is None:  # malformed -> 1x1 black, not a batch failure
+            return b"\0", 1, 1
+        w, h, px = decoded
+        lum = (px.sum(axis=1, dtype="int64") // 3).astype("uint8")
+        return lum.tobytes(), w, h
 
     def _resize_one(p: bytes) -> bytes:
-        g, side = _grid(p)
-        # nearest-neighbor index map — the same math PIL NEAREST does
+        g, gw, gh = _grid(p)
         return bytes(
-            g[(y * side // out_h) * side + (x * side // out_w)]
+            g[(y * gh // out_h) * gw + (x * gw // out_w)]
             for y in range(out_h)
             for x in range(out_w)
         )

@@ -552,8 +552,31 @@ JOIN (SELECT doc_id, SUM(byte) AS bytesum FROM b GROUP BY doc_id) s
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize spec-conformant binary P6
+    PPMs JVM-side (header + raw RGB raster, dims and channel values in
+    closed form of doc_id), then mapInPandas-decode the actual bytes —
+    header parse, raster reinterpret, per-channel pixel sums. The oracle
+    recomputes the closed form, so any byte-level decode error (header
+    offset, stride, channel order, truncation) hash-mismatches."""
+    media = multimodal.to_ppm_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_image(media)
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CAST(2 + doc_id % 7 AS INT) AS w,
+       CAST(2 + doc_id % 5 AS INT) AS h,
+       CAST(((doc_id*7) % 256)     * (2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS sum_r,
+       CAST(((doc_id*7 + 1) % 256) * (2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS sum_g,
+       CAST(((doc_id*7 + 2) % 256) * (2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS sum_b
+FROM documents
+"""
+
+
 QUERIES_EXT = {
     "text_token_stats": q_text_token_stats,
+    "multimodal_decode": q_multimodal_decode,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
@@ -575,6 +598,7 @@ QUERIES_EXT = {
 
 ORACLES_EXT = {
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "lang_id": SQL_LANG_ID,
     "quality_score": _sql_quality(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -137,15 +137,63 @@ def test_multimodal_plumbing_and_stub(spark):
     assert feats["checksum_mod"] == (ord("a") + ord("b") + ord("c")) % 997
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_ppm_decode_roundtrip_real_bytes(spark):
+    # hand-built spec-conformant P6: 2x2, pixels (R,G,B) = (10,20,30) x4
+    payload = b"P6\n2 2\n255\n" + bytes([10, 20, 30]) * 4
+    w, h, px = multimodal.decode_ppm(payload)
+    assert (w, h) == (2, 2)
+    assert px.shape == (4, 3)
+    assert list(px.sum(axis=0)) == [40, 80, 120]
+    # malformed inputs -> None, not exceptions
+    assert multimodal.decode_ppm(b"JFIF....") is None
+    assert multimodal.decode_ppm(b"P6\n2 2\n255\n\x01\x02") is None  # truncated
+    assert multimodal.decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24) is None
+    assert multimodal.decode_ppm(None) is None
+
+
+def test_to_ppm_media_emits_conformant_ppm(spark):
+    docs = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    rows = {r["doc_id"]: r for r in multimodal.to_ppm_media(docs).collect()}
+    # doc 10: w = 2+10%7 = 5, h = 2+10%5 = 2, r = 70, g = 71, b = 72
+    p = bytes(rows[10]["payload"])
+    assert p.startswith(b"P6\n5 2\n255\n")
+    w, h, px = multimodal.decode_ppm(p)
+    assert (w, h) == (5, 2)
+    assert set(px[:, 0]) == {70} and set(px[:, 1]) == {71} and set(px[:, 2]) == {72}
+    assert rows[10]["meta"]["n_bytes"] == len(p)
+
+
+def test_extract_features_real_decode_uses_pixels(spark):
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    media = multimodal.to_ppm_media(docs)
+    # doc 3: w=5, h=5, channels (21,22,23); raster = 75 bytes
+    feats = multimodal.extract_features(media, decode_stub=False).collect()[0]
+    assert feats["n_bytes"] == 75
+    assert feats["header_byte"] == 21  # first PIXEL byte, not 'P'
+    assert feats["checksum_mod"] == (21 + 22 + 23) * 25 % 997
+    # stub tier on the same media featurizes the RAW payload instead
+    stub = multimodal.extract_features(media, decode_stub=True).collect()[0]
+    assert stub["header_byte"] == ord("P")
+
+
+def test_resize_real_decode_luminance(spark):
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    media = multimodal.to_ppm_media(docs)
+    row = multimodal.resize(media, out_w=4, out_h=4, decode_stub=False).collect()[0]
+    # channel-constant image -> constant luminance (21+22+23)//3 = 22
+    assert len(row["resized"]) == 16
+    assert set(row["resized"]) == {22}
+
+
+def test_frame_sample_real_decode_still_stubbed(spark):
     import pytest
 
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="abc", lang="en", source="s", n_chars=3)]
     )
     media = multimodal.to_media(docs)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        multimodal.extract_features(media, decode_stub=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        multimodal.frame_sample(media, decode_stub=False).collect()
 
 
 def test_resize_fixed_output_shape(spark):
