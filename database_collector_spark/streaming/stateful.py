@@ -25,6 +25,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -84,6 +85,35 @@ def _make_update_fn(ttl_ms: int):
         )
 
     return _update_counts
+
+
+def ttl_final_state(
+    events: DataFrame,
+    *,
+    key_col: str = "event_id_label",
+    ts_col: str = "ts",
+    ttl_s: int = DEFAULT_TTL_MS // 1000,
+) -> DataFrame:
+    """Deterministic BATCH twin of ``running_counts_with_ttl``'s end
+    state: replaying a bounded frame through the streaming operator and
+    then advancing the watermark to the stream's end leaves each key with
+    ``total`` = its row count, and ``expired`` = whether the final
+    watermark (global max event time) passed last-seen + TTL — i.e.
+    whether the tombstone would have fired. One partial-agg shuffle on
+    the key plus a broadcast of a 1-row global max; oracle-checkable,
+    which the streaming tier natively is not (SURVEY §2.10)."""
+    secs = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    per = events.groupBy(key_col).agg(
+        F.count("*").alias("rds_events_total"),
+        F.max(secs).alias("last_seen_s"),
+    )
+    stream_end = events.agg(F.max(secs).alias("stream_end_s"))
+    return per.crossJoin(F.broadcast(stream_end)).select(
+        key_col,
+        "rds_events_total",
+        "last_seen_s",
+        (F.col("stream_end_s") - F.col("last_seen_s") > ttl_s).alias("expired"),
+    )
 
 
 def running_counts_with_ttl(

@@ -302,6 +302,34 @@ FROM events GROUP BY event_type
 """
 
 
+def q_ttl_expiry_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming TTL counter
+    (streaming/stateful.py::running_counts_with_ttl): per-user running
+    total + whether the key's eviction tombstone would have fired by
+    end-of-stream (final watermark passed last-seen + 1h). Pins the
+    eviction *semantics* with a SQL oracle — the streaming tier itself
+    can only be test-pinned. Keyed by user_id so the fixture exercises
+    both outcomes (users going quiet an hour before stream end expire)."""
+    from database_collector_spark.streaming.stateful import ttl_final_state
+
+    ev = _t(spark, sf_dir, "events")
+    return ttl_final_state(ev, key_col="user_id", ts_col="ts", ttl_s=3600)
+
+
+SQL_TTL_EXPIRY_COUNTS = """
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS rds_events_total,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_seen_s
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS stream_end_s FROM events
+)
+SELECT user_id, rds_events_total, last_seen_s,
+       (stream_end_s - last_seen_s > 3600) AS expired
+FROM per, g
+"""
+
+
 def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary-metric flatten (SURVEY §2.5 A3): the Prometheus SUMMARY
     expansion `name{quantile=q}` + `name_sum` + `name_count` that
@@ -366,6 +394,7 @@ QUERIES_TS = {
     "json_struct_parse": q_json_struct_parse,
     "rollup_counts": q_rollup_counts,
     "approx_distinct": q_approx_distinct,
+    "ttl_expiry_counts": q_ttl_expiry_counts,
 }
 
 ORACLES_TS = {
@@ -380,4 +409,5 @@ ORACLES_TS = {
     # HLL sketch values are engine-specific, so the oracle checks the
     # bounded-error verdict (exact count + within_5pct) instead
     "approx_distinct": SQL_APPROX_DISTINCT,
+    "ttl_expiry_counts": SQL_TTL_EXPIRY_COUNTS,
 }

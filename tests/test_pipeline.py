@@ -149,6 +149,31 @@ def test_stateful_running_counts_with_ttl(spark):
         assert run_pass() == {("C", 1, False)}
 
 
+def test_ttl_batch_twin_matches_streaming_end_state(spark):
+    # the batch twin (ttl_final_state) must reproduce the streaming
+    # operator's observable end state on the same rows: per-key final
+    # totals, with expired=True exactly for the keys whose tombstone the
+    # stream emitted. Fixture = the b1+b2 rows from the streaming test
+    # above, whose end state is A: 3 alive, B: 1 expired (stream end
+    # 12:00, B last seen 10:02, TTL 1h).
+    from database_collector_spark.streaming.stateful import ttl_final_state
+
+    rows = [
+        ("A", "2024-06-01T10:00:00"),
+        ("A", "2024-06-01T10:01:00"),
+        ("B", "2024-06-01T10:02:00"),
+        ("A", "2024-06-01T12:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(k, ts) for k, ts in rows], "event_id_label string, ts string"
+    ).selectExpr("event_id_label", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        (r["event_id_label"], r["rds_events_total"], r["expired"])
+        for r in ttl_final_state(df).collect()
+    }
+    assert got == {("A", 3, False), ("B", 1, True)}
+
+
 def test_parquet_sink_partitioned(spark):
     from database_collector_spark.sinks.parquet import read_timeseries, write_timeseries
 
