@@ -32,6 +32,7 @@ class CollectResult:
     target: str
     engine: str
     n_series: int
+    error: str | None = None  # fail-soft: set when this target's scrape failed
 
 
 def collect_target(
@@ -83,6 +84,14 @@ def run_once(
     them — the goroutine-per-target analog); the per-target frames union
     into one sink write so the remote-write POSTs batch per partition, not
     per target.
+
+    Per-target failures are FAIL-SOFT, matching the reference (a broken
+    target logs and the loop continues to the next one,
+    collector/cmd/collector/database-collector.go:214-222): the failing
+    target's CollectResult carries the error and its frame is excluded
+    from the union. JDBC failures surface here because Spark's jdbc
+    reader connects eagerly at load() to resolve the schema — the same
+    point the reference's sql.Open/Ping fails.
     """
     targets = [r.asDict() for r in discover(registry).collect()]
     results: list[CollectResult] = []
@@ -91,15 +100,26 @@ def run_once(
         config = config_by_engine.get(t["route"])
         if config is None:
             continue
-        df = collect_target(
-            spark,
-            t,
-            config,
-            scrape_fn,
-            region=region,
-            account_id=account_id,
-            anchor_ts=anchor_ts,
-        )
+        try:
+            df = collect_target(
+                spark,
+                t,
+                config,
+                scrape_fn,
+                region=region,
+                account_id=account_id,
+                anchor_ts=anchor_ts,
+            )
+        except Exception as exc:  # noqa: BLE001 — any one target must not kill the tick
+            results.append(
+                CollectResult(
+                    t["secret_name"],
+                    t["route"],
+                    -1,
+                    error=f"{type(exc).__name__}: {exc}",
+                )
+            )
+            continue
         results.append(CollectResult(t["secret_name"], t["route"], -1))
         union_df = df if union_df is None else union_df.unionByName(df)
     if union_df is not None:

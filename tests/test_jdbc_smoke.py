@@ -88,6 +88,103 @@ def test_catalog_query_pushdown_filters_remotely(spark):
     assert len(rows) == 1 and rows[0]["VARIABLE_NAME"] == "Threads_connected"
 
 
+def test_run_once_derby_fanout_fail_soft(spark):
+    """Full multi-target tick over LIVE JDBC: three targets, each its own
+    in-memory Derby database, one with an unreachable URL. The healthy
+    targets' frames union into the sink (per-target isolation: each row
+    carries its own identifier label) and the broken target fail-softs
+    into a CollectResult.error instead of killing the tick — the
+    goroutine-per-target + continue-on-error shape of the reference
+    (database-collector.go:214-222)."""
+    from pyspark.sql import Row
+
+    from database_collector_spark.model.schemas import SOURCES_REGISTRY_SCHEMA
+    from database_collector_spark.pipeline import run_once
+
+    jvm = spark.sparkContext._jvm
+    for host, statuses in [("fan1", ["ACTIVE", "ACTIVE", "IDLE"]), ("fan3", ["IDLE"])]:
+        conn = jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:memory:{host};create=true"
+        )
+        st = conn.createStatement()
+        try:
+            st.executeUpdate("CREATE TABLE scrape (status VARCHAR(16))")
+        except Exception:
+            pass
+        else:
+            for s in statuses:
+                st.executeUpdate(f"INSERT INTO scrape VALUES ('{s}')")
+        st.close()
+        conn.close()
+
+    registry = spark.createDataFrame(
+        [
+            Row(
+                secret_name=f"db-{h}",
+                engine="mysql",
+                host=h,
+                port=5432,
+                # Derby resolves the connection's username as the default
+                # schema; "app" matches the APP schema the seeder wrote to
+                username="app",
+                password="",
+                dbname="d",
+                tags={"database-collector:enabled": "true"},
+            )
+            # fan2 was never created and its URL has no ;create=true ->
+            # DriverManager raises at load() time (schema resolution)
+            for h in ("fan1", "fan2", "fan3")
+        ],
+        SOURCES_REGISTRY_SCHEMA,
+    )
+
+    config = """
+[[metric]]
+context = "sessions"
+labels = ["status"]
+metricsdesc = { active = "sessions by status" }
+request = "SELECT status, CAST(COUNT(*) AS DOUBLE) AS active FROM scrape GROUP BY status"
+"""
+
+    def scrape_fn(spark_, target, request):
+        df = read_catalog_query(
+            spark_,
+            engine="derby",
+            username=target["username"],
+            password=target["password"],
+            query=request,
+            url=f"jdbc:derby:memory:{target['host']}",
+        )
+        return df.toDF(*[c.lower() for c in df.columns])
+
+    collected = []
+    results = run_once(
+        spark,
+        registry,
+        {"mysql": config},
+        scrape_fn,
+        sink_fn=lambda df: collected.extend(df.collect()),
+        anchor_ts="2024-06-01 00:00:00",
+    )
+
+    by_target = {r.target: r for r in results}
+    assert set(by_target) == {"db-fan1", "db-fan2", "db-fan3"}
+    assert by_target["db-fan2"].error is not None  # fail-soft, not fatal
+    assert by_target["db-fan1"].error is None and by_target["db-fan3"].error is None
+    # healthy targets only, each row tagged with its own identifier
+    idents = {r["labels"]["identifier"] for r in collected}
+    assert idents == {"fan1", "fan3"}
+    # fan1: ACTIVE + IDLE groups; fan3: IDLE only
+    vals = {
+        (r["labels"]["identifier"], r["labels"]["status"]): r["value"]
+        for r in collected
+    }
+    assert vals[("fan1", "ACTIVE")] == 2.0
+    assert vals[("fan1", "IDLE")] == 1.0
+    assert vals[("fan3", "IDLE")] == 1.0
+    assert len(collected) == 3
+
+
 def test_kv_parse_over_live_jdbc(spark):
     """The full scraper path: live JDBC fetch -> numeric K/V parse."""
     from pyspark.sql import functions as F
