@@ -43,28 +43,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # round-1 red rows, fixed this round (oracle dtype / array canon)
-    "kv_numeric_parse", "conditional_agg", "sorted_list_agg", "dedup_clusters",
-    "hash_split", "text_normalize", "lexical_diversity", "token_estimate",
-    "length_trim", "crossmodal_join", "mixture_sample", "curation_pipeline",
-    "curation_full",
-    # round-1 unchecked (sat past the 50-entry window) + round-2 new gates
-    "engine_rejects", "repetition_stats", "sequence_pack", "dedup_incremental",
-    "ann_ivf_kmeans", "decontaminate", "dedup_simhash_pairs",
-    "dedup_embedding_lsh_multi",
-    "lang_id", "quality_score", "doc_fingerprint", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "similarity_topk", "ann_lsh_buckets", "dedup_embedding",
-    "dedup_embedding_lsh",
-    "multimodal_features", "events_hourly", "sessionization", "asof_join",
-    "histogram_metrics", "summary_quantiles", "kv_pivot_wide", "json_struct_parse",
-    "rollup_counts", "approx_distinct",
-    # reference-parity flagships (green r1; fill the window to EXACTLY 50
-    # so the core surface stays continuously re-verified — entries past 50
-    # get no row, so this list must never exceed the cap)
+    # Round-5 rotation: the 29 queries whose only oracle row was round 1
+    # (pytest-pinned but stale while the harness changed underneath them)
+    # rotate into the window so every query has a fresh-or-r4 row.
+    "set_ops", "limit_cap", "semi_anti_orders", "correlated_avg_filter",
+    "window_running", "string_funcs", "date_rollup", "case_having",
+    "argmax_customer", "exact_percentiles", "cube_counts", "unpivot_melt",
+    "ann_ivf_probe", "ann_ivf_multiprobe", "window_frames", "date_funcs",
+    "stats_moments", "range_join_buckets", "grouping_sets", "array_funcs",
+    "tfidf_top_terms", "skew_salted_join", "market_share", "top_supplier",
+    "cust_order_distribution", "gap_detect", "decile_stats",
+    "sample_stratified", "text_token_stats",
+    # changed or new this round (decile_stats/gap_detect above too):
+    # approx_distinct gained an oracle, sessionization's oracle gained the
+    # floor(epoch) cast, ttl_expiry_counts + multimodal_decode are new
+    "approx_distinct", "sessionization", "ttl_expiry_counts",
+    "multimodal_decode",
+    # dependents of round-5 code changes (graph.py fallback, multimodal
+    # decode tiers) — re-evidence even though their own plans are unchanged
+    "dedup_clusters", "curation_full", "multimodal_features",
+    # canaries (green r4): flagship parity + previously-fixed rows, filling
+    # the window to EXACTLY 50 — entries past 50 get no row, so this list
+    # must never exceed the cap
     "pricing_summary", "long_running_sessions", "grouped_counter",
     "registry_diff", "engine_dispatch", "label_enrich", "shipping_priority",
-    "topk_per_group",
+    "topk_per_group", "asof_join", "dedup_simhash_pairs",
+    "dedup_embedding_lsh_multi", "events_hourly", "dedup_exact",
+    "dedup_minhash_lsh",
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 
