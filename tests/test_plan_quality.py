@@ -243,3 +243,32 @@ def test_asof_join_single_sort_no_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decile_stats_no_single_partition_window(spark):
+    # the distributed exact-NTILE rewrite must never funnel the table
+    # through one task: no SinglePartition exchange anywhere, and the
+    # row_number window partitions on pid
+    from database_collector_spark.workloads4 import q_decile_stats
+
+    plan = _plan(q_decile_stats(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-pid ranking window is still a window
+
+
+def test_ttl_expiry_counts_broadcasts_stream_end(spark):
+    # the 1-row global max joins via broadcast, not a shuffled cross join
+    from database_collector_spark.workloads_ts import q_ttl_expiry_counts
+
+    plan = _plan(q_ttl_expiry_counts(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_multimodal_decode_single_python_stage(spark):
+    # payload synthesis is JVM-side (unhex/repeat in codegen); exactly one
+    # Arrow Python boundary — the decode kernel itself
+    from database_collector_spark.workloads_ext import q_multimodal_decode
+
+    plan = _plan(q_multimodal_decode(spark, SF))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
