@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands x 4 rows
@@ -77,6 +78,71 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("canonical_doc_id"),
         )
+    )
+
+
+def span_dedup(
+    docs: DataFrame, *, span_words: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Span-level exact dedup (the C4/CCNet boilerplate-removal shape):
+    split each document into fixed ``span_words``-word segments, keep only
+    the globally FIRST occurrence of each distinct segment (first = min
+    (doc_id, span_idx) lexicographic — deterministic), and reassemble the
+    surviving segments in document order.
+
+    Plan shape, and why it holds at 100 TB:
+    * segmentation is a zero-shuffle projection (split + transform +
+      posexplode — all codegen);
+    * first-occurrence election is ONE shuffle keyed by ``md5(segment)``
+      (32-byte key regardless of span text size) with a row_number
+      window inside each key group — the canonical distributed
+      keep-first, never an all-pairs comparison;
+    * reassembly is one shuffle back on doc_id with an in-agg
+      sort_array — the same partitioning a downstream per-doc write
+      would need anyway.
+
+    Output: (doc_id, n_spans, kept_spans, text_dedup) where text_dedup
+    is the document with duplicated spans dropped.
+    """
+    words = F.split(F.col(text_col), " ")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(words) / span_words).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(words, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("span_idx", "seg"),
+    )
+    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "span_idx")
+    firsts = segs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_idx", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                F.ceil(F.size(words) / span_words).cast("long").alias("n_spans"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "n_spans", "kept_spans", "text_dedup")
     )
 
 

@@ -574,9 +574,44 @@ FROM documents
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (C4-style boilerplate-span removal): 8-word
+    segments, keep the globally first occurrence of each distinct span,
+    reassemble survivors in document order. See operators/dedup.py::
+    span_dedup for the 100 TB plan shape (md5-keyed keep-first election,
+    never all-pairs)."""
+    return dedup.span_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SPANS = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(list_slice(w, i*8 + 1, i*8 + 8), ' ') AS seg
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(0, CAST(ceil(len(w)/8.0) AS INT) - 1)) AS i) s
+),
+firsts AS (
+  SELECT doc_id, span_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, span_idx) AS rn
+  FROM segs
+)
+SELECT f.doc_id,
+       CAST(ceil(len(w.w)/8.0) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) AS BIGINT) AS kept_spans,
+       string_agg(f.seg, ' ' ORDER BY f.span_idx) AS text_dedup
+FROM firsts f JOIN words w ON w.doc_id = f.doc_id
+WHERE f.rn = 1
+GROUP BY 1, 2
+"""
+
+
 QUERIES_EXT = {
     "text_token_stats": q_text_token_stats,
     "multimodal_decode": q_multimodal_decode,
+    "dedup_spans": q_dedup_spans,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
@@ -599,6 +634,7 @@ QUERIES_EXT = {
 ORACLES_EXT = {
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "dedup_spans": SQL_DEDUP_SPANS,
     "lang_id": SQL_LANG_ID,
     "quality_score": _sql_quality(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

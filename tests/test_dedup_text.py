@@ -245,3 +245,33 @@ def test_simhash_pairs_rejects_impossible_params(spark):
         dedup.simhash_pairs(d, bits=5)
     with pytest.raises(ValueError):
         dedup.simhash_pairs(d, bits=4, max_hamming=4)
+
+
+def test_span_dedup_keeps_first_occurrence_and_reassembles(spark):
+    # doc 1: spans A B ; doc 2: spans B C (B = exact repeat of doc 1's
+    # second span) ; doc 3: all spans already seen -> drops out entirely
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    c = "c1 c2"  # short tail span
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{b} {c}"), (3, b)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.span_dedup(docs).collect()}
+    assert rows[1]["n_spans"] == 2 and rows[1]["kept_spans"] == 2
+    assert rows[1]["text_dedup"] == f"{a} {b}"
+    # doc 2 lost span B (first seen in doc 1), kept its tail
+    assert rows[2]["n_spans"] == 2 and rows[2]["kept_spans"] == 1
+    assert rows[2]["text_dedup"] == c
+    # doc 3 was entirely duplicate spans -> not in the output
+    assert 3 not in rows
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    # the SAME span repeated inside one document is also deduped (first
+    # occurrence by (doc_id, span_idx) order)
+    a = "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = spark.createDataFrame([(7, f"{a} {a}")], "doc_id long, text string")
+    row = dedup.span_dedup(docs).collect()[0]
+    assert row["n_spans"] == 2 and row["kept_spans"] == 1
+    assert row["text_dedup"] == a
