@@ -58,7 +58,7 @@ _CHECK_FIRST = [
     # approx_distinct gained an oracle, sessionization's oracle gained the
     # floor(epoch) cast, ttl_expiry_counts + multimodal_decode are new
     "approx_distinct", "sessionization", "ttl_expiry_counts",
-    "multimodal_decode", "dedup_spans",
+    "multimodal_decode", "dedup_spans", "events_sliding",
     # dependents of round-5 code changes (graph.py fallback, multimodal
     # decode tiers) — re-evidence even though their own plans are unchanged
     "dedup_clusters", "curation_full", "multimodal_features",
@@ -68,7 +68,7 @@ _CHECK_FIRST = [
     "pricing_summary", "long_running_sessions", "grouped_counter",
     "registry_diff", "engine_dispatch", "label_enrich", "shipping_priority",
     "topk_per_group", "asof_join", "dedup_simhash_pairs",
-    "dedup_embedding_lsh_multi", "events_hourly", "dedup_exact",
+    "dedup_embedding_lsh_multi", "dedup_exact",
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 

@@ -40,6 +40,37 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window grouped counts (1 h window, 15 min hop) — the batch
+    twin of a hopping streaming aggregation (`F.window` with a slide works
+    identically under readStream + watermark; events_hourly covers the
+    tumbling case). Spark expands each row into window/hop = 4 epoch-
+    aligned windows via a Generate, then one partial-agg shuffle on
+    (window, type) — the oracle reproduces the expansion with a 4-hop
+    generate_series. Cost at 100 TB = 4x the tumbling row volume into a
+    partial aggregate, the unavoidable hop factor."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+)
+SELECT make_timestamp(((s // 900) * 900 - j.j * 900) * 1000000) AS win_start,
+       event_type, COUNT(*) AS n
+FROM e, (SELECT unnest(generate_series(0, 3)) AS j) j
+GROUP BY 1, 2
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user — the batch
     analog of a session window, built from lag + cumulative sum. Two
@@ -386,6 +417,7 @@ SELECT l_returnflag, 'price_count' AS series_name, NULL AS quantile, c AS value 
 
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
     "histogram_metrics": q_histogram_metrics,
@@ -399,6 +431,7 @@ QUERIES_TS = {
 
 ORACLES_TS = {
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,
     "asof_join": SQL_ASOF_JOIN,
     "histogram_metrics": SQL_HISTOGRAM_METRICS,
