@@ -26,6 +26,7 @@ from database_collector_spark import (
     workloads4,
     workloads5,
     workloads_ext,
+    workloads_pq,
     workloads_ts,
 )
 
@@ -58,7 +59,8 @@ _CHECK_FIRST = [
     # approx_distinct gained an oracle, sessionization's oracle gained the
     # floor(epoch) cast, ttl_expiry_counts + multimodal_decode are new
     "approx_distinct", "sessionization", "ttl_expiry_counts",
-    "multimodal_decode", "dedup_spans", "events_sliding",
+    "multimodal_decode", "dedup_spans", "events_sliding", "ann_pq_codes",
+    "ann_pq_adc",
     # dependents of round-5 code changes (graph.py fallback, multimodal
     # decode tiers) — re-evidence even though their own plans are unchanged
     "dedup_clusters", "curation_full", "multimodal_features",
@@ -66,9 +68,9 @@ _CHECK_FIRST = [
     # the window to EXACTLY 50 — entries past 50 get no row, so this list
     # must never exceed the cap
     "pricing_summary", "long_running_sessions", "grouped_counter",
-    "registry_diff", "engine_dispatch", "label_enrich", "shipping_priority",
+    "engine_dispatch", "label_enrich", "shipping_priority",
     "topk_per_group", "asof_join", "dedup_simhash_pairs",
-    "dedup_embedding_lsh_multi", "dedup_exact",
+    "dedup_embedding_lsh_multi",
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 
@@ -87,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads4.QUERIES4,
         **workloads5.QUERIES5,
         **workloads_ext.QUERIES_EXT,
+        **workloads_pq.QUERIES_PQ,
         **workloads_ts.QUERIES_TS,
     })
 
@@ -100,5 +103,6 @@ def oracle_sql() -> dict[str, str]:
         **workloads4.ORACLES4,
         **workloads5.ORACLES5,
         **workloads_ext.ORACLES_EXT,
+        **workloads_pq.ORACLES_PQ,
         **workloads_ts.ORACLES_TS,
     })

@@ -227,8 +227,17 @@ def kmeans_centroids(
     cents: list[list[int]] = [
         list(r["qe"]) for r in base.orderBy("vec_id").limit(k).collect()
     ]
-    # a corpus smaller than k trains the k it can seed (every vector its
-    # own centroid is the exact degenerate answer, not an error)
+    return _lloyd(base, cents, iters=iters, dim=dim)
+
+
+def _lloyd(
+    base: DataFrame, cents: list[list[int]], *, iters: int, dim: int
+) -> list[list[int]]:
+    """The deterministic Lloyd iteration over a prepared (vec_id, qe,
+    qnorm2) frame — shared by the full-vector coarse quantizer above and
+    the per-subspace PQ codebook trainer below. A corpus smaller than k
+    trains the k it can seed (every vector its own centroid is the exact
+    degenerate answer, not an error)."""
     k = len(cents)
     for _ in range(iters):
         assigned = assign_centroids(base, cents)
@@ -247,6 +256,153 @@ def kmeans_centroids(
             new.setdefault(r["cid"], [0] * dim)[r["pos"]] = r["comp"]
         cents = [new.get(ci, cents[ci]) for ci in range(k)]
     return cents
+
+
+def pq_train(
+    embeddings: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = EMBED_DIM,
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks: split the quantized vector into
+    ``m`` contiguous subvectors of dim/m and train an independent
+    deterministic Lloyd's codebook of ``k`` centroids per subspace (same
+    determinism contract as ``kmeans_centroids``: lowest-vec_id seeds,
+    ties to lowest code, integer re-quantized centroids, empty cluster
+    keeps its centroid).
+
+    Returns ``books[j][c]`` = centroid ``c`` of subspace ``j``. PQ is
+    the compressed-ANN scale path: a 64-dim vector becomes m small
+    codes (here 4 bytes vs 512), so a 100 TB embedding corpus's code
+    table fits a fraction of the footprint and ADC search scans codes,
+    not vectors. Driver traffic stays k rows per iteration per subspace.
+    """
+    sub = dim // m
+    full = (
+        with_quantized(embeddings)
+        .select("vec_id", "qe")
+        .localCheckpoint(eager=True)
+    )
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        base_j = (
+            full.select("vec_id", F.slice("qe", j * sub + 1, sub).alias("qe"))
+            .withColumn("qnorm2", _dot("qe", "qe"))
+            .localCheckpoint(eager=True)
+        )
+        seeds = [list(r["qe"]) for r in base_j.orderBy("vec_id").limit(k).collect()]
+        books.append(_lloyd(base_j, seeds, iters=iters, dim=sub))
+    return books
+
+
+def _books_frame(spark, books: list[list[list[int]]]):
+    """One-row broadcastable frame carrying the codebooks + norms (the
+    same compile-once trick as assign_centroids)."""
+    bnorms = [[sum(x * x for x in c) for c in b] for b in books]
+    return spark.createDataFrame(
+        [(books, bnorms)],
+        "books array<array<array<bigint>>>, bnorms array<array<bigint>>",
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, books: list[list[list[int]]]
+) -> DataFrame:
+    """Attach ``codes`` (array<int>, one code per subspace) to each
+    vector: for every subspace, the nearest codebook centroid in exact
+    integer arithmetic, ties to the lowest code. Zero shuffle — a
+    broadcast one-row codebook attach plus a nested higher-order-function
+    projection, so encoding runs at scan speed on any corpus size."""
+    m = len(books)
+    sub = len(books[0][0])
+    spark = embeddings.sparkSession
+    base = with_quantized(embeddings)
+
+    def _codes():
+        def per_subspace(j):
+            sq = F.slice(F.col("qe"), j * sub + 1, sub)
+            sqn = F.aggregate(
+                sq, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            )
+            dists = F.transform(
+                F.element_at(F.col("books"), j + 1),
+                lambda c, i: sqn
+                - 2
+                * F.aggregate(
+                    F.zip_with(sq, c, lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                + F.element_at(F.element_at(F.col("bnorms"), j + 1), i + 1),
+            )
+            return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)), lambda j: per_subspace(j)
+        )
+
+    return (
+        base.crossJoin(F.broadcast(_books_frame(spark, books)))
+        .withColumn("codes", _codes())
+        .drop("books", "bnorms")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    *,
+    topk: int = 3,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes: the corpus
+    side contributes only its codes (the centroids stand in for the
+    vectors), the query side its exact subvectors — dist = sum over
+    subspaces of ||q_j - book[j][code_j]||^2, all integer-exact.
+
+    ``queries`` must carry (q_id, q_qe). Broadcast queries x corpus
+    codes, then one per-query window for the top-k — the same
+    shuffle-free-scan + tiny-window shape as cosine_topk, but scanning
+    m-byte codes instead of full vectors (the 100 TB win)."""
+    m = len(books)
+    sub = len(books[0][0])
+    spark = encoded.sparkSession
+
+    def adc():
+        def per_subspace(j):
+            qj = F.slice(F.col("q_qe"), j * sub + 1, sub)
+            cj = F.element_at(
+                F.element_at(F.col("books"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            )
+            return F.aggregate(
+                F.zip_with(qj, cj, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.lit(m - 1)), lambda j: per_subspace(j)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    from pyspark.sql.window import Window
+
+    scored = (
+        encoded.select("vec_id", "codes")
+        .crossJoin(F.broadcast(queries))
+        .crossJoin(F.broadcast(_books_frame(spark, books)))
+        .withColumn("adc_dist", adc())
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "rank", "vec_id", "adc_dist")
+    )
 
 
 def _make_tile_kernel(threshold: float):

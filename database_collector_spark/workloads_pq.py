@@ -1,0 +1,186 @@
+"""Product-quantization (PQ) ANN workloads — the compressed-vector scale
+path completing the similarity tier (brute-force -> LSH buckets -> IVF ->
+PQ/ADC). Public technique: Jegou et al., "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011).
+
+Why PQ matters at 100 TB: an IVF cell still stores full vectors; PQ
+stores m small codes per vector (here 4 codes for a 64-dim vector), so
+the search structure shrinks ~100x and ADC search scans codes + a
+broadcast codebook instead of vectors. Training reuses the deterministic
+integer Lloyd's contract of ann_ivf_kmeans (operators/similarity.py) per
+subspace, so the whole train -> encode -> search pipeline is
+bit-identical across engines and the DuckDB oracle can replay it with
+unrolled CTE chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_collector_spark.operators import similarity
+from database_collector_spark.workloads import _t
+from database_collector_spark.workloads_ext import _SQL_QUANT
+
+PQ_M = 4  # subspaces
+PQ_K = 4  # codes per subspace
+PQ_ITERS = 2
+DIM = similarity.EMBED_DIM
+SUB = DIM // PQ_M
+
+
+_BOOKS_CACHE: dict[str, list[list[list[int]]]] = {}
+
+
+def _books(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+    # train once per corpus and reuse across the codes/ADC gates — the
+    # production shape too (codebooks are a training artifact, not
+    # per-query work), and training is deterministic so caching cannot
+    # change any result
+    if sf_dir not in _BOOKS_CACHE:
+        _BOOKS_CACHE[sf_dir] = similarity.pq_train(
+            _t(spark, sf_dir, "embeddings"), m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=DIM
+        )
+    return _BOOKS_CACHE[sf_dir]
+
+
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train PQ codebooks + encode the corpus; gate output = the code
+    histogram per subspace with a member checksum — any divergence in
+    any subspace's training or any vector's nearest-code election moves
+    at least one row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode(emb, _books(spark, sf_dir))
+    return (
+        enc.select("vec_id", F.posexplode("codes").alias("subspace", "code"))
+        .groupBy("subspace", "code")
+        .agg(F.count("*").alias("n"), F.sum("vec_id").alias("vec_checksum"))
+    )
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-3 search over the PQ codes for query vectors vec_id < 5:
+    integer-exact asymmetric distances (query subvectors vs the
+    centroids its codes name), per-query window rank with vec_id
+    tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _books(spark, sf_dir)
+    enc = similarity.pq_encode(emb, books)
+    queries = (
+        similarity.with_quantized(emb)
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("qe").alias("q_qe"))
+    )
+    return similarity.pq_adc_topk(enc, queries, books, topk=3)
+
+
+def _sql_pq_ctes(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """Per-subspace deterministic Lloyd chains (the ann_ivf_kmeans CTE
+    pattern, prefixed p{j}_) ending in codes(vec_id, c0..c{m-1}) and the
+    final codebooks p{j}_c{iters}(cid, c)."""
+    parts = [f"sidx AS (SELECT unnest(generate_series(1, {SUB})) AS i)"]
+    dist = (
+        "list_dot_product(q.sq, q.sq) - 2 * list_dot_product(q.sq, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    for j in range(m):
+        p = f"p{j}_"
+        lo, hi = j * SUB + 1, (j + 1) * SUB
+
+        def assign(name: str, cent: str, p: str = p) -> str:
+            return f"""{name} AS (
+  SELECT vec_id, sq, cid FROM (
+    SELECT q.vec_id, q.sq, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM {p}qe q CROSS JOIN {cent} c) WHERE rn = 1
+)"""
+
+        parts.append(
+            f"""{p}qe AS (
+  SELECT vec_id, list_slice(qe, {lo}, {hi}) AS sq FROM qe
+)"""
+        )
+        parts.append(
+            f"""{p}c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, sq AS c
+  FROM (SELECT vec_id, sq FROM {p}qe ORDER BY vec_id LIMIT {k})
+)"""
+        )
+        for it in range(iters):
+            parts.append(assign(f"{p}a{it}", f"{p}c{it}"))
+            parts.append(
+                f"""{p}s{it} AS (
+  SELECT cid, i AS pos,
+         CAST(ROUND(CAST(SUM(sq[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+  FROM {p}a{it}, sidx GROUP BY cid, i
+)"""
+            )
+            parts.append(
+                f"""{p}c{it + 1} AS (
+  SELECT cid, list(comp ORDER BY pos) AS c FROM {p}s{it} GROUP BY cid
+  UNION ALL
+  SELECT cid, c FROM {p}c{it} WHERE cid NOT IN (SELECT cid FROM {p}s{it})
+)"""
+            )
+        parts.append(assign(f"{p}af", f"{p}c{iters}"))
+    code_cols = ", ".join(f"a{j}.cid AS c{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN p{j}_af a{j} ON a{j}.vec_id = a0.vec_id" for j in range(1, m)
+    )
+    parts.append(
+        f"""codes AS (
+  SELECT a0.vec_id, {code_cols} FROM p0_af a0 {code_joins}
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {_SQL_QUANT},
+{body}"""
+
+
+def _sql_pq_codes() -> str:
+    unions = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, c{j} AS code FROM codes" for j in range(PQ_M)
+    )
+    return f"""{_sql_pq_ctes()}
+SELECT CAST(j AS INT) AS subspace, CAST(code AS INT) AS code,
+       COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS vec_checksum
+FROM ({unions})
+GROUP BY 1, 2
+"""
+
+
+def _sql_pq_adc() -> str:
+    terms = " + ".join(
+        f"(list_dot_product(list_slice(q.q_qe, {j * SUB + 1}, {(j + 1) * SUB}),"
+        f" list_slice(q.q_qe, {j * SUB + 1}, {(j + 1) * SUB}))"
+        f" - 2 * list_dot_product(list_slice(q.q_qe, {j * SUB + 1}, {(j + 1) * SUB}), b{j}.c)"
+        f" + list_dot_product(b{j}.c, b{j}.c))"
+        for j in range(PQ_M)
+    )
+    book_joins = " ".join(
+        f"JOIN p{j}_c{PQ_ITERS} b{j} ON b{j}.cid = x.c{j}" for j in range(PQ_M)
+    )
+    return f"""{_sql_pq_ctes()},
+queries AS (SELECT vec_id AS q_id, qe AS q_qe FROM qe WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, x.vec_id, CAST({terms} AS BIGINT) AS adc_dist
+  FROM codes x {book_joins} CROSS JOIN queries q
+)
+SELECT q_id, rank, vec_id, adc_dist FROM (
+  SELECT q_id, vec_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
+QUERIES_PQ = {
+    "ann_pq_codes": q_ann_pq_codes,
+    "ann_pq_adc": q_ann_pq_adc,
+}
+
+ORACLES_PQ = {
+    "ann_pq_codes": _sql_pq_codes(),
+    "ann_pq_adc": _sql_pq_adc(),
+}

@@ -251,3 +251,42 @@ def test_multiprobe_dominates_single_probe(spark):
     }
     for r in q_ann_ivf_probe(spark, sf).filter("rank = 1").collect():
         assert best[r["q_id"]] >= r["cos"]
+
+
+def test_pq_train_encode_shapes_and_determinism(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, label="x", embedding=[float((i * 7 + d) % 5 - 2) for d in range(64)])
+         for i in range(20)]
+    )
+    books = similarity.pq_train(emb, m=4, k=4, iters=2)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    # deterministic: retraining yields identical codebooks
+    assert books == similarity.pq_train(emb, m=4, k=4, iters=2)
+    enc = similarity.pq_encode(emb, books)
+    rows = enc.select("vec_id", "codes").collect()
+    assert len(rows) == 20
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 4 for r in rows for c in r["codes"])
+
+
+def test_pq_adc_self_query_ranks_own_cell_first(spark):
+    # two well-separated groups: ADC must rank a query's own group's
+    # vectors above the other group's
+    def vec(base, i):
+        return [float(base) + 0.01 * ((i + d) % 3) for d in range(64)]
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, label="a", embedding=vec(0, i)) for i in range(5)]
+        + [Row(vec_id=100 + i, label="b", embedding=vec(50, i)) for i in range(5)]
+    )
+    books = similarity.pq_train(emb, m=4, k=2, iters=2)
+    enc = similarity.pq_encode(emb, books)
+    queries = (
+        similarity.with_quantized(emb)
+        .filter("vec_id = 0")
+        .selectExpr("vec_id AS q_id", "qe AS q_qe")
+    )
+    top = similarity.pq_adc_topk(enc, queries, books, topk=5).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+    assert all(r["vec_id"] < 100 for r in top)  # own group only
