@@ -272,3 +272,34 @@ def test_multimodal_decode_single_python_stage(spark):
     plan = _plan(q_multimodal_decode(spark, SF))
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_decile_distributed_equals_global_ntile(spark):
+    # the range-partition + offsets + closed-form bucket math must equal
+    # a literal global ntile(10) exactly (same output the DuckDB oracle
+    # computes) — pinned here so a formula regression fails CI, not the
+    # driver gate
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from database_collector_spark.workloads import _cents, _t
+    from database_collector_spark.workloads4 import q_decile_stats
+
+    got = {
+        r["decile"]: (r["n_orders"], r["lo"], r["hi"])
+        for r in q_decile_stats(spark, SF).collect()
+    }
+    ref_rows = (
+        _t(spark, SF, "orders")
+        .select("o_orderkey", _cents("o_totalprice").alias("cents"))
+        .withColumn("decile", F.ntile(10).over(Window.orderBy("cents", "o_orderkey")))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("cents").cast("double") / 100.0, 2).alias("lo"),
+            F.round(F.max("cents").cast("double") / 100.0, 2).alias("hi"),
+        )
+        .collect()
+    )
+    ref = {r["decile"]: (r["n_orders"], r["lo"], r["hi"]) for r in ref_rows}
+    assert got == ref

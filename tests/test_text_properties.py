@@ -70,3 +70,41 @@ def test_pack_sequences_invariants(spark, docs, budget):
     for r in rows:
         assert r["chunk_id"] == start // budget
         start += r["n_tokens"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(doc_tokens, min_size=1, max_size=4))
+def test_span_dedup_matches_python_reference(spark, docs):
+    # keep-first span election + in-order reassembly vs a direct Python
+    # reference over the same (doc_id, span) stream
+    from database_collector_spark.operators.dedup import span_dedup
+
+    span_words = 3
+    frame = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["kept_spans"], r["text_dedup"])
+        for r in span_dedup(frame, span_words=span_words).collect()
+    }
+
+    seen: set[str] = set()
+    for i, toks in enumerate(docs):
+        words = " ".join(toks).split(" ")
+        spans = [
+            " ".join(words[s : s + span_words])
+            for s in range(0, len(words), span_words)
+        ]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        if kept:
+            assert got[i] == (len(spans), len(kept), " ".join(kept))
+        else:
+            assert i not in got
