@@ -303,3 +303,16 @@ def test_decile_distributed_equals_global_ntile(spark):
     )
     ref = {r["decile"]: (r["n_orders"], r["lo"], r["hi"]) for r in ref_rows}
     assert got == ref
+
+
+def test_pq_encode_zero_shuffle(spark):
+    # PQ encoding must run at scan speed: broadcast codebook attach +
+    # projection, no Exchange anywhere in the encode plan
+    from database_collector_spark.operators import similarity
+    from database_collector_spark.workloads import _t
+
+    emb = _t(spark, SF, "embeddings")
+    books = similarity.pq_train(emb, m=4, k=4, iters=1)
+    plan = _plan(similarity.pq_encode(emb, books).select("vec_id", "codes"))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row codebook attach
