@@ -76,19 +76,28 @@ def windowed_counts(
     *,
     ts_col: str = "event_ts",
     window: str = "5 minutes",
+    slide: str | None = None,
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Extension: watermarked tumbling-window counts for late data.
+    """Extension: watermarked tumbling (or, with ``slide``, hopping)
+    window counts for late data.
 
     The watermark bounds state: at 100 TB/day the unbounded running count
     would grow state per distinct key forever; windows + watermark let the
-    state store evict closed windows.
+    state store evict closed windows. A slide multiplies state and output
+    by window/slide hops — the same factor the batch twin
+    (workloads_ts.q_events_sliding) pays in its partial aggregate.
     """
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         event_label(df)
         .withWatermark(ts_col, watermark)
         .groupBy(
-            F.window(F.col(ts_col), window).alias("w"),
+            win.alias("w"),
             F.col("event_id_label"),
         )
         .agg(F.count("*").alias("rds_events_total"))

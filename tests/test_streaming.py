@@ -155,3 +155,77 @@ def test_windowed_counts_batch_semantics(spark):
         (5, "RDS-EVENT-0005", 1),
         (0, "none", 1),
     }
+
+
+def test_sliding_windowed_counts_stream_matches_batch(spark):
+    # the SAME windowed_counts definition with a slide, run (a) under
+    # readStream via a file source + complete-mode memory sink and (b) on
+    # the batch API over identical rows — emitted window rows must match
+    # exactly (batch/stream parity is the contract events_sliding's gate
+    # leans on)
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [("RDS-EVENT-0005", 0), ("RDS-EVENT-0005", 6), ("-", 2), ("RDS-EVENT-0005", 11)]
+    schema = (
+        "event_id string, message string, source_identifier string, "
+        "event_ts timestamp"
+    )
+
+    def frame_rows():
+        return [
+            Row(
+                event_id=e,
+                message="m",
+                source_identifier="db-1",
+                event_ts=base + dt.timedelta(minutes=m),
+            )
+            for e, m in rows
+        ]
+
+    expected = {
+        (r["window_start"], r["event_id_label"], r["rds_events_total"])
+        for r in windowed_counts(
+            spark.createDataFrame(frame_rows()),
+            window="10 minutes",
+            slide="5 minutes",
+        ).collect()
+    }
+    assert expected  # hop factor: each event lands in 2 windows
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        with open(f"{src}/b1.json", "w") as f:
+            f.write(
+                "\n".join(
+                    json.dumps(
+                        {
+                            "event_id": e,
+                            "message": "m",
+                            "source_identifier": "db-1",
+                            "event_ts": (base + dt.timedelta(minutes=m)).isoformat(),
+                        }
+                    )
+                    for e, m in rows
+                )
+            )
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            windowed_counts(stream, window="10 minutes", slide="5 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sliding_counts")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), "stream pass did not finish"
+        finally:
+            q.stop()
+        got = {
+            (r["window_start"], r["event_id_label"], r["rds_events_total"])
+            for r in spark.sql("SELECT * FROM sliding_counts").collect()
+        }
+    assert got == expected
