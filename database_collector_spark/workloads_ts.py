@@ -362,6 +362,34 @@ FROM per, g
 """
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch surface (GK/percentile_approx) with a bounded-
+    RANK-error verdict, the approx_distinct pattern: sketch medians are
+    engine-specific, but "the approx q50 lies within the exact
+    [q45, q55] value bracket" is deterministic (the sketch guarantees
+    rank error <= 1/accuracy = 0.01% here, far inside the 5% bracket) —
+    so the gate hashes the exact median plus that boolean, and any
+    sketch regression flips the row."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    approx = F.percentile_approx(cents, F.lit(0.5), F.lit(10000)).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(cents, F.lit(0.5)).alias("exact_q50"),
+        (
+            (approx >= F.percentile(cents, F.lit(0.45)))
+            & (approx <= F.percentile(cents, F.lit(0.55)))
+        ).alias("within_rank_tol"),
+    )
+
+
+SQL_APPROX_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5) AS exact_q50,
+       TRUE AS within_rank_tol
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary-metric flatten (SURVEY §2.5 A3): the Prometheus SUMMARY
     expansion `name{quantile=q}` + `name_sum` + `name_count` that
@@ -427,6 +455,7 @@ QUERIES_TS = {
     "json_struct_parse": q_json_struct_parse,
     "rollup_counts": q_rollup_counts,
     "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
     "ttl_expiry_counts": q_ttl_expiry_counts,
 }
 
@@ -443,5 +472,6 @@ ORACLES_TS = {
     # HLL sketch values are engine-specific, so the oracle checks the
     # bounded-error verdict (exact count + within_5pct) instead
     "approx_distinct": SQL_APPROX_DISTINCT,
+    "approx_quantiles": SQL_APPROX_QUANTILES,
     "ttl_expiry_counts": SQL_TTL_EXPIRY_COUNTS,
 }
