@@ -60,7 +60,7 @@ _CHECK_FIRST = [
     # floor(epoch) cast, ttl_expiry_counts + multimodal_decode are new
     "approx_distinct", "sessionization", "ttl_expiry_counts",
     "multimodal_decode", "dedup_spans", "events_sliding", "ann_pq_codes",
-    "ann_pq_adc", "approx_quantiles",
+    "ann_pq_adc", "approx_quantiles", "scd1_upsert",
     # dependents of round-5 code changes (graph.py fallback, multimodal
     # decode tiers) — re-evidence even though their own plans are unchanged
     "dedup_clusters", "curation_full", "multimodal_features",
@@ -69,7 +69,7 @@ _CHECK_FIRST = [
     # must never exceed the cap
     "pricing_summary", "long_running_sessions", "grouped_counter",
     "engine_dispatch", "label_enrich", "shipping_priority",
-    "topk_per_group", "asof_join",
+    "asof_join",
     "dedup_embedding_lsh_multi",
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"

@@ -279,12 +279,77 @@ GROUP BY decile
 """
 
 
+def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins merge (operators/merge.py::scd1_merge): orders as the
+    base snapshot, a deterministic delta of updates (every 10th key:
+    status X, +1.00) and inserts (negated every-97th key), merged
+    one-shuffle latest-wins, then aggregated per status so the gate
+    hashes the post-merge state."""
+    from database_collector_spark.operators.merge import scd1_merge
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+        F.lit(0).alias("version"),
+    )
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("cents") + 100).alias("cents"),
+        F.lit(1).alias("version"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "cents",
+        F.lit(1).alias("version"),
+    )
+    merged = scd1_merge(
+        base, updates.unionByName(inserts), key="o_orderkey", version_col="version"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents_sum")
+    )
+
+
+SQL_SCD1_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, 0 AS version
+  FROM orders
+),
+delta AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, cents + 100 AS cents, 1 AS version
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -o_orderkey, 'N', cents, 1 FROM base WHERE o_orderkey % 97 = 0
+),
+u AS (
+  SELECT *, 0 AS _src FROM base
+  UNION ALL
+  SELECT *, 1 AS _src FROM delta
+),
+m AS (
+  SELECT o_orderkey, o_orderstatus, cents FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY version DESC, _src DESC) AS rn
+    FROM u) t
+  WHERE rn = 1
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM m GROUP BY 1
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
     "cust_order_distribution": q_cust_order_distribution,
     "gap_detect": q_gap_detect,
     "decile_stats": q_decile_stats,
+    "scd1_upsert": q_scd1_upsert,
 }
 
 ORACLES4 = {
@@ -293,4 +358,5 @@ ORACLES4 = {
     "cust_order_distribution": SQL_CUST_ORDER_DISTRIBUTION,
     "gap_detect": SQL_GAP_DETECT,
     "decile_stats": SQL_DECILE_STATS,
+    "scd1_upsert": SQL_SCD1_UPSERT,
 }

@@ -1,0 +1,43 @@
+"""SCD-1 latest-wins merge (operators/merge.py)."""
+
+from __future__ import annotations
+
+from database_collector_spark.operators.merge import scd1_merge
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, val string, version long")
+
+
+def test_scd1_update_insert_untouched(spark):
+    base = _df(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)])
+    delta = _df(spark, [(2, "B", 1), (9, "new", 1)])
+    got = {
+        r["k"]: (r["val"], r["version"])
+        for r in scd1_merge(base, delta, key="k", version_col="version").collect()
+    }
+    assert got == {1: ("a", 0), 2: ("B", 1), 3: ("c", 0), 9: ("new", 1)}
+
+
+def test_scd1_version_tie_delta_wins(spark):
+    # re-delivered update with the SAME version: delta must win (idempotent
+    # redelivery), and the higher version always beats a lower delta
+    base = _df(spark, [(1, "a", 5), (2, "b", 5)])
+    delta = _df(spark, [(1, "A", 5), (2, "stale", 3)])
+    got = {
+        r["k"]: r["val"]
+        for r in scd1_merge(base, delta, key="k", version_col="version").collect()
+    }
+    assert got == {1: "A", 2: "b"}
+
+
+def test_scd1_single_shuffle_plan(spark):
+    base = _df(spark, [(1, "a", 0)])
+    delta = _df(spark, [(1, "A", 1)])
+    plan = (
+        scd1_merge(base, delta, key="k", version_col="version")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # union + one key-partitioned window: exactly one hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
