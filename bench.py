@@ -70,8 +70,28 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "runs": RUNS,
+                "value_protocol": "sum_of_min_of_%d_runs" % RUNS,
                 "wall_clock_all_runs": wall,
                 "note": "per-query sec = min of %d runs; value = sum of mins" % RUNS,
+            },
+            separators=(",", ":"),
+        )
+    )
+    # Short self-healing trailer: the driver keeps a bounded stdout *tail*,
+    # so when the big per-query line overflows the buffer it loses its HEAD
+    # (and with it the headline "value" — BENCH_r05 recorded parsed:null).
+    # This second line carries only the headline fields and always survives.
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "runs": RUNS,
+                "n_queries": len(timings),
+                "value_protocol": "sum_of_min_of_%d_runs" % RUNS,
+                "wall_clock_all_runs": wall,
             },
             separators=(",", ":"),
         )

@@ -22,9 +22,10 @@ Components in MapReduce and Beyond", public): each round hooks larger
 neighbors onto the neighborhood minimum (large-star) then collapses
 smaller neighbors onto it (small-star), halving path lengths — O(log d)
 rounds with the same join primitive, where min-label propagation needs
-O(d). ``max_iter`` bounds the work either way; hitting the bound
-without a fixpoint emits an explicit warning instead of silently
-returning partial labels.
+O(d). ``max_iter`` strictly bounds the TOTAL rounds for every algorithm
+(the default "auto" escalation hands the star variant only the budget
+minlabel has not spent); hitting the bound without a fixpoint emits an
+explicit warning instead of silently returning partial labels.
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
-    algorithm: str = "minlabel",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Undirected connected components of an edge list.
 
@@ -55,17 +56,20 @@ def connected_components(
     — the canonical-representative convention of exact_dedup (min doc_id
     keeps the keep-first policy uniform across dedup tiers).
 
-    ``algorithm``: "minlabel" (default — O(diameter) rounds, the right
-    cost for clique-shaped dedup graphs) or "star" (O(log d) rounds for
-    high-diameter chains). The default auto-escalates: if minlabel has
-    not reached the fixpoint after ``_STAR_FALLBACK_ROUNDS`` rounds the
-    graph is evidently high-diameter, so the remaining budget switches to
-    the star variant instead of grinding out O(d) rounds — adversarial
-    chains converge without user intervention.
+    ``algorithm``: "auto" (default) runs min-label propagation —
+    O(diameter) rounds, the right cost for clique-shaped dedup graphs —
+    and auto-escalates: if the fixpoint is not reached after
+    ``_STAR_FALLBACK_ROUNDS`` rounds the graph is evidently
+    high-diameter, so the REMAINING ``max_iter`` budget switches to the
+    star variant (O(log d) rounds) — adversarial chains converge without
+    user intervention, and total rounds never exceed ``max_iter``.
+    "minlabel" pins pure min-label propagation (no escalation — the
+    strictly-predictable-plan choice); "star" runs the
+    large-star/small-star variant directly.
     """
-    if algorithm not in ("minlabel", "star"):
+    if algorithm not in ("auto", "minlabel", "star"):
         raise ValueError(
-            f"unknown algorithm {algorithm!r}: expected 'minlabel' or 'star'"
+            f"unknown algorithm {algorithm!r}: expected 'auto', 'minlabel' or 'star'"
         )
     # materialize the pair list BEFORE the two-orientation union: the
     # union references `pairs` twice, and an un-materialized reference
@@ -128,12 +132,19 @@ def connected_components(
             break
         # still changing after the fallback threshold: the graph is
         # high-diameter (chains, not the clique-shaped dedup norm) —
-        # restart on the star variant, whose O(log d) rounds close it
-        # within any sane budget. Only taken when budget remains, so an
-        # explicit tiny max_iter keeps its bounded-work-plus-warning
-        # contract.
-        if i + 1 >= _STAR_FALLBACK_ROUNDS and i + 1 < max_iter:
-            return _star_components(p, src="u", dst="v", max_iter=max_iter)
+        # hand the REMAINING budget to the star variant, whose O(log d)
+        # rounds close it; total rounds stay <= max_iter. Only under
+        # "auto" (an explicit algorithm="minlabel" opts out) and only
+        # when budget remains, so an explicit tiny max_iter keeps its
+        # bounded-work-plus-warning contract.
+        if (
+            algorithm == "auto"
+            and i + 1 >= _STAR_FALLBACK_ROUNDS
+            and i + 1 < max_iter
+        ):
+            return _star_components(
+                p, src="u", dst="v", max_iter=max_iter - (i + 1)
+            )
     else:
         warnings.warn(
             f"connected_components(minlabel) hit max_iter={max_iter} before the "

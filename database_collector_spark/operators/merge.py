@@ -28,15 +28,25 @@ def scd1_merge(
     """Upsert ``delta`` into ``base``: per key, keep the row with the
     highest ``version_col``; on version ties the delta row wins (the
     re-delivered-update idempotency rule). Columns must match
-    (unionByName). Output schema = input schema."""
-    tagged = base.withColumn("_src", F.lit(0)).unionByName(
-        delta.withColumn("_src", F.lit(1))
+    (unionByName). Output schema = input schema.
+
+    The tag/rank helper columns use reserved ``__scd_*__`` names and are
+    asserted absent from the input — ``withColumn`` silently REPLACES an
+    existing column, so a bare ``_src``/``_rn`` would corrupt user data
+    carrying those names before the final drop."""
+    src_tag, rank = "__scd_src__", "__scd_rn__"
+    clash = {src_tag, rank} & set(base.columns) | {src_tag, rank} & set(
+        delta.columns
+    )
+    assert not clash, f"reserved merge helper column(s) present in input: {clash}"
+    tagged = base.withColumn(src_tag, F.lit(0)).unionByName(
+        delta.withColumn(src_tag, F.lit(1))
     )
     w = Window.partitionBy(key).orderBy(
-        F.col(version_col).desc(), F.col("_src").desc()
+        F.col(version_col).desc(), F.col(src_tag).desc()
     )
     return (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
+        tagged.withColumn(rank, F.row_number().over(w))
+        .filter(F.col(rank) == 1)
+        .drop(rank, src_tag)
     )

@@ -138,6 +138,47 @@ def to_ppm_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def to_ppm_video(docs: DataFrame) -> DataFrame:
+    """documents -> real binary "videos": each payload is a concatenation
+    of ``n_frames = 1 + doc_id%6`` spec-conformant P6 frames, synthesized
+    JVM-side (no Python). Frame ``f`` has w = 2 + (doc_id+f)%7,
+    h = 2 + (doc_id+f)%5 and channel-constant pixels
+    r/g/b = (doc_id*7 + f*11 + 0/1/2) % 256 — dims VARY per frame, so a
+    consumer can only find frame boundaries by actually parsing each
+    header (the self-delimiting-container property real video demuxing
+    relies on), and every pixel statistic stays SQL-derivable for the
+    oracle."""
+    frame = (
+        "concat("
+        " encode(printf('P6\\n%d %d\\n255\\n',"
+        "   2 + (doc_id + f) % 7, 2 + (doc_id + f) % 5), 'UTF-8'),"
+        " unhex(repeat(concat("
+        "   lpad(hex((doc_id*7 + f*11) % 256), 2, '0'),"
+        "   lpad(hex((doc_id*7 + f*11 + 1) % 256), 2, '0'),"
+        "   lpad(hex((doc_id*7 + f*11 + 2) % 256), 2, '0')),"
+        "  (2 + (doc_id + f) % 7) * (2 + (doc_id + f) % 5))))"
+    )
+    return (
+        docs.select("doc_id")
+        .withColumn(
+            "payload",
+            F.expr(
+                "aggregate(sequence(0, cast(doc_id % 6 as int)),"
+                f" cast('' as binary), (acc, f) -> concat(acc, {frame}))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.lit("video").alias("media_type"),
+            "payload",
+            F.struct(
+                F.length("payload").cast("long").alias("n_bytes"),
+                F.lit("video/x-ppm-stream").alias("declared_format"),
+            ).alias("meta"),
+        )
+    )
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -187,8 +228,11 @@ def extract_features(media: DataFrame, *, decode_stub: bool = True) -> DataFrame
     byte, byte-sum mod 997 — computed over the RAW payload bytes when
     ``decode_stub=True``, or over the DECODED pixel raster when
     ``decode_stub=False`` (real P6 decode via ``decode_ppm``; malformed
-    payloads get null stats). Same schema either way: the stub models
-    exactly what the real path produces.
+    payloads get null stats in ALL feature columns, matching
+    ``decode_image``'s null-not-panic contract — a JPEG corpus run
+    through the real tier yields nulls, never plausible-looking zero
+    features). Same schema either way: the stub models exactly what the
+    real path produces.
 
     The kernel is numpy-vectorized per Arrow batch (one buffer concat +
     prefix-sum instead of a Python loop over rows): the whole point of
@@ -200,11 +244,15 @@ def extract_features(media: DataFrame, *, decode_stub: bool = True) -> DataFrame
         import numpy as np
 
         for pdf in batches:
+            failed = np.zeros(len(pdf), dtype=bool)
             if decode_stub:
                 payloads = [p if p is not None else b"" for p in pdf["payload"]]
             else:
-                # real tier: the "bytes" we featurize are the pixel raster
+                # real tier: the "bytes" we featurize are the pixel raster;
+                # undecodable payloads are masked to NULL features below
+                # (decode_image's null-not-panic rule), not zero features
                 decoded = [decode_ppm(p) for p in pdf["payload"]]
+                failed = np.array([d is None for d in decoded], dtype=bool)
                 payloads = [
                     b"" if d is None else d[2].tobytes() for d in decoded
                 ]
@@ -219,14 +267,21 @@ def extract_features(media: DataFrame, *, decode_stub: bool = True) -> DataFrame
             nonempty = lens > 0
             if buf.size:
                 headers[nonempty] = buf[starts[nonempty]]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": lens,
-                    "header_byte": headers.astype(np.int32),
-                    "checksum_mod": (csum[ends] - csum[starts]) % 997,
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": pd.array(lens, dtype="Int64"),
+                    "header_byte": pd.array(
+                        headers.astype(np.int32), dtype="Int32"
+                    ),
+                    "checksum_mod": pd.array(
+                        (csum[ends] - csum[starts]) % 997, dtype="Int64"
+                    ),
                 }
             )
+            if failed.any():
+                out.loc[failed, ["n_bytes", "header_byte", "checksum_mod"]] = pd.NA
+            yield out
 
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
@@ -311,6 +366,53 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def decode_frames(frames: DataFrame) -> DataFrame:
+    """``frame_sample`` output -> per-frame REAL decode stats: parse each
+    sampled frame's P6 header, reinterpret its raster, emit dims +
+    per-channel pixel sums keyed by (doc_id, frame_idx). Malformed frames
+    yield null stats (null-not-panic) — the frame-level twin of
+    ``decode_image``."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "frame_idx", "w", "h", "sum_r", "sum_g", "sum_b")
+            }
+            for doc_id, idx, p in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                decoded = decode_ppm(p)
+                if decoded is None:
+                    for k in ("w", "h", "sum_r", "sum_g", "sum_b"):
+                        out[k].append(None)
+                    continue
+                w, h, px = decoded
+                sums = px.sum(axis=0, dtype="int64")
+                out["w"].append(w)
+                out["h"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(_batches, schema=FRAME_STATS_SCHEMA)
+
 
 def frame_sample(
     media: DataFrame,
@@ -319,29 +421,61 @@ def frame_sample(
     every_nth: int = 10,
     decode_stub: bool = True,
 ) -> DataFrame:
-    """Video frame sampling plumbing: one binary row in, N frame rows out
-    (a flat-map — mapInPandas yields more rows than it consumes, which is
+    """Video frame sampling: one binary row in, N frame rows out (a
+    flat-map — mapInPandas yields more rows than it consumes, which is
     exactly the shape ffmpeg keyframe extraction needs).
 
-    Stub: the payload is treated as a concatenation of fixed-size frames
-    and every n-th is emitted. Real pipelines replace the slicing with
-    ffmpeg -skip_frame nokey; the output schema (doc_id, frame_idx,
-    frame) and the explode-shaped cardinality are the tested contract.
-    At 100 TB the output is written partitioned by doc_id range so one
-    video's frames stay co-located for the downstream encoder."""
+    Two tiers, same schema and explode-shaped cardinality:
+
+    * ``decode_stub=True``: the payload is treated as a concatenation of
+      ``frame_bytes``-sized frames and every n-th is emitted — no
+      decoder, deterministic.
+    * ``decode_stub=False`` (REAL): the payload is demuxed as a
+      concatenated P6 stream (``to_ppm_video``'s fixture format): each
+      frame's length is computed from its OWN parsed header
+      (header_len + w*h*3 — the PPM container is self-delimiting), the
+      walk advances boundary to boundary, and every n-th frame's raw
+      bytes are emitted. A malformed header stops the walk for that row
+      (truncated tail quarantined by omission, null-not-panic) — no
+      external demuxer needed. Compressed codecs would swap the walker
+      for ffmpeg; the boundary-walk structure is the same.
+
+    ``frame_idx`` is the SAMPLED ordinal (0,1,2,... of emitted frames)
+    in both tiers. At 100 TB the output is written partitioned by doc_id
+    range so one video's frames stay co-located for the downstream
+    encoder."""
+
+    def _walk_ppm_frames(p: bytes) -> list[bytes]:
+        frames, off = [], 0
+        while off < len(p):
+            m = _PPM_HEADER.match(p[off:])
+            if not m:
+                break
+            w, h = int(m.group(1)), int(m.group(2))
+            end = off + m.end() + w * h * 3
+            if int(m.group(3)) > 255 or w <= 0 or h <= 0 or end > len(p):
+                break
+            frames.append(p[off:end])
+            off = end
+        return frames
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not decode_stub:
-            raise NotImplementedError("real frame extraction needs ffmpeg")
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 p = p if p is not None else b""
-                n_frames = len(p) // frame_bytes
-                for k, i in enumerate(range(0, n_frames, every_nth)):
+                if decode_stub:
+                    n_frames = len(p) // frame_bytes
+                    all_frames = [
+                        p[i * frame_bytes : (i + 1) * frame_bytes]
+                        for i in range(n_frames)
+                    ]
+                else:
+                    all_frames = _walk_ppm_frames(p)
+                for k, i in enumerate(range(0, len(all_frames), every_nth)):
                     ids.append(doc_id)
                     idxs.append(k)
-                    frames.append(p[i * frame_bytes : (i + 1) * frame_bytes])
+                    frames.append(all_frames[i])
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame": frames}
             )

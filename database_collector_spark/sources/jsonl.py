@@ -51,7 +51,11 @@ def read_jsonl(
     classifies it: the corrupt-record column rides INSIDE the struct
     schema (a regular field, so none of the json reader's internal-
     column query restrictions apply) and is non-null iff the line failed
-    to parse.
+    to parse. Blank / whitespace-only lines are a third class:
+    ``from_json`` returns a NULL struct for them (no corrupt-record
+    marker at all), so ``good`` additionally requires the struct itself
+    to be non-null and such lines land in ``quarantine`` — without this
+    they would silently surface as all-null "good" rows.
     """
     corrupt = "_corrupt_record"
     full = T.StructType(
@@ -65,12 +69,7 @@ def read_jsonl(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
         ).alias("j"),
     )
-    good = (
-        parsed.filter(F.col(f"j.{corrupt}").isNull())
-        .select("j.*")
-        .drop(corrupt)
-    )
-    quarantine = parsed.filter(F.col(f"j.{corrupt}").isNotNull()).select(
-        F.col("value").alias("corrupt_line")
-    )
+    ok = F.col("j").isNotNull() & F.col(f"j.{corrupt}").isNull()
+    good = parsed.filter(ok).select("j.*").drop(corrupt)
+    quarantine = parsed.filter(~ok).select(F.col("value").alias("corrupt_line"))
     return good, quarantine

@@ -100,3 +100,32 @@ def test_cluster_summary_shapes(spark):
         for r in graph.cluster_summary(comp).collect()
     }
     assert rows == {1: (3, "1,2,3"), 5: (2, "5,6")}
+
+
+def test_cc_explicit_minlabel_never_escalates(spark):
+    # algorithm="minlabel" pins pure min-label propagation: a 64-node
+    # chain exhausts the default budget and WARNS instead of silently
+    # switching to the star variant (the strictly-predictable-plan choice)
+    import warnings
+
+    edges = [(i, i + 1) for i in range(1, 64)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = _components(spark, edges, algorithm="minlabel")
+    assert any("max_iter" in str(w.message) for w in caught)
+    assert set(got) == set(range(1, 65))
+
+
+def test_cc_auto_escalation_spends_only_remaining_budget(spark):
+    # max_iter strictly bounds TOTAL rounds: with max_iter=9 on a long
+    # chain, escalation fires after 8 minlabel rounds and hands star only
+    # 1 remaining round — which cannot close diameter 63, so the star
+    # truncation warning must fire (budget was not re-granted in full)
+    import warnings
+
+    edges = [(i, i + 1) for i in range(1, 64)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = _components(spark, edges, max_iter=9)
+    assert any("max_iter" in str(w.message) for w in caught)
+    assert set(got) == set(range(1, 65))

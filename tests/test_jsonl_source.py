@@ -65,3 +65,24 @@ def test_jsonl_feeds_downstream_operators(spark):
         good, _ = read_jsonl(spark, tmp)
         groups = {r["canonical_doc_id"]: r["n_docs"] for r in exact_dedup(good).collect()}
         assert groups == {1: 2, 3: 1}
+
+
+def test_jsonl_blank_lines_quarantined_not_null_rows(spark):
+    # blank / whitespace-only lines make from_json return a NULL struct
+    # (no corrupt-record marker), which previously surfaced as all-null
+    # "good" rows — they must quarantine instead
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_shard(
+            f"{tmp}/shard-0.jsonl",
+            [
+                json.dumps({"doc_id": 1, "text": "x", "lang": "en", "source": "s"}),
+                "",
+                "   \t ",
+                json.dumps({"doc_id": 2, "text": "y", "lang": "en", "source": "s"}),
+            ],
+        )
+        good, quarantine = read_jsonl(spark, tmp)
+        assert {r["doc_id"] for r in good.collect()} == {1, 2}
+        assert all(r["doc_id"] is not None for r in good.collect())
+        bad = [r["corrupt_line"] for r in quarantine.collect()]
+        assert sorted(bad) == ["", "   \t "]

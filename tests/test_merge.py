@@ -41,3 +41,27 @@ def test_scd1_single_shuffle_plan(spark):
     # union + one key-partitioned window: exactly one hash exchange
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_scd1_user_columns_named_like_old_helpers_survive(spark):
+    # helper columns use reserved __scd_*__ names, so user data carrying
+    # _src/_rn (the old helper names) passes through untouched
+    base = spark.createDataFrame(
+        [(1, "a", 0, "keep-src", "keep-rn")],
+        "k long, val string, version long, _src string, _rn string",
+    )
+    delta = spark.createDataFrame(
+        [(1, "A", 1, "d-src", "d-rn")],
+        "k long, val string, version long, _src string, _rn string",
+    )
+    row = scd1_merge(base, delta, key="k", version_col="version").collect()[0]
+    assert (row["val"], row["_src"], row["_rn"]) == ("A", "d-src", "d-rn")
+
+
+def test_scd1_reserved_helper_names_rejected(spark):
+    import pytest
+
+    base = spark.createDataFrame([(1, 0, "x")], "k long, version long, __scd_src__ string")
+    delta = spark.createDataFrame([(1, 1, "y")], "k long, version long, __scd_src__ string")
+    with pytest.raises(AssertionError, match="reserved merge helper"):
+        scd1_merge(base, delta, key="k", version_col="version")

@@ -185,15 +185,32 @@ def test_resize_real_decode_luminance(spark):
     assert set(row["resized"]) == {22}
 
 
-def test_frame_sample_real_decode_still_stubbed(spark):
-    import pytest
+def test_frame_sample_real_decode_walks_ppm_boundaries(spark):
+    # doc_id=5 -> 1 + 5%6 = 6 frames with per-frame-varying dims; the
+    # walker must parse each header to find the next boundary. every_nth=2
+    # samples frames 0,2,4 as sampled ordinals 0,1,2.
+    docs = spark.createDataFrame(
+        [Row(doc_id=5, text="x", lang="en", source="s", n_chars=1)]
+    )
+    video = multimodal.to_ppm_video(docs)
+    frames = multimodal.frame_sample(video, every_nth=2, decode_stub=False)
+    stats = {
+        r["frame_idx"]: (r["w"], r["h"], r["sum_r"])
+        for r in multimodal.decode_frames(frames).collect()
+    }
+    assert set(stats) == {0, 1, 2}
+    for k, f in [(0, 0), (1, 2), (2, 4)]:
+        w, h = 2 + (5 + f) % 7, 2 + (5 + f) % 5
+        assert stats[k] == (w, h, ((5 * 7 + f * 11) % 256) * w * h)
 
+
+def test_frame_sample_real_decode_malformed_stops_walk(spark):
+    # non-PPM payload: zero frames emitted (null-not-panic), no crash
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="abc", lang="en", source="s", n_chars=3)]
     )
-    media = multimodal.to_media(docs)
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
-        multimodal.frame_sample(media, decode_stub=False).collect()
+    media = multimodal.to_media(docs)  # UTF-8 text payload, not PPM
+    assert multimodal.frame_sample(media, decode_stub=False).count() == 0
 
 
 def test_resize_fixed_output_shape(spark):
@@ -290,3 +307,17 @@ def test_pq_adc_self_query_ranks_own_cell_first(spark):
     top = similarity.pq_adc_topk(enc, queries, books, topk=5).collect()
     assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
     assert all(r["vec_id"] < 100 for r in top)  # own group only
+
+
+def test_extract_features_real_decode_nulls_malformed(spark):
+    # real tier on undecodable payloads (e.g. a JPEG corpus): ALL feature
+    # columns null — decode_image's null-not-panic rule, never
+    # plausible-looking zero features
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff not a ppm"), (12, "image/jpeg"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(media, decode_stub=False).collect()[0]
+    assert row["n_bytes"] is None
+    assert row["header_byte"] is None
+    assert row["checksum_mod"] is None
