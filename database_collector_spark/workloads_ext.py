@@ -574,6 +574,38 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction end-to-end: synthesize concatenated-P6
+    "videos" JVM-side (1 + doc_id%6 frames, per-frame dims varying so
+    boundaries are only findable by parsing each header), demux by
+    walking self-delimiting frame boundaries in mapInPandas
+    (frame_sample decode_stub=False), sample every 2nd frame, then
+    decode each sampled frame's raster to dims + channel sums. The
+    oracle recomputes the closed form per sampled frame, so any
+    boundary-walk error (header length, stride, early stop) or raster
+    error hash-mismatches."""
+    video = multimodal.to_ppm_video(_t(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample(video, every_nth=2, decode_stub=False)
+    return multimodal.decode_frames(frames)
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT d.doc_id,
+       CAST(f.f // 2 AS INT) AS frame_idx,
+       CAST(2 + (d.doc_id + f.f) % 7 AS INT) AS w,
+       CAST(2 + (d.doc_id + f.f) % 5 AS INT) AS h,
+       CAST(((d.doc_id*7 + f.f*11) % 256)
+            * (2 + (d.doc_id + f.f) % 7) * (2 + (d.doc_id + f.f) % 5) AS BIGINT) AS sum_r,
+       CAST(((d.doc_id*7 + f.f*11 + 1) % 256)
+            * (2 + (d.doc_id + f.f) % 7) * (2 + (d.doc_id + f.f) % 5) AS BIGINT) AS sum_g,
+       CAST(((d.doc_id*7 + f.f*11 + 2) % 256)
+            * (2 + (d.doc_id + f.f) % 7) * (2 + (d.doc_id + f.f) % 5) AS BIGINT) AS sum_b
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(0, CAST(d.doc_id % 6 AS INT))) AS f) f
+WHERE f.f % 2 = 0
+"""
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup (C4-style boilerplate-span removal): 8-word
     segments, keep the globally first occurrence of each distinct span,
@@ -629,6 +661,7 @@ QUERIES_EXT = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_embedding_lsh_multi": q_dedup_embedding_lsh_multi,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES_EXT = {
@@ -652,4 +685,5 @@ ORACLES_EXT = {
     "dedup_embedding_lsh": _sql_dedup_embedding_lsh(),
     "dedup_embedding_lsh_multi": _sql_dedup_embedding_lsh_multi(),
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
 }
