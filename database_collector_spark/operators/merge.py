@@ -1,5 +1,6 @@
-"""Latest-wins merge (SCD type 1 upsert) — the MERGE INTO shape a
-mutable-snapshot pipeline needs, expressed without a lake format.
+"""Latest-wins (SCD-1) and history-keeping (SCD-2) merges — the MERGE
+INTO shapes a mutable-snapshot pipeline needs, expressed without a lake
+format.
 
 The reference re-reads its whole registry every tick (SURVEY.md §2.2
 immutable-snapshot model); a 100 TB lake cannot — it merges deltas. The
@@ -49,4 +50,60 @@ def scd1_merge(
         tagged.withColumn(rank, F.row_number().over(w))
         .filter(F.col(rank) == 1)
         .drop(rank, src_tag)
+    )
+
+
+def scd2_merge(
+    base: DataFrame,
+    delta: DataFrame,
+    *,
+    key: str,
+    version_col: str,
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """History-keeping merge (SCD type 2): every version of every key is
+    KEPT, each end-dated by its successor.
+
+    Inputs are version-stamped row sets with identical columns (same
+    contract as ``scd1_merge``); output = input columns plus
+    ``valid_to`` (the NEXT version for this key — the superseded row's
+    end date, same type as ``version_col``) and ``is_current`` (true iff
+    no successor exists). Re-delivered (key, version) pairs collapse to
+    the delta copy first (idempotent redelivery), so re-running a merge
+    never forks history.
+
+    Plan shape: union + ONE shuffle on the key — the redelivery-dedup
+    row_number and the successor ``lead`` ride the same key-partitioned
+    window exchange (the second window adds at most a sort, never a
+    second shuffle). This is exactly how MERGE INTO ... WHEN MATCHED
+    THEN UPDATE SET valid_to/is_current compiles in a copy-on-write lake
+    format, minus the format."""
+    src_tag, rank = "__scd_src__", "__scd_rn__"
+    reserved = {src_tag, rank, valid_to, is_current}
+    clash = reserved & set(base.columns) | reserved & set(delta.columns)
+    assert not clash, f"reserved merge helper/output column(s) in input: {clash}"
+    tagged = base.withColumn(src_tag, F.lit(0)).unionByName(
+        delta.withColumn(src_tag, F.lit(1))
+    )
+    # per key, versions ascending with delta before base inside a version:
+    # the first row of each version run survives (delta copy on
+    # redelivery). lag() rides the same window spec as row_number, and
+    # lead() orders by a prefix of it — one key-hash exchange total.
+    w_dedup = Window.partitionBy(key).orderBy(
+        F.col(version_col), F.col(src_tag).desc()
+    )
+    w_succ = Window.partitionBy(key).orderBy(F.col(version_col))
+    # window functions can't sit in a WHERE clause — materialize the
+    # version-run-start flag as a column, then filter on it
+    return (
+        tagged.withColumn(
+            rank,
+            (F.row_number().over(w_dedup) == 1)
+            | (F.col(version_col) != F.lag(version_col).over(w_dedup)),
+        )
+        .filter(F.col(rank))
+        .drop(rank, src_tag)
+        .withColumn(valid_to, F.lead(version_col).over(w_succ))
+        .withColumn(is_current, F.col(valid_to).isNull())
     )

@@ -300,7 +300,7 @@ def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("version"),
     )
     inserts = base.filter(F.col("o_orderkey") % 97 == 0).select(
-        (-F.col("o_orderkey")).alias("o_orderkey"),
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         "cents",
         F.lit(1).alias("version"),
@@ -323,7 +323,7 @@ delta AS (
   SELECT o_orderkey, 'X' AS o_orderstatus, cents + 100 AS cents, 1 AS version
   FROM base WHERE o_orderkey % 10 = 0
   UNION ALL
-  SELECT -o_orderkey, 'N', cents, 1 FROM base WHERE o_orderkey % 97 = 0
+  SELECT -o_orderkey - 1, 'N', cents, 1 FROM base WHERE o_orderkey % 97 = 0
 ),
 u AS (
   SELECT *, 0 AS _src FROM base
@@ -343,6 +343,76 @@ FROM m GROUP BY 1
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-keeping merge (operators/merge.py::scd2_merge) on the
+    scd1_upsert fixture: every version survives, updates end-date their
+    version-0 predecessor (valid_to=1, is_current=false), inserts and
+    untouched rows stay open. Aggregated per (status, is_current) with a
+    closed-row count so the gate hashes the full interval structure."""
+    from database_collector_spark.operators.merge import scd2_merge
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+        F.lit(0).alias("version"),
+    )
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("cents") + 100).alias("cents"),
+        F.lit(1).alias("version"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "cents",
+        F.lit(1).alias("version"),
+    )
+    hist = scd2_merge(
+        base, updates.unionByName(inserts), key="o_orderkey", version_col="version"
+    )
+    return hist.groupBy("o_orderstatus", "is_current").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("cents_sum"),
+        F.count("valid_to").alias("n_closed"),
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, 0 AS version
+  FROM orders
+),
+delta AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, cents + 100 AS cents, 1 AS version
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -o_orderkey - 1, 'N', cents, 1 FROM base WHERE o_orderkey % 97 = 0
+),
+u AS (
+  SELECT *, 0 AS _src FROM base
+  UNION ALL
+  SELECT *, 1 AS _src FROM delta
+),
+hist AS (
+  SELECT o_orderkey, o_orderstatus, cents, version,
+         LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey, version
+                                 ORDER BY _src DESC) AS rn
+    FROM u) t
+  WHERE rn = 1
+)
+SELECT o_orderstatus, valid_to IS NULL AS is_current,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(COUNT(valid_to) AS BIGINT) AS n_closed
+FROM hist GROUP BY 1, 2
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
@@ -350,6 +420,7 @@ QUERIES4 = {
     "gap_detect": q_gap_detect,
     "decile_stats": q_decile_stats,
     "scd1_upsert": q_scd1_upsert,
+    "scd2_history": q_scd2_history,
 }
 
 ORACLES4 = {
@@ -359,4 +430,5 @@ ORACLES4 = {
     "gap_detect": SQL_GAP_DETECT,
     "decile_stats": SQL_DECILE_STATS,
     "scd1_upsert": SQL_SCD1_UPSERT,
+    "scd2_history": SQL_SCD2_HISTORY,
 }

@@ -65,3 +65,62 @@ def test_scd1_reserved_helper_names_rejected(spark):
     delta = spark.createDataFrame([(1, 1, "y")], "k long, version long, __scd_src__ string")
     with pytest.raises(AssertionError, match="reserved merge helper"):
         scd1_merge(base, delta, key="k", version_col="version")
+
+
+def test_scd2_end_dates_and_keeps_history(spark):
+    from database_collector_spark.operators.merge import scd2_merge
+
+    base = _df(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)])
+    delta = _df(spark, [(1, "A", 1), (1, "A2", 2), (9, "new", 1)])
+    got = {
+        (r["k"], r["version"]): (r["val"], r["valid_to"], r["is_current"])
+        for r in scd2_merge(base, delta, key="k", version_col="version").collect()
+    }
+    assert got == {
+        (1, 0): ("a", 1, False),
+        (1, 1): ("A", 2, False),
+        (1, 2): ("A2", None, True),
+        (2, 0): ("b", None, True),
+        (3, 0): ("c", None, True),
+        (9, 1): ("new", None, True),
+    }
+
+
+def test_scd2_redelivery_idempotent(spark):
+    # same (key, version) in base and delta: the delta copy wins, history
+    # does not fork into two rows of the same version
+    from database_collector_spark.operators.merge import scd2_merge
+
+    base = _df(spark, [(1, "old-copy", 1), (1, "v0", 0)])
+    delta = _df(spark, [(1, "fresh-copy", 1)])
+    rows = sorted(
+        scd2_merge(base, delta, key="k", version_col="version").collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["version"], r["val"]) for r in rows] == [(0, "v0"), (1, "fresh-copy")]
+    assert [r["is_current"] for r in rows] == [False, True]
+
+
+def test_scd2_single_shuffle_plan(spark):
+    from database_collector_spark.operators.merge import scd2_merge
+
+    base = _df(spark, [(1, "a", 0)])
+    delta = _df(spark, [(1, "A", 1)])
+    plan = (
+        scd2_merge(base, delta, key="k", version_col="version")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # union + dedup window + lead window all ride ONE key-hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_scd2_reserved_output_names_rejected(spark):
+    import pytest
+
+    from database_collector_spark.operators.merge import scd2_merge
+
+    base = spark.createDataFrame([(1, 0, "x")], "k long, version long, valid_to string")
+    delta = spark.createDataFrame([(1, 1, "y")], "k long, version long, valid_to string")
+    with pytest.raises(AssertionError, match="reserved merge"):
+        scd2_merge(base, delta, key="k", version_col="version")
