@@ -101,6 +101,41 @@ def stream_stream_interval_join(
     ).drop(right[join_key])
 
 
+def stream_stream_symmetric_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    join_key: str = "user_id",
+    tolerance: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within a SYMMETRIC event-time tolerance:
+    rows pair when ``|right.ts - left.ts| <= tolerance`` for the same key
+    — the events-to-events correlation shape (e.g. click vs purchase
+    attribution where either side may arrive first), complementing the
+    trailing-only ``stream_stream_interval_join``.
+
+    Both sides are watermarked and the join condition bounds event time
+    in BOTH directions, which is exactly what the engine's state-eviction
+    reasoning needs: a left row can be dropped once the right watermark
+    passes left.ts + tolerance, and symmetrically — buffered state per
+    side is bounded by (watermark delay + tolerance) of stream time, no
+    matter how long the job runs. The batch twin (same semantics, range-
+    bucketed equi-join instead of buffered state) is
+    ``workloads_ts.q_interval_join_events``."""
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    tol = F.expr(f"INTERVAL {tolerance}")
+    return left.withWatermark(left_ts, watermark).join(
+        right.withWatermark(right_ts, watermark),
+        (left[join_key] == right[join_key])
+        & (rt >= lt - tol)
+        & (rt <= lt + tol),
+        "inner",
+    ).drop(right[join_key])
+
+
 def streaming_incremental_dedup(
     stream_docs: DataFrame,
     corpus_docs: DataFrame,

@@ -444,6 +444,63 @@ SELECT l_returnflag, 'price_count' AS series_name, NULL AS quantile, c AS value 
 """
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric ±30 min events-to-events interval join: per purchase,
+    clicks by the SAME user within [p_ts - 30m, p_ts + 30m] — the batch
+    twin of streaming.ops.stream_stream_symmetric_join (same semantics,
+    range-bucketed equi-join instead of watermark-bounded buffers).
+
+    A theta-join on |c_ts - p_ts| <= 30m is a nested loop at any scale;
+    bucketing both sides by floor(ts/1800) makes a ±30 min window span at
+    most the probe's own bucket ±1, so each purchase explodes exactly 3
+    probe buckets and the physical join is an EQUI-join on
+    (user_id, bucket) with the residual range filter on top — shuffle-
+    partitionable, and the 3x probe fan-out is the entire overhead.
+    Left join + conditional count keeps zero-click purchases."""
+    ev = _t(spark, sf_dir, "events")
+    win = 1800
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.col("ts").alias("p_ts"))
+        .withColumn("b", F.floor(F.unix_timestamp("p_ts") / win))
+        .withColumn(
+            "probe", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
+        )
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withColumn("cb", F.floor(F.unix_timestamp("c_ts") / win))
+    )
+    hit = (
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("long")
+    return (
+        purchases.join(
+            clicks,
+            (purchases["probe"] == clicks["cb"])
+            & (purchases["user_id"] == clicks["c_user"]),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.coalesce(F.sum(hit), F.lit(0)).alias("n_clicks_30m"))
+    )
+
+
+SQL_INTERVAL_JOIN_EVENTS = """
+SELECT p.event_id,
+       CAST(COALESCE(SUM(CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+                               AND c.ts <= p.ts + INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clicks_30m
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts + INTERVAL 30 MINUTE
+GROUP BY p.event_id
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
@@ -457,6 +514,7 @@ QUERIES_TS = {
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "ttl_expiry_counts": q_ttl_expiry_counts,
+    "interval_join_events": q_interval_join_events,
 }
 
 ORACLES_TS = {
@@ -474,4 +532,5 @@ ORACLES_TS = {
     "approx_distinct": SQL_APPROX_DISTINCT,
     "approx_quantiles": SQL_APPROX_QUANTILES,
     "ttl_expiry_counts": SQL_TTL_EXPIRY_COUNTS,
+    "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
 }

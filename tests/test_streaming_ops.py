@@ -196,3 +196,42 @@ def test_streaming_incremental_dedup_vs_static_corpus(spark):
         )
         got = _run_stream(spark, src, build, f"{tmp}/ckpt")
         assert got == []
+
+
+def test_stream_stream_symmetric_join(spark):
+    # ±30 min symmetric tolerance: a right row BEFORE and one AFTER the
+    # left event both pair; outside-tolerance and other-key rows don't
+    from database_collector_spark.streaming.ops import stream_stream_symmetric_join
+
+    with tempfile.TemporaryDirectory() as tmp:
+        la, ra = f"{tmp}/l", f"{tmp}/r"
+        os.makedirs(la)
+        os.makedirs(ra)
+        _write(
+            la,
+            "l1.json",
+            [{"user_id": 1, "l_ts": "2024-06-01T12:00:00", "l_id": 100}],
+        )
+        _write(
+            ra,
+            "r1.json",
+            [
+                {"user_id": 1, "r_ts": "2024-06-01T11:40:00", "r_id": 200},  # before, in
+                {"user_id": 1, "r_ts": "2024-06-01T12:20:00", "r_id": 201},  # after, in
+                {"user_id": 1, "r_ts": "2024-06-01T12:45:00", "r_id": 202},  # after, out
+                {"user_id": 1, "r_ts": "2024-06-01T11:15:00", "r_id": 203},  # before, out
+                {"user_id": 2, "r_ts": "2024-06-01T12:00:00", "r_id": 204},  # other key
+            ],
+        )
+
+        def build(_):
+            left = spark.readStream.schema(
+                "user_id long, l_ts timestamp, l_id long"
+            ).json(la)
+            right = spark.readStream.schema(
+                "user_id long, r_ts timestamp, r_id long"
+            ).json(ra)
+            return stream_stream_symmetric_join(left, right, tolerance="30 minutes")
+
+        got = _run_stream(spark, la, build, f"{tmp}/ckpt")
+        assert sorted((r["l_id"], r["r_id"]) for r in got) == [(100, 200), (100, 201)]
