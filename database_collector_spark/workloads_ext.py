@@ -574,6 +574,39 @@ FROM documents
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent word-bigrams (freq >= N/2000) over the documents corpus
+    via two-phase Misra-Gries candidates + exact recount
+    (operators/heavyhitters.py). The result set equals the exact
+    GROUP BY + HAVING answer, so the oracle is plain SQL — no verdict
+    column needed; the approximation lives only in the shuffle-avoiding
+    candidate pruning, which can over-retain but never lose a true
+    heavy hitter."""
+    from database_collector_spark.operators import heavyhitters, text
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(text.grams_of(text.tokens_col(), n=2)).alias("gram")
+    )
+    return heavyhitters.heavy_hitters(
+        grams, item_col="gram", threshold_num=1, threshold_den=2000
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT t[i] || ' ' || t[i+1] AS gram
+  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
+  WHERE i <= len(t) - 1
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams
+GROUP BY gram
+HAVING COUNT(*) * 2000 >= (SELECT COUNT(*) FROM grams)
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame extraction end-to-end: synthesize concatenated-P6
     "videos" JVM-side (1 + doc_id%6 frames, per-frame dims varying so
@@ -662,6 +695,7 @@ QUERIES_EXT = {
     "dedup_embedding_lsh_multi": q_dedup_embedding_lsh_multi,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES_EXT = {
@@ -686,4 +720,5 @@ ORACLES_EXT = {
     "dedup_embedding_lsh_multi": _sql_dedup_embedding_lsh_multi(),
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
 }

@@ -1,0 +1,64 @@
+"""Heavy hitters (operators/heavyhitters.py): two-phase MG + exact recount."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_collector_spark.operators import heavyhitters
+
+
+def _items(spark, vals, parts=8):
+    return (
+        spark.createDataFrame([(v,) for v in vals], "item string")
+        .repartition(parts)
+    )
+
+
+def test_heavy_hitters_equals_exact_having(spark):
+    # skewed stream: 'hot' 300x, 'warm' 40x, tail of 660 singletons;
+    # result must equal the exact GROUP BY + HAVING answer
+    vals = ["hot"] * 300 + ["warm"] * 40 + [f"t{i}" for i in range(660)]
+    items = _items(spark, vals)
+    got = {
+        r["item"]: r["n"]
+        for r in heavyhitters.heavy_hitters(
+            items, threshold_num=1, threshold_den=50
+        ).collect()
+    }
+    # N=1000, threshold = N/50 = 20: hot and warm qualify, tail doesn't
+    assert got == {"hot": 300, "warm": 40}
+
+
+def test_heavy_hitters_boundary_is_exact_integer(spark):
+    # item at EXACTLY phi*N must be included (>=, integer arithmetic)
+    vals = ["edge"] * 20 + [f"t{i}" for i in range(980)]
+    items = _items(spark, vals)
+    got = heavyhitters.heavy_hitters(
+        items, threshold_num=1, threshold_den=50
+    ).collect()
+    assert {r["item"] for r in got} == {"edge"}
+
+
+def test_mg_candidates_never_lose_true_heavy_hitter(spark):
+    # adversarial: capacity far below distinct count, hitter spread
+    # across every partition — candidate set must still contain it
+    vals = (["hh"] * 200 + [f"u{i}" for i in range(2000)]) * 1
+    cands = {
+        r["item"]
+        for r in heavyhitters.mg_candidates(
+            _items(spark, vals, parts=16), item_col="item", capacity=11
+        ).collect()
+    }
+    assert "hh" in cands
+
+
+def test_heavy_hitters_plan_broadcasts_candidates(spark):
+    items = _items(spark, ["a"] * 10 + ["b"] * 2)
+    plan = (
+        heavyhitters.heavy_hitters(items, threshold_num=1, threshold_den=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # candidate set and total are broadcast; the item universe is never
+    # sort-merge joined or exact-grouped without pruning
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
