@@ -17,6 +17,7 @@ database-collector.go:207-212) and never appear in plans or logs.
 from __future__ import annotations
 
 import time
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -24,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from database_collector_spark.operators.enrich import enrich
 from database_collector_spark.plans.metric_config import load_specs, melt_to_samples
-from database_collector_spark.sources.registry import discover
+from database_collector_spark.sources.registry import (
+    MAX_TARGETS,
+    discover,
+    overflow_count,
+)
 
 
 @dataclass
@@ -94,6 +99,21 @@ def run_once(
     point the reference's sql.Open/Ping fails.
     """
     targets = [r.asDict() for r in discover(registry).collect()]
+    # the driver-side target list is bounded by discover()'s page cap
+    # (reference parity, MaxResults=100) — but a larger registry must not
+    # TRUNCATE silently: when the capped listing comes back full, count
+    # the uncapped eligibles and warn about the dropped remainder
+    if len(targets) >= MAX_TARGETS:
+        dropped = overflow_count(registry)
+        if dropped:
+            warnings.warn(
+                f"registry holds {MAX_TARGETS + dropped} enabled targets; "
+                f"page cap {MAX_TARGETS} drops {dropped} this tick (first "
+                f"{MAX_TARGETS} by secret_name collected). Raise "
+                "discover(max_targets=...) or shard the registry.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     results: list[CollectResult] = []
     union_df: DataFrame | None = None
     for t in targets:

@@ -51,6 +51,19 @@ def discover(registry: DataFrame, *, max_targets: int = MAX_TARGETS) -> DataFram
     )
 
 
+def overflow_count(registry: DataFrame, *, max_targets: int = MAX_TARGETS) -> int:
+    """How many ENABLED targets exceed the page cap (0 when within it).
+
+    The reference's MaxResults-100 listing silently truncates a larger
+    registry (secrets-manager.go:33 never paginates); ``discover``
+    reproduces the cap but the pipeline WARNS on truncation instead of
+    silently dropping targets — call this only when the capped listing
+    came back full, so the extra count() action is paid exactly when
+    truncation is possible."""
+    n = registry.filter(F.col("tags").getItem(ENABLED_TAG).isNotNull()).count()
+    return max(0, n - max_targets)
+
+
 def rejects(registry: DataFrame) -> DataFrame:
     """Tagged targets whose engine is unknown — the reference logs and
     skips these (database-collector.go:67-69)."""

@@ -258,3 +258,39 @@ def test_compact_partitions_one_file_per_date(spark):
             assert len(glob.glob(f"{tmp}/ts/ds={ds}/*.parquet")) == 1
         # content survives byte-for-byte in row terms
         assert read_timeseries(spark, f"{tmp}/ts").count() == 6
+
+
+def test_run_once_warns_on_registry_overflow(spark):
+    # >MAX_TARGETS enabled targets: the tick still runs (capped at 100 by
+    # secret_name) but truncation is WARNED, never silent
+    import warnings as _warnings
+
+    from database_collector_spark.pipeline import run_once
+
+    rows = [
+        Row(
+            secret_name=f"db-{i:04d}",
+            engine="postgres",
+            host="h",
+            port=5432,
+            username="u",
+            password="p",
+            dbname="d",
+            tags={"database-collector:enabled": "true"},
+        )
+        for i in range(120)
+    ]
+    registry = spark.createDataFrame(rows, SOURCES_REGISTRY_SCHEMA)
+    seen = []
+
+    def scrape(spark_, target, config):
+        raise RuntimeError("fail-soft")
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        results = run_once(
+            spark, registry, {"postgres": "x"}, scrape, lambda df: seen.append(df)
+        )
+    assert len(results) == 100  # capped
+    msgs = [str(w.message) for w in caught]
+    assert any("drops 20" in m and "page cap 100" in m for m in msgs)
