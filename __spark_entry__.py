@@ -44,33 +44,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # Round-5 rotation: the 29 queries whose only oracle row was round 1
-    # (pytest-pinned but stale while the harness changed underneath them)
-    # rotate into the window so every query has a fresh-or-r4 row.
-    "set_ops", "limit_cap", "semi_anti_orders", "correlated_avg_filter",
-    "window_running", "string_funcs", "date_rollup", "case_having",
-    "argmax_customer", "exact_percentiles", "cube_counts", "unpivot_melt",
-    "ann_ivf_probe", "ann_ivf_multiprobe", "window_frames", "date_funcs",
-    "stats_moments", "range_join_buckets", "grouping_sets", "array_funcs",
-    "tfidf_top_terms", "skew_salted_join", "market_share", "top_supplier",
-    "cust_order_distribution", "gap_detect", "decile_stats",
-    "sample_stratified", "text_token_stats",
-    # changed or new this round (decile_stats/gap_detect above too):
-    # approx_distinct gained an oracle, sessionization's oracle gained the
-    # floor(epoch) cast, ttl_expiry_counts + multimodal_decode are new
-    "approx_distinct", "sessionization", "ttl_expiry_counts",
-    "multimodal_decode", "dedup_spans", "events_sliding", "ann_pq_codes",
-    "ann_pq_adc", "approx_quantiles", "scd1_upsert",
-    # dependents of round-5 code changes (graph.py fallback, multimodal
-    # decode tiers) — re-evidence even though their own plans are unchanged
-    "dedup_clusters", "curation_full", "multimodal_features",
-    # canaries (green r4): flagship parity + previously-fixed rows, filling
-    # the window to EXACTLY 50 — entries past 50 get no row, so this list
-    # must never exceed the cap
-    "pricing_summary", "long_running_sessions", "grouped_counter",
-    "engine_dispatch", "label_enrich", "shipping_priority",
-    "asof_join",
-    "dedup_embedding_lsh_multi",
+    # Round-6 rotation: the 37 queries whose latest oracle row is round 4
+    # rotate back in, so no query's green evidence is older than two
+    # rounds.
+    "ann_ivf_kmeans", "ann_lsh_buckets", "conditional_agg",
+    "crossmodal_join", "curation_pipeline", "decontaminate",
+    "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "doc_fingerprint",
+    "engine_rejects", "events_hourly", "hash_split", "histogram_metrics",
+    "json_struct_parse", "kv_numeric_parse", "kv_pivot_wide", "lang_id",
+    "length_trim", "lexical_diversity", "mixture_sample", "quality_score",
+    "registry_diff", "repetition_stats", "rollup_counts", "sequence_pack",
+    "similarity_topk", "sorted_list_agg", "summary_quantiles",
+    "text_normalize", "token_estimate", "topk_per_group",
+    # new gates this round: real frame demux, SCD-2 history, symmetric
+    # interval join batch twin, MG heavy hitters, CDC apply with deletes,
+    # incremental aggregate maintenance
+    "multimodal_frames", "scd2_history", "interval_join_events",
+    "heavy_hitters", "cdc_apply", "incremental_agg",
+    # touched by round-6 code changes: scd1's fixture lost its
+    # nondeterministic key-0 collision; graph.py escalation/budget changed
+    # under dedup_clusters + curation_full; multimodal extract_features
+    # gained nullable-int output arrays under multimodal_features/_decode
+    "scd1_upsert", "dedup_clusters", "curation_full",
+    "multimodal_features", "multimodal_decode",
+    # canaries (green r5): flagship parity rows, filling the window to
+    # EXACTLY 50 — entries past 50 get no row, so this list must never
+    # exceed the cap
+    "pricing_summary", "long_running_sessions",
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 

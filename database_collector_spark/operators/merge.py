@@ -53,6 +53,50 @@ def scd1_merge(
     )
 
 
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key: str,
+    version_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change stream (upserts AND deletes) to a snapshot —
+    the full MERGE INTO WHEN MATCHED [AND op='D'] THEN DELETE shape.
+
+    ``changes`` carries ``op_col`` with 'U' (upsert) or 'D' (delete);
+    ``base`` rows are implicit version-0 upserts. Per key the row with
+    the highest version wins (change rows beat base on ties, the
+    scd1_merge redelivery rule); if that winner is a delete the key
+    vanishes from the output. This is latest-wins + tombstone filtering
+    in ONE keyed window pass — the same single-shuffle plan as
+    scd1_merge, because a delete is just an update whose payload is
+    "absence". Output schema = base schema (op column dropped).
+
+    At 100 TB this is how a Debezium/binlog feed folds into a lake
+    snapshot without a lake format: union + one window shuffle +
+    partitioned overwrite, tombstones never reaching the sink."""
+    src_tag, rank = "__scd_src__", "__scd_rn__"
+    reserved = {src_tag, rank}
+    clash = reserved & set(base.columns) | reserved & set(changes.columns)
+    assert not clash, f"reserved merge helper column(s) present in input: {clash}"
+    assert op_col in changes.columns, f"changes is missing op column {op_col!r}"
+    assert op_col not in base.columns, (
+        f"base must not carry the op column {op_col!r} (it is implicit 'U')"
+    )
+    tagged = base.withColumn(op_col, F.lit("U")).withColumn(
+        src_tag, F.lit(0)
+    ).unionByName(changes.withColumn(src_tag, F.lit(1)))
+    w = Window.partitionBy(key).orderBy(
+        F.col(version_col).desc(), F.col(src_tag).desc()
+    )
+    return (
+        tagged.withColumn(rank, F.row_number().over(w))
+        .filter((F.col(rank) == 1) & (F.col(op_col) != "D"))
+        .drop(rank, src_tag, op_col)
+    )
+
+
 def scd2_merge(
     base: DataFrame,
     delta: DataFrame,

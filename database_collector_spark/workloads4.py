@@ -413,6 +413,125 @@ FROM hist GROUP BY 1, 2
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with deletes (operators/merge.py::cdc_apply): orders as
+    the snapshot, a change stream of upserts (every 10th key: status X,
+    +1.00, version 1) and later deletes (every 7th key, version 2).
+    Delete-wins keys vanish; the post-apply state aggregates per status.
+    Versions are strictly ordered so every key's outcome is
+    deterministic."""
+    from database_collector_spark.operators.merge import cdc_apply
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+        F.lit(0).alias("version"),
+    )
+    upserts = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("cents") + 100).alias("cents"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "cents",
+        F.lit(2).alias("version"),
+        F.lit("D").alias("op"),
+    )
+    applied = cdc_apply(
+        base,
+        upserts.unionByName(deletes),
+        key="o_orderkey",
+        version_col="version",
+    )
+    return applied.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents_sum")
+    )
+
+
+SQL_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         0 AS version, 'U' AS op, 0 AS _src
+  FROM orders
+),
+chg AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, cents + 100 AS cents,
+         1 AS version, 'U' AS op, 1 AS _src
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, cents, 2, 'D', 1
+  FROM base WHERE o_orderkey % 7 = 0
+),
+m AS (
+  SELECT o_orderkey, o_orderstatus, cents, op FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY version DESC, _src DESC) AS rn
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM chg) u) t
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM m GROUP BY 1
+"""
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    "yesterday's" aggregate (orders with o_orderkey%3 != 0) merged with
+    today's delta (the %3 == 0 rows, including a retraction pair that
+    cancels itself) must equal the from-scratch aggregate over ALL
+    orders — which is exactly what the oracle computes, so the gate pins
+    the maintenance identity itself, not the mechanics."""
+    from database_collector_spark.operators.incremental import delta_agg, merge_agg
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("cents")
+    )
+    base_agg = delta_agg(
+        orders.filter(F.col("o_orderkey") % 3 != 0),
+        group_cols=["o_orderstatus"],
+        sum_cols={"cents": "cents_sum"},
+    )
+    fresh = orders.filter(F.col("o_orderkey") % 3 == 0)
+    # a self-cancelling retraction: one synthetic row + its negation —
+    # the merged result must be unaffected (additive-fold absorption)
+    wiggle = spark.createDataFrame(
+        [(-1, "Z", 500), (-1, "Z", -500)],
+        "o_orderkey long, o_orderstatus string, cents long",
+    )
+    merged = merge_agg(
+        base_agg,
+        fresh.unionByName(wiggle),
+        group_cols=["o_orderstatus"],
+        sum_cols={"cents": "cents_sum"},
+    )
+    # the Z group keeps count 2 (two physical rows) but nets to 0 cents;
+    # drop it the way a real pipeline drops fully-retracted groups —
+    # count-negated retractions: emit (-1-count) rows... simpler: the
+    # wiggle rows model a same-batch correction, so Z survives with n=2,
+    # cents_sum=0, and the oracle reproduces that pair explicitly.
+    return merged
+
+
+SQL_INCREMENTAL_AGG = """
+WITH all_rows AS (
+  SELECT o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL SELECT 'Z', 500
+  UNION ALL SELECT 'Z', -500
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM all_rows GROUP BY 1
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
@@ -421,6 +540,8 @@ QUERIES4 = {
     "decile_stats": q_decile_stats,
     "scd1_upsert": q_scd1_upsert,
     "scd2_history": q_scd2_history,
+    "cdc_apply": q_cdc_apply,
+    "incremental_agg": q_incremental_agg,
 }
 
 ORACLES4 = {
@@ -431,4 +552,6 @@ ORACLES4 = {
     "decile_stats": SQL_DECILE_STATS,
     "scd1_upsert": SQL_SCD1_UPSERT,
     "scd2_history": SQL_SCD2_HISTORY,
+    "cdc_apply": SQL_CDC_APPLY,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
 }

@@ -124,3 +124,68 @@ def test_scd2_reserved_output_names_rejected(spark):
     delta = spark.createDataFrame([(1, 1, "y")], "k long, version long, valid_to string")
     with pytest.raises(AssertionError, match="reserved merge"):
         scd2_merge(base, delta, key="k", version_col="version")
+
+
+def test_cdc_apply_upserts_and_deletes(spark):
+    from database_collector_spark.operators.merge import cdc_apply
+
+    base = _df(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)])
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 1, "U"),   # update
+            (3, "c", 1, "D"),   # delete
+            (9, "new", 1, "U"),  # insert
+            (9, "gone", 2, "D"),  # ...then deleted at a later version
+        ],
+        "k long, val string, version long, op string",
+    )
+    got = {
+        r["k"]: r["val"]
+        for r in cdc_apply(base, changes, key="k", version_col="version").collect()
+    }
+    assert got == {1: "a", 2: "B"}
+
+
+def test_cdc_apply_single_shuffle_and_schema(spark):
+    from database_collector_spark.operators.merge import cdc_apply
+
+    base = _df(spark, [(1, "a", 0)])
+    changes = spark.createDataFrame(
+        [(1, "A", 1, "U")], "k long, val string, version long, op string"
+    )
+    out = cdc_apply(base, changes, key="k", version_col="version")
+    assert out.columns == ["k", "val", "version"]  # op dropped
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_incremental_merge_matches_from_scratch_and_absorbs_retraction(spark):
+    from database_collector_spark.operators.incremental import delta_agg, merge_agg
+
+    rows = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("a", 7), ("b", 1)], "g string, v long"
+    )
+    yesterday = rows.filter("v >= 5")   # (a,10) (a,20) (b,5) (a,7)
+    today = rows.filter("v < 5")        # (b,1)
+    base_agg = delta_agg(
+        yesterday, group_cols=["g"], sum_cols={"v": "v_sum"}
+    )
+    rest = today
+    # retraction: remove one previously-counted ('a', 20) contribution
+    retract = spark.createDataFrame([("a", -20)], "g string, v long")
+    # hand-build the retraction's delta-agg row with count -1
+    from pyspark.sql import functions as F
+
+    retract_agg = retract.groupBy("g").agg(
+        F.lit(-1).alias("n"), F.sum("v").alias("v_sum")
+    )
+    merged = merge_agg(
+        base_agg.unionByName(retract_agg),
+        rest,
+        group_cols=["g"],
+        sum_cols={"v": "v_sum"},
+    )
+    got = {r["g"]: (r["n"], r["v_sum"]) for r in merged.collect()}
+    # from scratch minus the retracted (a,20): a -> (10, 7), b -> (5, 1)
+    assert got == {"a": (2, 17), "b": (2, 6)}
