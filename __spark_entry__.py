@@ -62,17 +62,17 @@ _CHECK_FIRST = [
     # interval join batch twin, MG heavy hitters, CDC apply with deletes,
     # incremental aggregate maintenance
     "multimodal_frames", "scd2_history", "interval_join_events",
-    "heavy_hitters", "cdc_apply", "incremental_agg",
+    "heavy_hitters", "cdc_apply", "incremental_agg", "snapshot_diff",
     # touched by round-6 code changes: scd1's fixture lost its
     # nondeterministic key-0 collision; graph.py escalation/budget changed
     # under dedup_clusters + curation_full; multimodal extract_features
     # gained nullable-int output arrays under multimodal_features/_decode
     "scd1_upsert", "dedup_clusters", "curation_full",
     "multimodal_features", "multimodal_decode",
-    # canaries (green r5): flagship parity rows, filling the window to
+    # canary (green r5): the entry() flagship, filling the window to
     # EXACTLY 50 — entries past 50 get no row, so this list must never
     # exceed the cap
-    "pricing_summary", "long_running_sessions",
+    "pricing_summary",
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 

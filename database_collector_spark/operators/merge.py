@@ -97,6 +97,62 @@ def cdc_apply(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Generate the CDC change set that turns snapshot ``old`` into
+    ``new`` — the inverse of ``cdc_apply``: inserts ('I'), updates
+    ('U', any non-key column differs), deletes ('D', key vanished).
+    Unchanged rows are omitted. Delete rows carry the OLD row's values
+    (there is no new row to carry); inserts/updates carry the new row's.
+
+    Plan: ONE full-outer join on the key (both sides shuffle once —
+    unavoidable: the diff must see both versions of every key), with the
+    row comparison as a struct equality on the join output — no
+    per-column join conditions, no second pass. This is the data-plane
+    generalization of registry refresh_diff (sources/registry.py, which
+    diffs only membership); at 100 TB it is how a nightly snapshot pair
+    becomes the delta feed for cdc_apply/merge_agg consumers."""
+    assert op_col not in old.columns and op_col not in new.columns, (
+        f"op column {op_col!r} already present in input"
+    )
+    value_cols = [c for c in old.columns if c != key]
+    o = old.alias("__old__")
+    n = new.alias("__new__")
+    ok, nk = F.col(f"__old__.{key}"), F.col(f"__new__.{key}")
+    joined = o.join(n, ok == nk, "full_outer")
+    # null-safe struct comparison: a NULL in any value column must read
+    # as "differs from non-NULL", not as unknown (plain != would yield
+    # NULL and the row would silently drop as unchanged)
+    changed = ~F.struct(
+        *[F.col(f"__old__.{c}") for c in value_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"__new__.{c}") for c in value_cols]))
+    op = (
+        F.when(ok.isNull(), F.lit("I"))
+        .when(nk.isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    side = F.when(op == "D", F.lit("__old__")).otherwise(F.lit("__new__"))
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            F.coalesce(nk, ok).alias(key),
+            *[
+                F.when(
+                    side == "__old__", F.col(f"__old__.{c}")
+                ).otherwise(F.col(f"__new__.{c}")).alias(c)
+                for c in value_cols
+            ],
+            op_col,
+        )
+    )
+
+
 def scd2_merge(
     base: DataFrame,
     delta: DataFrame,

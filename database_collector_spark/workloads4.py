@@ -532,6 +532,73 @@ FROM all_rows GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-set generation (operators/merge.py::snapshot_diff):
+    "old" = orders as-is; "new" = orders with every 10th key's price
+    bumped (update), every 97th key dropped (delete), and a negated-key
+    copy of every 53rd key added (insert). The diff must emit exactly
+    those I/U/D rows — aggregated per (op, status) so the gate hashes
+    the full change classification. Keys hit by both rules exercise
+    precedence (a dropped key can't also update)."""
+    from database_collector_spark.operators.merge import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("cents")
+    )
+    kept = old.filter(F.col("o_orderkey") % 97 != 0)
+    bumped = kept.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    inserted = old.filter(F.col("o_orderkey") % 53 == 0).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "cents",
+    )
+    new = bumped.unionByName(inserted)
+    diff = snapshot_diff(old, new, key="o_orderkey")
+    return diff.groupBy("op", "o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents_sum")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM old WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT -o_orderkey - 1, 'N', cents FROM old WHERE o_orderkey % 53 = 0
+),
+d AS (
+  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN n.o_orderstatus
+              WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+              ELSE n.o_orderstatus END AS o_orderstatus,
+         CASE WHEN o.o_orderkey IS NULL THEN n.cents
+              WHEN n.o_orderkey IS NULL THEN o.cents
+              ELSE n.cents END AS cents,
+         CASE WHEN o.o_orderkey IS NULL THEN 'I'
+              WHEN n.o_orderkey IS NULL THEN 'D'
+              WHEN n.o_orderstatus <> o.o_orderstatus OR n.cents <> o.cents THEN 'U'
+              END AS op
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT op, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM d WHERE op IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
@@ -542,6 +609,7 @@ QUERIES4 = {
     "scd2_history": q_scd2_history,
     "cdc_apply": q_cdc_apply,
     "incremental_agg": q_incremental_agg,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES4 = {
@@ -554,4 +622,5 @@ ORACLES4 = {
     "scd2_history": SQL_SCD2_HISTORY,
     "cdc_apply": SQL_CDC_APPLY,
     "incremental_agg": SQL_INCREMENTAL_AGG,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
 }

@@ -189,3 +189,54 @@ def test_incremental_merge_matches_from_scratch_and_absorbs_retraction(spark):
     got = {r["g"]: (r["n"], r["v_sum"]) for r in merged.collect()}
     # from scratch minus the retracted (a,20): a -> (10, 7), b -> (5, 1)
     assert got == {"a": (2, 17), "b": (2, 6)}
+
+
+def test_snapshot_diff_classifies_iud(spark):
+    from database_collector_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, val string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (5, None)], "k long, val string"
+    )
+    got = {
+        r["k"]: (r["val"], r["op"])
+        for r in snapshot_diff(old, new, key="k").collect()
+    }
+    # 1 unchanged (omitted), 2 updated, 3 deleted (old values), 4+5 inserted
+    assert got == {
+        2: ("B", "U"),
+        3: (None, "D"),
+        4: ("d", "I"),
+        5: (None, "I"),
+    }
+
+
+def test_snapshot_diff_null_transitions_are_updates(spark):
+    # NULL -> value and value -> NULL must classify as 'U', not silently
+    # drop (null-safe struct comparison)
+    from database_collector_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, val string")
+    new = spark.createDataFrame([(1, "v"), (2, None)], "k long, val string")
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, key="k").collect()}
+    assert got == {1: "U", 2: "U"}
+
+
+def test_snapshot_diff_then_cdc_apply_roundtrips(spark):
+    from database_collector_spark.operators.merge import cdc_apply, snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)], "k long, val string, version long"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 0), (2, "B", 0), (9, "new", 0)], "k long, val string, version long"
+    )
+    changes = snapshot_diff(old, new, key="k").withColumn(
+        "version", F.lit(1)
+    ).withColumn("op", F.when(F.col("op") == "D", "D").otherwise("U"))
+    applied = cdc_apply(old, changes, key="k", version_col="version")
+    got = {r["k"]: r["val"] for r in applied.collect()}
+    assert got == {r["k"]: r["val"] for r in new.collect()}
