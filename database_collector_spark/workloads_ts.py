@@ -501,6 +501,135 @@ GROUP BY p.event_id
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event stream: per user, how deep
+    into view -> click -> purchase they progressed, where each step must
+    occur strictly AFTER the earliest occurrence of the previous step and
+    within a 24 h conversion horizon of it (the horizon is what makes the
+    funnel a funnel — without it every active user trivially completes);
+    output = users per deepest step.
+
+    Shape: ONE shuffle on user_id with conditional min-aggregations —
+    step 1 anchor = min(view ts); step 2 = min(click ts > anchor1);
+    step 3 = min(purchase ts > anchor2). The step-2/3 conditions need the
+    previous anchor, which a plain agg can't reference — so the funnel is
+    a two-level conditional aggregate: first collect per-user ordered
+    step timestamps via min-over-filter on the SAME groupBy (computed as
+    structs in one pass), then compare. At 100 TB this stays one
+    user-keyed exchange; no self-joins, no windows over the full stream.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = F.col("ts").cast("timestamp_ltz").cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", s)).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", s))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", s))
+        ).alias("purchases"),
+    )
+    # earliest in-horizon click strictly after t1; earliest in-horizon
+    # purchase strictly after that click — array_min over a filtered
+    # sorted array (per-row expression on the already-aggregated frame,
+    # no second shuffle)
+    h = 86400
+    t2 = F.array_min(
+        F.filter("clicks", lambda c: (c > F.col("t1")) & (c <= F.col("t1") + h))
+    )
+    stepped = per_user.withColumn("t2", t2).withColumn(
+        "t3",
+        F.array_min(
+            F.filter(
+                "purchases",
+                lambda p: (p > F.col("t2")) & (p <= F.col("t2") + h),
+            )
+        ),
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        stepped.select(depth.cast("int").alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+),
+u AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN s END) AS t1
+  FROM e GROUP BY user_id
+),
+u2 AS (
+  SELECT u.user_id, u.t1,
+         MIN(CASE WHEN e.event_type = 'click' AND e.s > u.t1
+                   AND e.s <= u.t1 + 86400 THEN e.s END) AS t2
+  FROM u LEFT JOIN e ON e.user_id = u.user_id
+  GROUP BY u.user_id, u.t1
+),
+u3 AS (
+  SELECT u2.user_id, u2.t1, u2.t2,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.s > u2.t2
+                   AND e.s <= u2.t2 + 86400 THEN e.s END) AS t3
+  FROM u2 LEFT JOIN e ON e.user_id = u2.user_id
+  GROUP BY u2.user_id, u2.t1, u2.t2
+)
+SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END AS INT) AS funnel_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u3 GROUP BY 1
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    day (cohort), counted by how many distinct day-offsets later they
+    returned — the canonical engagement query.
+
+    Shape: per-user first day is one user-keyed aggregate; the (cohort,
+    offset) matrix is a second aggregate over (user, day) distinct
+    activity — both shuffles shrink the data (users, then cohort x
+    offset). The first-day frame re-joins the activity by user_id; at
+    100 TB that join is a shuffle join on the SAME user key the
+    first aggregate produced (co-partitioned, no extra exchange under
+    AQE) — never a window over the raw stream."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+fd AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id)
+SELECT fd.cohort_day,
+       CAST(date_diff('day', fd.cohort_day, a.d) AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN fd ON a.user_id = fd.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
@@ -515,6 +644,8 @@ QUERIES_TS = {
     "approx_quantiles": q_approx_quantiles,
     "ttl_expiry_counts": q_ttl_expiry_counts,
     "interval_join_events": q_interval_join_events,
+    "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLES_TS = {
@@ -533,4 +664,6 @@ ORACLES_TS = {
     "approx_quantiles": SQL_APPROX_QUANTILES,
     "ttl_expiry_counts": SQL_TTL_EXPIRY_COUNTS,
     "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
+    "funnel_steps": SQL_FUNNEL_STEPS,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }
