@@ -341,3 +341,14 @@ def test_sketch_helpers_have_no_exact_aggregate_or_sort(spark):
     assert "percentile(" not in p2.replace("percentile_approx(", "")
     assert "Sort " not in p2
     assert p2.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_has_no_join_and_two_shrinking_exchanges(spark):
+    # the funnel is ONE user-keyed aggregate + a tiny depth re-aggregate:
+    # no self-join of the event stream (the naive 3-way formulation), no
+    # window over raw events
+    from database_collector_spark.workloads_ts import q_funnel_steps
+
+    plan = _plan(q_funnel_steps(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
