@@ -630,6 +630,136 @@ GROUP BY 1, 2
 """
 
 
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style ``rate()`` with counter-reset correction — THE
+    canonical consumer-side operation for the counter series this
+    collector ships (prometheus.go emits monotonic counters; any decrease
+    means the process restarted and the counter restarted from ~0).
+
+    Per series (user_id), order samples by time: each step's increase is
+    ``cur - prev``, except after a reset (cur < prev) where the whole
+    ``cur`` value counts (PromQL's extrapolation-free reset rule).
+    rate = total increase / observed span. One lag window + one aggregate
+    on the SAME user_id partitioning — a single shuffle at any scale.
+    Money-grade determinism: increases accumulate in integer cents; the
+    final division is one double round."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = F.col("ts").cast("timestamp_ltz").cast("long")
+    stepped = ev.select(
+        "user_id",
+        s.alias("s"),
+        cents.alias("v"),
+        F.lag(cents).over(w).alias("prev_v"),
+    )
+    inc = F.when(F.col("prev_v").isNull(), F.lit(0)).otherwise(
+        F.when(F.col("v") < F.col("prev_v"), F.col("v")).otherwise(
+            F.col("v") - F.col("prev_v")
+        )
+    )
+    reset = (
+        F.col("prev_v").isNotNull() & (F.col("v") < F.col("prev_v"))
+    ).cast("long")
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(inc).alias("inc_cents"),
+            F.sum(reset).alias("n_resets"),
+            (F.max("s") - F.min("s")).alias("span_s"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            "n_resets",
+            F.round(
+                F.col("inc_cents").cast("double")
+                / 100.0
+                / F.col("span_s").cast("double"),
+                8,
+            ).alias("rate_per_s"),
+        )
+    )
+
+
+SQL_COUNTER_RATE = """
+WITH s AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(ROUND(value * 100) AS BIGINT) AS v,
+         LAG(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+  FROM events
+),
+a AS (
+  SELECT user_id,
+         SUM(CASE WHEN prev_v IS NULL THEN 0
+                  WHEN v < prev_v THEN v ELSE v - prev_v END) AS inc_cents,
+         CAST(SUM(CASE WHEN prev_v IS NOT NULL AND v < prev_v THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+         MAX(s) - MIN(s) AS span_s
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n_resets,
+       round(CAST(inc_cents AS DOUBLE) / 100.0 / CAST(span_s AS DOUBLE), 8) AS rate_per_s
+FROM a WHERE span_s > 0
+"""
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on metric series: per user,
+    flag samples deviating from the trailing-10-sample mean by more than
+    2 trailing standard deviations; emit per-user anomaly counts.
+
+    The flag is decided in EXACT integer arithmetic — with trailing sums
+    s1 = Σv, s2 = Σv², n over the preceding frame (integer cents),
+    |v - s1/n| > 2σ  ⟺  (n·v - s1)² > 4·(n·s2 - s1²) — so no
+    float-boundary sample can classify differently across engines (the
+    decile_stats/exact-moments convention applied to a rolling frame).
+    One user-keyed sort carries both rolling sums and the aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    stat = ev.select(
+        "user_id",
+        cents.alias("v"),
+        F.count("*").over(w).alias("n"),
+        F.sum(cents).over(w).alias("s1"),
+        F.sum(cents * cents).over(w).alias("s2"),
+    )
+    lhs = (F.col("n") * F.col("v") - F.col("s1")) ** F.lit(2)
+    rhs = 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    anomaly = F.when(
+        (F.col("n") >= 5) & (lhs.cast("decimal(38,0)") > rhs.cast("decimal(38,0)")),
+        1,
+    ).otherwise(0)
+    return stat.groupBy("user_id").agg(
+        F.count("*").alias("n_samples"),
+        F.sum(anomaly).cast("long").alias("n_anomalies"),
+    )
+
+
+SQL_ROLLING_ZSCORE = """
+WITH s AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+         COUNT(*)  OVER w AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS s1,
+         SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN n >= 5
+                      AND CAST((n*v - s1) AS DECIMAL(38,0)) * CAST((n*v - s1) AS DECIMAL(38,0))
+                        > CAST(4*(n*s2 - s1*s1) AS DECIMAL(38,0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM s GROUP BY user_id
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
@@ -646,6 +776,8 @@ QUERIES_TS = {
     "interval_join_events": q_interval_join_events,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
+    "counter_rate": q_counter_rate,
+    "rolling_zscore": q_rolling_zscore,
 }
 
 ORACLES_TS = {
@@ -666,4 +798,6 @@ ORACLES_TS = {
     "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
     "funnel_steps": SQL_FUNNEL_STEPS,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "counter_rate": SQL_COUNTER_RATE,
+    "rolling_zscore": SQL_ROLLING_ZSCORE,
 }
