@@ -62,11 +62,14 @@ def mg_candidates(
                 summary = summary - kth
                 summary = summary[summary > 0]
         if len(summary):
-            yield pd.DataFrame({item_col: summary.index.astype(str)})
+            yield pd.DataFrame({item_col: summary.index})
 
+    # candidate schema mirrors the INPUT column's type (a string-typed
+    # candidate frame would silently cast-join against e.g. long items)
+    field = items.schema[item_col]
     return items.mapInPandas(
         _partition,
-        schema=T.StructType([T.StructField(item_col, T.StringType(), False)]),
+        schema=T.StructType([T.StructField(item_col, field.dataType, True)]),
     ).distinct()
 
 

@@ -62,3 +62,13 @@ def test_heavy_hitters_plan_broadcasts_candidates(spark):
     # sort-merge joined or exact-grouped without pruning
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_preserves_non_string_item_type(spark):
+    items = (
+        spark.createDataFrame([(7,)] * 30 + [(i,) for i in range(100, 170)], "item long")
+        .repartition(4)
+    )
+    out = heavyhitters.heavy_hitters(items, threshold_num=1, threshold_den=10)
+    assert dict(out.dtypes)["item"] == "bigint"
+    assert {r["item"]: r["n"] for r in out.collect()} == {7: 30}
