@@ -72,3 +72,30 @@ def test_heavy_hitters_preserves_non_string_item_type(spark):
     out = heavyhitters.heavy_hitters(items, threshold_num=1, threshold_den=10)
     assert dict(out.dtypes)["item"] == "bigint"
     assert {r["item"]: r["n"] for r in out.collect()} == {7: 30}
+
+
+def test_heavy_hitters_random_streams_match_exact(spark):
+    # randomized cross-check: for arbitrary skew profiles and thresholds
+    # the two-phase result must equal the exact Python computation
+    import collections
+    import random
+
+    rng = random.Random(6)
+    for trial in range(4):
+        n_items = rng.randint(50, 400)
+        vals = [f"i{int(rng.expovariate(0.02))}" for _ in range(n_items)]
+        den = rng.choice([10, 25, 50])
+        exact = {
+            k: c
+            for k, c in collections.Counter(vals).items()
+            if c * den >= len(vals)
+        }
+        got = {
+            r["item"]: r["n"]
+            for r in heavyhitters.heavy_hitters(
+                _items(spark, vals, parts=rng.choice([2, 8, 16])),
+                threshold_num=1,
+                threshold_den=den,
+            ).collect()
+        }
+        assert got == exact, f"trial {trial}"
