@@ -73,6 +73,88 @@ def mg_candidates(
     ).distinct()
 
 
+def grouped_mg_candidates(
+    items: DataFrame, *, group_col: str, item_col: str, capacity: int
+) -> DataFrame:
+    """Per-(partition, group) Misra-Gries candidates: one summary of
+    ``capacity`` counters per group per partition, zero shuffle. The MG
+    guarantee applies within each group independently — an item with
+    count >= n_{g,p}/(capacity+1) in some partition's slice of group g
+    is retained — so per-group heavy hitters can never be lost. Executor
+    memory is #groups-in-partition x capacity counters: sized for
+    low-cardinality grouping keys (language, source, split), which is
+    what per-group corpus stats group by."""
+
+    def _partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summaries: dict = {}
+        for pdf in batches:
+            # merge the batch's (group, item) counts, then apply the
+            # mergeable-MG prune per oversized group: subtract that
+            # group's (k+1)-th largest count, drop non-positives
+            counts = pdf.groupby([group_col, item_col]).size()
+            for (g, item), c in counts.items():
+                s = summaries.setdefault(g, {})
+                s[item] = s.get(item, 0) + int(c)
+            for g, s in summaries.items():
+                if len(s) > capacity:
+                    kth = sorted(s.values(), reverse=True)[capacity]
+                    summaries[g] = {
+                        i: c - kth for i, c in s.items() if c - kth > 0
+                    }
+        out_g, out_i = [], []
+        for g, s in summaries.items():
+            for item in s:
+                out_g.append(g)
+                out_i.append(item)
+        if out_g:
+            yield pd.DataFrame({group_col: out_g, item_col: out_i})
+
+    gf = items.schema[group_col]
+    itf = items.schema[item_col]
+    return items.mapInPandas(
+        _partition,
+        schema=T.StructType(
+            [
+                T.StructField(group_col, gf.dataType, True),
+                T.StructField(item_col, itf.dataType, True),
+            ]
+        ),
+    ).distinct()
+
+
+def grouped_heavy_hitters(
+    items: DataFrame,
+    *,
+    group_col: str,
+    item_col: str = "item",
+    threshold_num: int = 1,
+    threshold_den: int = 100,
+) -> DataFrame:
+    """Per-group frequent items: all (group, item) with count >=
+    (num/den) * N_group, with EXACT counts — the grouped twin of
+    ``heavy_hitters`` (same two-phase shape: grouped MG candidates with
+    zero shuffle, then exact recount of the broadcast candidate set; the
+    only full-width shuffle ships the small per-group totals).
+
+    Output: ``(group_col, item_col, n)`` — exactly the rows the exact
+    GROUP BY + HAVING against the per-group total would return."""
+    phi_inv = math.ceil(threshold_den / threshold_num)
+    cands = grouped_mg_candidates(
+        items, group_col=group_col, item_col=item_col, capacity=phi_inv
+    )
+    totals = items.groupBy(group_col).agg(F.count("*").alias("_hh_group_total"))
+    return (
+        items.join(F.broadcast(cands), [group_col, item_col])
+        .groupBy(group_col, item_col)
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(totals), group_col)
+        .filter(
+            F.col("n") * threshold_den >= threshold_num * F.col("_hh_group_total")
+        )
+        .drop("_hh_group_total")
+    )
+
+
 def heavy_hitters(
     items: DataFrame,
     *,

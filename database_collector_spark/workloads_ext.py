@@ -607,6 +607,43 @@ HAVING COUNT(*) * 2000 >= (SELECT COUNT(*) FROM grams)
 """
 
 
+def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language frequent word-bigrams (freq >= N_lang/500): the
+    grouped two-phase MG plan (operators/heavyhitters.py::
+    grouped_heavy_hitters) — per-(partition, language) candidate
+    summaries with zero shuffle, exact recount of the broadcast
+    candidates. Result equals the exact per-group GROUP BY + HAVING, so
+    the oracle is plain SQL."""
+    from database_collector_spark.operators import heavyhitters, text
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang", F.explode(text.grams_of(text.tokens_col(), n=2)).alias("gram")
+    )
+    return heavyhitters.grouped_heavy_hitters(
+        grams,
+        group_col="lang",
+        item_col="gram",
+        threshold_num=1,
+        threshold_den=500,
+    )
+
+
+SQL_HEAVY_HITTERS_BY_LANG = """
+WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT lang, t[i] || ' ' || t[i+1] AS gram
+  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
+  WHERE i <= len(t) - 1
+),
+totals AS (SELECT lang, COUNT(*) AS tot FROM grams GROUP BY lang)
+SELECT g.lang, g.gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams g JOIN totals t ON t.lang = g.lang
+GROUP BY g.lang, g.gram, t.tot
+HAVING COUNT(*) * 500 >= t.tot
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame extraction end-to-end: synthesize concatenated-P6
     "videos" JVM-side (1 + doc_id%6 frames, per-frame dims varying so
@@ -696,6 +733,7 @@ QUERIES_EXT = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "heavy_hitters": q_heavy_hitters,
+    "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
 }
 
 ORACLES_EXT = {
@@ -721,4 +759,5 @@ ORACLES_EXT = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "heavy_hitters_by_lang": SQL_HEAVY_HITTERS_BY_LANG,
 }

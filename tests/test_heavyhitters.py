@@ -99,3 +99,48 @@ def test_heavy_hitters_random_streams_match_exact(spark):
             ).collect()
         }
         assert got == exact, f"trial {trial}"
+
+
+def test_grouped_heavy_hitters_equals_exact_per_group(spark):
+    # per-group thresholds are independent: 'x' is heavy in group a
+    # (6/20 >= 1/4) but the same absolute count in the larger group b
+    # (6/60 < 1/4) is not
+    rows = [("a", "x")] * 6 + [("a", f"t{i}") for i in range(14)]
+    rows += [("b", "x")] * 6 + [("b", "y")] * 20 + [("b", f"u{i}") for i in range(34)]
+    items = spark.createDataFrame(rows, "g string, item string").repartition(8)
+    got = {
+        (r["g"], r["item"]): r["n"]
+        for r in heavyhitters.grouped_heavy_hitters(
+            items, group_col="g", threshold_num=1, threshold_den=4
+        ).collect()
+    }
+    assert got == {("a", "x"): 6, ("b", "y"): 20}
+
+
+def test_grouped_heavy_hitters_random_matches_exact(spark):
+    import collections
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (rng.choice(["g1", "g2", "g3"]), f"i{int(rng.expovariate(0.05))}")
+        for _ in range(600)
+    ]
+    den = 20
+    per_group = collections.defaultdict(collections.Counter)
+    for g, i in rows:
+        per_group[g][i] += 1
+    exact = {
+        (g, i): c
+        for g, cnt in per_group.items()
+        for i, c in cnt.items()
+        if c * den >= sum(cnt.values())
+    }
+    items = spark.createDataFrame(rows, "g string, item string").repartition(16)
+    got = {
+        (r["g"], r["item"]): r["n"]
+        for r in heavyhitters.grouped_heavy_hitters(
+            items, group_col="g", threshold_num=1, threshold_den=den
+        ).collect()
+    }
+    assert got == exact
