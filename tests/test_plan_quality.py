@@ -352,3 +352,24 @@ def test_funnel_has_no_join_and_two_shrinking_exchanges(spark):
     plan = _plan(q_funnel_steps(spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_no_query_uses_row_python_or_cartesian(spark):
+    # blanket invariant over the ENTIRE gate surface: no row-at-a-time
+    # Python UDF (BatchEvalPython) and no CartesianProduct in any query's
+    # physical plan. Arrow-batched Python (ArrowEvalPython / MapInPandas /
+    # FlatMapGroupsInPandas) is the sanctioned slow path; broadcast
+    # nested-loop is allowed only for deliberate 1-row scalar attaches.
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = _plan(fn(spark, SF))
+        bad = []
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"scale-killers in plans: {offenders}"
