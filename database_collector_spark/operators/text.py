@@ -245,3 +245,33 @@ def fingerprint(docs: DataFrame, *, k: int = 8, window: int = 4) -> DataFrame:
             F.array_min("fps").alias("min_fingerprint"),
         )
     )
+
+
+# PII patterns kept to the regex subset where Java (Spark) and RE2
+# (DuckDB/Go) agree exactly: no backrefs, no lookaround, explicit classes
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Redact emails and IPv4 literals — the standard pre-training
+    privacy pass. Zero shuffle: counts (on the ORIGINAL text) and the
+    two-stage regexp_replace are per-row projections that fuse into the
+    scan; at 100 TB the pass costs scan + codegen'd regex only.
+
+    Output: doc_id, scrubbed ``text`` (emails -> <EMAIL>, IPs -> <IP>),
+    n_emails, n_ipv4. Patterns deliberately stay in the Java/RE2-common
+    subset so differential oracles (and a Go/Rust port) match exactly."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ).alias(text_col),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{PII_EMAIL}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{PII_IPV4.replace(chr(92), chr(92)*2)}', 0)"))
+        .cast("long")
+        .alias("n_ipv4"),
+    )

@@ -607,6 +607,64 @@ HAVING COUNT(*) * 2000 >= (SELECT COUNT(*) FROM grams)
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction end-to-end (operators/text.py::pii_scrub): the
+    fixture corpus carries no natural PII, so the gate INJECTS
+    deterministic emails (every 3rd doc) and IPv4s (every 5th doc) in
+    closed form of doc_id on BOTH engines, scrubs, and hashes the
+    redacted text + per-class counts — any pattern/replacement
+    divergence between Java and RE2 regex semantics mismatches."""
+    from database_collector_spark.operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 seen"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(docs).select(
+        "doc_id", F.md5(F.col("text")).alias("scrub_md5"), "n_emails", "n_ipv4"
+    )
+
+
+SQL_PII_SCRUB = """
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 seen'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS scrub_md5,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4
+FROM injected
+"""
+
+
 def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language frequent word-bigrams (freq >= N_lang/500): the
     grouped two-phase MG plan (operators/heavyhitters.py::
@@ -734,6 +792,7 @@ QUERIES_EXT = {
     "multimodal_frames": q_multimodal_frames,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLES_EXT = {
@@ -760,4 +819,5 @@ ORACLES_EXT = {
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "heavy_hitters_by_lang": SQL_HEAVY_HITTERS_BY_LANG,
+    "pii_scrub": SQL_PII_SCRUB,
 }

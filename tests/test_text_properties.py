@@ -108,3 +108,34 @@ def test_span_dedup_matches_python_reference(spark, docs):
             assert got[i] == (len(spans), len(kept), " ".join(kept))
         else:
             assert i not in got
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from database_collector_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach a.b+c@mail.example.org or 192.168.1.254 today"),
+            (2, "no pii here, version 1.2 is not an ip"),
+            (3, "two mails x@y.io z@w.co one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["text"] == "reach <EMAIL> or <IP> today"
+    assert (rows[1]["n_emails"], rows[1]["n_ipv4"]) == (1, 1)
+    assert rows[2]["text"] == "no pii here, version 1.2 is not an ip"
+    assert (rows[2]["n_emails"], rows[2]["n_ipv4"]) == (0, 0)
+    assert rows[3]["text"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    from database_collector_spark.operators.text import pii_scrub
+    from database_collector_spark.workloads import _t
+
+    plan = (
+        pii_scrub(_t(spark, "/root/testdata/sf0.001", "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
