@@ -658,3 +658,56 @@ def simhash(docs: DataFrame, *, bits: int = 16) -> DataFrame:
         )
         sig = sig + F.when(s_j > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return toks.select("doc_id", sig.alias("simhash"))
+
+
+def fuzzy_pairs(
+    docs: DataFrame,
+    *,
+    prefix_len: int = 40,
+    bucket_width: int = 8,
+    max_distance: int = 5,
+) -> DataFrame:
+    """Edit-distance near-dup pairs: documents whose ``prefix_len``-char
+    prefixes are within ``max_distance`` Levenshtein edits — the fuzzy
+    tier below SimHash/MinHash (those need token overlap; this catches
+    character-level mutations: OCR noise, truncation, small edits).
+
+    Scale shape: all-pairs Levenshtein is O(n² · L²); blocking by text
+    LENGTH bucket (``len div bucket_width``, probing own + adjacent
+    buckets — edits within the distance budget can only move a text
+    across adjacent buckets when ``max_distance < bucket_width``) turns
+    the plan into an EQUI-join on bucket id with the Levenshtein as a
+    residual filter over candidate pairs only — the range-join trick
+    applied to edit space. Work = Σ|bucket|² · L², with L capped by the
+    prefix. Output: (doc_a, doc_b, distance), doc_a < doc_b."""
+    assert max_distance < bucket_width, (
+        "adjacent-bucket probing is only lossless when max_distance < "
+        "bucket_width (a larger edit budget could cross 2+ buckets)"
+    )
+    p = docs.select(
+        "doc_id",
+        F.substring("text", 1, prefix_len).alias("pfx"),
+        F.floor(F.length("text") / bucket_width).alias("b"),
+    )
+    probes = p.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pfx").alias("pfx_a"),
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("probe"),
+    )
+    right = p.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.col("b").alias("rb"),
+    )
+    return (
+        probes.join(right, probes["probe"] == right["rb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pfx_a", "pfx_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -607,6 +607,28 @@ HAVING COUNT(*) * 2000 >= (SELECT COUNT(*) FROM grams)
 """
 
 
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (operators/dedup.py::fuzzy_pairs):
+    40-char prefixes within 5 Levenshtein edits, blocked by text-length
+    bucket (equi-join plan, never all-pairs). The oracle recomputes with
+    DuckDB's levenshtein — both engines implement the standard DP
+    distance, so the residual filter must agree pair-for-pair."""
+    return dedup.fuzzy_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_FUZZY = """
+WITH p AS (
+  SELECT doc_id, substring(text, 1, 40) AS pfx, length(text) // 8 AS b
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS distance
+FROM p a JOIN p b
+  ON b.b BETWEEN a.b - 1 AND a.b + 1 AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 5
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction end-to-end (operators/text.py::pii_scrub): the
     fixture corpus carries no natural PII, so the gate INJECTS
@@ -793,6 +815,7 @@ QUERIES_EXT = {
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
     "pii_scrub": q_pii_scrub,
+    "dedup_fuzzy": q_dedup_fuzzy,
 }
 
 ORACLES_EXT = {
@@ -820,4 +843,5 @@ ORACLES_EXT = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "heavy_hitters_by_lang": SQL_HEAVY_HITTERS_BY_LANG,
     "pii_scrub": SQL_PII_SCRUB,
+    "dedup_fuzzy": SQL_DEDUP_FUZZY,
 }

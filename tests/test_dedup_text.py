@@ -275,3 +275,45 @@ def test_span_dedup_within_doc_repeat(spark):
     row = dedup.span_dedup(docs).collect()[0]
     assert row["n_spans"] == 2 and row["kept_spans"] == 1
     assert row["text_dedup"] == a
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    from database_collector_spark.operators.dedup import fuzzy_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # 3 edits in pfx
+            (3, "a completely different document altogether xx"),
+            (4, "tiny"),  # far-away length bucket: never a candidate
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["distance"]
+        for r in fuzzy_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 5
+    assert all(4 not in p for p in pairs)
+    assert (1, 3) not in pairs
+
+
+def test_fuzzy_pairs_is_equi_join_not_cartesian(spark):
+    from database_collector_spark.operators.dedup import fuzzy_pairs
+    from database_collector_spark.workloads import _t
+
+    plan = (
+        fuzzy_pairs(_t(spark, "/root/testdata/sf0.001", "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_pairs_rejects_lossy_budget(spark):
+    import pytest
+
+    from database_collector_spark.operators.dedup import fuzzy_pairs
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(AssertionError, match="adjacent-bucket"):
+        fuzzy_pairs(docs, max_distance=9, bucket_width=8)
