@@ -373,3 +373,36 @@ def test_no_query_uses_row_python_or_cartesian(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"scale-killers in plans: {offenders}"
+
+
+def test_interval_join_is_equi_join_on_bucket_and_key(spark):
+    # the ±30min theta condition must compile to an equi-join (bucket +
+    # user key) with the range as residual filter — never a nested loop
+    from database_collector_spark.workloads_ts import q_interval_join_events
+
+    plan = _plan(q_interval_join_events(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_grouped_heavy_hitters_candidates_precede_any_exchange(spark):
+    # phase 1 (grouped MG) must run BEFORE the first shuffle: the
+    # mapInPandas candidate stage sits under the scan side, so the item
+    # universe never shuffles un-pruned
+    from database_collector_spark.operators import heavyhitters
+    from database_collector_spark.workloads import _t
+
+    ev = _t(spark, SF, "documents").selectExpr("lang", "text AS item")
+    plan = _plan(
+        heavyhitters.grouped_mg_candidates(
+            ev, group_col="lang", item_col="item", capacity=10
+        )
+    )
+    # candidate generation itself: one Python stage, no hash exchange
+    # before it (distinct's exchange operates on the tiny candidate set)
+    first_exchange = plan.find("Exchange hashpartitioning")
+    first_python = plan.find("MapInPandas")
+    assert first_python != -1
+    assert first_exchange == -1 or first_python > first_exchange
