@@ -732,6 +732,99 @@ FROM scored WHERE rank <= 3
 """
 
 
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW posexplode surface): tokens with
+    their 0-based position, re-aggregated per doc to (n_tokens, weighted
+    position checksum) so the gate hashes POSITION correctness, not just
+    the multiset of tokens — an explode that loses or permutes ordinals
+    mismatches. Generate (explode) is narrow: no shuffle until the
+    per-doc re-aggregate."""
+    from database_collector_spark.operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "tok")
+    )
+    return pos.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("pos") * F.length("tok")).alias("pos_len_checksum"),
+        F.max(F.when(F.col("pos") == 0, F.col("tok"))).alias("first_tok"),
+    )
+
+
+SQL_POSEXPLODE_TOKENS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+p AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, (SELECT unnest(generate_series(1, 600)) AS i) ii
+  WHERE i <= len(t)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(pos * length(tok)) AS BIGINT) AS pos_len_checksum,
+       MAX(CASE WHEN pos = 0 THEN tok END) AS first_tok
+FROM p GROUP BY doc_id
+"""
+
+
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar surface (coalesce / nullif / nvl2-shaped
+    CASE / null-safe equality) with nulls INJECTED deterministically
+    (comment stripped on every 4th order) so each function exercises
+    both branches. Aggregated per status with null-sensitive counts —
+    count(col) vs count(*) vs count of null-safe matches."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 != 0, F.col("o_orderpriority")).alias("c"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    derived = o.select(
+        "o_orderstatus",
+        "c",
+        F.coalesce(F.col("c"), F.lit("<missing>")).alias("c_filled"),
+        # nullif: priorities starting '1' (1-URGENT) -> null (equal case)
+        F.nullif(F.substring("c", 1, 1), F.lit("1")).alias("first_ch"),
+        F.when(F.col("c").isNotNull(), F.lit("has")).otherwise(F.lit("none")).alias("nvl2"),
+        (F.col("c").eqNullSafe(F.lit(None).cast("string"))).alias("is_null_safe"),
+        "cents",
+    )
+    return derived.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("c").alias("n_comments"),
+        F.count("first_ch").alias("n_first_not_urgent"),
+        F.sum(F.when(F.col("nvl2") == "has", 1).otherwise(0)).cast("long").alias("n_has"),
+        F.sum(F.col("is_null_safe").cast("long")).alias("n_null_safe_null"),
+        F.sum(F.when(F.col("c_filled") == "<missing>", F.col("cents"))).alias("missing_cents"),
+    )
+
+
+SQL_NULL_FUNCS = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 4 <> 0 THEN o_orderpriority END AS c,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+d AS (
+  SELECT o_orderstatus, c,
+         COALESCE(c, '<missing>') AS c_filled,
+         NULLIF(substring(c, 1, 1), '1') AS first_ch,
+         CASE WHEN c IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2,
+         (c IS NOT DISTINCT FROM NULL) AS is_null_safe,
+         cents
+  FROM o
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(c) AS BIGINT) AS n_comments,
+       CAST(COUNT(first_ch) AS BIGINT) AS n_first_not_urgent,
+       CAST(SUM(CASE WHEN nvl2 = 'has' THEN 1 ELSE 0 END) AS BIGINT) AS n_has,
+       CAST(SUM(CASE WHEN is_null_safe THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_null,
+       CAST(SUM(CASE WHEN c_filled = '<missing>' THEN cents END) AS BIGINT) AS missing_cents
+FROM d GROUP BY 1
+"""
+
+
 QUERIES2 = {
     "semi_anti_orders": q_semi_anti_orders,
     "correlated_avg_filter": q_correlated_avg_filter,
@@ -748,6 +841,8 @@ QUERIES2 = {
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "posexplode_tokens": q_posexplode_tokens,
+    "null_funcs": q_null_funcs,
 }
 
 ORACLES2 = {
@@ -766,4 +861,6 @@ ORACLES2 = {
     "ann_ivf_probe": _sql_ann_ivf(),
     "ann_ivf_multiprobe": _sql_ann_ivf_multiprobe(),
     "ann_ivf_kmeans": _sql_kmeans_ivf(),
+    "posexplode_tokens": SQL_POSEXPLODE_TOKENS,
+    "null_funcs": SQL_NULL_FUNCS,
 }
