@@ -760,6 +760,97 @@ FROM s GROUP BY user_id
 """
 
 
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(0.9, ...)`` — the canonical consumer
+    of the cumulative-bucket output this engine's histogram expansion
+    produces (q_histogram_metrics): per group, find the bucket where the
+    cumulative count crosses q*total and linearly interpolate within it
+    (Prometheus's exact formula: lo + (target-prev_cum)/bucket_n *
+    (hi-lo), lower bound 0 for the first bucket; a crossing in the +Inf
+    bucket returns the highest finite edge).
+
+    Determinism: bucket SELECTION is exact integer arithmetic
+    (cum*10 >= 9*total — no float boundary), and the interpolation runs
+    the same IEEE double ops from the same integers on both engines.
+    Plan: one bucket-assignment pass + per-group cumulative window over
+    the tiny (group x edge) aggregate — same cost shape as the histogram
+    itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = [10.0, 20.0, 30.0, 40.0, 50.0]
+    first_edge = F.coalesce(
+        *[F.when(F.col("l_quantity") <= F.lit(e), F.lit(e)) for e in edges],
+        F.lit(float("inf")),
+    )
+    per_edge = (
+        li.withColumn("le", first_edge)
+        .groupBy("l_returnflag", "le")
+        .agg(F.count("*").alias("bucket_n"))
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("le")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("l_returnflag")
+    cum = per_edge.select(
+        "l_returnflag",
+        "le",
+        "bucket_n",
+        F.sum("bucket_n").over(w).alias("cum_n"),
+        F.sum("bucket_n").over(wg).alias("total"),
+        F.lag("le").over(Window.partitionBy("l_returnflag").orderBy("le")).alias(
+            "prev_le"
+        ),
+    )
+    crossing = cum.filter(
+        (F.col("cum_n") * 10 >= 9 * F.col("total"))
+        & (
+            (F.col("cum_n") - F.col("bucket_n")) * 10 < 9 * F.col("total")
+        )
+    )
+    q90 = F.when(F.col("le") == float("inf"), F.lit(edges[-1])).otherwise(
+        F.coalesce(F.col("prev_le"), F.lit(0.0))
+        + (
+            (F.col("total").cast("double") * 0.9
+             - (F.col("cum_n") - F.col("bucket_n")).cast("double"))
+            / F.col("bucket_n").cast("double")
+        )
+        * (F.col("le") - F.coalesce(F.col("prev_le"), F.lit(0.0)))
+    )
+    return crossing.select(
+        "l_returnflag", F.round(q90, 6).alias("q90"), F.col("total").alias("n")
+    )
+
+
+SQL_HISTOGRAM_QUANTILE = """
+WITH b AS (
+  SELECT l_returnflag,
+         CASE WHEN l_quantity <= 10 THEN 10.0 WHEN l_quantity <= 20 THEN 20.0
+              WHEN l_quantity <= 30 THEN 30.0 WHEN l_quantity <= 40 THEN 40.0
+              WHEN l_quantity <= 50 THEN 50.0 ELSE 1e308 END AS le
+  FROM lineitem
+),
+pe AS (SELECT l_returnflag, le, COUNT(*) AS bucket_n FROM b GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, le, bucket_n,
+         SUM(bucket_n) OVER (PARTITION BY l_returnflag ORDER BY le
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         SUM(bucket_n) OVER (PARTITION BY l_returnflag) AS total,
+         LAG(le) OVER (PARTITION BY l_returnflag ORDER BY le) AS prev_le
+  FROM pe
+)
+SELECT l_returnflag,
+       round(CASE WHEN le >= 1e308 THEN 50.0
+             ELSE COALESCE(prev_le, 0.0)
+                  + ((CAST(total AS DOUBLE) * 0.9 - CAST(cum_n - bucket_n AS DOUBLE))
+                     / CAST(bucket_n AS DOUBLE))
+                    * (le - COALESCE(prev_le, 0.0)) END, 6) AS q90,
+       CAST(total AS BIGINT) AS n
+FROM c
+WHERE cum_n * 10 >= 9 * total AND (cum_n - bucket_n) * 10 < 9 * total
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
@@ -778,6 +869,7 @@ QUERIES_TS = {
     "retention_cohorts": q_retention_cohorts,
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
+    "histogram_quantile": q_histogram_quantile,
 }
 
 ORACLES_TS = {
@@ -800,4 +892,5 @@ ORACLES_TS = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "counter_rate": SQL_COUNTER_RATE,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
+    "histogram_quantile": SQL_HISTOGRAM_QUANTILE,
 }
