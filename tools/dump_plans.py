@@ -1,0 +1,65 @@
+"""Regenerate PLANS.md: `.explain("formatted")` output for a
+representative slice of the query surface, one per plan family.
+
+Usage: python tools/dump_plans.py  (writes PLANS.md at the repo root)
+
+The file exists so plan shapes are REVIEWED artifacts, not just pinned
+assertions: tests/test_plan_quality.py enforces the invariants
+(pushdown, broadcast, single-exchange, no row-Python, no cartesian);
+this dump shows the full plans those assertions summarize.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# one representative per plan family
+PICKS = [
+    ("pricing_summary", "scan pushdown + partial agg (flagship)"),
+    ("shipping_priority", "big-big shuffle join + broadcast dims"),
+    ("label_enrich", "zero-shuffle enrichment projection"),
+    ("dedup_minhash_lsh", "zero-shuffle signatures + bucketed band self-join"),
+    ("heavy_hitters", "pre-shuffle MG candidates + broadcast exact recount"),
+    ("ann_pq_adc", "broadcast codebooks + zero-shuffle encode + ADC window"),
+    ("scd2_history", "union + single keyed window exchange (merge family)"),
+    ("interval_join_events", "3-bucket-probe equi-join for a ±interval"),
+    ("funnel_steps", "join-free event funnel (two shrinking exchanges)"),
+    ("decile_stats", "distributed exact NTILE (range partition + offsets)"),
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from database_collector_spark.session import get_spark
+
+    spark = get_spark("dump-plans")
+    qs = entrymod.queries()
+    out = [
+        "# PLANS — formatted physical plans for one query per plan family",
+        "",
+        "Regenerate with `python tools/dump_plans.py` (sf0.001 inputs; plan",
+        "shapes are SF-independent). Invariants are enforced by",
+        "`tests/test_plan_quality.py`; this file is the human-readable half.",
+        "",
+    ]
+    for name, why in PICKS:
+        df = qs[name](spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {name} — {why}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md with {len(PICKS)} plans")
+
+
+if __name__ == "__main__":
+    main()
