@@ -851,6 +851,88 @@ WHERE cum_n * 10 >= 9 * total AND (cum_n - bucket_n) * 10 < 9 * total
 """
 
 
+def q_dense_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: a COMPLETE (event_type, hour) spine
+    across the stream's global span, with missing hours zero-filled
+    (counts) and carried-forward (LOCF) for the last observed hourly
+    cents-sum — the dashboard/PromQL gap-filling semantics a raw GROUP
+    BY can't produce (absent groups simply don't exist).
+
+    Plan: the observed hourly aggregate is one shuffle; the spine is
+    generated JVM-side (distinct types x sequence(min_h, max_h, 1h) —
+    never a driver loop), left-joined back, and LOCF is the struct-max
+    trick: max over (hour-if-present, value) in a cumulative window is
+    exactly last-non-null, in pure lexicographic-orderable expressions
+    both engines share (no IGNORE NULLS dialect dependence)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.floor(F.col("ts").cast("timestamp_ltz").cast("long") / 3600) * 3600)
+    hourly = ev.groupBy(
+        "event_type", hour.alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("h_lo"), F.max(hour).alias("h_hi")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h_lo"), F.col("h_hi"), F.lit(3600))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.max(
+        F.when(F.col("n").isNotNull(), F.struct(F.col("h"), F.col("cents")))
+    ).over(w)
+    return joined.select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        carried.getField("cents").alias("locf_cents"),
+    )
+
+
+SQL_DENSE_TIMESERIES = """
+WITH hourly AS (
+  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT MIN((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) AS h_lo,
+         MAX((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) AS h_hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds,
+       LATERAL (SELECT unnest(generate_series(bounds.h_lo, bounds.h_hi, 3600)) AS h) s
+),
+j AS (
+  SELECT spine.event_type, spine.h, hourly.n, hourly.cents
+  FROM spine LEFT JOIN hourly
+    ON hourly.event_type = spine.event_type AND hourly.h = spine.h
+)
+SELECT event_type, h, COALESCE(n, 0) AS n,
+       (MAX(CASE WHEN n IS NOT NULL THEN {'h': h, 'c': cents} END)
+          OVER (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).c AS locf_cents
+FROM j
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
@@ -870,6 +952,7 @@ QUERIES_TS = {
     "counter_rate": q_counter_rate,
     "rolling_zscore": q_rolling_zscore,
     "histogram_quantile": q_histogram_quantile,
+    "dense_timeseries": q_dense_timeseries,
 }
 
 ORACLES_TS = {
@@ -893,4 +976,5 @@ ORACLES_TS = {
     "counter_rate": SQL_COUNTER_RATE,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "histogram_quantile": SQL_HISTOGRAM_QUANTILE,
+    "dense_timeseries": SQL_DENSE_TIMESERIES,
 }
