@@ -68,6 +68,9 @@ def read_csv(
                 "mode": "PERMISSIVE",
                 "columnNameOfCorruptRecord": corrupt,
                 "sep": sep,
+                # RFC-4180 quoting: "" escapes a quote inside a quoted
+                # field (Spark's default escape is backslash)
+                "escape": '"',
             },
         ).alias("c"),
     )

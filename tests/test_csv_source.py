@@ -61,3 +61,20 @@ def test_csv_feeds_downstream_operators(spark):
         good, _ = read_csv(spark, tmp)
         groups = {r["canonical_doc_id"]: r["n_docs"] for r in exact_dedup(good).collect()}
         assert groups == {1: 2, 3: 1}
+
+
+def test_csv_quoted_fields_with_embedded_separators(spark):
+    # from_csv honors standard double-quoting: embedded commas and
+    # escaped quotes stay inside one field
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(
+            f"{tmp}/shard-0.csv",
+            [
+                '5,"hello, world",en,web',
+                '6,"she said ""hi""",en,web',
+            ],
+        )
+        good, quarantine = read_csv(spark, tmp)
+        rows = {r["doc_id"]: r["text"] for r in good.collect()}
+        assert rows == {5: "hello, world", 6: 'she said "hi"'}
+        assert quarantine.count() == 0
