@@ -825,6 +825,49 @@ FROM d GROUP BY 1
 """
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar surface: build a status→cents map per priority
+    (map_from_entries over SORTED entries, so key order is
+    deterministic), then consume it with size / element_at / map_keys /
+    map_values + aggregate — the label-map idiom this engine's metric
+    rows use (labels are map<string,string>). The oracle reproduces the
+    same scalars relationally; the gate pins that Spark's map functions
+    round-trip the data unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum(_cents("o_totalprice")).alias("cents")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cents")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.size("m").alias("n_statuses"),
+        F.element_at("m", "F").alias("f_cents"),
+        F.array_join(F.map_keys("m"), ",").alias("statuses"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_cents"),
+    )
+
+
+SQL_MAP_FUNCS = """
+WITH per AS (
+  SELECT o_orderpriority, o_orderstatus,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS INT) AS n_statuses,
+       MAX(CASE WHEN o_orderstatus = 'F' THEN cents END) AS f_cents,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM per GROUP BY 1
+"""
+
+
 QUERIES2 = {
     "semi_anti_orders": q_semi_anti_orders,
     "correlated_avg_filter": q_correlated_avg_filter,
@@ -843,6 +886,7 @@ QUERIES2 = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "posexplode_tokens": q_posexplode_tokens,
     "null_funcs": q_null_funcs,
+    "map_funcs": q_map_funcs,
 }
 
 ORACLES2 = {
@@ -863,4 +907,5 @@ ORACLES2 = {
     "ann_ivf_kmeans": _sql_kmeans_ivf(),
     "posexplode_tokens": SQL_POSEXPLODE_TOKENS,
     "null_funcs": SQL_NULL_FUNCS,
+    "map_funcs": SQL_MAP_FUNCS,
 }
