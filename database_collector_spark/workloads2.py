@@ -868,6 +868,63 @@ FROM per GROUP BY 1
 """
 
 
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safety surface: under Spark 4's ANSI mode, bare division by
+    zero / overflow THROW at runtime; the ``try_*`` family returns NULL
+    instead — the fail-soft arithmetic a metrics pipeline needs (a
+    single zero-denominator series must not kill a tick, the arithmetic
+    analog of the collector's per-target fail-soft). Zero denominators
+    are injected deterministically (every 7th key); the gate counts
+    nulled results and sums the survivors, so a silently-wrong fallback
+    (0 instead of NULL) mismatches."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(0))
+        .otherwise((F.col("o_orderkey") % 5) + 1)
+        .alias("denom"),
+    )
+    d = o.select(
+        "o_orderstatus",
+        F.try_divide(F.col("cents"), F.col("denom")).alias("per_unit"),
+        F.try_multiply(F.col("cents"), F.lit(10**15)).alias("overflowed"),
+    )
+    return d.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count("per_unit").alias("n_divisible"),
+        F.sum(F.round(F.col("per_unit")).cast("long")).alias("per_unit_sum"),
+        F.count("overflowed").alias("n_not_overflowed"),
+    )
+
+
+SQL_TRY_ARITH = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderkey % 7 = 0 THEN 0
+              ELSE (o_orderkey % 5) + 1 END AS denom
+  FROM orders
+),
+d AS (
+  SELECT o_orderstatus,
+         CASE WHEN denom = 0 THEN NULL
+              ELSE CAST(cents AS DOUBLE) / denom END AS per_unit,
+         -- bigint overflow twin: cents * 10^15 overflows int64 whenever
+         -- cents > ~9223 (always, for real order totals) -> NULL
+         CASE WHEN cents > 9223 THEN NULL
+              ELSE cents * 1000000000000000 END AS overflowed
+  FROM o
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(per_unit) AS BIGINT) AS n_divisible,
+       CAST(SUM(CAST(ROUND(per_unit) AS BIGINT)) AS BIGINT) AS per_unit_sum,
+       CAST(COUNT(overflowed) AS BIGINT) AS n_not_overflowed
+FROM d GROUP BY 1
+"""
+
+
 QUERIES2 = {
     "semi_anti_orders": q_semi_anti_orders,
     "correlated_avg_filter": q_correlated_avg_filter,
@@ -887,6 +944,7 @@ QUERIES2 = {
     "posexplode_tokens": q_posexplode_tokens,
     "null_funcs": q_null_funcs,
     "map_funcs": q_map_funcs,
+    "try_arith": q_try_arith,
 }
 
 ORACLES2 = {
@@ -908,4 +966,5 @@ ORACLES2 = {
     "posexplode_tokens": SQL_POSEXPLODE_TOKENS,
     "null_funcs": SQL_NULL_FUNCS,
     "map_funcs": SQL_MAP_FUNCS,
+    "try_arith": SQL_TRY_ARITH,
 }
