@@ -599,6 +599,120 @@ GROUP BY 1, 2
 """
 
 
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts along the FK edges
+    (lineitem→orders, orders→customer) as LEFT ANTI joins — the
+    data-quality gate every warehouse load runs. Clean fixture data has
+    zero orphans, which would make the gate trivially hashable — so the
+    parent side deterministically DROPS every 13th key first, making the
+    expected orphan counts nonzero and exactly computable. Anti joins
+    shuffle only the key columns; counts are the only output."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders_kept = orders.filter(F.col("o_orderkey") % 13 != 0)
+    cust_kept = cust.filter(F.col("c_custkey") % 13 != 0)
+    e1 = (
+        li.join(
+            orders_kept.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphans"))
+        .select(F.lit("lineitem->orders").alias("edge"), "n_orphans")
+    )
+    e2 = (
+        orders.select("o_custkey")
+        .join(cust_kept, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+        .select(F.lit("orders->customer").alias("edge"), "n_orphans")
+    )
+    return e1.unionByName(e2)
+
+
+SQL_FK_INTEGRITY = """
+SELECT 'lineitem->orders' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 13 <> 0)
+UNION ALL
+SELECT 'orders->customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 13 <> 0)
+"""
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE surface): per column of
+    orders — null count, exact distinct count, min/max (stringified) —
+    computed in ONE scan (all aggregates in a single groupBy-less agg;
+    distincts expand to one Expand, not one scan per column), then
+    unpivoted to (column, stat, value) long form. Nulls are injected on
+    every 4th priority so null accounting is exercised."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 != 0, F.col("o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+    )
+    prof = o.agg(
+        F.count("*").alias("rows"),
+        F.count("o_orderkey").alias("k_nn"),
+        F.countDistinct("o_orderkey").alias("k_nd"),
+        F.min("o_orderkey").cast("string").alias("k_min"),
+        F.max("o_orderkey").cast("string").alias("k_max"),
+        F.count("o_orderstatus").alias("s_nn"),
+        F.countDistinct("o_orderstatus").alias("s_nd"),
+        F.min("o_orderstatus").alias("s_min"),
+        F.max("o_orderstatus").alias("s_max"),
+        F.count("o_orderpriority").alias("p_nn"),
+        F.countDistinct("o_orderpriority").alias("p_nd"),
+        F.min("o_orderpriority").alias("p_min"),
+        F.max("o_orderpriority").alias("p_max"),
+    )
+    cols = {"o_orderkey": "k", "o_orderstatus": "s", "o_orderpriority": "p"}
+    rows = [
+        F.struct(
+            F.lit(name).alias("column"),
+            (F.col("rows") - F.col(f"{p}_nn")).cast("long").alias("n_nulls"),
+            F.col(f"{p}_nd").cast("long").alias("n_distinct"),
+            F.col(f"{p}_min").alias("min_str"),
+            F.col(f"{p}_max").alias("max_str"),
+        )
+        for name, p in cols.items()
+    ]
+    return prof.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+SQL_PROFILE_TABLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 4 <> 0 THEN o_orderpriority END AS o_orderpriority
+  FROM orders
+)
+SELECT 'o_orderkey' AS column,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+FROM o
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM o
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM o
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
@@ -610,6 +724,8 @@ QUERIES4 = {
     "cdc_apply": q_cdc_apply,
     "incremental_agg": q_incremental_agg,
     "snapshot_diff": q_snapshot_diff,
+    "fk_integrity": q_fk_integrity,
+    "profile_table": q_profile_table,
 }
 
 ORACLES4 = {
@@ -623,4 +739,6 @@ ORACLES4 = {
     "cdc_apply": SQL_CDC_APPLY,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "fk_integrity": SQL_FK_INTEGRITY,
+    "profile_table": SQL_PROFILE_TABLE,
 }
