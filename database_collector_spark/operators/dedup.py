@@ -672,14 +672,19 @@ def fuzzy_pairs(
     tier below SimHash/MinHash (those need token overlap; this catches
     character-level mutations: OCR noise, truncation, small edits).
 
-    Scale shape: all-pairs Levenshtein is O(n² · L²); blocking by text
-    LENGTH bucket (``len div bucket_width``, probing own + adjacent
-    buckets — edits within the distance budget can only move a text
-    across adjacent buckets when ``max_distance < bucket_width``) turns
-    the plan into an EQUI-join on bucket id with the Levenshtein as a
-    residual filter over candidate pairs only — the range-join trick
-    applied to edit space. Work = Σ|bucket|² · L², with L capped by the
-    prefix. Output: (doc_a, doc_b, distance), doc_a < doc_b."""
+    Scale shape: all-pairs Levenshtein is O(n² · L²); blocking by
+    PREFIX-length bucket (``min(len, prefix_len) div bucket_width``,
+    probing own + adjacent buckets) turns the plan into an EQUI-join on
+    bucket id with the Levenshtein as a residual filter over candidate
+    pairs only — the range-join trick applied to edit space. The bucket
+    key is the length of the exact string the distance is computed on,
+    so the standard bound |len(a) - len(b)| <= lev(a, b) applies
+    directly: any pair within ``max_distance`` edits has prefix lengths
+    within ``max_distance < bucket_width`` of each other and therefore
+    lands in the same or an adjacent bucket — the blocking is lossless
+    for the prefix distance, not merely heuristic. Work =
+    Σ|bucket|² · L², with L capped by the prefix. Output:
+    (doc_a, doc_b, distance), doc_a < doc_b."""
     assert max_distance < bucket_width, (
         "adjacent-bucket probing is only lossless when max_distance < "
         "bucket_width (a larger edit budget could cross 2+ buckets)"
@@ -687,7 +692,9 @@ def fuzzy_pairs(
     p = docs.select(
         "doc_id",
         F.substring("text", 1, prefix_len).alias("pfx"),
-        F.floor(F.length("text") / bucket_width).alias("b"),
+        F.floor(
+            F.least(F.length("text"), F.lit(prefix_len)) / bucket_width
+        ).alias("b"),
     )
     probes = p.select(
         F.col("doc_id").alias("doc_a"),

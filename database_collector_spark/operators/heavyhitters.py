@@ -137,7 +137,14 @@ def grouped_heavy_hitters(
     only full-width shuffle ships the small per-group totals).
 
     Output: ``(group_col, item_col, n)`` — exactly the rows the exact
-    GROUP BY + HAVING against the per-group total would return."""
+    GROUP BY + HAVING against the per-group total would return.
+
+    NULL contract: NULL items are excluded up front — from the
+    candidate set, the recount, AND the denominator N_group (pandas
+    value_counts drops NaN and equi-joins drop null keys, so a silent
+    NULL would otherwise inflate N while never being returnable; the
+    explicit filter makes the semantics "frequent non-null items")."""
+    items = items.where(F.col(item_col).isNotNull())
     phi_inv = math.ceil(threshold_den / threshold_num)
     cands = grouped_mg_candidates(
         items, group_col=group_col, item_col=item_col, capacity=phi_inv
@@ -168,7 +175,14 @@ def heavy_hitters(
     Output: ``(item_col, n)`` — exactly the items the full exact GROUP
     BY + HAVING would return, via MG candidate pruning + exact recount
     (see module docstring for the plan shape and guarantee).
+
+    NULL contract: NULL items are excluded up front — from the
+    candidate set, the recount, AND the denominator N (pandas
+    value_counts drops NaN and equi-joins drop null keys, so a silent
+    NULL would otherwise inflate N while never being returnable; the
+    explicit filter makes the semantics "frequent non-null items").
     """
+    items = items.where(F.col(item_col).isNotNull())
     phi_inv = math.ceil(threshold_den / threshold_num)
     cands = mg_candidates(items, item_col=item_col, capacity=phi_inv)
     total = items.agg(F.count("*").alias("_hh_total"))

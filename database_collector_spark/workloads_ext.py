@@ -602,23 +602,27 @@ grams AS (
 )
 SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
 FROM grams
+WHERE gram IS NOT NULL
 GROUP BY gram
-HAVING COUNT(*) * 2000 >= (SELECT COUNT(*) FROM grams)
+HAVING COUNT(*) * 2000 >= (SELECT COUNT(*) FROM grams WHERE gram IS NOT NULL)
 """
 
 
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs (operators/dedup.py::fuzzy_pairs):
-    40-char prefixes within 5 Levenshtein edits, blocked by text-length
-    bucket (equi-join plan, never all-pairs). The oracle recomputes with
-    DuckDB's levenshtein — both engines implement the standard DP
-    distance, so the residual filter must agree pair-for-pair."""
+    40-char prefixes within 5 Levenshtein edits, blocked by
+    PREFIX-length bucket (equi-join plan, never all-pairs; lossless for
+    the prefix distance since |len(a)-len(b)| <= lev(a,b)). The oracle
+    recomputes with DuckDB's levenshtein — both engines implement the
+    standard DP distance, so the residual filter must agree
+    pair-for-pair."""
     return dedup.fuzzy_pairs(_t(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_FUZZY = """
 WITH p AS (
-  SELECT doc_id, substring(text, 1, 40) AS pfx, length(text) // 8 AS b
+  SELECT doc_id, substring(text, 1, 40) AS pfx,
+         least(length(text), 40) // 8 AS b
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -716,9 +720,11 @@ grams AS (
   FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
   WHERE i <= len(t) - 1
 ),
-totals AS (SELECT lang, COUNT(*) AS tot FROM grams GROUP BY lang)
+totals AS (SELECT lang, COUNT(*) AS tot FROM grams
+           WHERE gram IS NOT NULL GROUP BY lang)
 SELECT g.lang, g.gram, CAST(COUNT(*) AS BIGINT) AS n
 FROM grams g JOIN totals t ON t.lang = g.lang
+WHERE g.gram IS NOT NULL
 GROUP BY g.lang, g.gram, t.tot
 HAVING COUNT(*) * 500 >= t.tot
 """

@@ -729,10 +729,13 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("s1"),
         F.sum(cents * cents).over(w).alias("s2"),
     )
-    lhs = (F.col("n") * F.col("v") - F.col("s1")) ** F.lit(2)
+    # `** 2` would compile to POWER (double) and round past 2^53; keep
+    # the square in decimal(38,0) so the boundary compare stays exact,
+    # mirroring the oracle's DECIMAL multiplication.
+    d = (F.col("n") * F.col("v") - F.col("s1")).cast("decimal(38,0)")
     rhs = 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
     anomaly = F.when(
-        (F.col("n") >= 5) & (lhs.cast("decimal(38,0)") > rhs.cast("decimal(38,0)")),
+        (F.col("n") >= 5) & (d * d > rhs.cast("decimal(38,0)")),
         1,
     ).otherwise(0)
     return stat.groupBy("user_id").agg(
