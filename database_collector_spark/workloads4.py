@@ -713,6 +713,64 @@ FROM o
 """
 
 
+def q_fk_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fk_integrity orphan audit re-planned through the broadcast
+    Bloom-filter pre-reduction (operators/bloom.py::bloom_anti_join):
+    per FK edge, bloom-rejected child rows are counted as orphans with
+    ZERO shuffle (no false negatives), and only bloom-accepted rows —
+    matches plus a ~1e-3 sliver of false positives — pay the exact anti
+    join. Exactness is free (the exact join re-ejects false positives),
+    so the oracle is the PLAIN NOT-EXISTS SQL with no bloom anywhere in
+    it: any hash/bitset/routing defect changes the orphan counts. Parent
+    drops every 7th key (vs fk_integrity's 13th) so the two gates'
+    expected counts differ."""
+    from database_collector_spark.operators import bloom
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders_kept = orders.filter(F.col("o_orderkey") % 7 != 0).select("o_orderkey")
+    cust_kept = cust.filter(F.col("c_custkey") % 7 != 0)
+    e1 = (
+        bloom.bloom_anti_join(
+            li,
+            orders_kept,
+            child_key="l_orderkey",
+            parent_key="o_orderkey",
+            num_bits=1 << 21,
+        )
+        .agg(F.count("*").alias("n_orphans"))
+        .select(F.lit("lineitem->orders").alias("edge"), "n_orphans")
+    )
+    e2 = (
+        bloom.bloom_anti_join(
+            orders.select("o_custkey"),
+            cust_kept,
+            child_key="o_custkey",
+            parent_key="c_custkey",
+            num_bits=1 << 21,
+        )
+        .agg(F.count("*").alias("n_orphans"))
+        .select(F.lit("orders->customer").alias("edge"), "n_orphans")
+    )
+    return e1.unionByName(e2)
+
+
+SQL_FK_BLOOM = """
+SELECT 'lineitem->orders' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 7 <> 0)
+UNION ALL
+SELECT 'orders->customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 7 <> 0)
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
@@ -725,6 +783,7 @@ QUERIES4 = {
     "incremental_agg": q_incremental_agg,
     "snapshot_diff": q_snapshot_diff,
     "fk_integrity": q_fk_integrity,
+    "fk_bloom": q_fk_bloom,
     "profile_table": q_profile_table,
 }
 
@@ -740,5 +799,6 @@ ORACLES4 = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "fk_integrity": SQL_FK_INTEGRITY,
+    "fk_bloom": SQL_FK_BLOOM,
     "profile_table": SQL_PROFILE_TABLE,
 }
