@@ -132,6 +132,57 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def char_entropy(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Shannon character entropy per document — the standard
+    compressibility quality signal for LLM-corpus curation (entropy is
+    the information-theoretic floor of any compressor's ratio: near-0
+    flags repeated-character/boilerplate junk, near-log2(alphabet)
+    flags random/encoded blobs; both ends are the rows a quality gate
+    drops). Companion to the Gopher repetition stats, one level below
+    tokens.
+
+    Zero-shuffle projection: character counts are computed INSIDE the
+    row via array_distinct + a nested filter/size fold — integer-exact,
+    no explode, no groupBy, so the corpus never shuffles. Per-row cost
+    is O(|alphabet| * len): bounded by the ~100-char alphabet of real
+    text, and the whole computation stays in whole-stage codegen.
+
+    H = log2(n) - (Σ_c count_c * log2(count_c)) / n  — every input to
+    the float stage is an exact integer identical across engines, and
+    the float outputs are rounded (the repo's exact-intermediates
+    convention); n_chars / n_distinct / collision_mass (Σ c², the
+    Rényi-2 numerator) are emitted as exact integers alongside. Rows
+    with no characters are dropped (entropy undefined)."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != F.lit(""))
+    base = (
+        docs.select("doc_id", chars.alias("chs"))
+        .withColumn("n", F.size("chs"))
+        .where(F.col("n") > 0)
+    )
+    counts = F.transform(
+        F.array_distinct(F.col("chs")),
+        lambda c: F.size(F.filter(F.col("chs"), lambda x: x == c)),
+    )
+    with_counts = base.select("doc_id", "n", counts.alias("cnts"))
+    slc = F.aggregate(
+        F.col("cnts"),
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c),
+    )
+    cm = F.aggregate(
+        F.col("cnts"),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c.cast("long") * c,
+    )
+    return with_counts.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.size("cnts").alias("n_distinct"),
+        cm.alias("collision_mass"),
+        F.round(F.log2("n") - slc / F.col("n"), 4).alias("entropy"),
+    )
+
+
 def grams_of(tokens: F.Column, *, n: int = 2) -> F.Column:
     """Token n-gram array of a token-array column, total over short
     inputs (< n tokens -> empty array; an unguarded sequence() would run

@@ -167,6 +167,34 @@ FROM base
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon character entropy + exact integer companions
+    (operators/text.py::char_entropy) — the compressibility quality
+    signal. n_chars / n_distinct / collision_mass are engine-exact
+    integers; entropy's inputs are those same integers, so the rounded
+    float agrees across engines (exact-intermediates convention)."""
+    return text.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+cnt AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd,
+         SUM(c * c) AS cm, SUM(c * log2(c)) AS slc
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(nd AS INT) AS n_distinct,
+       CAST(cm AS BIGINT) AS collision_mass,
+       ROUND(log2(n) - slc / n, 4) AS entropy
+FROM agg WHERE n > 0
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling char-8-gram hash, window-4 min)."""
     return text.fingerprint(_t(spark, sf_dir, "documents"))
@@ -802,6 +830,7 @@ QUERIES_EXT = {
     "dedup_spans": q_dedup_spans,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "char_entropy": q_char_entropy,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_stats": q_repetition_stats,
     "dedup_exact": q_dedup_exact,
@@ -830,6 +859,7 @@ ORACLES_EXT = {
     "dedup_spans": SQL_DEDUP_SPANS,
     "lang_id": SQL_LANG_ID,
     "quality_score": _sql_quality(),
+    "char_entropy": SQL_CHAR_ENTROPY,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_stats": SQL_REPETITION_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -139,3 +139,47 @@ def test_pii_scrub_zero_shuffle(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(st.text(alphabet="abcd ", min_size=1, max_size=40), min_size=1, max_size=4))
+def test_char_entropy_matches_python_reference(spark, texts):
+    import math
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.char_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        counts = Counter(t)
+        n = len(t)
+        if n == 0:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r["n_chars"] == n
+        assert r["n_distinct"] == len(counts)
+        assert r["collision_mass"] == sum(c * c for c in counts.values())
+        want = math.log2(n) - sum(c * math.log2(c) for c in counts.values()) / n
+        assert abs(r["entropy"] - want) < 1e-3
+        # analytic anchors: a one-symbol string has entropy exactly 0;
+        # entropy never exceeds log2(alphabet size) beyond round-4 slack
+        if len(counts) == 1:
+            assert r["entropy"] == 0.0
+        assert r["entropy"] <= math.log2(len(counts)) + 5e-5
+
+
+def test_char_entropy_zero_shuffle(spark):
+    from database_collector_spark.workloads import _t
+
+    plan = (
+        text.char_entropy(_t(spark, "/root/testdata/sf0.001", "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
