@@ -258,6 +258,29 @@ def _lloyd(
     return cents
 
 
+def incremental_assign(
+    new_batch: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """IVF index maintenance without retrain — the similarity-tier twin
+    of dedup's incremental_minhash_pairs: NEW vectors are assigned to the
+    EXISTING trained centroids (frozen; no Lloyd pass touches the corpus)
+    and can then be unioned/appended into the cid-partitioned index.
+
+    Refresh cost is O(|new|): one scan of the new batch through the same
+    zero-shuffle ``assign_centroids`` projection the full build uses —
+    the corpus is never re-read, re-assigned, or re-shuffled. This is
+    the standard production cadence for IVF indexes (retrain only when
+    drift degrades cell balance; in between, assignment against frozen
+    centroids keeps ingest linear in batch size). Assignment semantics
+    are byte-identical to training-time assignment (exact integer
+    distances, ties to the lowest cid), so a vector arriving in the
+    batch lands in exactly the cell it would have landed in at build
+    time given the same centroids."""
+    return assign_centroids(
+        with_quantized(new_batch).select("vec_id", "qe", "qnorm2"), centroids
+    )
+
+
 def pq_train(
     embeddings: DataFrame,
     *,

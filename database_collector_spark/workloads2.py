@@ -605,27 +605,28 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_ctes(k: int = 8, iters: int = 3) -> str:
+def _sql_kmeans_ctes(k: int = 8, iters: int = 3, src: str = "qe") -> str:
     """The deterministic Lloyd iterations unrolled as a CTE chain ending
     in ``afinal`` (vec_id, qe, cid) and ``c{iters}`` (cid, c) — shared by
-    the training gate and the trained-probe gate."""
+    the training gate, the trained-probe gate, and (with ``src`` set to
+    a corpus-restricted CTE) the incremental-maintenance gate."""
     dist = (
         "list_dot_product(q.qe, q.qe) - 2 * list_dot_product(q.qe, c.c)"
         " + list_dot_product(c.c, c.c)"
     )
 
-    def assign(name: str, cent: str) -> str:
+    def assign(name: str, cent: str, source: str = src) -> str:
         return f"""{name} AS (
   SELECT vec_id, qe, cid FROM (
     SELECT q.vec_id, q.qe, c.cid,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn
-    FROM qe q CROSS JOIN {cent} c) WHERE rn = 1
+    FROM {source} q CROSS JOIN {cent} c) WHERE rn = 1
 )"""
 
     ctes = [
         f"""c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qe AS c
-  FROM (SELECT vec_id, qe FROM qe ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, qe FROM {src} ORDER BY vec_id LIMIT {k})
 )"""
     ]
     for it in range(iters):
@@ -729,6 +730,79 @@ scored AS (
 )
 SELECT q_id, c_id, cos, CAST(rank AS BIGINT) AS rank
 FROM scored WHERE rank <= 3
+"""
+
+
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maintenance without retrain (operators/similarity.py::
+    incremental_assign): the quantizer trains on the CORPUS slice only
+    (vec_id % 10 != 0), then the NEW batch (every 10th vector) is
+    assigned to those frozen centroids — refresh cost O(|new|), the
+    corpus is never re-assigned in the incremental path (the old-side
+    re-assignment below exists only because the gate has no stored
+    index to read back). Output: per cell, old/new member counts,
+    member-id checksum over the merged index, and the centroid
+    checksum — a drifted centroid, a retrain that shouldn't have
+    happened, or a misrouted new vector all change a row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    newb = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = similarity.kmeans_centroids(corpus, k=8, iters=3)
+    a_old = similarity.assign_centroids(
+        similarity.with_quantized(corpus).select("vec_id", "qe", "qnorm2"),
+        cents,
+    ).withColumn("is_new", F.lit(0))
+    a_new = similarity.incremental_assign(newb, cents).withColumn(
+        "is_new", F.lit(1)
+    )
+    checksum = F.element_at(
+        F.array(*[F.lit(int(sum(c))).cast("long") for c in cents]),
+        F.col("cid") + 1,
+    )
+    return (
+        a_old.select("vec_id", "cid", "is_new")
+        .unionByName(a_new.select("vec_id", "cid", "is_new"))
+        .groupBy("cid")
+        .agg(
+            F.sum(1 - F.col("is_new")).cast("long").alias("n_old"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum("vec_id").alias("members_checksum"),
+        )
+        .withColumn("centroid_checksum", checksum)
+    )
+
+
+def _sql_ann_ivf_incremental(k: int = 8, iters: int = 3) -> str:
+    dist = (
+        "list_dot_product(q.qe, q.qe) - 2 * list_dot_product(q.qe, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    base = _sql_kmeans_ctes(k, iters, src="corpus").replace(
+        "c0 AS (",
+        "corpus AS (SELECT vec_id, qe FROM qe WHERE vec_id % 10 <> 0),\nc0 AS (",
+        1,
+    )
+    return f"""{base},
+newb AS (SELECT vec_id, qe FROM qe WHERE vec_id % 10 = 0),
+anew AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM newb q CROSS JOIN c{iters} c) WHERE rn = 1
+),
+merged AS (
+  SELECT vec_id, cid, 0 AS is_new FROM afinal
+  UNION ALL
+  SELECT vec_id, cid, 1 AS is_new FROM anew
+)
+SELECT m.cid,
+       CAST(SUM(1 - is_new) AS BIGINT) AS n_old,
+       CAST(SUM(is_new) AS BIGINT) AS n_new,
+       CAST(SUM(vec_id) AS BIGINT) AS members_checksum,
+       CAST(cc.s AS BIGINT) AS centroid_checksum
+FROM merged m
+JOIN (SELECT cid, list_sum(c) AS s FROM c{iters}) cc USING (cid)
+GROUP BY m.cid, cc.s
 """
 
 
@@ -941,6 +1015,7 @@ QUERIES2 = {
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "ann_ivf_incremental": q_ann_ivf_incremental,
     "posexplode_tokens": q_posexplode_tokens,
     "null_funcs": q_null_funcs,
     "map_funcs": q_map_funcs,
@@ -963,6 +1038,7 @@ ORACLES2 = {
     "ann_ivf_probe": _sql_ann_ivf(),
     "ann_ivf_multiprobe": _sql_ann_ivf_multiprobe(),
     "ann_ivf_kmeans": _sql_kmeans_ivf(),
+    "ann_ivf_incremental": _sql_ann_ivf_incremental(),
     "posexplode_tokens": SQL_POSEXPLODE_TOKENS,
     "null_funcs": SQL_NULL_FUNCS,
     "map_funcs": SQL_MAP_FUNCS,
