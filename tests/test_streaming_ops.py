@@ -288,3 +288,57 @@ def test_idempotent_sink_wired_through_real_stream_restart(spark):
         run()
         ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
         assert ids == [1, 2]
+
+
+def test_crash_after_write_before_commit_recovers_exactly_once(spark):
+    # the precise failure window the replay-safe design claims to cover:
+    # the sink WRITES batch 0, then the driver dies BEFORE the checkpoint
+    # commit. On restart (checkpoint kept), the engine re-delivers batch 0
+    # with the SAME batch id; the batch-id partition overwrite must
+    # converge to exactly one copy — no dup rows, no lost rows.
+    from database_collector_spark.streaming.sink import idempotent_parquet_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(src)
+        _write(src, "b1.json", [{"id": 1}, {"id": 2}])
+
+        inner = idempotent_parquet_sink(out)
+        crashed = {"already": False}
+
+        def crashing_sink(batch_df, batch_id):
+            inner(batch_df, batch_id)  # the write lands...
+            if not crashed["already"]:
+                crashed["already"] = True
+                # ...then the "driver dies" before the commit is recorded
+                raise RuntimeError("injected crash between write and commit")
+
+        def run():
+            return (
+                spark.readStream.schema("id long")
+                .json(src)
+                .writeStream.foreachBatch(crashing_sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = run()
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the injected crash fails the query — expected
+        finally:
+            q.stop()
+        assert crashed["already"], "injected crash never fired"
+        # the dangerous state is real: the data landed without a commit
+        assert spark.read.parquet(out).count() == 2
+
+        q2 = run()
+        try:
+            assert q2.awaitTermination(120), "restarted stream did not finish"
+        finally:
+            q2.stop()
+        rows = spark.read.parquet(out).collect()
+        assert sorted(r["id"] for r in rows) == [1, 2]
+        assert {r["_batch_id"] for r in rows} == {0}
