@@ -44,35 +44,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # Round-6 rotation: the 37 queries whose latest oracle row is round 4
-    # rotate back in, so no query's green evidence is older than two
-    # rounds.
-    "ann_ivf_kmeans", "ann_lsh_buckets", "conditional_agg",
-    "crossmodal_join", "curation_pipeline", "decontaminate",
-    "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "doc_fingerprint",
-    "engine_rejects", "events_hourly", "hash_split", "histogram_metrics",
-    "json_struct_parse", "kv_numeric_parse", "kv_pivot_wide", "lang_id",
-    "length_trim", "lexical_diversity", "mixture_sample", "quality_score",
-    "registry_diff", "repetition_stats", "rollup_counts", "sequence_pack",
-    "similarity_topk", "sorted_list_agg", "summary_quantiles",
-    "text_normalize", "token_estimate", "topk_per_group",
-    # new gates this round: real frame demux, SCD-2 history, symmetric
-    # interval join batch twin, MG heavy hitters, CDC apply with deletes,
-    # incremental aggregate maintenance
-    "multimodal_frames", "scd2_history", "interval_join_events",
-    "heavy_hitters", "cdc_apply", "incremental_agg", "snapshot_diff",
-    # touched by round-6 code changes: scd1's fixture lost its
-    # nondeterministic key-0 collision; graph.py escalation/budget changed
-    # under dedup_clusters + curation_full; multimodal extract_features
-    # gained nullable-int output arrays under multimodal_features/_decode
-    "scd1_upsert", "dedup_clusters", "curation_full",
-    "multimodal_features", "multimodal_decode",
-    # canary (green r5): the entry() flagship, filling the window to
-    # EXACTLY 50 — entries past 50 get no row, so this list must never
-    # exceed the cap
-    "pricing_summary",
+    # Round-7 rotation, part 1 — MANDATORY HEAD: the 15 gates added late
+    # in r6 that have never had a driver CORRECTNESS row (r6 judge
+    # re-confirmed them green locally; this is their first driver
+    # evidence).
+    "funnel_steps", "retention_cohorts", "counter_rate", "rolling_zscore",
+    "heavy_hitters_by_lang", "pii_scrub", "dedup_fuzzy",
+    "posexplode_tokens", "null_funcs", "map_funcs", "try_arith",
+    "histogram_quantile", "dense_timeseries", "fk_integrity",
+    "profile_table",
+    # part 2 — new gates this round: Bloom-filter join pre-reduction,
+    # char-entropy quality signal, incremental IVF maintenance
+    "fk_bloom", "char_entropy", "ann_ivf_incremental",
+    # part 3 — touched by round-7 code changes: heavy_hitters gained the
+    # explicit NULL-item contract; ann_ivf_kmeans's oracle CTE builder
+    # was source-parametrized for the incremental gate
+    "heavy_hitters", "ann_ivf_kmeans",
+    # part 4 — 30 of the 44 queries whose latest driver row is round 5
+    # (the heavier/semantic ones; evidence exactly two rounds old).
+    "ann_ivf_multiprobe", "ann_ivf_probe", "ann_pq_adc", "ann_pq_codes",
+    "approx_distinct", "approx_quantiles", "argmax_customer", "asof_join",
+    "correlated_avg_filter", "cube_counts", "cust_order_distribution",
+    "date_rollup", "dedup_embedding_lsh_multi", "dedup_spans",
+    "events_sliding", "gap_detect", "grouped_counter", "grouping_sets",
+    "label_enrich", "long_running_sessions", "range_join_buckets",
+    "sample_stratified", "semi_anti_orders", "sessionization",
+    "shipping_priority", "skew_salted_join", "stats_moments",
+    "text_token_stats", "tfidf_top_terms", "ttl_expiry_counts",
+    # Window is EXACTLY 50 — entries past 50 get no driver row.
+    # r8 MANDATORY HEAD (r5-latest leftovers that would otherwise reach
+    # 3-round-old evidence; every one is pytest-pinned scalar surface):
+    # array_funcs, case_having, date_funcs, string_funcs, set_ops,
+    # limit_cap, engine_dispatch, window_frames, window_running,
+    # unpivot_melt, top_supplier, market_share, decile_stats,
+    # exact_percentiles
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 
