@@ -663,27 +663,30 @@ def simhash(docs: DataFrame, *, bits: int = 16) -> DataFrame:
 def fuzzy_pairs(
     docs: DataFrame,
     *,
-    prefix_len: int = 40,
     bucket_width: int = 8,
     max_distance: int = 5,
 ) -> DataFrame:
-    """Edit-distance near-dup pairs: documents whose ``prefix_len``-char
-    prefixes are within ``max_distance`` Levenshtein edits — the fuzzy
-    tier below SimHash/MinHash (those need token overlap; this catches
+    """Edit-distance near-dup pairs: documents whose FULL texts are
+    within ``max_distance`` Levenshtein edits — the fuzzy tier below
+    SimHash/MinHash (those need token overlap; this catches
     character-level mutations: OCR noise, truncation, small edits).
 
-    Scale shape: all-pairs Levenshtein is O(n² · L²); blocking by
-    PREFIX-length bucket (``min(len, prefix_len) div bucket_width``,
-    probing own + adjacent buckets) turns the plan into an EQUI-join on
-    bucket id with the Levenshtein as a residual filter over candidate
-    pairs only — the range-join trick applied to edit space. The bucket
-    key is the length of the exact string the distance is computed on,
-    so the standard bound |len(a) - len(b)| <= lev(a, b) applies
-    directly: any pair within ``max_distance`` edits has prefix lengths
-    within ``max_distance < bucket_width`` of each other and therefore
-    lands in the same or an adjacent bucket — the blocking is lossless
-    for the prefix distance, not merely heuristic. Work =
-    Σ|bucket|² · L², with L capped by the prefix. Output:
+    Scale shape: all-pairs Levenshtein is O(n² · L²); blocking by text-
+    length bucket (``len div bucket_width``, probing own + adjacent
+    buckets) turns the plan into an EQUI-join on bucket id with the
+    Levenshtein as a residual filter over candidate pairs only — the
+    range-join trick applied to edit space. The blocking is LOSSLESS,
+    not heuristic: the bucketed quantity is the length of the exact
+    string the distance is computed on, so the standard bound
+    |len(a) - len(b)| <= lev(a, b) guarantees any pair within
+    ``max_distance < bucket_width`` edits lands in the same or an
+    adjacent bucket. The residual uses Spark's THRESHOLDED levenshtein
+    (banded DP: O(max_distance · L) per candidate, early-exit -1 past
+    the threshold), so candidate cost scales with the edit budget, not
+    L². Length buckets also keep their discriminative power on real
+    corpora (length varies; an earlier prefix-length bucketing scheme
+    collapsed every doc longer than the prefix into ONE bucket — the
+    all-pairs cliff this blocking exists to avoid). Output:
     (doc_a, doc_b, distance), doc_a < doc_b."""
     assert max_distance < bucket_width, (
         "adjacent-bucket probing is only lossless when max_distance < "
@@ -691,30 +694,26 @@ def fuzzy_pairs(
     )
     p = docs.select(
         "doc_id",
-        F.substring("text", 1, prefix_len).alias("pfx"),
-        F.floor(
-            F.least(F.length("text"), F.lit(prefix_len)) / bucket_width
-        ).alias("b"),
+        "text",
+        F.floor(F.length("text") / bucket_width).alias("b"),
     )
     probes = p.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("pfx").alias("pfx_a"),
+        F.col("text").alias("text_a"),
         F.explode(
             F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
         ).alias("probe"),
     )
     right = p.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("pfx").alias("pfx_b"),
+        F.col("text").alias("text_b"),
         F.col("b").alias("rb"),
     )
+    # thresholded form returns -1 once the band is exceeded
+    dist = F.levenshtein("text_a", "text_b", max_distance)
     return (
         probes.join(right, probes["probe"] == right["rb"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("pfx_a", "pfx_b").alias("distance"),
-        )
-        .filter(F.col("distance") <= max_distance)
+        .select("doc_a", "doc_b", dist.alias("distance"))
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
     )

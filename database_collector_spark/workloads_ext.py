@@ -638,26 +638,26 @@ HAVING COUNT(*) * 2000 >= (SELECT COUNT(*) FROM grams WHERE gram IS NOT NULL)
 
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs (operators/dedup.py::fuzzy_pairs):
-    40-char prefixes within 5 Levenshtein edits, blocked by
-    PREFIX-length bucket (equi-join plan, never all-pairs; lossless for
-    the prefix distance since |len(a)-len(b)| <= lev(a,b)). The oracle
-    recomputes with DuckDB's levenshtein — both engines implement the
-    standard DP distance, so the residual filter must agree
-    pair-for-pair."""
+    FULL texts within 5 Levenshtein edits, blocked losslessly by
+    text-length bucket (|len(a)-len(b)| <= lev(a,b) bounds any
+    qualifying pair to adjacent buckets; equi-join plan, never
+    all-pairs; Spark's residual is the banded thresholded levenshtein).
+    The oracle recomputes with DuckDB's levenshtein — both engines
+    implement the standard DP distance, so the residual filter must
+    agree pair-for-pair."""
     return dedup.fuzzy_pairs(_t(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_FUZZY = """
 WITH p AS (
-  SELECT doc_id, substring(text, 1, 40) AS pfx,
-         least(length(text), 40) // 8 AS b
+  SELECT doc_id, text, length(text) // 8 AS b
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS distance
+       CAST(levenshtein(a.text, b.text) AS INT) AS distance
 FROM p a JOIN p b
   ON b.b BETWEEN a.b - 1 AND a.b + 1 AND a.doc_id < b.doc_id
-WHERE levenshtein(a.pfx, b.pfx) <= 5
+WHERE levenshtein(a.text, b.text) <= 5
 """
 
 

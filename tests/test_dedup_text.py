@@ -317,3 +317,19 @@ def test_fuzzy_pairs_rejects_lossy_budget(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(AssertionError, match="adjacent-bucket"):
         fuzzy_pairs(docs, max_distance=9, bucket_width=8)
+
+
+def test_fuzzy_pairs_lossless_across_bucket_boundary(spark):
+    # lengths 39 vs 43 straddle the width-8 bucket boundary (4 vs 5);
+    # the pair is 4 insertions apart and MUST be found via the adjacent-
+    # bucket probe — the losslessness contract |len diff| <= distance
+    from database_collector_spark.operators.dedup import fuzzy_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 39), (2, "x" * 43)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["distance"]
+        for r in fuzzy_pairs(docs).collect()
+    }
+    assert pairs == {(1, 2): 4}
