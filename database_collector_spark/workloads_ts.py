@@ -936,6 +936,187 @@ FROM j
 """
 
 
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS linear trend — the capacity-planning query over
+    collected metric series ("is this gauge drifting, and how fast").
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n, with x = seconds since the series' own first
+    sample and y = integer cents: every sum is an exact BIGINT in both
+    engines (magnitudes ≤ ~1e17 « 2^63), so the final divisions are the
+    same two IEEE ops. Built from explicit integer sums, NOT
+    regr_slope(), whose internal double accumulation order is
+    engine-specific. One shuffle: the min-x window and the aggregate
+    share the user_id partitioning. Series with <3 samples or zero
+    time-variance are dropped (fit undefined)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("timestamp_ltz").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id", s.alias("s"), cents.alias("y")
+    ).withColumn("x", F.col("s") - F.min("s").over(w))
+    agg = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double")
+    )
+    return (
+        agg.filter((F.col("n") >= 3) & (den > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(slope, 8).alias("slope_cents_per_s"),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double"),
+                4,
+            ).alias("intercept_cents"),
+        )
+    )
+
+
+SQL_TREND_SLOPE = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - MIN(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id) AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY user_id
+)
+SELECT user_id, n,
+       round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 8)
+         AS slope_cents_per_s,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept_cents
+FROM agg WHERE n >= 3 AND n*sxx - sx*sx > 0
+"""
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10 EWMA smoothing with α = 1/2 — the standard metric
+    smoother, engineered for cross-engine exactness: with dyadic decay,
+    weight 2^i on the i-th frame element (newest highest), both the
+    numerator Σ v_i·2^i and denominator 2^n − 1 are EXACT integers, so
+    ewma = one double division of identical integers on both engines.
+    One user-keyed sort carries the frame window (collect over ROWS
+    BETWEEN 9 PRECEDING AND CURRENT — bounded state, order = frame
+    order in both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    frames = ev.select(
+        "user_id",
+        "event_id",
+        F.collect_list(cents).over(w).alias("frame"),
+    )
+    num = F.expr(
+        "aggregate(zip_with(frame, sequence(0, size(frame) - 1),"
+        " (v, i) -> v * shiftleft(CAST(1 AS BIGINT), i)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    den = F.expr("shiftleft(CAST(1 AS BIGINT), size(frame)) - 1")
+    return frames.select(
+        "user_id",
+        "event_id",
+        F.size("frame").alias("n_in_frame"),
+        F.round(num.cast("double") / den.cast("double"), 4).alias("ewma_cents"),
+    )
+
+
+SQL_EWMA_SMOOTH = """
+WITH f AS (
+  SELECT user_id, event_id,
+         list(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS frame
+  FROM events
+)
+SELECT user_id, event_id, CAST(len(frame) AS INT) AS n_in_frame,
+       round(CAST(list_sum(list_transform(frame,
+                    (v, i) -> v * (CAST(1 AS BIGINT) << (i - 1)))) AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << len(frame)) - 1 AS DOUBLE),
+             4) AS ewma_cents
+FROM f
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier audit per series — the robust
+    twin of rolling_zscore (medians shrug off the very outliers a
+    mean/σ rule lets poison the threshold). Exactness scheme: values
+    are doubled (v2 = 2·cents) so the interpolated median of an even
+    count is still an INTEGER; deviations are doubled again (mad4 =
+    median of 2·|v2 − med2|) for the same reason; the outlier rule
+    |v − med| > 3·MAD becomes the pure integer comparison
+    2·d2 > 3·mad4. Plan: both medians are percentile windows over the
+    SAME user_id partitioning and the final count groups on it — ONE
+    exchange for the whole query."""
+    ev = _t(spark, sf_dir, "events")
+    v2 = (F.round(F.col("value") * 100).cast("long") * 2).alias("v2")
+    w = Window.partitionBy("user_id")
+    med2 = ev.select("user_id", v2).withColumn(
+        "med2",
+        F.percentile(F.col("v2"), F.lit(0.5)).over(w).cast("long"),
+    )
+    d = med2.withColumn("d2", F.abs(F.col("v2") - F.col("med2")))
+    mad = d.withColumn(
+        "mad4",
+        F.percentile(F.col("d2") * 2, F.lit(0.5)).over(w).cast("long"),
+    )
+    return mad.groupBy("user_id").agg(
+        F.count("*").alias("n_samples"),
+        (F.max("med2") / F.lit(2.0)).alias("median_cents"),
+        (F.max("mad4") / F.lit(4.0)).alias("mad_cents"),
+        F.sum(
+            F.when(F.col("d2") * 2 > 3 * F.col("mad4"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH v AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) * 2 AS v2 FROM events
+),
+m AS (
+  SELECT user_id, v2,
+         CAST(median(v2) OVER (PARTITION BY user_id) AS BIGINT) AS med2
+  FROM v
+),
+d AS (
+  SELECT user_id, v2, med2, abs(v2 - med2) AS d2 FROM m
+),
+md AS (
+  SELECT user_id, v2, med2, d2,
+         CAST(median(d2 * 2) OVER (PARTITION BY user_id) AS BIGINT) AS mad4
+  FROM d
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       MAX(med2) / 2.0 AS median_cents,
+       MAX(mad4) / 4.0 AS mad_cents,
+       CAST(SUM(CASE WHEN d2 * 2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM md GROUP BY user_id
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
@@ -956,6 +1137,9 @@ QUERIES_TS = {
     "rolling_zscore": q_rolling_zscore,
     "histogram_quantile": q_histogram_quantile,
     "dense_timeseries": q_dense_timeseries,
+    "trend_slope": q_trend_slope,
+    "ewma_smooth": q_ewma_smooth,
+    "mad_outliers": q_mad_outliers,
 }
 
 ORACLES_TS = {
@@ -980,4 +1164,7 @@ ORACLES_TS = {
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "histogram_quantile": SQL_HISTOGRAM_QUANTILE,
     "dense_timeseries": SQL_DENSE_TIMESERIES,
+    "trend_slope": SQL_TREND_SLOPE,
+    "ewma_smooth": SQL_EWMA_SMOOTH,
+    "mad_outliers": SQL_MAD_OUTLIERS,
 }

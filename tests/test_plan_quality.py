@@ -406,3 +406,19 @@ def test_grouped_heavy_hitters_candidates_precede_any_exchange(spark):
     first_python = plan.find("MapInPandas")
     assert first_python != -1
     assert first_exchange == -1 or first_python > first_exchange
+
+
+def test_metric_analytics_single_exchange(spark):
+    # trend_slope / ewma_smooth / mad_outliers: windows + final aggregate
+    # all share the user_id partitioning -> exactly ONE exchange, no
+    # Python anywhere (the exact-integer arithmetic is all codegen)
+    from database_collector_spark.workloads_ts import (
+        q_ewma_smooth,
+        q_mad_outliers,
+        q_trend_slope,
+    )
+
+    for fn in (q_trend_slope, q_ewma_smooth, q_mad_outliers):
+        plan = _plan(fn(spark, SF))
+        assert plan.count("Exchange hashpartitioning") == 1, fn.__name__
+        assert "EvalPython" not in plan and "InPandas" not in plan, fn.__name__
