@@ -73,3 +73,39 @@ def approx_quantiles(
         for p in probabilities
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def bitmap_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+) -> DataFrame:
+    """Per-group EXACT count-distinct of a non-negative integer key via
+    mergeable roaring-style bitmaps — the middle point between
+    ``approx_distinct`` (fixed cost, ~2% error) and a plain
+    COUNT(DISTINCT) (exact, but the Expand/shuffle carries every
+    distinct value as its own row).
+
+    Plan: bucket the key space into 32768-bit blocks
+    (``bitmap_bucket_number``), build one 4 KiB bitmap per
+    (group, bucket) with ``bitmap_construct_agg`` — an algebraic
+    aggregate, so partitions fold map-side and the first shuffle moves
+    at most one 4 KiB bitmap per (group, bucket, partition), not one
+    row per distinct key — then sum ``bitmap_count`` per group. At
+    100 TB with billions of distinct dense keys this is the exact-count
+    plan that still combines map-side; COUNT(DISTINCT)'s expand ships
+    every (group, key) pair to the reducer.
+
+    Contract: ``key_col`` must be integral and >= 0 (bitmap position =
+    key); NULL keys are excluded, matching COUNT(DISTINCT) semantics.
+
+    Output: group columns + ``n_distinct_<key_col>`` (long).
+    """
+    bm = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(*group_cols, F.bitmap_bucket_number(key_col).alias("__bkt"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(key_col)).alias("__bm"))
+    )
+    return bm.groupBy(*group_cols).agg(
+        F.sum(F.bitmap_count("__bm")).alias(f"n_distinct_{key_col}")
+    )

@@ -771,6 +771,27 @@ WHERE NOT EXISTS (SELECT 1 FROM customer c
 """
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per order status via mergeable bitmap
+    aggregation (operators/sketches.py::bitmap_distinct): one 4 KiB
+    bitmap per (status, 32k-key bucket) folds map-side, so the shuffle
+    never carries per-key rows — the exact-count plan that scales where
+    COUNT(DISTINCT)'s expand does not. The oracle IS the plain
+    COUNT(DISTINCT), so any dropped/doubled bit mismatches."""
+    from database_collector_spark.operators import sketches
+
+    return sketches.bitmap_distinct(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey"
+    )
+
+
+SQL_BITMAP_DISTINCT = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_o_custkey
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
@@ -784,6 +805,7 @@ QUERIES4 = {
     "snapshot_diff": q_snapshot_diff,
     "fk_integrity": q_fk_integrity,
     "fk_bloom": q_fk_bloom,
+    "bitmap_distinct": q_bitmap_distinct,
     "profile_table": q_profile_table,
 }
 
@@ -800,5 +822,6 @@ ORACLES4 = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "fk_integrity": SQL_FK_INTEGRITY,
     "fk_bloom": SQL_FK_BLOOM,
+    "bitmap_distinct": SQL_BITMAP_DISTINCT,
     "profile_table": SQL_PROFILE_TABLE,
 }

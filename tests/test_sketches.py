@@ -26,3 +26,35 @@ def test_approx_quantiles_names_and_rank_band(spark):
     for r in out.collect():
         assert abs(r["q50"] - 5000) <= 100
         assert r["q99.9"] >= 9900
+
+
+def test_bitmap_distinct_exact_and_null_safe(spark):
+    from pyspark.sql import functions as F
+
+    # keys span multiple 32768-bit buckets; every 13th key NULL
+    df = spark.range(0, 60000).selectExpr(
+        "id % 3 AS g",
+        "CASE WHEN id % 13 = 0 THEN NULL ELSE (id * 7) % 50000 END AS k",
+    )
+    got = {
+        r["g"]: r["n_distinct_k"]
+        for r in sketches.bitmap_distinct(df, ["g"], "k").collect()
+    }
+    want = {
+        r["g"]: r["nd"]
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("nd")).collect()
+    }
+    assert got == want
+
+
+def test_bitmap_distinct_plan_has_no_expand(spark):
+    # the point of the operator: no Expand (COUNT DISTINCT's row
+    # multiplication) anywhere; both aggregates are plain HashAggregates
+    # over fixed-size bitmap state
+    df = spark.range(0, 1000).selectExpr("id % 3 AS g", "id AS k")
+    plan = (
+        sketches.bitmap_distinct(df, ["g"], "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan
