@@ -179,6 +179,166 @@ def to_ppm_video(docs: DataFrame) -> DataFrame:
     )
 
 
+def _u16le(x: str) -> str:
+    """SQL fragment: 16-bit little-endian bytes of integer expr ``x``."""
+    return (
+        f"unhex(concat(lpad(hex(({x}) % 256), 2, '0'),"
+        f" lpad(hex(({x}) div 256 % 256), 2, '0')))"
+    )
+
+
+def _u32le(x: str) -> str:
+    """SQL fragment: 32-bit little-endian bytes of integer expr ``x``."""
+    return (
+        f"unhex(concat(lpad(hex(({x}) % 256), 2, '0'),"
+        f" lpad(hex(({x}) div 256 % 256), 2, '0'),"
+        f" lpad(hex(({x}) div 65536 % 256), 2, '0'),"
+        f" lpad(hex(({x}) div 16777216 % 256), 2, '0')))"
+    )
+
+
+def to_wav_media(docs: DataFrame) -> DataFrame:
+    """documents -> real RIFF/WAVE PCM16 audio, synthesized JVM-side at
+    scan speed (no Python): channels = 1 + doc_id%2, sample rate =
+    8000·(1 + doc_id%3), frames = 4 + doc_id%5, and the interleaved
+    sample for (frame t, channel c) has unsigned-16 pattern
+    ``(doc_id*31 + t*7 + c*3) % 65536`` — a closed form, so every
+    decoded statistic is SQL-derivable and the decode path is
+    oracle-checkable end-to-end. Every byte is spec-conformant RIFF:
+    'RIFF' + size + 'WAVE', a 16-byte PCM 'fmt ' chunk with consistent
+    byte_rate/block_align, and a 'data' chunk of little-endian int16
+    frames."""
+    ch = "(1 + doc_id % 2)"
+    rate = "(8000 * (1 + doc_id % 3))"
+    nf = "(4 + doc_id % 5)"
+    data_size = f"({nf} * {ch} * 2)"
+    s0 = "((doc_id*31 + t*7) % 65536)"
+    s1 = "((doc_id*31 + t*7 + 3) % 65536)"
+    pcm = (
+        f"aggregate(sequence(0, cast({nf} as int) - 1), cast('' as binary),"
+        f" (acc, t) -> concat(acc, {_u16le(s0)},"
+        f" CASE WHEN {ch} = 2 THEN {_u16le(s1)} ELSE cast('' as binary) END))"
+    )
+    payload = (
+        "concat(encode('RIFF', 'UTF-8'),"
+        f" {_u32le(f'36 + {data_size}')},"
+        " encode('WAVEfmt ', 'UTF-8'),"
+        f" {_u32le('16')}, {_u16le('1')}, {_u16le(ch)},"
+        f" {_u32le(rate)}, {_u32le(f'{rate} * {ch} * 2')},"
+        f" {_u16le(f'{ch} * 2')}, {_u16le('16')},"
+        " encode('data', 'UTF-8'),"
+        f" {_u32le(data_size)}, {pcm})"
+    )
+    return (
+        docs.select("doc_id")
+        .withColumn("payload", F.expr(payload))
+        .select(
+            "doc_id",
+            F.lit("audio").alias("media_type"),
+            "payload",
+            F.struct(
+                F.length("payload").cast("long").alias("n_bytes"),
+                F.lit("audio/wav").alias("declared_format"),
+            ).alias("meta"),
+        )
+    )
+
+
+def decode_wav(payload: bytes):
+    """Parse one RIFF/WAVE PCM16 payload into ``(rate, channels,
+    n_frames, samples)`` with samples an int16 ndarray of shape
+    ``(n_frames, channels)`` — or ``None`` if malformed (wrong magics,
+    non-PCM, non-16-bit, missing chunks, truncated data). A real chunk
+    walk (word-aligned sizes, order-independent), not offset
+    assumptions — the dependency-free audio tier next to
+    ``decode_ppm``."""
+    import numpy as np
+
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or ch < 1 or block_align != ch * 2:
+        return None
+    n = len(data) // (2 * ch)
+    samples = np.frombuffer(data[: n * 2 * ch], dtype="<i2").reshape(n, ch)
+    return rate, ch, n, samples
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("sum_ch0", T.LongType(), True),
+        T.StructField("sum_ch1", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL bytes→samples decode over binary WAV payloads: chunk-walk
+    the RIFF container, reinterpret the data chunk as interleaved
+    little-endian int16 frames, emit per-channel sample sums + the peak
+    |amplitude| + parsed format fields. Malformed payloads yield null
+    stats (null-not-panic, SURVEY §1.2). Same mapInPandas/Arrow
+    plumbing as decode_image."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id",
+            "sample_rate",
+            "n_channels",
+            "n_frames",
+            "sum_ch0",
+            "sum_ch1",
+            "peak",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                decoded = decode_wav(p)
+                if decoded is None:
+                    for k in cols[1:]:
+                        out[k].append(None)
+                    continue
+                rate, ch, n, samples = decoded
+                sums = samples.sum(axis=0, dtype="int64")
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_frames"].append(n)
+                out["sum_ch0"].append(int(sums[0]) if n else 0)
+                out["sum_ch1"].append(int(sums[1]) if ch > 1 and n else None)
+                out["peak"].append(
+                    int(abs(samples.astype("int64")).max()) if n else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, schema=AUDIO_STATS_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

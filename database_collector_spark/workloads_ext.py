@@ -602,6 +602,43 @@ FROM documents
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize spec-conformant
+    RIFF/WAVE PCM16 payloads JVM-side in closed form of doc_id
+    (operators/multimodal.py::to_wav_media — varying channel counts,
+    sample rates, frame counts), then chunk-walk + int16-decode each
+    container in mapInPandas (decode_audio) and emit per-channel sums,
+    peak amplitude, and parsed format fields. The oracle recomputes the
+    closed form per sample, so any container-walk or endianness defect
+    (chunk offset, sign handling, channel interleave) mismatches."""
+    media = multimodal.to_wav_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_audio(media)
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 4 + doc_id % 5 AS nf FROM documents
+),
+samp AS (
+  SELECT b.doc_id, b.ch, b.nf, tt.t, cc.c,
+         CASE WHEN (b.doc_id*31 + tt.t*7 + cc.c*3) % 65536 >= 32768
+              THEN (b.doc_id*31 + tt.t*7 + cc.c*3) % 65536 - 65536
+              ELSE (b.doc_id*31 + tt.t*7 + cc.c*3) % 65536 END AS v
+  FROM base b,
+       LATERAL (SELECT unnest(generate_series(0, b.nf - 1)) AS t) tt,
+       LATERAL (SELECT unnest(generate_series(0, b.ch - 1)) AS c) cc
+)
+SELECT doc_id,
+       CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+       CAST(MAX(ch) AS INT) AS n_channels,
+       CAST(MAX(nf) AS INT) AS n_frames,
+       CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_ch0,
+       CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_ch1,
+       CAST(MAX(abs(v)) AS INT) AS peak
+FROM samp GROUP BY doc_id
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent word-bigrams (freq >= N/2000) over the documents corpus
     via two-phase Misra-Gries candidates + exact recount
@@ -827,6 +864,7 @@ GROUP BY 1, 2
 QUERIES_EXT = {
     "text_token_stats": q_text_token_stats,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
     "dedup_spans": q_dedup_spans,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -856,6 +894,7 @@ QUERIES_EXT = {
 ORACLES_EXT = {
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "dedup_spans": SQL_DEDUP_SPANS,
     "lang_id": SQL_LANG_ID,
     "quality_score": _sql_quality(),

@@ -321,3 +321,55 @@ def test_extract_features_real_decode_nulls_malformed(spark):
     assert row["n_bytes"] is None
     assert row["header_byte"] is None
     assert row["checksum_mod"] is None
+
+
+def test_decode_wav_roundtrip_and_malformed(spark):
+    # pure-Python kernel check: a hand-built 2-channel 3-frame WAV
+    # roundtrips exactly; tampered containers yield None, never a throw
+    import struct as st
+
+    from database_collector_spark.operators.multimodal import decode_wav
+
+    frames = [(100, -200), (-32768, 32767), (5, 7)]
+    data = b"".join(st.pack("<hh", a, b) for a, b in frames)
+    fmt = st.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    wav = (
+        b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(data)) + data
+    )
+    rate, ch, n, samples = decode_wav(wav)
+    assert (rate, ch, n) == (8000, 2, 3)
+    assert [tuple(r) for r in samples.tolist()] == frames
+
+    assert decode_wav(None) is None
+    assert decode_wav(b"RIFX" + wav[4:]) is None          # wrong magic
+    assert decode_wav(wav[:-3]) is None                   # truncated data
+    bad_bits = wav.replace(st.pack("<HH", 4, 16), st.pack("<HH", 4, 8))
+    assert decode_wav(bad_bits) is None                   # not 16-bit
+
+
+def test_decode_audio_nulls_malformed_rows(spark):
+    from pyspark.sql import functions as F
+
+    from database_collector_spark.operators import multimodal
+    from database_collector_spark.workloads import _t
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = multimodal.to_wav_media(docs)
+    # corrupt every 4th payload's RIFF magic
+    tampered = media.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(b"XXXX"), F.expr("substring(payload, 5)")),
+        ).otherwise(F.col("payload")),
+    )
+    rows = {r["doc_id"]: r for r in multimodal.decode_audio(tampered).collect()}
+    assert len(rows) == 20
+    for doc_id, r in rows.items():
+        if doc_id % 4 == 0:
+            assert r["sample_rate"] is None and r["sum_ch0"] is None
+        else:
+            assert r["n_frames"] == 4 + doc_id % 5
+            assert r["n_channels"] == 1 + doc_id % 2
