@@ -602,6 +602,98 @@ FROM documents
 """
 
 
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL fixture: four raw variants of the same
+    logical page (tracking params / uppercase+default port+trailing
+    slash / fragment / non-default port+unsorted params), in closed
+    form of doc_id so the oracle can rebuild identical strings."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 4
+    page = ((F.col("doc_id") / 4).cast("long") % 50).cast("string")
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("http://www.example.com/page/"),
+                page,
+                F.lit("?utm_source=x&fbclid=1"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTP://EXAMPLE.COM:80/page/"), page, F.lit("/")),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("http://example.com/page/"), page, F.lit("#section")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com:8443/page/"), page, F.lit("?b=2&a=1")
+            )
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup (operators/urls.py): canonicalize raw URLs
+    (lowercase scheme/host, drop www/default port/fragment/tracking
+    params, strip trailing slash, sort surviving params) and elect one
+    keeper per canonical form. The three http variants of each page
+    must collapse into one group; the https:8443 variant keeps its
+    non-default port and sorted ?a=1&b=2 and forms its own. The oracle
+    re-canonicalizes with pure regexp/list ops — any divergence in the
+    normalization chain splits or merges a group and mismatches."""
+    from database_collector_spark.operators import urls
+
+    return urls.url_dedup(_messy_urls(spark, sf_dir))
+
+
+SQL_URL_DEDUP = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'http://www.example.com/page/' || CAST((doc_id // 4) % 50 AS VARCHAR) || '?utm_source=x&fbclid=1'
+           WHEN 1 THEN 'HTTP://EXAMPLE.COM:80/page/' || CAST((doc_id // 4) % 50 AS VARCHAR) || '/'
+           WHEN 2 THEN 'http://example.com/page/' || CAST((doc_id // 4) % 50 AS VARCHAR) || '#section'
+           ELSE 'https://example.com:8443/page/' || CAST((doc_id // 4) % 50 AS VARCHAR) || '?b=2&a=1'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS auth,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')), '^www\\.', '') AS host,
+         regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+         CASE WHEN path = '/' THEN '' ELSE regexp_replace(path, '/$', '') END AS path,
+         array_to_string(list_sort(list_filter(string_split(q, '&'),
+           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS params
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host
+         || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                          OR (scheme = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END
+         || path
+         || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canonical_url
+  FROM norm
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM canon GROUP BY canonical_url
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: synthesize spec-conformant
     RIFF/WAVE PCM16 payloads JVM-side in closed form of doc_id
@@ -865,6 +957,7 @@ QUERIES_EXT = {
     "text_token_stats": q_text_token_stats,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "url_dedup": q_url_dedup,
     "dedup_spans": q_dedup_spans,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -895,6 +988,7 @@ ORACLES_EXT = {
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "url_dedup": SQL_URL_DEDUP,
     "dedup_spans": SQL_DEDUP_SPANS,
     "lang_id": SQL_LANG_ID,
     "quality_score": _sql_quality(),
