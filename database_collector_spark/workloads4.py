@@ -792,6 +792,125 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the pre-flight check before any
+    big keyed join/agg (the salting decision in SCALE.md needs exactly
+    these numbers). Per event_type, profile the user_id key
+    distribution: key count, row count, the heaviest key's share
+    numerator (max_n), the top-10-keys mass (top10_n), and the Gini
+    coefficient of key counts. Every statistic is derived from exact
+    integer counts; Gini's closed form over ascending-sorted counts
+    G = (2·Σ rank·c − (n+1)·Σc) / (n·Σc) has an exact BIGINT numerator
+    and denominator, so the rounded double agrees across engines.
+    Plan: one (type,user) count aggregate, then windows + final agg on
+    the SAME type partitioning — two exchanges total, both carrying
+    per-key counts, never raw rows."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.asc("c"), F.asc("user_id")
+    )
+    w_desc = Window.partitionBy("event_type").orderBy(
+        F.desc("c"), F.asc("user_id")
+    )
+    ranked = counts.select(
+        "event_type",
+        "c",
+        F.row_number().over(w_rank).alias("rk_asc"),
+        F.row_number().over(w_desc).alias("rk_desc"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_n"),
+        F.sum(F.when(F.col("rk_desc") <= 10, F.col("c")).otherwise(0)).alias(
+            "top10_n"
+        ),
+        F.sum(F.col("rk_asc") * F.col("c")).alias("rank_mass"),
+    )
+    gini = (
+        (2 * F.col("rank_mass") - (F.col("n_keys") + 1) * F.col("n_rows"))
+        .cast("double")
+        / (F.col("n_keys") * F.col("n_rows")).cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "top10_n",
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c ASC, user_id ASC) AS rk_asc,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC, user_id ASC) AS rk_desc
+  FROM counts
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_n,
+         CAST(SUM(CASE WHEN rk_desc <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10_n,
+         CAST(SUM(rk_asc * c) AS BIGINT) AS rank_mass
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_keys, n_rows, max_n, top10_n,
+       round(CAST(2*rank_mass - (n_keys + 1)*n_rows AS DOUBLE)
+             / CAST(n_keys * n_rows AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a feature column — the standard ML
+    preprocessing step mapping each value to its within-group quantile
+    rank: pr = (rank − 1) / (n − 1), RANK() so ties share a rank.
+    Exact rational from integer rank/count → one identical double
+    division per row on both engines. One exchange: rank window and
+    count window share the event_type partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy(F.asc("v"))
+    wg = Window.partitionBy("event_type")
+    base = ev.select("event_id", "event_type", cents.alias("v"))
+    ranked = base.select(
+        "event_id",
+        "event_type",
+        "v",
+        F.rank().over(w).alias("rk"),
+        F.count("*").over(wg).alias("n"),
+    )
+    return ranked.select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("rk") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+            6,
+        ).alias("pr"),
+    )
+
+
+SQL_QUANTILE_NORM = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id, event_type,
+       round(CAST(RANK() OVER (PARTITION BY event_type ORDER BY v ASC) - 1 AS DOUBLE)
+             / CAST(COUNT(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE), 6) AS pr
+FROM base
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
@@ -806,6 +925,8 @@ QUERIES4 = {
     "fk_integrity": q_fk_integrity,
     "fk_bloom": q_fk_bloom,
     "bitmap_distinct": q_bitmap_distinct,
+    "key_skew_profile": q_key_skew_profile,
+    "quantile_norm": q_quantile_norm,
     "profile_table": q_profile_table,
 }
 
@@ -823,5 +944,7 @@ ORACLES4 = {
     "fk_integrity": SQL_FK_INTEGRITY,
     "fk_bloom": SQL_FK_BLOOM,
     "bitmap_distinct": SQL_BITMAP_DISTINCT,
+    "key_skew_profile": SQL_KEY_SKEW_PROFILE,
+    "quantile_norm": SQL_QUANTILE_NORM,
     "profile_table": SQL_PROFILE_TABLE,
 }

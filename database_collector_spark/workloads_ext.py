@@ -694,6 +694,49 @@ FROM canon GROUP BY canonical_url
 """
 
 
+def q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the IR/index shape behind tfidf_top_terms'
+    scoring): token → document frequency + the first-20 posting list,
+    emitted as a comma-joined string so the hash compares postings
+    order-exactly. Capped postings keep the row bounded for stop-like
+    tokens (the documented head-truncation every real index applies to
+    its hottest terms); df >= 5 bounds output to real vocabulary. One
+    shuffle keyed by token; collect_set dedups in-group, the sort is
+    in-row."""
+    from database_collector_spark.operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .select(
+            "token",
+            F.size("docs").cast("long").alias("df"),
+            F.array_join(
+                F.slice(F.array_sort("docs"), 1, 20), ","
+            ).alias("postings_head"),
+        )
+        .where(F.col("df") >= 5)
+    )
+
+
+SQL_TOKEN_POSTINGS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+grouped AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+  FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, df, postings_head FROM grouped WHERE df >= 5
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: synthesize spec-conformant
     RIFF/WAVE PCM16 payloads JVM-side in closed form of doc_id
@@ -958,6 +1001,7 @@ QUERIES_EXT = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "url_dedup": q_url_dedup,
+    "token_postings": q_token_postings,
     "dedup_spans": q_dedup_spans,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -989,6 +1033,7 @@ ORACLES_EXT = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "url_dedup": SQL_URL_DEDUP,
+    "token_postings": SQL_TOKEN_POSTINGS,
     "dedup_spans": SQL_DEDUP_SPANS,
     "lang_id": SQL_LANG_ID,
     "quality_score": _sql_quality(),
