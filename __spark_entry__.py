@@ -26,6 +26,7 @@ from database_collector_spark import (
     workloads4,
     workloads5,
     workloads_ext,
+    workloads_ir,
     workloads_pq,
     workloads_ts,
 )
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads4.QUERIES4,
         **workloads5.QUERIES5,
         **workloads_ext.QUERIES_EXT,
+        **workloads_ir.QUERIES_IR,
         **workloads_pq.QUERIES_PQ,
         **workloads_ts.QUERIES_TS,
     })
@@ -110,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         **workloads4.ORACLES4,
         **workloads5.ORACLES5,
         **workloads_ext.ORACLES_EXT,
+        **workloads_ir.ORACLES_IR,
         **workloads_pq.ORACLES_PQ,
         **workloads_ts.ORACLES_TS,
     })

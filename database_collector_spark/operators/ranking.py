@@ -1,0 +1,119 @@
+"""Text retrieval scoring over the documents corpus: BM25.
+
+The reference's query surface has no IR tier (its analytics stop at the
+exporter-style aggregates, SURVEY.md §2) — this module is part of the
+training-data-pipeline extension: corpus-level relevance scoring is the
+standard primitive behind retrieval-based data curation (e.g. selecting
+documents relevant to a seed set).
+
+Determinism conventions (shared with workloads_ext.py): every float that
+reaches a differential gate is computed from engine-exact integer
+intermediates (tf, df, dl, N, Σdl) and rounded; per-term contributions
+are summed in a FIXED order (one conditional aggregate per query term,
+added left-to-right) so double addition order cannot differ between
+engines.
+
+Scale notes (100 TB): the token explode is map-side; tf is one shuffle
+keyed by (doc, term) AFTER the `isin(query_terms)` filter prunes the
+token stream to |terms ∩ corpus| — the full vocabulary is never
+shuffled. df and the corpus stats are tiny aggregates broadcast back;
+the scoring join is therefore |matching docs| rows through one keyed
+exchange, never |token stream|.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_collector_spark.operators.text import tokens_col
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BM25 score for a fixed bag of query terms.
+
+    idf is the standard Robertson–Sparck Jones smoothed form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive), tf
+    saturation uses (k1, b) with dl = whitespace token count and avgdl
+    the exact corpus mean. Returns one row per document that matches at
+    least one query term: (doc_id, dl, n_matched, score) with score
+    rounded to 4 decimals.
+    """
+    terms = sorted(set(query_terms))
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens_col(text_col)).alias("dl")
+    )
+    # Corpus stats: 2 integers (N docs, total tokens) — one-row broadcast.
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    # One conditional SUM per query term -> per-term columns, then a
+    # left-to-right fixed-order add: double summation order is pinned.
+    per_term = scored.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        F.count("*").alias("n_matched"),
+        *[
+            F.sum(F.when(F.col("term") == t, contrib)).alias(f"_c_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    total = reduce(
+        lambda acc, i: acc + F.coalesce(F.col(f"_c_{i}"), F.lit(0.0)),
+        range(len(terms)),
+        F.lit(0.0),
+    )
+    return per_term.select(
+        "doc_id",
+        "dl",
+        F.col("n_matched").cast("int").alias("n_matched"),
+        F.round(total, 4).alias("score"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k documents by BM25 score (doc_id ASC tie-break): the ranked
+    retrieval form. The global top-k is a sort-limit — Spark executes it
+    as per-partition TakeOrdered + driver merge of k·p rows, never a
+    full sort."""
+    scored = bm25_scores(docs, query_terms, **kwargs)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
