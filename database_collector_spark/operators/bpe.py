@@ -1,0 +1,133 @@
+"""BPE (byte-pair encoding) tokenizer-training statistics.
+
+The first phase of training any BPE/WordPiece-family tokenizer over a
+corpus: build the (word, frequency) vocabulary, then repeatedly merge
+the most frequent adjacent symbol pair. The reference has no tokenizer
+surface — this is part of the training-data-pipeline tier (tokenizer
+fitting is a standard corpus-level job alongside dedup/quality).
+
+Scale design (100 TB): the corpus is touched ONCE — one scan + one
+shuffle keyed by word builds the (word, freq) vocabulary, which is
+orders of magnitude smaller than the token stream (real-corpus vocabs
+are ~10⁶–10⁸ rows). Every merge round then runs on the vocabulary only:
+one small aggregate + a single-row argmax collect (bounded driver
+traffic, the same contract as the IVF k-means loop), never another
+corpus pass. This is exactly how production BPE trainers scale.
+
+Determinism: the merge argmax orders by (count DESC, pair ASC) — total
+order, engine-portable. Greedy left-to-right non-overlapping pair
+merging is encoded as a plain string replace over a DOUBLE-SPACE
+symbol encoding:
+
+    seq  = '  s1  s2  ...  sk  '   (two spaces between symbols and at
+                                    both sentinel ends)
+    find = ' a  b '                (single outer margins, double inner)
+    repl = ' ab '
+
+Each match consumes ONE space of each flanking margin, leaving the
+other for the neighboring match — so ``replace`` (which scans left to
+right, non-overlapping, identically in Spark and DuckDB) implements
+exactly the greedy single-pass fold: 'a a a a' + (a,a) -> 'aa aa',
+'a a a' + (a,a) -> 'aa a'. Symbols never contain spaces (merges only
+concatenate space-free base symbols), so false submatches like
+'e h' inside 'xe  h' are impossible: the pattern demands a space
+immediately before 'a' and after 'b'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from database_collector_spark.operators.text import tokens_col
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, seq): the corpus-reduced vocabulary with each word's
+    initial symbol sequence (its characters, double-space encoded)."""
+    words = docs.select(
+        F.explode(tokens_col(text_col)).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    seq = F.concat(
+        F.lit("  "), F.array_join(F.split(F.col("word"), ""), "  "), F.lit("  ")
+    )
+    return vocab.withColumn("seq", seq)
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over the vocabulary
+    (counts every adjacent POSITION, the standard BPE statistic)."""
+    syms = F.split(F.trim(F.col("seq")), "  ")
+    k = F.size(syms)
+    # sequence(1, k-1) would DESCEND for k=1 (Spark defaults step=-1 when
+    # start > stop); clamp the stop and drop the out-of-bounds pair via
+    # F.get's null (0-based and null-safe even under ANSI mode, unlike
+    # element_at which throws on out-of-bounds there).
+    idx = F.sequence(F.lit(0), F.greatest(k - 2, F.lit(0)))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.get(syms, i).alias("sym_a"),
+            F.get(syms, i + 1).alias("sym_b"),
+        ),
+    )
+    return (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .where(F.col("p.sym_b").isNotNull())
+        .groupBy(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _top_pair(vocab: DataFrame) -> Row | None:
+    rows = (
+        pair_counts(vocab)
+        .orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def apply_merge(vocab: DataFrame, sym_a: str, sym_b: str) -> DataFrame:
+    """Greedy left-to-right merge of (sym_a, sym_b) in every word's
+    symbol sequence (see module docstring for the encoding proof)."""
+    find = f" {sym_a}  {sym_b} "
+    repl = f" {sym_a}{sym_b} "
+    return vocab.withColumn("seq", F.replace(F.col("seq"), F.lit(find), F.lit(repl)))
+
+
+def train(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the ordered merge table
+    (rank, sym_a, sym_b, merged, pair_count). One corpus pass builds the
+    vocab (persisted); each round is a vocab-sized aggregate + a 1-row
+    collect."""
+    spark = docs.sparkSession
+    vocab = word_vocab(docs, text_col).persist()
+    try:
+        merges: list[tuple[int, str, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            top = _top_pair(vocab)
+            if top is None:
+                break
+            merges.append(
+                (rank, top.sym_a, top.sym_b, top.sym_a + top.sym_b, top.pair_count)
+            )
+            nxt = apply_merge(vocab, top.sym_a, top.sym_b).persist()
+            nxt.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, sym_a string, sym_b string, merged string, pair_count bigint"
+    )
+
+
+def encode(vocab: DataFrame) -> DataFrame:
+    """Final segmentation after training: (word, freq, symbols array) —
+    what a tokenizer-apply stage would broadcast."""
+    return vocab.select(
+        "word", "freq", F.split(F.trim(F.col("seq")), "  ").alias("symbols")
+    )

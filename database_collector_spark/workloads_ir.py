@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_collector_spark.operators import ranking
+from database_collector_spark.operators import bpe, ranking
 from database_collector_spark.workloads import _t
 
 _BM25_TERMS = ["hash", "join", "vector"]
@@ -65,10 +65,65 @@ FROM per
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merges learned from the documents corpus
+    (operators/bpe.py::train): one corpus scan builds the word-frequency
+    vocabulary, then each round is a vocab-sized pair aggregate + a
+    1-row argmax collect. Integer-exact throughout; the greedy merge is
+    the double-space replace encoding (see bpe.py) that DuckDB's
+    ``replace`` reproduces byte-for-byte."""
+    return bpe.train(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+def _sql_bpe_merges(n_merges: int = 4) -> str:
+    """Unrolled n-round BPE oracle: each round r has pair counts p{r},
+    argmax t{r}, and the merged vocab s{r+1} via the same double-space
+    replace."""
+    ctes = [
+        """s0 AS (
+  SELECT word, COUNT(*) AS freq,
+         '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""
+    ]
+    for r in range(n_merges):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT syms[i] AS sym_a, syms[i + 1] AS sym_b, SUM(freq) AS pair_count
+  FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s{r}),
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) ii
+  GROUP BY 1, 2
+),
+t{r} AS (
+  SELECT sym_a, sym_b, pair_count FROM p{r}
+  ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT 1
+),
+s{r + 1} AS (
+  SELECT word, freq,
+         replace(seq,
+                 ' ' || (SELECT sym_a FROM t{r}) || '  ' || (SELECT sym_b FROM t{r}) || ' ',
+                 ' ' || (SELECT sym_a || sym_b FROM t{r}) || ' ') AS seq
+  FROM s{r}
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS INT) AS rank, sym_a, sym_b, sym_a || sym_b AS merged,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES_IR = {
     "bm25_scores": SQL_BM25_SCORES,
+    "bpe_merges": SQL_BPE_MERGES,
 }

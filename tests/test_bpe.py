@@ -1,0 +1,87 @@
+"""BPE trainer (operators/bpe.py): hand-computed example, greedy
+overlap semantics, and a Hypothesis property vs a plain-Python
+reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from database_collector_spark.operators import bpe
+
+
+def _py_train(texts: list[str], n_merges: int):
+    """Reference BPE: vocab of words, positional pair counts, greedy
+    left-to-right single-pass merge."""
+    vocab = Counter(w for t in texts for w in t.split(" ") if w)
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += vocab[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, c))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_known_example(spark):
+    # 'aaab' x3, 'ab' x1: round 1 merges (a,a) count 6 (two positions in
+    # each 'aaab'); round 2 merges the then-best pair.
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="aaab aaab aaab ab")]
+    )
+    got = [tuple(r) for r in bpe.train(df, 2).orderBy("rank").collect()]
+    assert got == _py_train(["aaab aaab aaab ab"], 2)
+    assert got[0][1:] == ("a", "a", "aa", 6)
+
+
+def test_bpe_greedy_overlap_single_pass(spark):
+    # 'aaaa': greedy left-to-right gives [aa, aa], never [a, aa, a] or a
+    # re-scanned [aaaa].
+    df = spark.createDataFrame([Row(doc_id=0, text="aaaa")])
+    vocab = bpe.apply_merge(bpe.word_vocab(df), "a", "a")
+    syms = bpe.encode(vocab).collect()[0]["symbols"]
+    assert syms == ["aa", "aa"]
+
+
+def test_bpe_single_char_words_yield_no_pairs(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="a b a c")])
+    assert bpe.pair_counts(bpe.word_vocab(df)).count() == 0
+    assert bpe.train(df, 2).count() == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_bpe_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = [tuple(r) for r in bpe.train(df, 3).orderBy("rank").collect()]
+    assert got == _py_train(texts, 3)
