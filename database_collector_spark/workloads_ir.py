@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_collector_spark.operators import bpe, ranking
+from database_collector_spark.operators import bpe, ranking, sampling
 from database_collector_spark.workloads import _t
 
 _BM25_TERMS = ["hash", "join", "vector"]
@@ -118,12 +118,42 @@ s{r + 1} AS (
 SQL_BPE_MERGES = _sql_bpe_merges()
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25-doc weighted sample without replacement, weight = n_chars
+    (operators/sampling.py::weighted_reservoir — A-ES keys over
+    md5-derived exact uniforms; one scan + TakeOrdered, no shuffle)."""
+    return sampling.weighted_reservoir(
+        _t(spark, sf_dir, "documents"), k=25, weight_col="n_chars"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH v AS (
+  SELECT doc_id, n_chars AS weight,
+         (SELECT SUM(CAST(strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                          AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - i))))
+          FROM (SELECT unnest(generate_series(1, 8)) AS i)) AS hv
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, weight,
+         -ln((hv + 0.5) / 4294967296.0) / weight AS k
+  FROM v
+)
+SELECT doc_id, weight, round(k, 6) AS sample_key
+FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 25
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES_IR = {
     "bm25_scores": SQL_BM25_SCORES,
     "bpe_merges": SQL_BPE_MERGES,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }

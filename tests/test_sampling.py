@@ -1,0 +1,59 @@
+"""Weighted reservoir sampling (operators/sampling.py): exact key match
+vs a Python reference, proportionality sanity, and shuffle-free plan."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Row
+
+from database_collector_spark.operators import sampling
+
+
+def _py_key(doc_id: int, weight: int, salt: str = "") -> float:
+    hx = hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()
+    v = int(hx[:8], 16)
+    return -math.log((v + 0.5) / 2**32) / weight
+
+
+def test_weighted_reservoir_matches_python_keys(spark):
+    rows = [Row(doc_id=i, w=1 + (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    got = sampling.weighted_reservoir(df, k=10, weight_col="w").collect()
+    want = sorted(rows, key=lambda r: (_py_key(r.doc_id, r.w), r.doc_id))[:10]
+    assert [r["doc_id"] for r in got] == [r.doc_id for r in want]
+    for g, w in zip(got, want):
+        assert g["sample_key"] == round(_py_key(w.doc_id, w.w), 6)
+
+
+def test_weighted_reservoir_favors_heavy_items(spark):
+    # one item with 10^6 x the weight of 999 others is essentially
+    # always sampled: its expected key is ~10^6 smaller.
+    rows = [Row(doc_id=i, w=1_000_000 if i == 0 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"] for r in sampling.weighted_reservoir(df, 5, "w").collect()}
+    assert 0 in got
+
+
+def test_weighted_reservoir_salt_changes_sample(spark):
+    rows = [Row(doc_id=i, w=1) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    a = {r["doc_id"] for r in sampling.weighted_reservoir(df, 20, "w").collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.weighted_reservoir(df, 20, "w", salt="s2").collect()
+    }
+    assert a != b
+
+
+def test_weighted_reservoir_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([Row(doc_id=i, w=1 + i % 3) for i in range(100)])
+    plan = (
+        sampling.weighted_reservoir(df, 5, "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
