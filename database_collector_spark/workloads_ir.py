@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_collector_spark.operators import bpe, ranking, sampling
+from database_collector_spark.operators import bpe, layout, ranking, sampling
 from database_collector_spark.workloads import _t
 
 _BM25_TERMS = ["hash", "join", "vector"]
@@ -146,14 +146,53 @@ FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 25
 """
 
 
+_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z, the fixture's time origin
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key layout report over events, dims (user_id, hour index)
+    (operators/layout.py): 16 fixed-width z-ranges with per-dimension
+    min/max — the footer stats a z-ordered write would give the scan
+    pruner. Pure integer bit arithmetic, one map stage + one 16-row
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.floor((F.unix_timestamp("ts") - F.lit(_EPOCH_2024)) / 3600)
+    return layout.cluster_stats(ev, F.col("user_id"), hour, n_buckets=16)
+
+
+SQL_ZORDER_LAYOUT = f"""
+WITH d AS (
+  SELECT user_id AS x,
+         CAST(floor((floor(epoch(ts)) - {_EPOCH_2024}) / 3600) AS BIGINT) AS y
+  FROM events
+),
+keyed AS (
+  SELECT x, y,
+         (SELECT SUM(((x >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+                     + ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))
+          FROM (SELECT unnest(generate_series(0, 15)) AS i)) AS zkey
+  FROM d
+),
+m AS (SELECT MAX(zkey) AS zmax FROM keyed)
+SELECT CAST(floor(zkey * 16.0 / (zmax + 1)) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM keyed CROSS JOIN m
+GROUP BY 1
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
     "weighted_sample": q_weighted_sample,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLES_IR = {
     "bm25_scores": SQL_BM25_SCORES,
     "bpe_merges": SQL_BPE_MERGES,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
 }
