@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_collector_spark.operators import bpe, layout, ranking, sampling
+from database_collector_spark.operators import bpe, graph, layout, ranking, sampling
 from database_collector_spark.workloads import _t
 
 _BM25_TERMS = ["hash", "join", "vector"]
@@ -183,11 +183,75 @@ GROUP BY 1
 """
 
 
+def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over a deterministic 3-regular-out link
+    graph on documents (v -> (2v+1)%N, (3v+7)%N, (5v+11)%N), via the
+    integer-exact uniform-outdegree recurrence
+    (operators/graph.py::pagerank_uniform_exact) — the iterative-
+    algorithm representative with a bit-exact oracle: no float enters
+    the fixpoint, only the final display division."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = docs.agg(F.count("*").alias("nn"))
+    v = F.col("doc_id")
+    edges = (
+        docs.join(F.broadcast(n_row))
+        .select(
+            v.alias("src"),
+            F.explode(
+                F.array(
+                    (2 * v + 1) % F.col("nn"),
+                    (3 * v + 7) % F.col("nn"),
+                    (5 * v + 11) % F.col("nn"),
+                )
+            ).alias("dst"),
+        )
+    )
+    nodes = docs.select(v.alias("node"))
+    return graph.pagerank_uniform_exact(edges, nodes, n_iter=3, outdeg=3)
+
+
+def _sql_pagerank_exact(n_iter: int = 3) -> str:
+    p, q, g = 17, 20, 3
+    ctes = [
+        "n AS (SELECT COUNT(*) AS nn FROM documents)",
+        """e AS (
+  SELECT doc_id AS src, (2 * doc_id + 1) % nn AS dst FROM documents, n
+  UNION ALL SELECT doc_id, (3 * doc_id + 7) % nn FROM documents, n
+  UNION ALL SELECT doc_id, (5 * doc_id + 11) % nn FROM documents, n
+)""",
+        "r0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS num FROM documents)",
+    ]
+    for k in range(n_iter):
+        teleport = (q - p) * g * (q * g) ** k
+        ctes.append(
+            f"""r{k + 1} AS (
+  SELECT d.doc_id AS node,
+         CAST({teleport} + {p} * COALESCE(l.s, 0) AS BIGINT) AS num
+  FROM documents d
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.num) AS s
+             FROM e JOIN r{k} r ON r.node = e.src GROUP BY e.dst) l
+    ON l.node = d.doc_id
+)"""
+        )
+    denom = (q * g) ** n_iter
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node, num AS rank_num,
+       round(num / (nn * {denom}.0), 8) AS rank
+FROM r{n_iter}, n
+"""
+    )
+
+
+SQL_PAGERANK_EXACT = _sql_pagerank_exact()
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
     "weighted_sample": q_weighted_sample,
     "zorder_layout": q_zorder_layout,
+    "pagerank_exact": q_pagerank_exact,
 }
 
 ORACLES_IR = {
@@ -195,4 +259,5 @@ ORACLES_IR = {
     "bpe_merges": SQL_BPE_MERGES,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "pagerank_exact": SQL_PAGERANK_EXACT,
 }
