@@ -641,3 +641,87 @@ def frame_sample(
             )
 
     return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (dHash) — image near-dup detection
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dhash", T.StringType(), True),  # 16 lowercase hex chars
+    ]
+)
+
+
+def to_gradient_ppm_media(docs: DataFrame) -> DataFrame:
+    """documents -> real binary 9x8 P6 images with per-PIXEL gradients
+    (unlike ``to_ppm_media``'s channel-constant rasters, these have
+    spatial structure, so a perceptual hash is non-degenerate).
+
+    Closed form: pattern id pid = doc_id % 50; grayscale triplet value
+    at (x, y) is ``(pid*13 + x*17 + y*29) % 200 + doc_id % 3``. The
+    ``doc_id % 3`` term is a per-image BRIGHTNESS SHIFT (no 255
+    wraparound since the base stays < 200): documents sharing a pid are
+    near-duplicate images — bytewise different, perceptually identical
+    — exactly what dHash must collapse. Synthesis is pure JVM expr
+    (transform + hex + unhex), no Python."""
+    raster = (
+        "array_join(transform(sequence(0, 71), i -> "
+        "  repeat(lpad(hex(((doc_id % 50)*13 + (i % 9)*17 + (i div 9)*29) % 200"
+        "              + doc_id % 3), 2, '0'), 3)), '')"
+    )
+    return (
+        docs.select("doc_id")
+        .withColumn(
+            "payload",
+            F.expr(
+                "concat(encode('P6\\n9 8\\n255\\n', 'UTF-8'), "
+                f"unhex({raster}))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.lit("image").alias("media_type"),
+            "payload",
+            F.struct(
+                F.length("payload").cast("long").alias("n_bytes"),
+                F.lit("image/x-portable-pixmap").alias("declared_format"),
+            ).alias("meta"),
+        )
+    )
+
+
+def dhash_images(media: DataFrame) -> DataFrame:
+    """Difference hash over REAL decoded pixels: decode each P6 payload,
+    integer-mean the channels to grayscale, and for each of the 8x8
+    left/right neighbor pairs set bit ``y*8 + x`` iff
+    ``gray[y][x] < gray[y][x+1]``. Requires a 9x8 raster (the canonical
+    dHash sample grid — real pipelines downscale first via ``resize``);
+    other dims or malformed payloads yield null (null-not-panic).
+
+    The 64-bit hash is emitted as 16 lowercase hex chars: brightness-
+    shift invariant (constant offsets cancel in the comparisons), flips
+    with content edits — the standard image near-dup key. Grouping on it
+    is one shuffle of 8-byte keys, the image twin of text SimHash."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (1 << (np.arange(64, dtype=np.uint64))).astype(np.uint64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(doc_id)
+                decoded = decode_ppm(p)
+                if decoded is None or decoded[0] != 9 or decoded[1] != 8:
+                    hashes.append(None)
+                    continue
+                w, h, px = decoded
+                gray = (px.astype(np.int64).sum(axis=1) // 3).reshape(h, w)
+                bits = (gray[:, :-1] < gray[:, 1:]).astype(np.uint64).ravel()
+                hashes.append(f"{int((bits * weights).sum()):016x}")
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return media.mapInPandas(_batches, schema=DHASH_SCHEMA)

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_collector_spark.operators import bpe, graph, layout, ranking, sampling
+from database_collector_spark.operators import (
+    bpe,
+    graph,
+    layout,
+    multimodal,
+    ranking,
+    sampling,
+)
 from database_collector_spark.workloads import _t
 
 _BM25_TERMS = ["hash", "join", "vector"]
@@ -246,12 +253,55 @@ FROM r{n_iter}, n
 SQL_PAGERANK_EXACT = _sql_pagerank_exact()
 
 
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual dHash over REAL decoded pixels:
+    gradient P6 fixtures (bytewise-distinct per doc — a brightness
+    shift separates same-pattern images), mapInPandas decode + 8x8
+    neighbor-comparison hash, then one 8-byte-key shuffle groups the
+    perceptual duplicates. The oracle recomputes the closed-form bits,
+    so any decode/stride/bit-order defect mismatches."""
+    media = multimodal.to_gradient_ppm_media(_t(spark, sf_dir, "documents"))
+    return (
+        multimodal.dhash_images(media)
+        .groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+SQL_IMAGE_DHASH_DEDUP = """
+WITH bits AS (
+  SELECT doc_id,
+         (SELECT SUM(CASE WHEN ((doc_id % 50)*13 + x*17 + y*29) % 200
+                             < ((doc_id % 50)*13 + (x+1)*17 + y*29) % 200
+                          AND y*8 + x < 32
+                          THEN CAST(1 AS BIGINT) << (y*8 + x) ELSE 0 END)
+          FROM (SELECT unnest(generate_series(0, 7)) AS x),
+               (SELECT unnest(generate_series(0, 7)) AS y)) AS lo,
+         (SELECT SUM(CASE WHEN ((doc_id % 50)*13 + x*17 + y*29) % 200
+                             < ((doc_id % 50)*13 + (x+1)*17 + y*29) % 200
+                          AND y*8 + x >= 32
+                          THEN CAST(1 AS BIGINT) << (y*8 + x - 32) ELSE 0 END)
+          FROM (SELECT unnest(generate_series(0, 7)) AS x),
+               (SELECT unnest(generate_series(0, 7)) AS y)) AS hi
+  FROM documents
+)
+SELECT lpad(lower(hex(hi)), 8, '0') || lpad(lower(hex(lo)), 8, '0') AS dhash,
+       COUNT(*) AS n_dups,
+       MIN(doc_id) AS keeper_doc_id
+FROM bits GROUP BY 1
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
     "weighted_sample": q_weighted_sample,
     "zorder_layout": q_zorder_layout,
     "pagerank_exact": q_pagerank_exact,
+    "image_dhash_dedup": q_image_dhash_dedup,
 }
 
 ORACLES_IR = {
@@ -260,4 +310,5 @@ ORACLES_IR = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "pagerank_exact": SQL_PAGERANK_EXACT,
+    "image_dhash_dedup": SQL_IMAGE_DHASH_DEDUP,
 }
