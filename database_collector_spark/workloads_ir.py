@@ -295,6 +295,60 @@ FROM bits GROUP BY 1
 """
 
 
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model negative log-likelihood per document — the
+    perplexity-filter quality signal (train the LM on the corpus itself,
+    score every doc). nll(doc) = Σ_t -ln(count(t)/T) over the doc's
+    tokens = n_doc·ln(T) − Σ ln(count(t)): counts and totals are
+    engine-exact integers, ln enters only through the same
+    SUM(ln(integer)) shape char_entropy uses. One token-keyed shuffle
+    for corpus counts, a broadcast-sized count table joined back, one
+    doc-keyed re-aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("t_total"))
+    per_doc = (
+        toks.join(F.broadcast(counts), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log("cnt")).alias("sum_ln_cnt"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (F.col("n_tokens") * F.log("t_total") - F.col("sum_ln_cnt"))
+                / F.col("n_tokens"),
+                4,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPPL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ft AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+counts AS (SELECT term, COUNT(*) AS cnt FROM ft GROUP BY term),
+total AS (SELECT SUM(cnt) AS t_total FROM counts),
+per_doc AS (
+  SELECT ft.doc_id, COUNT(*) AS n_tokens, SUM(ln(counts.cnt)) AS sum_ln_cnt
+  FROM ft JOIN counts USING (term) GROUP BY ft.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((n_tokens * ln(t_total) - sum_ln_cnt) / n_tokens, 4) AS avg_nll
+FROM per_doc, total
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
@@ -302,6 +356,7 @@ QUERIES_IR = {
     "zorder_layout": q_zorder_layout,
     "pagerank_exact": q_pagerank_exact,
     "image_dhash_dedup": q_image_dhash_dedup,
+    "unigram_logppl": q_unigram_logppl,
 }
 
 ORACLES_IR = {
@@ -311,4 +366,5 @@ ORACLES_IR = {
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "pagerank_exact": SQL_PAGERANK_EXACT,
     "image_dhash_dedup": SQL_IMAGE_DHASH_DEDUP,
+    "unigram_logppl": SQL_UNIGRAM_LOGPPL,
 }
