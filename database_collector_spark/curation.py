@@ -164,3 +164,25 @@ def write_curated(curated: DataFrame, path: str) -> None:
         curated.write.partitionBy("split", "lang").mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    group_col: F.Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GROUP-aware ~80/10/10 split: the split label is hashed from a
+    duplicate-GROUP key (default: md5 of the text, i.e. exact-dup
+    groups) instead of the doc id, so duplicates and near-duplicates
+    sharing the key can never straddle train/test — the leakage mode a
+    per-doc hash split cannot prevent. Plug any grouping key in:
+    canonical URL, MinHash cluster id, dHash. Pure map-side labeling
+    (the group key is a scalar of the row), no join against a group
+    table — the label is a function of the key itself, so two members
+    of a group get identical labels without ever being co-located."""
+    key = group_col if group_col is not None else F.md5(F.col("text"))
+    b = F.substring(F.md5(key.cast("string")), 1, 2)
+    label = F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    return docs.select(
+        F.col(id_col), key.alias("group_key"), label.alias("split")
+    )

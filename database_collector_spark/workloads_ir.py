@@ -349,6 +349,35 @@ FROM per_doc, total
 """
 
 
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware split audit (curation.py::leakage_safe_split): docs
+    are labeled by the md5 of their exact-dup GROUP key, so byte-equal
+    documents always share a split. Reports per-split doc and group
+    counts — the bookkeeping a leakage-safe dataset release publishes."""
+    from database_collector_spark import curation
+
+    split = curation.leakage_safe_split(_t(spark, sf_dir, "documents"))
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("group_key").alias("n_groups"),
+    )
+
+
+SQL_LEAKAGE_SAFE_SPLIT = """
+WITH labeled AS (
+  SELECT doc_id, md5(text) AS group_key,
+         CASE WHEN substr(md5(md5(text)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(md5(text)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT group_key) AS n_groups
+FROM labeled GROUP BY split
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
@@ -357,6 +386,7 @@ QUERIES_IR = {
     "pagerank_exact": q_pagerank_exact,
     "image_dhash_dedup": q_image_dhash_dedup,
     "unigram_logppl": q_unigram_logppl,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 ORACLES_IR = {
@@ -367,4 +397,5 @@ ORACLES_IR = {
     "pagerank_exact": SQL_PAGERANK_EXACT,
     "image_dhash_dedup": SQL_IMAGE_DHASH_DEDUP,
     "unigram_logppl": SQL_UNIGRAM_LOGPPL,
+    "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
 }

@@ -126,3 +126,35 @@ def test_pack_sequences_streams_are_independent(spark):
     }
     # each language stream starts its own chunk 0
     assert got == {("en", 0): 0, ("de", 1): 0}
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    # 30 docs, 10 distinct texts (3 byte-equal copies each): every
+    # copy-group must land in exactly one split.
+    rows = [Row(doc_id=i, text=f"dup text {i % 10}") for i in range(30)]
+    out = curation.leakage_safe_split(spark.createDataFrame(rows)).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_key"], set()).add(r["split"])
+    assert len(by_group) == 10
+    assert all(len(splits) == 1 for splits in by_group.values())
+
+
+def test_leakage_safe_split_custom_group_key(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from database_collector_spark import curation
+
+    rows = [Row(doc_id=i, text=f"t{i}", url_group=i % 4) for i in range(40)]
+    out = curation.leakage_safe_split(
+        spark.createDataFrame(rows), group_col=F.col("url_group")
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_key"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
