@@ -1117,8 +1117,64 @@ FROM md GROUP BY user_id
 """
 
 
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition per event type: the seasonal
+    mean over each (type, hod) cell plus the count of residual outliers
+    (|value - cell mean| > $5), decided in EXACT integer arithmetic —
+    |v_cents*n - s| > 500*n avoids dividing the mean, so the flag can
+    never float-flip (the rolling_zscore convention). One shuffle: the
+    per-cell stats come from a window over the same key the final
+    groupBy uses, so the aggregation reuses the exchange."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    keyed = ev.select(
+        "event_type", F.hour("ts").alias("hod"), cents.alias("v_cents")
+    )
+    w = Window.partitionBy("event_type", "hod")
+    enriched = keyed.select(
+        "event_type",
+        "hod",
+        "v_cents",
+        F.sum("v_cents").over(w).alias("s"),
+        F.count("*").over(w).alias("n"),
+    )
+    flagged = enriched.withColumn(
+        "is_outlier",
+        (F.abs(F.col("v_cents") * F.col("n") - F.col("s")) > 500 * F.col("n")).cast(
+            "int"
+        ),
+    )
+    return flagged.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.round(F.max("s") / (F.lit(100.0) * F.max("n")), 4).alias("avg_value"),
+        F.sum("is_outlier").alias("n_outliers"),
+    )
+
+
+SQL_SEASONAL_PROFILE = """
+WITH keyed AS (
+  SELECT event_type, date_part('hour', ts) AS hod,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+cells AS (
+  SELECT event_type, hod, SUM(v_cents) AS s, COUNT(*) AS n
+  FROM keyed GROUP BY 1, 2
+)
+SELECT k.event_type, CAST(k.hod AS INT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MAX(c.s) / (100.0 * MAX(c.n)), 4) AS avg_value,
+       CAST(SUM(CASE WHEN abs(k.v_cents * c.n - c.s) > 500 * c.n
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM keyed k JOIN cells c USING (event_type, hod)
+GROUP BY 1, 2
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
+    "seasonal_profile": q_seasonal_profile,
     "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
@@ -1144,6 +1200,7 @@ QUERIES_TS = {
 
 ORACLES_TS = {
     "events_hourly": SQL_EVENTS_HOURLY,
+    "seasonal_profile": SQL_SEASONAL_PROFILE,
     "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,
     "asof_join": SQL_ASOF_JOIN,

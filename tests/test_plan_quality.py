@@ -422,3 +422,37 @@ def test_metric_analytics_single_exchange(spark):
         plan = _plan(fn(spark, SF))
         assert plan.count("Exchange hashpartitioning") == 1, fn.__name__
         assert "EvalPython" not in plan and "InPandas" not in plan, fn.__name__
+
+
+def test_seasonal_profile_single_exchange(spark):
+    from database_collector_spark.workloads_ts import q_seasonal_profile
+
+    plan = _plan(q_seasonal_profile(spark, SF))
+    # the window and the final groupBy share the (event_type, hod) key:
+    # one hash exchange serves both
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_no_token_stream_shuffle_of_full_vocab(spark):
+    from database_collector_spark.workloads_ir import q_bm25_scores
+
+    plan = _plan(q_bm25_scores(spark, SF))
+    # df/stats sides broadcast; the isin() term filter sits below the
+    # tf aggregation so only matching tokens shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_layout_stays_codegen(spark):
+    from database_collector_spark.workloads_ir import q_zorder_layout
+
+    plan = _plan(q_zorder_layout(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_no_shuffle(spark):
+    from database_collector_spark.workloads_ir import q_weighted_sample
+
+    plan = _plan(q_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
