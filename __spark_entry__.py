@@ -54,31 +54,41 @@ _CHECK_FIRST = [
     "posexplode_tokens", "null_funcs", "map_funcs", "try_arith",
     "histogram_quantile", "dense_timeseries", "fk_integrity",
     "profile_table",
-    # part 2 — new gates this round: Bloom-filter join pre-reduction,
-    # char-entropy quality signal, incremental IVF maintenance
+    # part 2 — gates NEW in round 7 (never driver-checked; local
+    # tools/check.py green). Early-r7: Bloom join pre-reduction,
+    # char entropy, incremental IVF, per-series metric analytics,
+    # bitmap distinct, WAV decode, URL dedup, skew/quantile/postings.
     "fk_bloom", "char_entropy", "ann_ivf_incremental",
+    "trend_slope", "ewma_smooth", "mad_outliers", "bitmap_distinct",
+    "multimodal_audio", "url_dedup", "key_skew_profile", "quantile_norm",
+    "token_postings",
+    # Late-r7 IR/corpus tier: BM25, BPE training, weighted reservoir,
+    # z-order layout, exact PageRank, image dHash, perplexity signal,
+    # leakage-safe split, seasonal profile.
+    "bm25_scores", "bpe_merges", "weighted_sample", "zorder_layout",
+    "pagerank_exact", "image_dhash_dedup", "unigram_logppl",
+    "leakage_safe_split", "seasonal_profile",
     # part 3 — touched by round-7 code changes: heavy_hitters gained the
     # explicit NULL-item contract; ann_ivf_kmeans's oracle CTE builder
     # was source-parametrized for the incremental gate
     "heavy_hitters", "ann_ivf_kmeans",
-    # part 4 — 30 of the 44 queries whose latest driver row is round 5
-    # (the heavier/semantic ones; evidence exactly two rounds old).
-    "ann_ivf_multiprobe", "ann_ivf_probe", "ann_pq_adc", "ann_pq_codes",
-    "approx_distinct", "approx_quantiles", "argmax_customer", "asof_join",
-    "correlated_avg_filter", "cube_counts", "cust_order_distribution",
-    "date_rollup", "dedup_embedding_lsh_multi", "dedup_spans",
-    "events_sliding", "gap_detect", "grouped_counter", "grouping_sets",
-    "label_enrich", "long_running_sessions", "range_join_buckets",
-    "sample_stratified", "semi_anti_orders", "sessionization",
-    "shipping_priority", "skew_salted_join", "stats_moments",
-    "text_token_stats", "tfidf_top_terms", "ttl_expiry_counts",
+    # part 4 — oldest r5-latest queries (semantic flagships first); the
+    # remaining r5-latest queries move to the r8 mandatory head below.
+    "asof_join", "sessionization", "label_enrich", "long_running_sessions",
+    "skew_salted_join", "dedup_spans", "grouping_sets",
+    "range_join_buckets", "sample_stratified", "tfidf_top_terms",
+    "ttl_expiry_counts", "events_sliding",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r8 MANDATORY HEAD (r5-latest leftovers that would otherwise reach
-    # 3-round-old evidence; every one is pytest-pinned scalar surface):
-    # array_funcs, case_having, date_funcs, string_funcs, set_ops,
-    # limit_cap, engine_dispatch, window_frames, window_running,
-    # unpivot_melt, top_supplier, market_share, decile_stats,
-    # exact_percentiles
+    # r8 MANDATORY HEAD (r5-latest leftovers now at 3-round-old driver
+    # evidence; all pytest-pinned): ann_ivf_multiprobe, ann_ivf_probe,
+    # ann_pq_adc, ann_pq_codes, approx_distinct, approx_quantiles,
+    # argmax_customer, correlated_avg_filter, cube_counts,
+    # cust_order_distribution, date_rollup, dedup_embedding_lsh_multi,
+    # gap_detect, grouped_counter, semi_anti_orders, shipping_priority,
+    # stats_moments, text_token_stats, array_funcs, case_having,
+    # date_funcs, string_funcs, set_ops, limit_cap, engine_dispatch,
+    # window_frames, window_running, unpivot_melt, top_supplier,
+    # market_share, decile_stats, exact_percentiles
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 
