@@ -131,3 +131,42 @@ def encode(vocab: DataFrame) -> DataFrame:
     return vocab.select(
         "word", "freq", F.split(F.trim(F.col("seq")), "  ").alias("symbols")
     )
+
+
+def encode_corpus(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Tokenize every document with an already-learned merge list: the
+    APPLY side of BPE. Each word is char-spaced into the double-space
+    encoding, the k merges are applied in rank order as a composed
+    chain of k plain replaces (one expression, no per-row Python, no
+    data-sized loop — the loop is over the k merges at PLAN-build time),
+    and the token count is the surviving symbol count.
+
+    Scale: the merge list is a plan constant (broadcast-by-construction;
+    real vocabularies would ship via a broadcast join on a precomputed
+    word->n_tokens table — word_vocab gives exactly that shape). This
+    expression form is the zero-shuffle scan-speed path: returns
+    (id cols.., n_words, n_bpe_tokens) as a pure projection."""
+
+    def seq_of(word: F.Column) -> F.Column:
+        seq = F.concat(
+            F.lit("  "), F.array_join(F.split(word, ""), "  "), F.lit("  ")
+        )
+        for a, b in merges:
+            seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        return seq
+
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+    n_tokens = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc + F.size(F.split(F.trim(seq_of(w)), "  ")),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        n_tokens.alias("n_bpe_tokens"),
+    )

@@ -378,6 +378,49 @@ FROM labeled GROUP BY split
 """
 
 
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY: learn 4 merges (bpe.train — the k-row merge table is
+    the only driver traffic), then tokenize the whole corpus with the
+    composed replace chain (operators/bpe.py::encode_corpus, a pure
+    zero-shuffle projection). Output: per-doc word and BPE-token
+    counts, all integer."""
+    docs = _t(spark, sf_dir, "documents")
+    merge_rows = bpe.train(docs, n_merges=4).orderBy("rank").collect()
+    merges = [(r["sym_a"], r["sym_b"]) for r in merge_rows]
+    return bpe.encode_corpus(docs, merges)
+
+
+def _sql_bpe_encode(n_merges: int = 4) -> str:
+    train_ctes = _sql_bpe_merges(n_merges).split("\nUNION ALL\n")[0]
+    # keep only the WITH chain of the training oracle (drop its SELECT)
+    with_chain = train_ctes[: train_ctes.rindex("SELECT")]
+    seq = "'  ' || array_to_string(string_split(w, ''), '  ') || '  '"
+    for r in range(n_merges):
+        seq = (
+            f"replace({seq}, ' ' || (SELECT sym_a FROM t{r}) || '  ' || "
+            f"(SELECT sym_b FROM t{r}) || ' ', "
+            f"' ' || (SELECT sym_a || sym_b FROM t{r}) || ' ')"
+        )
+    return (
+        with_chain.rstrip() + ",\n"
+        + f"""fw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+enc AS (
+  SELECT doc_id, {seq} AS seq FROM fw WHERE w <> ''
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+       CAST(SUM(len(string_split(trim(seq), '  '))) AS INT) AS n_bpe_tokens
+FROM enc GROUP BY doc_id
+"""
+    )
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
@@ -387,6 +430,7 @@ QUERIES_IR = {
     "image_dhash_dedup": q_image_dhash_dedup,
     "unigram_logppl": q_unigram_logppl,
     "leakage_safe_split": q_leakage_safe_split,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLES_IR = {
@@ -398,4 +442,5 @@ ORACLES_IR = {
     "image_dhash_dedup": SQL_IMAGE_DHASH_DEDUP,
     "unigram_logppl": SQL_UNIGRAM_LOGPPL,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
+    "bpe_encode": SQL_BPE_ENCODE,
 }

@@ -85,3 +85,45 @@ def test_bpe_matches_python_reference(spark, texts):
     df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
     got = [tuple(r) for r in bpe.train(df, 3).orderBy("rank").collect()]
     assert got == _py_train(texts, 3)
+
+
+def test_encode_corpus_counts_match_manual(spark):
+    # merges apply in rank order: (a,a): a a a b -> aa a b ;
+    # then (aa,a): -> aaa b.
+    df = spark.createDataFrame([Row(doc_id=0, text="aaab ab b aaab")])
+    got = bpe.encode_corpus(df, [("a", "a"), ("aa", "a")]).collect()[0]
+    # aaab -> [aa,a,b] -> [aaa,b] = 2; ab -> [a,b] = 2; b -> [b] = 1
+    assert got["n_words"] == 4
+    assert got["n_bpe_tokens"] == 2 + 2 + 1 + 2
+
+
+def test_encode_corpus_consistent_with_trained_vocab_segmentation(spark):
+    texts = ["abab abab ab", "abc ab abab"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    merge_rows = bpe.train(df, 2).orderBy("rank").collect()
+    merges = [(r["sym_a"], r["sym_b"]) for r in merge_rows]
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.encode_corpus(df, merges).collect()
+    }
+    # reference: apply the same greedy merges per word
+    ref_merges = _py_train(texts, 2)
+    assert [(m[1], m[2]) for m in ref_merges] == merges
+    for i, t in enumerate(texts):
+        n = 0
+        for w in t.split(" "):
+            syms = list(w)
+            for a, b in merges:
+                out, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            n += len(syms)
+        assert got[i] == n
