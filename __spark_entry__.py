@@ -76,11 +76,12 @@ _CHECK_FIRST = [
     # remaining r5-latest queries move to the r8 mandatory head below.
     "asof_join", "sessionization", "label_enrich", "long_running_sessions",
     "skew_salted_join", "dedup_spans", "grouping_sets",
-    "range_join_buckets", "sample_stratified", "tfidf_top_terms",
-    "ttl_expiry_counts", "bpe_encode",
+    "range_join_buckets", "sample_stratified", "bpe_encode",
+    "event_transitions", "trimmed_mean",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
     # r8 MANDATORY HEAD (r5-latest leftovers now at 3-round-old driver
-    # evidence; all pytest-pinned): events_sliding, ann_ivf_multiprobe, ann_ivf_probe,
+    # evidence; all pytest-pinned): tfidf_top_terms, ttl_expiry_counts,
+    # events_sliding, ann_ivf_multiprobe, ann_ivf_probe,
     # ann_pq_adc, ann_pq_codes, approx_distinct, approx_quantiles,
     # argmax_customer, correlated_avg_filter, cube_counts,
     # cust_order_distribution, date_rollup, dedup_embedding_lsh_multi,

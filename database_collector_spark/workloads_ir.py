@@ -421,6 +421,63 @@ FROM enc GROUP BY doc_id
 SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority trimmed (5%/95%) mean of order value: robust-mean
+    aggregation with an INTEGER rank cut — rn over the total order
+    (cents, orderkey) with the trim boundary floor(n/20), so the kept
+    set is engine-exact (no percentile interpolation enters the gate).
+    One shuffle on the group key; rank and count share the window
+    exchange."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "cents", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority", "o_orderkey", cents.alias("cents")
+    ).select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    kept = ranked.where(
+        (F.col("rn") > F.floor(F.col("n") / 20))
+        & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 20))
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("cents") / (F.lit(100.0) * F.count("*")), 4).alias(
+            "trimmed_mean"
+        ),
+    )
+
+
+SQL_TRIMMED_MEAN = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                     o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+kept AS (
+  SELECT * FROM ranked
+  WHERE rn > n // 20 AND rn <= n - n // 20
+)
+SELECT o_orderpriority, COUNT(*) AS n_kept,
+       round(SUM(cents) / (100.0 * COUNT(*)), 4) AS trimmed_mean
+FROM kept GROUP BY o_orderpriority
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
@@ -431,6 +488,7 @@ QUERIES_IR = {
     "unigram_logppl": q_unigram_logppl,
     "leakage_safe_split": q_leakage_safe_split,
     "bpe_encode": q_bpe_encode,
+    "trimmed_mean": q_trimmed_mean,
 }
 
 ORACLES_IR = {
@@ -443,4 +501,5 @@ ORACLES_IR = {
     "unigram_logppl": SQL_UNIGRAM_LOGPPL,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "bpe_encode": SQL_BPE_ENCODE,
+    "trimmed_mean": SQL_TRIMMED_MEAN,
 }

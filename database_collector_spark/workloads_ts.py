@@ -1172,9 +1172,58 @@ GROUP BY 1, 2
 """
 
 
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (lag/lead over the (user, time) order): the path-analysis
+    primitive behind next-action prediction and funnel discovery.
+    One user-keyed exchange + in-partition sort; the transition matrix
+    is |event_type|^2 rows. Integer-exact; the probability column is
+    the exact rational n / row_total rounded to 4."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 4).alias("p_next"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / SUM(n) OVER (PARTITION BY from_type), 4) AS p_next
+FROM pairs
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "seasonal_profile": q_seasonal_profile,
+    "event_transitions": q_event_transitions,
     "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
@@ -1201,6 +1250,7 @@ QUERIES_TS = {
 ORACLES_TS = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,
     "asof_join": SQL_ASOF_JOIN,
