@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from database_collector_spark.operators import (
     bpe,
+    dedup,
     graph,
     layout,
     multimodal,
@@ -478,6 +479,79 @@ FROM kept GROUP BY o_orderpriority
 """
 
 
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination estimate: shared distinct word-3-gram
+    shingles between two source slices (src0-9 vs src5-14), exact via
+    one aggregate + inclusion-exclusion HLL estimate as a bounded-error
+    verdict (the approx_distinct convention: sketches differ across
+    engines, the within-10% boolean does not). The sketch path is the
+    100 TB plan — three HLLs over one scan, no shingle join; the exact
+    intersection here exists to make the gate hashable."""
+    docs = _t(spark, sf_dir, "documents")
+    src_n = F.regexp_extract("source", "src(\\d+)", 1).cast("int")
+    tagged = docs.withColumn(
+        "in_a", (src_n < 10)
+    ).withColumn("in_b", (src_n >= 5) & (src_n < 15))
+    sh = dedup.shingles(tagged.select("doc_id", "text")).join(
+        tagged.select("doc_id", "in_a", "in_b"), "doc_id"
+    )
+    per_shingle = sh.groupBy("shingle").agg(
+        F.max(F.col("in_a").cast("int")).alias("a"),
+        F.max(F.col("in_b").cast("int")).alias("b"),
+    )
+    acd = lambda cond: F.approx_count_distinct(  # noqa: E731
+        F.when(cond, F.col("shingle")), rsd=0.02
+    ).cast("double")
+    agg = sh.agg(
+        acd(F.col("in_a")).alias("est_a"),
+        acd(F.col("in_b")).alias("est_b"),
+        acd(F.col("in_a") | F.col("in_b")).alias("est_union"),
+    )
+    exact = per_shingle.agg(
+        F.sum("a").alias("exact_a"),
+        F.sum("b").alias("exact_b"),
+        F.sum(F.col("a") * F.col("b")).alias("exact_inter"),
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        exact.crossJoin(F.broadcast(agg))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            (
+                F.abs(est_inter - F.col("exact_inter"))
+                <= 0.10 * F.col("exact_inter")
+            ).alias("within_10pct"),
+        )
+    )
+
+
+SQL_CORPUS_OVERLAP = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
+  WHERE i <= len(t) - 2
+),
+tagged AS (
+  SELECT shingle,
+         MAX(CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 10
+                  THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT)
+                       BETWEEN 5 AND 14 THEN 1 ELSE 0 END) AS b
+  FROM sh GROUP BY shingle
+)
+SELECT CAST(SUM(a) AS BIGINT) AS exact_a,
+       CAST(SUM(b) AS BIGINT) AS exact_b,
+       CAST(SUM(a * b) AS BIGINT) AS exact_inter,
+       TRUE AS within_10pct
+FROM tagged
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
@@ -489,6 +563,7 @@ QUERIES_IR = {
     "leakage_safe_split": q_leakage_safe_split,
     "bpe_encode": q_bpe_encode,
     "trimmed_mean": q_trimmed_mean,
+    "corpus_overlap": q_corpus_overlap,
 }
 
 ORACLES_IR = {
@@ -502,4 +577,5 @@ ORACLES_IR = {
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "bpe_encode": SQL_BPE_ENCODE,
     "trimmed_mean": SQL_TRIMMED_MEAN,
+    "corpus_overlap": SQL_CORPUS_OVERLAP,
 }
