@@ -137,3 +137,108 @@ def running_counts_with_ttl(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters: sharded SpaceSaving summaries
+# ---------------------------------------------------------------------------
+
+SS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType()), True),
+        T.StructField("counts", T.ArrayType(T.LongType()), True),
+        T.StructField("errs", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+SS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), True),
+        T.StructField("item", T.StringType(), True),
+        T.StructField("count_est", T.LongType(), True),
+        T.StructField("err", T.LongType(), True),
+    ]
+)
+
+
+def _make_spacesaving_fn(capacity: int):
+    def _update(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            items, counts, errs = state.get
+            summary = {
+                it: [c, e] for it, c, e in zip(items, counts, errs)
+            }
+        else:
+            summary = {}
+        for b in batches:
+            for it in b["item"]:
+                if it in summary:
+                    summary[it][0] += 1
+                elif len(summary) < capacity:
+                    summary[it] = [1, 0]
+                else:
+                    # evict the minimum-count entry (ties: lexicographic
+                    # min item, so replay order cannot change the pick)
+                    victim = min(summary, key=lambda k: (summary[k][0], k))
+                    vcount = summary[victim][0]
+                    del summary[victim]
+                    summary[it] = [vcount + 1, vcount]
+        ordered = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [it for it, _ in ordered],
+                [c for _, (c, _) in ordered],
+                [e for _, (_, e) in ordered],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(ordered),
+                "item": [it for it, _ in ordered],
+                "count_est": [c for _, (c, _) in ordered],
+                "err": [e for _, (_, e) in ordered],
+            }
+        )
+
+    return _update
+
+
+def streaming_heavy_hitters(
+    items: DataFrame,
+    *,
+    item_col: str = "item",
+    n_shards: int = 8,
+    capacity: int = 64,
+) -> DataFrame:
+    """Streaming top-k over an unbounded item space: hash-shard the
+    items, keep ONE SpaceSaving summary of ``capacity`` entries per
+    shard in state (Metwally et al. 2005 — count_est overestimates the
+    true count by at most ``err``; any item with true frequency >
+    N_shard/capacity is guaranteed present). Sharding by a hash of the
+    item makes the per-shard summaries EXACT-partitioned rather than
+    merged — each item lives in exactly one shard, so the union of
+    shard summaries carries the global heavy hitters with per-shard
+    error bounds, the streaming twin of the batch Misra-Gries tier
+    (operators/heavyhitters.py). State is strictly bounded:
+    n_shards * capacity entries total, independent of stream length.
+    Every micro-batch emits each updated shard's full summary
+    (update mode); the latest emission per shard is the current
+    answer."""
+    sharded = items.select(
+        (F.crc32(F.col(item_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _make_spacesaving_fn(capacity),
+        outputStructType=SS_OUTPUT_SCHEMA,
+        stateStructType=SS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

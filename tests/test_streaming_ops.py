@@ -342,3 +342,48 @@ def test_crash_after_write_before_commit_recovers_exactly_once(spark):
         rows = spark.read.parquet(out).collect()
         assert sorted(r["id"] for r in rows) == [1, 2]
         assert {r["_batch_id"] for r in rows} == {0}
+
+
+def test_streaming_heavy_hitters_spacesaving(spark):
+    import tempfile as _tf
+    from collections import Counter
+
+    from database_collector_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    # skewed stream: 'hot' appears 60x, 'warm' 20x, 200 singletons
+    stream1 = ["hot"] * 30 + ["warm"] * 10 + [f"cold{i}" for i in range(100)]
+    stream2 = ["hot"] * 30 + ["warm"] * 10 + [f"cold{i}" for i in range(100, 200)]
+    truth = Counter(stream1 + stream2)
+
+    with _tf.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        _write(src, "b1.json", [{"item": it} for it in stream1])
+        _write(src, "b2.json", [{"item": it} for it in stream2])
+        ckpt = f"{tmp}/ckpt"
+
+        def build(path):
+            stream = spark.readStream.schema("item string").json(path)
+            return streaming_heavy_hitters(stream, capacity=16)
+
+        rows = _run_stream(spark, src, build, ckpt, out_mode="update")
+
+    # replay rows in order; per (shard, item) keep the last estimate
+    latest: dict = {}
+    for r in rows:
+        latest[(r["shard"], r["item"])] = (r["count_est"], r["err"])
+    by_item: dict = {}
+    for (_, item), (c, e) in latest.items():
+        by_item[item] = (c, e)
+
+    # SpaceSaving guarantees: heavy items survive; estimates bound truth
+    for hot in ("hot", "warm"):
+        assert hot in by_item
+        c, e = by_item[hot]
+        assert truth[hot] <= c <= truth[hot] + e
+
+    # bounded state: at most capacity entries per shard ever emitted
+    per_shard = Counter(shard for (shard, _) in latest)
+    assert all(n <= 16 for n in per_shard.values())
