@@ -61,12 +61,9 @@ def bm25_scores(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
     ).where(F.col("term").isin(terms))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = (
-        toks.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    # df falls out of tf (one row per matching (doc, term) already):
+    # no second pass over the token stream
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     scored = (
         tf.join(F.broadcast(dfreq), "term")

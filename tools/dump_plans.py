@@ -32,6 +32,10 @@ PICKS = [
     ("interval_join_events", "3-bucket-probe equi-join for a ±interval"),
     ("funnel_steps", "join-free event funnel (two shrinking exchanges)"),
     ("decile_stats", "distributed exact NTILE (range partition + offsets)"),
+    ("bm25_scores", "term-pruned token shuffle + broadcast df/stats (IR tier)"),
+    ("weighted_sample", "shuffle-free weighted reservoir (TakeOrdered heaps)"),
+    ("zorder_layout", "codegen Morton OR-chain + 16-row locality aggregate"),
+    ("seasonal_profile", "window and groupBy sharing one keyed exchange"),
 ]
 
 
