@@ -618,3 +618,24 @@ def embedding_near_dup_lsh(
         n_tables=1,
         seed=seed,
     )
+
+
+def l2_normalize(embeddings: DataFrame) -> DataFrame:
+    """Unit-normalize each embedding (the ANN-preprocessing step that
+    turns cosine into dot product): nc_i = qe_i / sqrt(qnorm2).
+
+    Exactness chain for the differential gate: qe and qnorm2 are exact
+    integers; IEEE sqrt and division are correctly rounded, so every
+    normalized component is BIT-IDENTICAL across engines — no summation
+    order exists anywhere in this path (min/max over identical doubles
+    are order-free). Zero-shuffle projection."""
+    base = with_quantized(embeddings)
+    norm = F.sqrt(F.col("qnorm2").cast("double"))
+    nc = F.expr("transform(qe, x -> CAST(x AS DOUBLE) / sqrt(CAST(qnorm2 AS DOUBLE)))")
+    return base.select(
+        "vec_id",
+        F.round(norm / F.lit(float(QUANT_SCALE)), 6).alias("l2_norm"),
+        F.round(F.array_min(nc), 6).alias("nc_min"),
+        F.round(F.array_max(nc), 6).alias("nc_max"),
+        nc.alias("normalized"),
+    )

@@ -996,6 +996,90 @@ GROUP BY 1, 2
 """
 
 
+
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified LSH quality: banding candidates (16 hashes, 4 bands)
+    vs the exact J>=0.8 truth pairs (uncapped shingle-blocked Jaccard —
+    exact because a J>0 pair must share a shingle). One row:
+    truth/candidate/hit counts + recall and precision, the measurement
+    every tuned (bands, rows) choice should publish. Integer counts;
+    ratios are exact rationals rounded."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8, df_max=None).select(
+        "doc_a", "doc_b"
+    )
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs)).select(
+        "doc_a", "doc_b"
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    t = truth.agg(F.count("*").alias("n_truth"))
+    c = cand.agg(F.count("*").alias("n_candidates"))
+    h = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_candidates"), F.lit(0)), 4
+            ).alias("precision"),
+        )
+    )
+
+
+SQL_LSH_RECALL_REPORT = f"""
+WITH {sql_minhash_lsh_ctes()},
+truth AS (
+  SELECT s.doc_a, s.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) s
+  JOIN sizes na ON na.doc_id = s.doc_a
+  JOIN sizes nb ON nb.doc_id = s.doc_b
+  WHERE round(CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared), 4) >= 0.8
+),
+hit AS (SELECT * FROM truth INTERSECT SELECT doc_a, doc_b FROM cand),
+tt AS (SELECT COUNT(*) AS n_truth FROM truth),
+cc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+hh AS (SELECT COUNT(*) AS n_hit FROM hit)
+SELECT n_truth, n_candidates, n_hit,
+       round(CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0), 4) AS recall,
+       round(CAST(n_hit AS DOUBLE) / NULLIF(n_candidates, 0), 4) AS precision
+FROM tt, cc, hh
+"""
+
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization audit (similarity.l2_normalize): original norm +
+    min/max normalized component per vector. Every output double is
+    bit-identical across engines by construction (integer inputs
+    through correctly-rounded sqrt/divide; min/max are order-free), so
+    the gate needs no tolerance trick."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.l2_normalize(emb).select(
+        "vec_id", "l2_norm", "nc_min", "nc_max"
+    )
+
+
+SQL_EMBEDDING_NORMALIZE = f"""
+WITH {_SQL_QUANT}
+SELECT q.vec_id,
+       round(sqrt(CAST(n.n2 AS DOUBLE)) / 1048576.0, 6) AS l2_norm,
+       round(MIN(CAST(q.qe[i] AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE))), 6) AS nc_min,
+       round(MAX(CAST(q.qe[i] AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE))), 6) AS nc_max
+FROM qe q JOIN norms n ON n.vec_id = q.vec_id, idx
+GROUP BY q.vec_id, n.n2
+"""
+
+
 QUERIES_EXT = {
     "text_token_stats": q_text_token_stats,
     "multimodal_decode": q_multimodal_decode,
@@ -1010,6 +1094,8 @@ QUERIES_EXT = {
     "repetition_stats": q_repetition_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "lsh_recall_report": q_lsh_recall_report,
+    "embedding_normalize": q_embedding_normalize,
     "dedup_incremental": q_dedup_incremental,
     "decontaminate": q_decontaminate,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1042,6 +1128,8 @@ ORACLES_EXT = {
     "repetition_stats": SQL_REPETITION_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "lsh_recall_report": SQL_LSH_RECALL_REPORT,
+    "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

@@ -21,6 +21,7 @@ from database_collector_spark.operators import (
     multimodal,
     ranking,
     sampling,
+    sketches,
 )
 from database_collector_spark.workloads import _t
 
@@ -552,6 +553,82 @@ FROM tagged
 """
 
 
+
+
+_CMS_PROBES = ["hash", "join", "vector", "scan", "merge", "the", "zz_absent"]
+
+
+def q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates vs exact truth for a fixed probe
+    set (operators/sketches.py::cms_point_estimates — depth 4 x width
+    256, md5 hashing, so the SKETCH itself is deterministic and
+    oracle-checkable, unlike HLL). no_undercount must be TRUE for every
+    probe (the CMS one-sided error guarantee); an absent probe shows the
+    pure collision overestimate."""
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.explode(F.split("text", " ")).alias("item")
+    ).where(F.col("item") != "")
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
+    est = sketches.cms_point_estimates(items, probes)
+    truth = (
+        items.where(F.col("item").isin(_CMS_PROBES))
+        .groupBy(F.col("item").alias("probe_item"))
+        .agg(F.count("*").alias("true_count"))
+    )
+    return (
+        est.join(truth, "probe_item", "left")
+        .select(
+            "probe_item",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.coalesce("true_count", F.lit(0))).alias(
+                "no_undercount"
+            ),
+        )
+    )
+
+
+_SQL_HEX8 = (
+    "(SELECT SUM(CAST(strpos('0123456789abcdef', substr({h}, i, 1)) - 1 AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << (4 * (8 - i))))"
+    " FROM (SELECT unnest(generate_series(1, 8)) AS i))"
+)
+
+SQL_CMS_ESTIMATES = f"""
+WITH ft AS (
+  SELECT item FROM (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
+  WHERE item <> ''
+),
+hashed AS (
+  SELECT dd.d, ft.item,
+         {_SQL_HEX8.format(h="md5(dd.d || ':' || ft.item)")} % 256 AS col
+  FROM ft, (SELECT unnest(generate_series(0, 3)) AS d) dd
+),
+cells AS (SELECT d, col, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2),
+probes(item) AS (VALUES {", ".join(f"('{p}')" for p in _CMS_PROBES)}),
+probe_cells AS (
+  SELECT p.item, dd.d,
+         {_SQL_HEX8.format(h="md5(dd.d || ':' || p.item)")} % 256 AS col
+  FROM probes p, (SELECT unnest(generate_series(0, 3)) AS d) dd
+),
+est AS (
+  SELECT pc.item AS probe_item, MIN(COALESCE(c.cnt, 0)) AS cms_estimate
+  FROM probe_cells pc LEFT JOIN cells c ON c.d = pc.d AND c.col = pc.col
+  GROUP BY 1
+),
+truth AS (
+  SELECT item AS probe_item, COUNT(*) AS true_count FROM ft
+  WHERE item IN (SELECT item FROM probes) GROUP BY 1
+)
+SELECT e.probe_item,
+       CAST(COALESCE(t.true_count, 0) AS BIGINT) AS true_count,
+       CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+       e.cms_estimate >= COALESCE(t.true_count, 0) AS no_undercount
+FROM est e LEFT JOIN truth t USING (probe_item)
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
@@ -564,6 +641,7 @@ QUERIES_IR = {
     "bpe_encode": q_bpe_encode,
     "trimmed_mean": q_trimmed_mean,
     "corpus_overlap": q_corpus_overlap,
+    "cms_estimates": q_cms_estimates,
 }
 
 ORACLES_IR = {
@@ -578,4 +656,5 @@ ORACLES_IR = {
     "bpe_encode": SQL_BPE_ENCODE,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "corpus_overlap": SQL_CORPUS_OVERLAP,
+    "cms_estimates": SQL_CMS_ESTIMATES,
 }

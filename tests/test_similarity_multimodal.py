@@ -373,3 +373,28 @@ def test_decode_audio_nulls_malformed_rows(spark):
         else:
             assert r["n_frames"] == 4 + doc_id % 5
             assert r["n_channels"] == 1 + doc_id % 2
+
+
+def test_l2_normalize_unit_norm_and_direction(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators import similarity
+
+    rows = [
+        Row(vec_id=0, label="a", embedding=[0.6, 0.8] + [0.0] * 62),
+        Row(vec_id=1, label="b", embedding=[0.1] * 64),
+    ]
+    out = {r["vec_id"]: r for r in similarity.l2_normalize(spark.createDataFrame(rows)).collect()}
+    # vector 0: norm 1.0, max component 0.8 after normalize
+    assert out[0]["l2_norm"] == 1.0
+    assert abs(out[0]["nc_max"] - 0.8) < 1e-5
+    # normalized vectors are unit length
+    for r in out.values():
+        s = sum(x * x for x in r["normalized"])
+        assert abs(s - 1.0) < 1e-9
+    # uniform vector 0.1*64: norm 0.8, every component 0.1/0.8 = 0.125
+    assert abs(out[1]["nc_min"] - out[1]["nc_max"]) < 1e-12
+    assert abs(out[1]["nc_max"] - 0.125) < 1e-5
+    assert math.isclose(out[1]["l2_norm"], 0.8, abs_tol=1e-5)
