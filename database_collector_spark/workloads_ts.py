@@ -1220,10 +1220,134 @@ FROM pairs
 """
 
 
+
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase event credits the FIRST
+    event in the same user's preceding 1-hour lookback (the marketing
+    attribution primitive). Expressed as one user-keyed sort + a
+    running min-struct window bounded by a range frame — no self-join,
+    the same join-free discipline as the funnel. Integer/timestamp
+    exact; credit counts per (channel=first event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    base = ev.select(
+        "user_id", "event_type", "event_id", secs.alias("s")
+    )
+    # rangeBetween needs a single numeric sort key; event_id tie-break
+    # folds into the struct-min (earliest second, then lowest id wins)
+    first_in_window = F.min(
+        F.struct(F.col("s"), F.col("event_id"), F.col("event_type"))
+    ).over(
+        Window.partitionBy("user_id").orderBy("s").rangeBetween(-3600, 0)
+    )
+    attributed = base.withColumn("first_touch", first_in_window).where(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        attributed.groupBy(
+            F.col("first_touch.event_type").alias("channel")
+        )
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+SQL_ATTRIBUTION_FIRST_TOUCH = """
+WITH base AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+tagged AS (
+  SELECT user_id, event_type,
+         MIN({'s': s, 'e': event_id, 't': event_type}) OVER (
+           PARTITION BY user_id ORDER BY s
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+         ) AS first_touch
+  FROM base
+)
+SELECT first_touch.t AS channel, COUNT(*) AS n_purchases
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type, fully integer: with
+    the per-type mean as exact rational s/n, the running statistic
+    C_k = Σ_{i<=k}(v_i - s/n) is tracked scaled by n —
+    nC_k = n·Σ v_i − k·s, all 64-bit integers — and a change is flagged
+    where |nC_k| > h·n (h = $50 drift). No float exists anywhere, so
+    the oracle is bit-exact. One keyed exchange: the per-type totals
+    ride a window over the same key as the running sum.
+
+    Range contract: n·run_sum stays in int64 up to ~10^9 cents-sum per
+    series x 10^9 rows products — fine for per-series monitoring
+    streams (ANSI mode would raise, not wrap, beyond); a whole-corpus
+    100 TB run would compute the mean in a first pass and track C_k in
+    double, trading the bit-exact gate for range."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", "ts", "event_id", cents.alias("v"))
+    wt = Window.partitionBy("event_type")
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = base.select(
+        "event_type",
+        F.sum("v").over(wt).alias("s"),
+        F.count("*").over(wt).alias("n"),
+        F.sum("v").over(wrun).alias("run_sum"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")
+        ).alias("k"),
+    )
+    ncusum = F.col("n") * F.col("run_sum") - F.col("k") * F.col("s")
+    return (
+        scored.withColumn("flag", (F.abs(ncusum) > 5000 * F.col("n")).cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("flag").alias("n_flagged"),
+            F.max(F.abs(ncusum)).alias("max_ncusum"),
+        )
+    )
+
+
+SQL_CUSUM_CHANGEPOINTS = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+scored AS (
+  SELECT event_type,
+         SUM(v) OVER (PARTITION BY event_type) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_sum,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS k
+  FROM base
+)
+SELECT event_type,
+       COUNT(*) AS n_points,
+       CAST(SUM(CASE WHEN abs(n * run_sum - k * s) > 5000 * n
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(MAX(abs(n * run_sum - k * s)) AS BIGINT) AS max_ncusum
+FROM scored GROUP BY event_type
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
+    "attribution_first_touch": q_attribution_first_touch,
+    "cusum_changepoints": q_cusum_changepoints,
     "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
@@ -1251,6 +1375,8 @@ ORACLES_TS = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
+    "cusum_changepoints": SQL_CUSUM_CHANGEPOINTS,
     "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,
     "asof_join": SQL_ASOF_JOIN,
