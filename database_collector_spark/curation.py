@@ -186,3 +186,38 @@ def leakage_safe_split(
     return docs.select(
         F.col(id_col), key.alias("group_key"), label.alias("split")
     )
+
+
+def elect_representatives(
+    members: DataFrame,
+    group_col: str,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical election: per duplicate group keep the
+    highest-quality member (ties -> lowest id) instead of the blind
+    min-id keeper the exact-dedup tier uses. One max-struct aggregate
+    per group — no window, no sort, so the shuffle carries one struct
+    per group and the plan stays a partial-aggregate shape.
+
+    Total order: (quality DESC, id ASC) encoded as max of
+    (quality, -id); deterministic for any engine."""
+    best = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"),
+            (-F.col(id_col)).alias("neg_id"),
+        )
+    )
+    return (
+        members.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_members"),
+            best.alias("_best"),
+        )
+        .select(
+            group_col,
+            "n_members",
+            (-F.col("_best.neg_id")).alias("keeper_id"),
+            F.col("_best.q").alias("keeper_quality"),
+        )
+    )

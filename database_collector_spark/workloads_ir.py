@@ -629,6 +629,54 @@ FROM est e LEFT JOIN truth t USING (probe_item)
 """
 
 
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup-group canonical election
+    (curation.elect_representatives): URL-canonicalization groups keep
+    their LONGEST member (ties -> lowest doc id) rather than min-id —
+    the curation policy real pipelines want ("keep the most complete
+    copy"). One max-struct aggregate per group, no window."""
+    from database_collector_spark import curation
+    from database_collector_spark.operators import urls
+    from database_collector_spark.workloads_ext import _messy_urls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    membered = (
+        _messy_urls(spark, sf_dir)
+        .withColumn("canonical_url", urls.canonical_url(F.col("url")))
+        .join(docs, "doc_id")
+    )
+    return curation.elect_representatives(
+        membered, group_col="canonical_url", quality_col="n_chars"
+    )
+
+
+def _sql_cluster_representatives() -> str:
+    from database_collector_spark.workloads_ext import SQL_URL_DEDUP
+
+    canon_ctes = SQL_URL_DEDUP[: SQL_URL_DEDUP.rindex("SELECT")].rstrip()
+    return canon_ctes + """,
+membered AS (
+  SELECT c.doc_id, c.canonical_url, d.n_chars
+  FROM canon c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT canonical_url, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY canonical_url
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY canonical_url) AS n_members
+  FROM membered
+)
+SELECT canonical_url, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS keeper_id, n_chars AS keeper_quality
+FROM ranked WHERE rn = 1
+"""
+
+
+SQL_CLUSTER_REPRESENTATIVES = _sql_cluster_representatives()
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
@@ -642,6 +690,7 @@ QUERIES_IR = {
     "trimmed_mean": q_trimmed_mean,
     "corpus_overlap": q_corpus_overlap,
     "cms_estimates": q_cms_estimates,
+    "cluster_representatives": q_cluster_representatives,
 }
 
 ORACLES_IR = {
@@ -657,4 +706,5 @@ ORACLES_IR = {
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "corpus_overlap": SQL_CORPUS_OVERLAP,
     "cms_estimates": SQL_CMS_ESTIMATES,
+    "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
 }

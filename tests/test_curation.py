@@ -158,3 +158,42 @@ def test_leakage_safe_split_custom_group_key(spark):
     for r in out:
         by_group.setdefault(r["group_key"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_group.values())
+
+
+def test_elect_representatives_quality_then_id(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    rows = [
+        Row(doc_id=1, grp="g1", q=10),
+        Row(doc_id=2, grp="g1", q=30),
+        Row(doc_id=3, grp="g1", q=30),  # tie on q -> lower id (2) wins
+        Row(doc_id=4, grp="g2", q=5),
+    ]
+    out = {
+        r["grp"]: (r["keeper_id"], r["keeper_quality"], r["n_members"])
+        for r in curation.elect_representatives(
+            spark.createDataFrame(rows), "grp", "q"
+        ).collect()
+    }
+    assert out["g1"] == (2, 30, 3)
+    assert out["g2"] == (4, 5, 1)
+
+
+def test_elect_representatives_plan_is_aggregate_not_window(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, grp=f"g{i % 5}", q=i) for i in range(100)]
+    )
+    plan = (
+        curation.elect_representatives(df, "grp", "q")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
