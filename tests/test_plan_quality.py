@@ -456,3 +456,35 @@ def test_weighted_sample_no_shuffle(spark):
     plan = _plan(q_weighted_sample(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_cusum_single_exchange(spark):
+    from database_collector_spark.workloads_ts import q_cusum_changepoints
+
+    plan = _plan(q_cusum_changepoints(spark, SF))
+    # both windows and the final groupBy share the event_type key
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_no_self_join(spark):
+    from database_collector_spark.workloads_ts import q_attribution_first_touch
+
+    plan = _plan(q_attribution_first_touch(spark, SF))
+    # join-free: the lookback is a range-frame window, never a self-join
+    assert "Join" not in plan
+
+
+def test_event_transitions_single_user_exchange(spark):
+    from database_collector_spark.workloads_ts import q_event_transitions
+
+    plan = _plan(q_event_transitions(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_probe_side_broadcasts(spark):
+    from database_collector_spark.workloads_ir import q_cms_estimates
+
+    plan = _plan(q_cms_estimates(spark, SF))
+    # the depth*width cell table broadcasts against the probes
+    assert "BroadcastHashJoin" in plan
