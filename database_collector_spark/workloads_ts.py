@@ -1342,12 +1342,118 @@ FROM scored GROUP BY event_type
 """
 
 
+
+_TS_BAND = 12  # banded Theil-Sen: pair each sample with its next 12
+
+
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Theil-Sen robust slope per user series: the median of
+    pairwise slopes, with pairs limited to each sample and its next
+    {band} successors — the standard scale-honest variant (full
+    Theil-Sen is O(n²) per series; the band keeps it O(n·band) while
+    retaining the median's outlier robustness). Expressed as {band}
+    lead() columns sharing ONE per-user sort, then a second window on
+    the same key for exact lower-median selection (rank (n+1)//2 with
+    a (slope, rn, k) total order — no averaging, no float ambiguity:
+    slopes are identical doubles in any engine since cents/seconds
+    inputs are integers and division is correctly rounded)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        "event_id",
+        cents.alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    cols = ["user_id", F.row_number().over(w).alias("rn"), "s", "v"]
+    for k in range(1, _TS_BAND + 1):
+        cols.append(F.lead("s", k).over(w).alias(f"s{k}"))
+        cols.append(F.lead("v", k).over(w).alias(f"v{k}"))
+    led = base.select(*cols)
+    slope_structs = F.array(
+        *[
+            F.struct(
+                (
+                    (F.col(f"v{k}") - F.col("v"))
+                    / (F.col(f"s{k}") - F.col("s"))
+                ).alias("slope"),
+                F.col("rn").alias("rn"),
+                F.lit(k).alias("k"),
+            )
+            for k in range(1, _TS_BAND + 1)
+        ]
+    )
+    slopes = (
+        led.select("user_id", F.explode(slope_structs).alias("p"))
+        .where(F.col("p.slope").isNotNull())
+        .select("user_id", "p.slope", "p.rn", "p.k")
+    )
+    wm = Window.partitionBy("user_id").orderBy("slope", "rn", "k")
+    wc = Window.partitionBy("user_id")
+    return (
+        slopes.select(
+            "user_id",
+            "slope",
+            F.row_number().over(wm).alias("r"),
+            F.count("*").over(wc).alias("n_slopes"),
+        )
+        .where(F.col("r") == F.floor((F.col("n_slopes") + 1) / 2))
+        .select(
+            "user_id",
+            "n_slopes",
+            F.round(F.col("slope") * 3600, 6).alias("median_slope_per_hour"),
+        )
+    )
+
+
+def _sql_theil_sen(band: int = _TS_BAND) -> str:
+    leads = ",\n         ".join(
+        f"LEAD(s, {k}) OVER w AS s{k}, LEAD(v, {k}) OVER w AS v{k}"
+        for k in range(1, band + 1)
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT user_id, (v{k} - v) / CAST(s{k} - s AS DOUBLE) AS slope,"
+        f" rn, {k} AS k FROM led WHERE s{k} IS NOT NULL"
+        for k in range(1, band + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+led AS (
+  SELECT user_id, ROW_NUMBER() OVER w AS rn, s, v,
+         {leads}
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+slopes AS (
+  {unions}
+),
+ranked AS (
+  SELECT user_id, slope,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope, rn, k) AS r,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_slopes
+  FROM slopes
+)
+SELECT user_id, CAST(n_slopes AS BIGINT) AS n_slopes,
+       round(slope * 3600, 6) AS median_slope_per_hour
+FROM ranked WHERE r = (n_slopes + 1) // 2
+"""
+
+
+SQL_THEIL_SEN_SLOPE = _sql_theil_sen()
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
     "attribution_first_touch": q_attribution_first_touch,
     "cusum_changepoints": q_cusum_changepoints,
+    "theil_sen_slope": q_theil_sen_slope,
     "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
@@ -1377,6 +1483,7 @@ ORACLES_TS = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
     "cusum_changepoints": SQL_CUSUM_CHANGEPOINTS,
+    "theil_sen_slope": SQL_THEIL_SEN_SLOPE,
     "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,
     "asof_join": SQL_ASOF_JOIN,
