@@ -74,14 +74,16 @@ _CHECK_FIRST = [
     "heavy_hitters", "ann_ivf_kmeans",
     # part 4 — oldest r5-latest queries (semantic flagships first); the
     # remaining r5-latest queries move to the r8 mandatory head below.
-    "long_running_sessions", "bpe_encode", "theil_sen_slope",
+    "bpe_encode", "theil_sen_slope", "rolling_median",
     "event_transitions", "trimmed_mean", "corpus_overlap",
     "lsh_recall_report", "embedding_normalize", "cms_estimates",
     "attribution_first_touch", "cusum_changepoints",
     "cluster_representatives",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
     # r8 MANDATORY HEAD (r5-latest leftovers now at 3-round-old driver
-    # evidence; all pytest-pinned): asof_join, sessionization, skew_salted_join, dedup_spans,
+    # evidence; all pytest-pinned) PLUS the two r7 gates that no longer
+    # fit (value_histogram, long_running_sessions): asof_join,
+    # sessionization, skew_salted_join, dedup_spans,
     # label_enrich, grouping_sets, range_join_buckets,
     # sample_stratified, tfidf_top_terms, ttl_expiry_counts,
     # events_sliding, ann_ivf_multiprobe, ann_ivf_probe,

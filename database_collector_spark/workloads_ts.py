@@ -1447,6 +1447,97 @@ FROM ranked WHERE r = (n_slopes + 1) // 2
 SQL_THEIL_SEN_SLOPE = _sql_theil_sen()
 
 
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (11-sample centered frame) per user series —
+    the robust smoother: collect_list over the frame, in-row sort, pick
+    the middle element. All integer cents, no interpolation, so the
+    smoothed series is engine-exact. Cost model: the frame list is
+    bounded (11), so this is one user-keyed sort + O(frame log frame)
+    per row — the right exact-median plan for bounded frames (unbounded
+    ones take the GK sketch instead). Output sampled to rn % 10 == 0
+    rows to keep the gate compact."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-5, 5)
+    base = ev.select(
+        "user_id", "ts", "event_id", cents.alias("v")
+    ).select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sort_array(F.collect_list("v").over(wf)).alias("frame"),
+    )
+    mid = F.floor((F.size("frame") + 1) / 2).cast("int")
+    return base.where(F.col("rn") % 10 == 0).select(
+        "user_id",
+        "rn",
+        F.size("frame").cast("int").alias("frame_n"),
+        (F.get(F.col("frame"), mid - 1) / F.lit(100.0)).alias("rolling_median"),
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+WITH base AS (
+  SELECT user_id, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+framed AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS rn,
+         list_sort(list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING))
+           AS frame
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(rn AS INT) AS rn,
+       CAST(len(frame) AS INT) AS frame_n,
+       frame[CAST((len(frame) + 1) // 2 AS INT)] / 100.0 AS rolling_median
+FROM framed WHERE rn % 10 = 0
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type: 10 fixed-width bins
+    over the global [min, max] cents range (integer bin math mirrors
+    zorder's exact floor-quotient argument), counts + per-bin exact
+    mean. The global extrema are a one-row broadcast; binning is
+    map-side; one (type, bin) aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", cents.alias("v"))
+    ext = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = base.crossJoin(F.broadcast(ext)).withColumn(
+        "bin",
+        F.least(
+            F.lit(9),
+            F.floor((F.col("v") - F.col("lo")) * 10 / (F.col("hi") - F.col("lo") + 1)),
+        ).cast("int"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("v") / (F.lit(100.0) * F.count("*")), 4).alias("bin_mean"),
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH base AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+),
+ext AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base),
+binned AS (
+  SELECT event_type, v,
+         CAST(least(9, CAST(floor((v - lo) * 10.0 / (hi - lo + 1)) AS BIGINT))
+              AS INT) AS bin
+  FROM base, ext
+)
+SELECT event_type, bin, COUNT(*) AS n,
+       round(SUM(v) / (100.0 * COUNT(*)), 4) AS bin_mean
+FROM binned GROUP BY 1, 2
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "seasonal_profile": q_seasonal_profile,
@@ -1454,6 +1545,8 @@ QUERIES_TS = {
     "attribution_first_touch": q_attribution_first_touch,
     "cusum_changepoints": q_cusum_changepoints,
     "theil_sen_slope": q_theil_sen_slope,
+    "rolling_median": q_rolling_median,
+    "value_histogram": q_value_histogram,
     "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
@@ -1484,6 +1577,8 @@ ORACLES_TS = {
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
     "cusum_changepoints": SQL_CUSUM_CHANGEPOINTS,
     "theil_sen_slope": SQL_THEIL_SEN_SLOPE,
+    "rolling_median": SQL_ROLLING_MEDIAN,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,
     "asof_join": SQL_ASOF_JOIN,
