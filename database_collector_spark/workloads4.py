@@ -911,11 +911,66 @@ FROM base
 """
 
 
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-like blame analysis: suppliers who were the SOLE late shipper
+    (> 90 days after order date) on multi-supplier orders. The classic
+    form is a double EXISTS/NOT-EXISTS self-join on lineitem; this
+    engine's plan replaces both with ONE per-order aggregate —
+    n_suppliers, n_late_suppliers, and the single late supplier ride
+    the same (orderkey)-keyed exchange, then a supplier-keyed count.
+    Two shuffles total, no self-join, no correlated subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add("o_orderdate", 90)).alias("late"),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    return blamed.groupBy(F.col("late_supp").alias("s_suppkey")).agg(
+        F.count("*").alias("numwait")
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH joined AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+         MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM joined GROUP BY 1
+)
+SELECT late_supp AS s_suppkey, COUNT(*) AS numwait
+FROM per_order
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY 1
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
     "cust_order_distribution": q_cust_order_distribution,
     "gap_detect": q_gap_detect,
+    "waiting_suppliers": q_waiting_suppliers,
     "decile_stats": q_decile_stats,
     "scd1_upsert": q_scd1_upsert,
     "scd2_history": q_scd2_history,
@@ -935,6 +990,7 @@ ORACLES4 = {
     "top_supplier": SQL_TOP_SUPPLIER,
     "cust_order_distribution": SQL_CUST_ORDER_DISTRIBUTION,
     "gap_detect": SQL_GAP_DETECT,
+    "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "decile_stats": SQL_DECILE_STATS,
     "scd1_upsert": SQL_SCD1_UPSERT,
     "scd2_history": SQL_SCD2_HISTORY,
