@@ -326,3 +326,48 @@ def pii_scrub(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("n_ipv4"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (chunk_tokens window, stride step — overlap = chunk_tokens - stride),
+    the standard long-document preparation for training windows and RAG
+    passage indexes. Entirely JVM-side: token array -> transform over
+    the chunk-start sequence -> slice + array_join, then ONE posexplode;
+    no shuffle, no Python. The final short chunk is kept iff it starts
+    inside the doc (every token appears in >= 1 chunk; no empty chunks).
+
+    Scale: output rows ~= n_tokens/stride per doc — a pure map
+    expansion, so it composes with downstream dedup/packing at scan
+    speed; chunk_id is (doc_id, chunk_idx), deterministic for re-runs.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda st: F.struct(
+            F.array_join(
+                F.slice(toks, st + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - st).alias("chunk_len"),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_len").cast("int").alias("chunk_len"),
+    )

@@ -22,6 +22,7 @@ from database_collector_spark.operators import (
     ranking,
     sampling,
     sketches,
+    text,
 )
 from database_collector_spark.workloads import _t
 
@@ -677,6 +678,40 @@ FROM ranked WHERE rn = 1
 SQL_CLUSTER_REPRESENTATIVES = _sql_cluster_representatives()
 
 
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (text.chunk_documents:
+    32-token windows, stride 24): the long-document preparation step for
+    training windows / RAG passages. Zero-shuffle map expansion; every
+    token lands in at least one chunk, chunk ids are deterministic."""
+    return text.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t, len(t) AS n,
+         CAST(greatest(1, CAST(ceil((len(t) - 32) / 24.0) AS BIGINT) + 1)
+              AS INT) AS n_chunks
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, t, n, CAST(ci.i AS INT) AS chunk_idx, ci.i * 24 AS st
+  FROM sized,
+       LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) ci
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(t[st + 1 : st + 32], ' ') AS chunk_text,
+       CAST(least(32, n - st) AS INT) AS chunk_len
+FROM chunked
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
@@ -691,6 +726,7 @@ QUERIES_IR = {
     "corpus_overlap": q_corpus_overlap,
     "cms_estimates": q_cms_estimates,
     "cluster_representatives": q_cluster_representatives,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES_IR = {
@@ -707,4 +743,5 @@ ORACLES_IR = {
     "corpus_overlap": SQL_CORPUS_OVERLAP,
     "cms_estimates": SQL_CMS_ESTIMATES,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }

@@ -183,3 +183,36 @@ def test_char_entropy_zero_shuffle(spark):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from database_collector_spark.operators.text import chunk_documents
+
+    text_str = " ".join(f"t{i}" for i in range(80))
+    df = spark.createDataFrame([Row(doc_id=0, text=text_str)])
+    chunks = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["chunk_len"])
+        for r in chunk_documents(df, chunk_tokens=32, stride=24).collect()
+    )
+    # 80 tokens, C=32, S=24 -> chunks at 0, 24, 48: ceil((80-32)/24)+1 = 3
+    assert len(chunks) == 3
+    toks = text_str.split(" ")
+    for idx, ctext, clen in chunks:
+        start = idx * 24
+        want = toks[start : start + 32]
+        assert ctext.split(" ") == want
+        assert clen == len(want)
+    # coverage: union of chunks = all tokens
+    covered = set()
+    for idx, ctext, _ in chunks:
+        covered.update(ctext.split(" "))
+    assert covered == set(toks)
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from database_collector_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+    rows = chunk_documents(df, chunk_tokens=32, stride=24).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "a b c" and rows[0]["chunk_len"] == 3
