@@ -82,7 +82,7 @@ _CHECK_FIRST = [
     # Window is EXACTLY 50 — entries past 50 get no driver row.
     # r8 MANDATORY HEAD (r5-latest leftovers now at 3-round-old driver
     # evidence; all pytest-pinned) PLUS the three r7 gates that no longer
-    # fit (value_histogram, waiting_suppliers, chunk_documents,
+    # fit (value_histogram, waiting_suppliers, chunk_documents, oov_rate,
     # long_running_sessions): asof_join,
     # sessionization, skew_salted_join, dedup_spans,
     # label_enrich, grouping_sets, range_join_buckets,

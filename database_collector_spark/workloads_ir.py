@@ -712,6 +712,54 @@ FROM chunked
 """
 
 
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: with the vocabulary = words whose
+    corpus frequency >= 25 (the min_count pruning every tokenizer/
+    embedding table applies), report each language's out-of-vocabulary
+    token rate. One token-keyed count, a broadcast-sized vocab joined
+    back, one language-keyed aggregate — the standard coverage check
+    before freezing a vocab. Exact integers; rate = exact rational
+    rounded."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    vocab = counts.where(F.col("cnt") >= 25).select("term")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("oov_rate"),
+    )
+
+
+SQL_OOV_RATE = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ft AS (SELECT lang, term FROM toks WHERE term <> ''),
+vocab AS (
+  SELECT term FROM ft GROUP BY term HAVING COUNT(*) >= 25
+)
+SELECT lang, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+FROM ft LEFT JOIN vocab v USING (term)
+GROUP BY lang
+"""
+
+
 QUERIES_IR = {
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
@@ -727,6 +775,7 @@ QUERIES_IR = {
     "cms_estimates": q_cms_estimates,
     "cluster_representatives": q_cluster_representatives,
     "chunk_documents": q_chunk_documents,
+    "oov_rate": q_oov_rate,
 }
 
 ORACLES_IR = {
@@ -744,4 +793,5 @@ ORACLES_IR = {
     "cms_estimates": SQL_CMS_ESTIMATES,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "oov_rate": SQL_OOV_RATE,
 }
