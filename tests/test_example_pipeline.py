@@ -1,0 +1,41 @@
+"""End-to-end composition test: the examples/full_pipeline.py flow over
+sf0.001 — quality+entropy filters, dedup, leakage-safe split, BPE,
+chunking, z-ordered write — all through the public operator API."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_full_pipeline_end_to_end(spark):
+    from examples.full_pipeline import run_pipeline
+
+    with tempfile.TemporaryDirectory() as out:
+        stats = run_pipeline(spark, SF, out)
+        assert stats["n_raw"] > 0
+        assert 0 < stats["n_kept"] <= stats["n_raw"]
+        assert stats["n_chunks"] >= stats["n_kept"]
+        assert stats["n_merges"] == 8
+        assert set(stats["splits"]) <= {"train", "val", "test"}
+        assert sum(stats["splits"].values()) == stats["n_kept"]
+        # artifacts on disk, readable, with the expected columns
+        curated = spark.read.parquet(f"{out}/curated")
+        assert {"doc_id", "split", "n_bpe_tokens", "_zkey"} <= set(curated.columns)
+        assert curated.count() == stats["n_kept"]
+        chunks = spark.read.parquet(f"{out}/chunks")
+        assert {"doc_id", "chunk_idx", "chunk_text", "chunk_len"} <= set(
+            chunks.columns
+        )
+
+
+def test_examples_dir_importable_without_side_effects():
+    import importlib
+
+    mod = importlib.import_module("examples.full_pipeline")
+    assert callable(mod.run_pipeline)
