@@ -1538,6 +1538,74 @@ FROM binned GROUP BY 1, 2
 """
 
 
+
+def q_sliding_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT user counts (1 h window, 15 min hop) —
+    the deduplicating twin of events_sliding's row counts: each row
+    expands to its 4 covering windows (Generate), then ONE partial-agg
+    shuffle on (window, type) carries the distinct set. At 100 TB the
+    exact distinct makes this the expensive form by design; the
+    approx_count_distinct drop-in (operators/sketches.py) is the
+    production path when the count can be ±2%."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_users")
+    )
+
+
+SQL_SLIDING_UNIQUE_USERS = """
+WITH e AS (
+  SELECT event_type, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+expanded AS (
+  SELECT event_type, user_id,
+         to_timestamp((s // 900 - hop.h) * 900) AS win_start
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS h) hop
+  WHERE (s // 900 - hop.h) * 900 + 3600 > s AND (s // 900 - hop.h) * 900 <= s
+)
+SELECT win_start, event_type, COUNT(DISTINCT user_id) AS n_users
+FROM expanded GROUP BY 1, 2
+"""
+
+
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4 parse_json /
+    variant_get): parse the event props JSON into a variant, extract a
+    typed field, aggregate per event type. The modern engine's answer
+    to schemaless columns — the from_json twin (json_struct_parse)
+    needs the schema up front; variant defers it to extraction time."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_VARIANT_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "seasonal_profile": q_seasonal_profile,
@@ -1547,6 +1615,8 @@ QUERIES_TS = {
     "theil_sen_slope": q_theil_sen_slope,
     "rolling_median": q_rolling_median,
     "value_histogram": q_value_histogram,
+    "sliding_unique_users": q_sliding_unique_users,
+    "variant_json": q_variant_json,
     "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
@@ -1579,6 +1649,8 @@ ORACLES_TS = {
     "theil_sen_slope": SQL_THEIL_SEN_SLOPE,
     "rolling_median": SQL_ROLLING_MEDIAN,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "sliding_unique_users": SQL_SLIDING_UNIQUE_USERS,
+    "variant_json": SQL_VARIANT_JSON,
     "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,
     "asof_join": SQL_ASOF_JOIN,
