@@ -83,7 +83,7 @@ _CHECK_FIRST = [
     # r8 MANDATORY HEAD (r5-latest leftovers now at 3-round-old driver
     # evidence; all pytest-pinned) PLUS the three r7 gates that no longer
     # fit (value_histogram, waiting_suppliers, chunk_documents, oov_rate,
-    # long_running_sessions): asof_join,
+    # sliding_unique_users, variant_json, long_running_sessions): asof_join,
     # sessionization, skew_salted_join, dedup_spans,
     # label_enrich, grouping_sets, range_join_buckets,
     # sample_stratified, tfidf_top_terms, ttl_expiry_counts,
