@@ -1,6 +1,9 @@
-"""IR / corpus-analytics workloads: BM25 retrieval scoring, BPE-style
-tokenizer-training statistics, deterministic weighted sampling, z-order
-layout keys, fixed-iteration PageRank.
+"""IR / corpus-analytics workloads: BM25 retrieval scoring, BPE
+tokenizer training + corpus encode, deterministic weighted sampling,
+z-order layout, integer-exact PageRank, image dHash dedup, unigram
+perplexity, leakage-safe splits, trimmed means, cross-corpus overlap,
+Count-Min estimates, cluster-representative election, document
+chunking, OOV-rate audits.
 
 These extend the training-data-pipeline tier (the reference has no IR
 surface — SURVEY.md §2 stops at exporter aggregates); each gate follows
