@@ -45,12 +45,18 @@ def main() -> None:
     RUNS = 2
     timings: dict[str, float] = {}
     t_total0 = time.time()
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(RUNS):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+        except Exception as exc:  # fail-soft: one broken query must not
+            # erase the whole artifact (a crash here loses every timing)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[name] = round(best, 2)
     wall = round(time.time() - t_total0, 2)
     # headline value = sum of per-query min times: comparable to earlier
@@ -72,6 +78,7 @@ def main() -> None:
                 "runs": RUNS,
                 "value_protocol": "sum_of_min_of_%d_runs" % RUNS,
                 "wall_clock_all_runs": wall,
+                "errors": errors,
                 "note": "per-query sec = min of %d runs; value = sum of mins" % RUNS,
             },
             separators=(",", ":"),
@@ -90,6 +97,7 @@ def main() -> None:
                 "sf": float(sf),
                 "runs": RUNS,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "value_protocol": "sum_of_min_of_%d_runs" % RUNS,
                 "wall_clock_all_runs": wall,
             },

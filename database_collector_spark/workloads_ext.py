@@ -1080,6 +1080,43 @@ GROUP BY q.vec_id, n.n2
 """
 
 
+
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-tier cluster composition: LSH-bucketed cosine pairs ->
+    connected components -> cluster summary — the vector twin of
+    dedup_clusters (which runs the same composition over MinHash
+    pairs). At scale the pair graph is orders smaller than the corpus,
+    so the CC fixpoint runs on near-dup survivors only."""
+    from database_collector_spark.operators import graph
+
+    pairs = similarity.embedding_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"), n_planes=2
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = graph.connected_components(pairs)
+    return graph.cluster_summary(comp)
+
+
+SQL_EMBEDDING_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_sql_dedup_embedding_lsh(2)}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list(node)), ',') AS doc_ids
+FROM comp
+GROUP BY component
+"""
+
+
 QUERIES_EXT = {
     "text_token_stats": q_text_token_stats,
     "multimodal_decode": q_multimodal_decode,
@@ -1096,6 +1133,7 @@ QUERIES_EXT = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "lsh_recall_report": q_lsh_recall_report,
     "embedding_normalize": q_embedding_normalize,
+    "embedding_dedup_clusters": q_embedding_dedup_clusters,
     "dedup_incremental": q_dedup_incremental,
     "decontaminate": q_decontaminate,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1130,6 +1168,7 @@ ORACLES_EXT = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "lsh_recall_report": SQL_LSH_RECALL_REPORT,
     "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
+    "embedding_dedup_clusters": SQL_EMBEDDING_DEDUP_CLUSTERS,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

@@ -1371,12 +1371,16 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.lead("s", k).over(w).alias(f"s{k}"))
         cols.append(F.lead("v", k).over(w).alias(f"v{k}"))
     led = base.select(*cols)
+    # try_divide: pairs with equal timestamps have no defined slope —
+    # classic Theil-Sen skips them (the null is filtered below). A plain
+    # `/` would THROW under ANSI the moment two samples share a second,
+    # which the denser sf0.1 fixture does hit.
     slope_structs = F.array(
         *[
             F.struct(
-                (
-                    (F.col(f"v{k}") - F.col("v"))
-                    / (F.col(f"s{k}") - F.col("s"))
+                F.try_divide(
+                    F.col(f"v{k}") - F.col("v"),
+                    F.col(f"s{k}") - F.col("s"),
                 ).alias("slope"),
                 F.col("rn").alias("rn"),
                 F.lit(k).alias("k"),
@@ -1414,7 +1418,7 @@ def _sql_theil_sen(band: int = _TS_BAND) -> str:
     )
     unions = "\n  UNION ALL\n  ".join(
         f"SELECT user_id, (v{k} - v) / CAST(s{k} - s AS DOUBLE) AS slope,"
-        f" rn, {k} AS k FROM led WHERE s{k} IS NOT NULL"
+        f" rn, {k} AS k FROM led WHERE s{k} IS NOT NULL AND s{k} <> s"
         for k in range(1, band + 1)
     )
     return f"""
