@@ -351,9 +351,14 @@ def pagerank_uniform_exact(
     64-bit arithmetic, immune to float summation order. Bounds: numerators
     reach ~N*(q*g)^k; for q*g = 60, N = 10^4, k = 6 that is ~5*10^14,
     comfortably inside BIGINT (overflow would raise under ANSI mode, not
-    truncate). Returns (node, rank_num, rank) where
-    rank = rank_num / (N*(q*g)^k) rounded to 8 — derived from the exact
-    integer, identical in any engine.
+    truncate). Returns (node, rank_num, rank_ppb) where
+    rank_ppb = (rank_num * 10^9) div (N*(q*g)^k) — integer parts-per-
+    billion via exact integer division, so no float (and no decimal
+    rounding TIE: round(x, 8) on an exact .5 boundary breaks differently
+    across engines — Spark rounds the shortest decimal repr, C libraries
+    round the binary value; sf0.1 hit exactly such a tie) exists anywhere
+    in the output. Requires rank_num * 10^9 < 2^63: holds through
+    N*(q*g)^k < 9.2e9, i.e. N <= ~42k at k=3.
     """
     p, q, g = damping_num, damping_den, outdeg
     n_row = nodes.agg(F.count("*").alias("n_nodes"))
@@ -384,9 +389,8 @@ def pagerank_uniform_exact(
         .select(
             "node",
             F.col("num").alias("rank_num"),
-            F.round(
-                F.col("num") / (F.col("n_nodes").cast("double") * F.lit(float(denom_factor))),
-                8,
-            ).alias("rank"),
+            F.expr(
+                f"(num * 1000000000L) div (n_nodes * {denom_factor}L)"
+            ).alias("rank_ppb"),
         )
     )

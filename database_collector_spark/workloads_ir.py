@@ -201,8 +201,8 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph on documents (v -> (2v+1)%N, (3v+7)%N, (5v+11)%N), via the
     integer-exact uniform-outdegree recurrence
     (operators/graph.py::pagerank_uniform_exact) — the iterative-
-    algorithm representative with a bit-exact oracle: no float enters
-    the fixpoint, only the final display division."""
+    algorithm representative with a bit-exact oracle: no float exists
+    anywhere, including the display column (integer ppb division)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n_row = docs.agg(F.count("*").alias("nn"))
     v = F.col("doc_id")
@@ -250,7 +250,7 @@ def _sql_pagerank_exact(n_iter: int = 3) -> str:
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT node, num AS rank_num,
-       round(num / (nn * {denom}.0), 8) AS rank
+       CAST((num * 1000000000) // (nn * {denom}) AS BIGINT) AS rank_ppb
 FROM r{n_iter}, n
 """
     )

@@ -51,7 +51,7 @@ def test_pagerank_uniform_exact_agrees_with_double(spark):
     edges = spark.createDataFrame(rows)
     nodes = spark.createDataFrame([Row(node=v) for v in range(n)])
     exact = {
-        r["node"]: r["rank"]
+        r["node"]: r["rank_ppb"] / 1e9
         for r in graph.pagerank_uniform_exact(edges, nodes, n_iter=4, outdeg=3).collect()
     }
     dbl = {
