@@ -81,9 +81,10 @@ _CHECK_FIRST = [
     "cluster_representatives",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
     # r8 MANDATORY HEAD (r5-latest leftovers now at 3-round-old driver
-    # evidence; all pytest-pinned) PLUS the three r7 gates that no longer
+    # evidence; all pytest-pinned) PLUS the r7 gates that no longer
     # fit (value_histogram, waiting_suppliers, chunk_documents, oov_rate,
-    # sliding_unique_users, variant_json, long_running_sessions): asof_join,
+    # sliding_unique_users, variant_json, long_running_sessions,
+    # pit_join, time_weighted_avg): asof_join,
     # sessionization, skew_salted_join, dedup_spans,
     # label_enrich, grouping_sets, range_join_buckets,
     # sample_stratified, tfidf_top_terms, ttl_expiry_counts,

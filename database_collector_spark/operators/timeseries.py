@@ -121,3 +121,106 @@ def asof_join(
         F.col("__m_ts").alias(f"{on}{suffix}"),
         *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    value_cols: tuple[str, ...] = (),
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) join: attach to every fact row the
+    dimension VERSION whose validity interval covers the fact timestamp —
+    the standard fact→SCD-2 lookup (``operators/merge.py::scd2_merge``
+    produces exactly this interval shape; this operator consumes it).
+
+    Interval semantics are half-open ``[valid_from, valid_to)`` with
+    NULL ``valid_to`` = current/open-ended. Contract: versions of one key
+    must not overlap (the SCD-2 invariant) — then every fact matches at
+    most one version; facts in a coverage GAP (e.g. before the first
+    version) keep NULLs under ``how='left'``. This differs from
+    ``asof_join`` on purpose: as-of carries the nearest EARLIER row no
+    matter how stale, a PIT join respects the history's own validity
+    bounds and reports gaps as misses.
+
+    Plan shape, and why it holds at 100 TB: this is an EQUI-join on
+    ``keys`` (one shuffle per side, or zero with bucketed tables) with
+    the interval test as a residual filter inside each key group — never
+    a range/theta join. Per-key cost is |facts_k| x |versions_k|
+    candidate pairs; version counts per key are small by construction
+    (a dimension history, not an event stream). If a pathological key
+    accumulates millions of versions, fall back to the union-window
+    ``asof_join`` form, which is linear — valid whenever the history
+    tiles time with no gaps.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"unknown how {how!r}: expected 'left' or 'inner'")
+    d = dim.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        valid_from,
+        valid_to,
+        *value_cols,
+    )
+    cond = fact[ts_col] >= d[valid_from]
+    cond = cond & (d[valid_to].isNull() | (fact[ts_col] < d[valid_to]))
+    for k in keys:
+        cond = (fact[k] == d[f"__k_{k}"]) & cond
+    return fact.join(d, on=cond, how=how).drop(*[f"__k_{k}" for k in keys])
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    by: tuple[str, ...],
+    on: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Trapezoidal time-weighted average per series — the irregular-
+    sampling mean (TimescaleDB's ``time_weight('Linear')``): each
+    consecutive sample pair contributes ``(v_i + v_{i+1})/2 * dt``, so a
+    value held for an hour counts 3600x a value held for a second,
+    which a plain AVG gets wrong on irregular series.
+
+    Exactness: values are scaled to integers (``round(value*scale)``)
+    and timestamps to epoch microseconds, so the accumulated numerator
+    ``sum((cv_i + cv_{i+1}) * dt_us)`` and denominator ``2 * sum(dt_us)``
+    are exact BIGINTs in any summation order (bound: with cents and a
+    30-day span, numerator <= ~3e17, far inside int64). The final
+    ``twa`` is one correctly-rounded int64→double divide — bit-identical
+    across engines. Series with <2 samples report NULL twa (no interval
+    to integrate).
+
+    Plan: ONE shuffle — a per-key window sort feeding lead(); the
+    aggregate reuses the same partitioning (partial agg map-side). At
+    100 TB this is the minimal plan for any consecutive-pair statistic.
+    """
+    cv = F.round(F.col(value_col) * scale).cast("long")
+    # epoch micros via LTZ: NTZ->LTZ reads the naive value in the session
+    # tz (UTC in this engine), and unix_micros is only legal on LTZ
+    tus = F.unix_micros(F.col(on).cast("timestamp_ltz"))
+    w = Window.partitionBy(*by).orderBy(on, *tiebreak)
+    s = df.select(
+        *by,
+        cv.alias("__cv"),
+        tus.alias("__tus"),
+        F.lead(cv).over(w).alias("__cv2"),
+        F.lead(tus).over(w).alias("__tus2"),
+    )
+    numer = F.sum((F.col("__cv") + F.col("__cv2")) * (F.col("__tus2") - F.col("__tus")))
+    denom = F.lit(2) * F.sum(F.col("__tus2") - F.col("__tus"))
+    return s.groupBy(*by).agg(
+        F.count("*").alias("n_points"),
+        numer.alias("twa_numer"),
+        denom.cast("long").alias("twa_denom"),
+        F.when(
+            denom > 0,
+            numer.cast("double") / denom.cast("double") / scale,
+        ).alias("twa"),
+    )

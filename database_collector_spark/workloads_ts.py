@@ -166,6 +166,102 @@ FROM events e WHERE e.event_type = 'error'
 """
 
 
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD-2 lookup: each 'click' joined to the purchase-
+    history VERSION valid at click time. The dimension is built from
+    'purchase' events — each purchase opens a version (attr = the cents
+    amount) valid until the user's next purchase (half-open intervals,
+    last one open-ended). Clicks before a user's first purchase report
+    NULLs — the gap semantics that distinguish PIT from as-of.
+
+    Plan: the version build is one user-keyed window (lead); the lookup
+    is an EQUI-join on user_id with the interval test as residual —
+    versions per user are few, so per-key candidate cost stays bounded
+    at any corpus size.
+    """
+    from database_collector_spark.operators.timeseries import pit_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("attr_cents"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        ))
+        .drop("event_id")
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return pit_join(
+        facts,
+        dim,
+        keys=("user_id",),
+        ts_col="ts",
+        value_cols=("attr_cents",),
+    ).select("event_id", "user_id", "ts", "valid_from", "attr_cents")
+
+
+SQL_PIT_JOIN = """
+WITH dim AS (
+  SELECT user_id, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         CAST(ROUND(value*100) AS BIGINT) AS attr_cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, d.valid_from, d.attr_cents
+FROM events f LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+WHERE f.event_type = 'click'
+"""
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average of `value` per event_type over
+    the irregular event stream — the statistic a plain AVG gets wrong
+    when sampling intervals vary (TimescaleDB time_weight shape).
+    Integer-exact numerator/denominator (cents x epoch-microseconds);
+    the final twa is one correctly-rounded int64→double divide."""
+    from database_collector_spark.operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev,
+        by=("event_type",),
+        on="ts",
+        value_col="value",
+        scale=100,
+        tiebreak=("event_id",),
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH s AS (
+  SELECT event_type,
+         CAST(ROUND(value*100) AS BIGINT) AS cv,
+         epoch_us(ts) AS tus,
+         LEAD(CAST(ROUND(value*100) AS BIGINT)) OVER w AS cv2,
+         LEAD(epoch_us(ts)) OVER w AS tus2
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, COUNT(*) AS n_points,
+       SUM((cv + cv2) * (tus2 - tus)) AS twa_numer,
+       2 * SUM(tus2 - tus) AS twa_denom,
+       CASE WHEN 2 * SUM(tus2 - tus) > 0 THEN
+         CAST(SUM((cv + cv2) * (tus2 - tus)) AS DOUBLE)
+           / CAST(2 * SUM(tus2 - tus) AS DOUBLE) / 100
+       END AS twa
+FROM s GROUP BY event_type
+"""
+
+
 def q_histogram_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correct-mode histogram construction (SURVEY §2.6): cumulative
     bucket counts with explicit le edges incl. +Inf, plus _sum/_count —
@@ -1612,6 +1708,8 @@ FROM events GROUP BY event_type
 
 QUERIES_TS = {
     "events_hourly": q_events_hourly,
+    "pit_join": q_pit_join,
+    "time_weighted_avg": q_time_weighted_avg,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
     "attribution_first_touch": q_attribution_first_touch,
@@ -1646,6 +1744,8 @@ QUERIES_TS = {
 
 ORACLES_TS = {
     "events_hourly": SQL_EVENTS_HOURLY,
+    "pit_join": SQL_PIT_JOIN,
+    "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,

@@ -93,3 +93,104 @@ def test_asof_rejects_on_in_value_cols(spark):
     trades, prices = _frames(spark)
     with pytest.raises(ValueError):
         asof_join(trades, prices, by=("sym",), value_cols=("ts",))
+
+
+# ---------------------------------------------------------------- pit_join
+
+
+def _pit_frames(spark):
+    # versions for key A: [10, 20) attr=1, [20, 30) attr=2, [40, None) attr=4
+    # — note the GAP [30, 40) between versions 2 and 4.
+    dim = spark.createDataFrame(
+        [
+            Row(k="A", valid_from=10, valid_to=20, attr=1),
+            Row(k="A", valid_from=20, valid_to=30, attr=2),
+            Row(k="A", valid_from=40, valid_to=None, attr=4),
+        ]
+    )
+    fact = spark.createDataFrame(
+        [
+            Row(k="A", ts=5, fid=1),    # before first version -> miss
+            Row(k="A", ts=10, fid=2),   # valid_from inclusive
+            Row(k="A", ts=20, fid=3),   # boundary: v1 excl, v2 incl
+            Row(k="A", ts=35, fid=4),   # inside the gap -> miss (not as-of!)
+            Row(k="A", ts=99, fid=5),   # open-ended current version
+            Row(k="B", ts=15, fid=6),   # key with no history
+        ]
+    )
+    return fact, dim
+
+
+def test_pit_join_interval_semantics_and_gaps(spark):
+    from database_collector_spark.operators.timeseries import pit_join
+
+    fact, dim = _pit_frames(spark)
+    out = pit_join(fact, dim, keys=("k",), ts_col="ts", value_cols=("attr",))
+    got = {r["fid"]: r["attr"] for r in out.collect()}
+    assert got == {1: None, 2: 1, 3: 2, 4: None, 5: 4, 6: None}
+    # left outer: every fact row survives exactly once (SCD-2 non-overlap)
+    assert out.count() == fact.count()
+
+
+def test_pit_join_inner_drops_misses(spark):
+    from database_collector_spark.operators.timeseries import pit_join
+
+    fact, dim = _pit_frames(spark)
+    out = pit_join(
+        fact, dim, keys=("k",), ts_col="ts", value_cols=("attr",), how="inner"
+    )
+    assert sorted(r["fid"] for r in out.collect()) == [2, 3, 5]
+
+
+def test_pit_join_rejects_unknown_how(spark):
+    from database_collector_spark.operators.timeseries import pit_join
+
+    fact, dim = _pit_frames(spark)
+    with pytest.raises(ValueError):
+        pit_join(fact, dim, keys=("k",), how="full")
+
+
+def test_pit_join_plans_as_equi_join_not_nested_loop(spark):
+    from database_collector_spark.operators.timeseries import pit_join
+
+    fact, dim = _pit_frames(spark)
+    plan = (
+        pit_join(fact, dim, keys=("k",), value_cols=("attr",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ------------------------------------------------------- time_weighted_avg
+
+
+def test_time_weighted_avg_trapezoid_hand_fixture(spark):
+    import datetime as dt
+
+    from database_collector_spark.operators.timeseries import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # series "a": 1.00 held 10s, then 3.00 held 30s, end 3.00
+        Row(g="a", ts=t0, v=1.0, i=1),
+        Row(g="a", ts=t0 + dt.timedelta(seconds=10), v=3.0, i=2),
+        Row(g="a", ts=t0 + dt.timedelta(seconds=40), v=3.0, i=3),
+        # series "b": a single point -> no interval, twa NULL
+        Row(g="b", ts=t0, v=7.0, i=4),
+    ]
+    out = time_weighted_avg(
+        spark.createDataFrame(rows),
+        by=("g",),
+        on="ts",
+        value_col="v",
+        scale=100,
+        tiebreak=("i",),
+    ).collect()
+    got = {r["g"]: r for r in out}
+    # trapezoids: (100+300)/2*10s + (300+300)/2*30s = 2000 + 9000 = 11000
+    # cents*sec over 40s -> 275 cents = 2.75
+    assert got["a"]["n_points"] == 3
+    assert got["a"]["twa"] == pytest.approx(2.75)
+    assert got["a"]["twa_numer"] == (100 + 300) * 10_000_000 + (300 + 300) * 30_000_000
+    assert got["a"]["twa_denom"] == 2 * 40_000_000
+    assert got["b"]["twa"] is None and got["b"]["twa_numer"] is None
