@@ -371,3 +371,73 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.chunk_len").cast("int").alias("chunk_len"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame, *, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Collocation mining: adjacent word bigrams ranked by pointwise
+    mutual information — the standard corpus-analytics pass for finding
+    multiword expressions worth protecting from tokenization splits.
+
+    PMI = log(P(x,y) / (P(x)P(y))) = log(c_xy * N / (c_x * c_y)). The
+    log is monotone, so instead of emitting a cross-engine-fragile float
+    log the operator emits the exact rational argument scaled to parts
+    per billion: ``pmi_ppb = floor(c_xy * N * 1e9 / (c_x * c_y))`` —
+    identical ordering, bit-exact everywhere. The product is computed in
+    DECIMAL(38,0) and floor-divided exactly ((num - num % den) / den is
+    an exact integer the decimal divide then represents losslessly), so
+    there is no int64 overflow cliff in the intermediates; the final
+    cast to BIGINT holds while the PMI ratio is < ~9.2e9 (a ratio that
+    large needs c_xy*N comparable to (c_x c_y)*9.2e9 — with min_count
+    filtering that means a multi-ten-billion-token corpus of near-
+    perfectly-correlated pairs; emit the DECIMAL unchanged there).
+
+    Plan shape at 100 TB: bigram construction is a zero-shuffle array
+    transform (codegen); c_xy is ONE token-stream-sized aggregate; the
+    unigram table is vocabulary-sized, so both count lookups are
+    broadcast hash joins, and N is a one-row broadcast. Nothing
+    |corpus|-sized shuffles more than once.
+    """
+    w = tokens_col(text_col)
+    bigrams = docs.select(
+        F.explode(
+            F.transform(
+                F.slice(w, 1, F.size(w) - 1),
+                lambda x, i: F.struct(x.alias("x"), w[i + 1].alias("y")),
+            )
+        ).alias("bg")
+    ).select("bg.x", "bg.y").where((F.col("x") != "") & (F.col("y") != ""))
+    c_xy = bigrams.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    uni = (
+        docs.select(F.explode(w).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tokens"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("c_xy")) * dec(F.col("n_tokens")) * F.lit(1_000_000_000).cast(
+        "decimal(38,0)"
+    )
+    den = dec(F.col("c_x")) * dec(F.col("c_y"))
+    return (
+        c_xy.where(F.col("c_xy") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))),
+            "x",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))),
+            "y",
+        )
+        .join(F.broadcast(n_tok))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            ((num - num % den) / den).cast("long").alias("pmi_ppb"),
+        )
+    )

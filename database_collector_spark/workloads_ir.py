@@ -763,7 +763,45 @@ GROUP BY lang
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocations ranked by PMI, emitted as the exact
+    integer rational scaled to ppb (log is monotone — same ordering, no
+    cross-engine float logs). Bigram build is a zero-shuffle array
+    transform; bigram counts are ONE token-stream aggregate; unigram
+    counts and N are vocabulary-sized/one-row broadcast joins."""
+    return text.pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+SQL_PMI_COLLOCATIONS = """
+WITH words AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT bgs.x AS x, bgs.y AS y FROM (
+    SELECT unnest(list_transform(
+             range(1, len(w)),
+             i -> struct_pack(x := w[i], y := w[i+1]))) AS bgs
+    FROM words
+  ) WHERE bgs.x <> '' AND bgs.y <> ''
+),
+cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
+uni AS (
+  SELECT t AS tok, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY t
+)
+SELECT cxy.x, cxy.y, c_xy, ux.c AS c_x, uy.c AS c_y,
+       CAST((CAST(c_xy AS HUGEINT) * (SELECT SUM(c) FROM uni) * 1000000000)
+            // (CAST(ux.c AS HUGEINT) * uy.c) AS BIGINT) AS pmi_ppb
+FROM cxy
+JOIN uni ux ON ux.tok = cxy.x
+JOIN uni uy ON uy.tok = cxy.y
+WHERE c_xy >= 5
+"""
+
+
 QUERIES_IR = {
+    "pmi_collocations": q_pmi_collocations,
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
     "weighted_sample": q_weighted_sample,
@@ -782,6 +820,7 @@ QUERIES_IR = {
 }
 
 ORACLES_IR = {
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "bm25_scores": SQL_BM25_SCORES,
     "bpe_merges": SQL_BPE_MERGES,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -216,3 +216,46 @@ def test_chunk_documents_short_doc_single_chunk(spark):
     rows = chunk_documents(df, chunk_tokens=32, stride=24).collect()
     assert len(rows) == 1
     assert rows[0]["chunk_text"] == "a b c" and rows[0]["chunk_len"] == 3
+
+
+def test_pmi_collocations_hand_counts(spark):
+    # corpus: "a b" x3, "a c" x1, one doc "a b a b c" adding 2 more "a b",
+    # one "b a" and one "b c" bigram. Totals: tokens a=6 b=5 c=2 (N=13);
+    # bigrams: (a,b)=5, (a,c)=1, (b,a)=1, (b,c)=1.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b"),
+            Row(doc_id=2, text="a b"),
+            Row(doc_id=3, text="a b"),
+            Row(doc_id=4, text="a c"),
+            Row(doc_id=5, text="a b a b c"),
+        ]
+    )
+    out = text.pmi_collocations(docs, min_count=1).collect()
+    got = {(r["x"], r["y"]): r for r in out}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "a"), ("b", "c")}
+    r = got[("a", "b")]
+    assert (r["c_xy"], r["c_x"], r["c_y"]) == (5, 6, 5)
+    # pmi_ppb = floor(5 * 13 * 1e9 / 30)
+    assert r["pmi_ppb"] == 5 * 13 * 1_000_000_000 // 30
+    assert got[("a", "c")]["pmi_ppb"] == 1 * 13 * 1_000_000_000 // (6 * 2)
+
+
+def test_pmi_collocations_min_count_filters(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b"), Row(doc_id=2, text="a b"), Row(doc_id=3, text="c d")]
+    )
+    out = text.pmi_collocations(docs, min_count=2).collect()
+    assert [(r["x"], r["y"]) for r in out] == [("a", "b")]
+
+
+def test_pmi_collocations_count_lookups_broadcast(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c a b")])
+    plan = (
+        text.pmi_collocations(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # unigram/N lookups must be broadcast joins; the token stream must
+    # never be a join probe side of a shuffle join
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
