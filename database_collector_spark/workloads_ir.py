@@ -800,8 +800,70 @@ WHERE c_xy >= 5
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts on the co-purchase graph (parts sharing
+    an order are adjacent) — the clustering-structure statistic for any
+    pair graph this engine builds (near-dup pairs, co-occurrence).
+
+    Edge build: ONE order-keyed aggregate then an in-row i<j pair
+    expansion (never a lineitem self-join); counting is the degree-
+    ordered wedge plan in `operators/graph.py::triangle_counts` — each
+    triangle found exactly once at its lowest-degree apex.
+
+    The gate runs on the deterministic quarter of orders
+    (l_orderkey % 4 == 0): wedge volume grows ~m·avg_outdeg, so the
+    full sf0.1 graph costs ~16x the subgraph for zero extra operator
+    coverage — the filter is mirrored in the oracle."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 4 == 0)
+    ps = F.array_sort(F.collect_set("l_partkey"))
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(ps.alias("ps"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+    )
+    return graph.triangle_counts(pairs).select(
+        F.col("node").alias("part"), "n_triangles"
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 4 = 0
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS part FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY part
+"""
+
+
 QUERIES_IR = {
     "pmi_collocations": q_pmi_collocations,
+    "triangle_count": q_triangle_count,
     "bm25_scores": q_bm25_scores,
     "bpe_merges": q_bpe_merges,
     "weighted_sample": q_weighted_sample,
@@ -821,6 +883,7 @@ QUERIES_IR = {
 
 ORACLES_IR = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "bm25_scores": SQL_BM25_SCORES,
     "bpe_merges": SQL_BPE_MERGES,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

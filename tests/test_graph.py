@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Row
+
 from database_collector_spark.operators import graph
 
 
@@ -129,3 +131,34 @@ def test_cc_auto_escalation_spends_only_remaining_budget(spark):
         got = _components(spark, edges, max_iter=9)
     assert any("max_iter" in str(w.message) for w in caught)
     assert set(got) == set(range(1, 65))
+
+
+def test_triangle_counts_hand_graph(spark):
+    from database_collector_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (four triangles, each node in exactly 3),
+    # a square {5,6,7,8} (no triangles), a pendant 9.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    square = [(5, 6), (6, 7), (7, 8), (8, 5)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in k4 + square + [(1, 9)]]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_normalizes_dupes_reversals_loops(spark):
+    from database_collector_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [
+            Row(src=1, dst=2),
+            Row(src=2, dst=1),  # reversed duplicate
+            Row(src=2, dst=3),
+            Row(src=2, dst=3),  # exact duplicate
+            Row(src=3, dst=1),
+            Row(src=3, dst=3),  # self-loop
+        ]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
