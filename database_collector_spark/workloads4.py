@@ -965,8 +965,92 @@ GROUP BY 1
 """
 
 
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two time periods — the data-
+    quality check a training pipeline runs before trusting a new
+    snapshot: bin `value` into fixed equi-width bins, compare each bin's
+    share between the first and second half-month, and report the
+    per-bin total-variation contribution in exact integer ppb
+    (|n_a·N_b − n_b·N_a| · 1e9 // (N_a·N_b) — the cross-multiplied form
+    of |p_a − p_b|, no float subtraction of near-equal shares). The sum
+    of tv_ppb over bins is 2e9·TV(P_a, P_b). `drifted` flags bins whose
+    share moved ≥ 1% absolute — an integer compare, so the verdict is
+    deterministic at any scale.
+
+    Plan: ONE scan — bin + period are map-side expressions feeding a
+    single 12-group conditional aggregate; the N_a/N_b totals are a
+    window over that aggregate's OUTPUT, whose size is the fixed bin
+    count (<= 12 rows reach the window — bounded by construction, not a
+    data-sized single partition; the broadcast-crossjoin alternative
+    plans a second full scan because Catalyst does not reuse the
+    aggregate exchange across the two consumers). Fixed bin edges keep
+    the audit single-pass (a data-driven min/max would add a pre-pass);
+    DECIMAL(38,0) cross-products kill the int64 overflow cliff at
+    petabyte row counts."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    in_a = (F.col("ts") < mid).cast("long")
+    per_bin = (
+        ev.select(
+            F.least(F.floor(F.col("value") / 50), F.lit(11)).cast("long").alias("bin"),
+            in_a.alias("in_a"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("in_a").alias("n_a"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("n_b"),
+        )
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = per_bin.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).alias("na_tot"),
+        F.sum("n_b").over(w).alias("nb_tot"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = F.abs(
+        dec(F.col("n_a")) * dec(F.col("nb_tot"))
+        - dec(F.col("n_b")) * dec(F.col("na_tot"))
+    ) * F.lit(1_000_000_000).cast("decimal(38,0)")
+    den = dec(F.col("na_tot")) * dec(F.col("nb_tot"))
+    tv = ((num - num % den) / den).cast("long")
+    return with_tot.select(
+        "bin",
+        "n_a",
+        "n_b",
+        tv.alias("tv_ppb"),
+        (tv >= 10_000_000).alias("drifted"),
+    )
+
+
+SQL_DIST_DRIFT = """
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 11) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+per_bin AS (
+  SELECT bin, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_a) AS na_tot, SUM(n_b) AS nb_tot FROM per_bin)
+SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST((ABS(CAST(n_a AS HUGEINT) * nb_tot - CAST(n_b AS HUGEINT) * na_tot)
+             * 1000000000) // (CAST(na_tot AS HUGEINT) * nb_tot) AS BIGINT)
+         AS tv_ppb,
+       (ABS(CAST(n_a AS HUGEINT) * nb_tot - CAST(n_b AS HUGEINT) * na_tot)
+             * 1000000000) // (CAST(na_tot AS HUGEINT) * nb_tot) >= 10000000
+         AS drifted
+FROM per_bin, tot
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
+    "dist_drift": q_dist_drift,
     "top_supplier": q_top_supplier,
     "cust_order_distribution": q_cust_order_distribution,
     "gap_detect": q_gap_detect,
@@ -987,6 +1071,7 @@ QUERIES4 = {
 
 ORACLES4 = {
     "market_share": SQL_MARKET_SHARE,
+    "dist_drift": SQL_DIST_DRIFT,
     "top_supplier": SQL_TOP_SUPPLIER,
     "cust_order_distribution": SQL_CUST_ORDER_DISTRIBUTION,
     "gap_detect": SQL_GAP_DETECT,

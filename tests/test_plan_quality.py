@@ -488,3 +488,13 @@ def test_cms_probe_side_broadcasts(spark):
     plan = _plan(q_cms_estimates(spark, SF))
     # the depth*width cell table broadcasts against the probes
     assert "BroadcastHashJoin" in plan
+
+
+def test_dist_drift_single_scan(spark):
+    """The drift audit must read events ONCE: totals come from a window
+    over the 12-row bin aggregate, not a second aggregate branch (which
+    Catalyst plans as a second full scan)."""
+    from database_collector_spark.workloads4 import q_dist_drift
+
+    plan = _plan(q_dist_drift(spark, SF))
+    assert plan.count("Scan parquet") == 1
