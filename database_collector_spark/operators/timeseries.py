@@ -224,3 +224,52 @@ def time_weighted_avg(
             numer.cast("double") / denom.cast("double") / scale,
         ).alias("twa"),
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    *,
+    by: tuple[str, ...],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key into maximal disjoint
+    intervals — the gaps-and-islands union (availability windows, session
+    stitching, outage consolidation). An interval starts a new island iff
+    its start exceeds the running max end of every earlier interval
+    (ordered by (start, end); touching intervals, start == prev end,
+    merge — half-open callers should pre-shrink ends by one tick).
+
+    Plan: ONE shuffle — a per-key window sort computes the break flag
+    (running max over the preceding frame) and the island id (running sum
+    of breaks) on the SAME sort; the island aggregate reuses the key
+    partitioning. Never an interval self-join: the sweep is linear in
+    |intervals| at any scale, the island id is computed without comparing
+    pairs. Ties are safe: equal (start, end) rows see identical preceding
+    multisets, so island assignment is order-stable under shuffle
+    nondeterminism.
+
+    Output: (by..., island, start, end, n_intervals) with island numbered
+    from 0 in time order per key.
+    """
+    w_prev = (
+        Window.partitionBy(*by)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    brk = F.when(
+        F.col(start_col) > F.max(end_col).over(w_prev), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = df.withColumn("__brk", brk).withColumn(
+        "island", F.sum("__brk").over(w_run).cast("long")
+    )
+    return islands.groupBy(*by, "island").agg(
+        F.min(start_col).alias("start"),
+        F.max(end_col).alias("end"),
+        F.count("*").alias("n_intervals"),
+    )

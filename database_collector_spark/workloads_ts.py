@@ -222,6 +222,59 @@ WHERE f.event_type = 'click'
 """
 
 
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union: each event opens an interval of
+    `value` seconds; overlapping/touching intervals per user merge into
+    maximal disjoint islands (`operators/timeseries.py::
+    coalesce_intervals` — linear window sweep, never an interval
+    self-join). Bounds stay exact epoch-microsecond longs end-to-end."""
+    from database_collector_spark.operators.timeseries import coalesce_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    iv = ev.select(
+        "user_id",
+        tus.alias("start"),
+        (tus + F.round(F.col("value") * 1_000_000).cast("long")).alias("end"),
+    )
+    out = coalesce_intervals(iv, by=("user_id",))
+    return out.select(
+        "user_id",
+        "island",
+        F.col("start").alias("start_us"),
+        F.col("end").alias("end_us"),
+        "n_intervals",
+        (F.col("end") - F.col("start")).alias("span_us"),
+    )
+
+
+SQL_INTERVAL_COALESCE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e
+  FROM events
+),
+x AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+y AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM x
+)
+SELECT user_id, CAST(isl AS BIGINT) AS island,
+       MIN(s) AS start_us, MAX(e) AS end_us,
+       COUNT(*) AS n_intervals,
+       MAX(e) - MIN(s) AS span_us
+FROM y GROUP BY user_id, isl
+"""
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trapezoidal time-weighted average of `value` per event_type over
     the irregular event stream — the statistic a plain AVG gets wrong
@@ -1710,6 +1763,7 @@ QUERIES_TS = {
     "events_hourly": q_events_hourly,
     "pit_join": q_pit_join,
     "time_weighted_avg": q_time_weighted_avg,
+    "interval_coalesce": q_interval_coalesce,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
     "attribution_first_touch": q_attribution_first_touch,
@@ -1746,6 +1800,7 @@ ORACLES_TS = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "pit_join": SQL_PIT_JOIN,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
+    "interval_coalesce": SQL_INTERVAL_COALESCE,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,

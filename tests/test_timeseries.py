@@ -194,3 +194,52 @@ def test_time_weighted_avg_trapezoid_hand_fixture(spark):
     assert got["a"]["twa_numer"] == (100 + 300) * 10_000_000 + (300 + 300) * 30_000_000
     assert got["a"]["twa_denom"] == 2 * 40_000_000
     assert got["b"]["twa"] is None and got["b"]["twa_numer"] is None
+
+
+# ------------------------------------------------------ coalesce_intervals
+
+
+def test_coalesce_intervals_islands_and_touching(spark):
+    from database_collector_spark.operators.timeseries import coalesce_intervals
+
+    iv = spark.createDataFrame(
+        [
+            # key A: [0,10] + [5,8] (contained) + [10,20] (touching -> merges)
+            Row(k="A", start=0, end=10),
+            Row(k="A", start=5, end=8),
+            Row(k="A", start=10, end=20),
+            # gap, then a second island
+            Row(k="A", start=25, end=30),
+            # key B: earlier LONG interval swallows a later short one whose
+            # predecessor-by-start ended sooner (needs running MAX, not lag)
+            Row(k="B", start=0, end=100),
+            Row(k="B", start=10, end=20),
+            Row(k="B", start=30, end=40),
+            Row(k="B", start=150, end=160),
+        ]
+    )
+    got = {
+        (r["k"], r["island"]): (r["start"], r["end"], r["n_intervals"])
+        for r in coalesce_intervals(iv, by=("k",)).collect()
+    }
+    assert got == {
+        ("A", 0): (0, 20, 3),
+        ("A", 1): (25, 30, 1),
+        ("B", 0): (0, 100, 3),
+        ("B", 1): (150, 160, 1),
+    }
+
+
+def test_coalesce_intervals_single_shuffle(spark):
+    from database_collector_spark.operators.timeseries import coalesce_intervals
+
+    iv = spark.createDataFrame([Row(k="A", start=0, end=1)])
+    plan = (
+        coalesce_intervals(iv, by=("k",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    # one exchange on the key feeds both windows AND the island aggregate
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
