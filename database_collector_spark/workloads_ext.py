@@ -1117,7 +1117,45 @@ GROUP BY component
 """
 
 
+def q_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-shingle-set similarity self-join at J >= 0.8 via
+    AllPairs/PPJoin prefix filtering (`operators/dedup.py::
+    set_similarity_join`) — the recall-1 counterpart of the MinHash
+    tier, over the SAME shingle sets it approximates. The oracle is the
+    naive shingle self-join + HAVING; the prefix plan must reproduce it
+    pair-for-pair while exploding only ~20% of each shingle set
+    (shingle dfs are tiny, so prefix posting lists stay short — the
+    word-level variant is the documented adversarial case)."""
+    return dedup.set_similarity_join(
+        _t(spark, sf_dir, "documents"),
+        threshold_num=8,
+        threshold_den=10,
+        shingle_words=3,
+    )
+
+
+SQL_JACCARD_JOIN_EXACT = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       sa.n + sb.n - inter AS un,
+       inter * 1000000000 // (sa.n + sb.n - inter) AS jacc_ppb
+FROM co JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE inter * 10 >= 8 * (sa.n + sb.n - inter)
+"""
+
+
 QUERIES_EXT = {
+    "jaccard_join_exact": q_jaccard_join_exact,
     "text_token_stats": q_text_token_stats,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
@@ -1153,6 +1191,7 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    "jaccard_join_exact": SQL_JACCARD_JOIN_EXACT,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,

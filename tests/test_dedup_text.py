@@ -333,3 +333,71 @@ def test_fuzzy_pairs_lossless_across_bucket_boundary(spark):
         for r in fuzzy_pairs(docs).collect()
     }
     assert pairs == {(1, 2): 4}
+
+
+def _brute_jaccard_pairs(rows, t, shingle=None):
+    import itertools
+
+    def elems(txt):
+        ws = txt.split(" ")
+        if shingle:
+            return {
+                " ".join(ws[i : i + shingle])
+                for i in range(len(ws) - shingle + 1)
+            }
+        return {w for w in ws if w}
+
+    out = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(
+        sorted((r.doc_id, r.text) for r in rows), 2
+    ):
+        sa, sb = elems(ta), elems(tb)
+        inter = len(sa & sb)
+        un = len(sa | sb)
+        if un and inter / un >= t:
+            out[(ia, ib)] = (inter, un)
+    return out
+
+
+def test_set_similarity_join_matches_brute_force_words(spark):
+    rows = [
+        Row(doc_id=1, text="a b c d e"),
+        Row(doc_id=2, text="a b c d f"),     # J=4/6 vs 1
+        Row(doc_id=3, text="a b c d e"),     # identical to 1
+        Row(doc_id=4, text="x y z"),
+        Row(doc_id=5, text="x y z q"),       # J=3/4 vs 4
+        Row(doc_id=6, text="p"),
+    ]
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["un"])
+        for r in dedup.set_similarity_join(
+            spark.createDataFrame(rows), threshold_num=6, threshold_den=10
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(rows, 0.6)
+    # jacc_ppb spot check: identical docs -> exactly 1e9
+    full = dedup.set_similarity_join(
+        spark.createDataFrame(rows), threshold_num=6, threshold_den=10
+    ).collect()
+    ppb = {(r["doc_a"], r["doc_b"]): r["jacc_ppb"] for r in full}
+    assert ppb[(1, 3)] == 1_000_000_000
+    assert ppb[(4, 5)] == 3 * 1_000_000_000 // 4
+
+
+def test_set_similarity_join_shingles_and_short_docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over"),
+        Row(doc_id=2, text="the quick brown fox jumps again"),
+        Row(doc_id=3, text="to be"),  # shorter than one 3-shingle
+    ]
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["un"])
+        for r in dedup.set_similarity_join(
+            spark.createDataFrame(rows),
+            threshold_num=5,
+            threshold_den=10,
+            shingle_words=3,
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(rows, 0.5, shingle=3)
+    assert got[(1, 2)] == (3, 5)
