@@ -273,3 +273,62 @@ def coalesce_intervals(
         F.max(end_col).alias("end"),
         F.count("*").alias("n_intervals"),
     )
+
+
+def prorate_daily(
+    df: DataFrame,
+    *,
+    start_us: str = "start_us",
+    end_us: str = "end_us",
+    amount_col: str = "cents",
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Calendarize intervals: split each [start, end) interval's amount
+    across the UTC days it covers, proportional to overlap duration —
+    the revenue-recognition / capacity-accounting proration every
+    billing warehouse runs.
+
+    Exactness: the per-(row, day) share is floor(amount · 1e6 ·
+    overlap_us / total_us) micro-units, computed with DECIMAL(38,0)
+    products and an exact floor-div (the raw product overflows int64 at
+    day-scale intervals), so shares are identical integers on any
+    engine; the <= 1e6·amount truncation dust per row is the documented
+    cost of integer determinism (largest-remainder redistribution is a
+    window away if a caller needs shares to sum exactly).
+
+    Plan: pure map-side expansion — day indices come from integer
+    division of the epoch bounds and a `sequence()` explode (an interval
+    touching k days emits k rows; no join, no shuffle); the usual
+    per-day rollup then aggregates on the day key. Zero-length
+    intervals (end == start) have no duration to prorate and are
+    dropped.
+
+    Output: (id_cols..., day_idx, overlap_us, share_micro) with day_idx
+    = days since 1970-01-01 UTC.
+    """
+    day_us = 86_400_000_000
+    s, e = F.col(start_us), F.col(end_us)
+    d0 = F.floor(s / day_us)
+    d1 = F.floor((e - 1) / day_us)
+    rows = (
+        df.where(e > s)
+        .select(
+            *id_cols,
+            s.alias("__s"),
+            e.alias("__e"),
+            F.col(amount_col).alias("__amt"),
+            F.explode(F.sequence(d0, d1)).alias("day_idx"),
+        )
+    )
+    ov = F.least(F.col("__e"), (F.col("day_idx") + 1) * day_us) - F.greatest(
+        F.col("__s"), F.col("day_idx") * day_us
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("__amt")) * F.lit(1_000_000).cast("decimal(38,0)") * dec(ov)
+    den = dec(F.col("__e") - F.col("__s"))
+    return rows.select(
+        *id_cols,
+        "day_idx",
+        ov.alias("overlap_us"),
+        ((num - num % den) / den).cast("long").alias("share_micro"),
+    )

@@ -275,6 +275,59 @@ FROM y GROUP BY user_id, isl
 """
 
 
+def q_prorate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendarized revenue: each event opens a [ts, ts + value seconds)
+    interval worth `value` cents; the amount prorates across covered UTC
+    days proportional to overlap (`operators/timeseries.py::
+    prorate_daily` — map-side day explode, no join), then rolls up per
+    day. All shares are exact floor-div micro-cents."""
+    from database_collector_spark.operators.timeseries import prorate_daily
+
+    ev = _t(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    iv = ev.select(
+        "event_id",
+        tus.alias("start_us"),
+        (tus + F.round(F.col("value") * 1_000_000).cast("long")).alias("end_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        prorate_daily(iv, id_cols=("event_id",))
+        .groupBy("day_idx")
+        .agg(
+            F.count("*").alias("n_slices"),
+            F.sum("overlap_us").alias("covered_us"),
+            F.sum("share_micro").alias("micro_cents"),
+        )
+    )
+
+
+SQL_PRORATE_DAILY = """
+WITH iv AS (
+  SELECT event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+x AS (
+  SELECT event_id, s, e, cents,
+         unnest(range(s // 86400000000, (e - 1) // 86400000000 + 1)) AS d
+  FROM iv WHERE e > s
+),
+y AS (
+  SELECT d,
+         LEAST(e, (d + 1) * 86400000000) - GREATEST(s, d * 86400000000) AS ov,
+         cents, e - s AS tot
+  FROM x
+)
+SELECT CAST(d AS BIGINT) AS day_idx,
+       COUNT(*) AS n_slices,
+       SUM(ov) AS covered_us,
+       SUM((CAST(cents AS HUGEINT) * 1000000 * ov) // tot) AS micro_cents
+FROM y GROUP BY d
+"""
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trapezoidal time-weighted average of `value` per event_type over
     the irregular event stream — the statistic a plain AVG gets wrong
@@ -1764,6 +1817,7 @@ QUERIES_TS = {
     "pit_join": q_pit_join,
     "time_weighted_avg": q_time_weighted_avg,
     "interval_coalesce": q_interval_coalesce,
+    "prorate_daily": q_prorate_daily,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
     "attribution_first_touch": q_attribution_first_touch,
@@ -1801,6 +1855,7 @@ ORACLES_TS = {
     "pit_join": SQL_PIT_JOIN,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "interval_coalesce": SQL_INTERVAL_COALESCE,
+    "prorate_daily": SQL_PRORATE_DAILY,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,

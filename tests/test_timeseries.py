@@ -243,3 +243,36 @@ def test_coalesce_intervals_single_shuffle(spark):
     # one exchange on the key feeds both windows AND the island aggregate
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Join" not in plan
+
+
+# ----------------------------------------------------------- prorate_daily
+
+
+def test_prorate_daily_midnight_split_and_dust(spark):
+    from database_collector_spark.operators.timeseries import prorate_daily
+
+    day = 86_400_000_000
+    iv = spark.createDataFrame(
+        [
+            # 23:59:50 -> 00:00:10 next day: 10s + 10s split, amount 100
+            Row(rid=1, start_us=day - 10_000_000, end_us=day + 10_000_000, cents=100),
+            # entirely inside day 5
+            Row(rid=2, start_us=5 * day + 7, end_us=5 * day + 1_000_007, cents=30),
+            # zero-length: dropped
+            Row(rid=3, start_us=day, end_us=day, cents=999),
+            # thirds: 3 cents over 3 us spanning one day -> floor dust
+            Row(rid=4, start_us=0, end_us=3, cents=1),
+        ]
+    )
+    got = {
+        (r["rid"], r["day_idx"]): (r["overlap_us"], r["share_micro"])
+        for r in prorate_daily(iv, id_cols=("rid",)).collect()
+    }
+    assert got == {
+        (1, 0): (10_000_000, 50_000_000),
+        (1, 1): (10_000_000, 50_000_000),
+        (2, 5): (1_000_000, 30_000_000),
+        (4, 0): (3, 1_000_000),
+    }
+    # no rows for the zero-length interval
+    assert not any(rid == 3 for rid, _ in got)
