@@ -479,7 +479,109 @@ GROUP BY component
 """
 
 
+_CM_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX across the five hourly
+    event-type revenue series — the multi-metric dependence screen that
+    turns one-pair `corr` (stats_moments) into the full upper triangle.
+
+    Alignment is a single conditional-sum aggregate on the hour key
+    (missing hours contribute 0 — series share one spine by
+    construction, no join); all moment sums are exact DECIMAL(38,0)
+    integers accumulated in ONE global aggregate whose shuffle carries
+    1 row x 21 numbers however many hours exist; the 10 output pairs
+    are an in-row explode of that single row. Correlations are computed
+    from the exact sums with one rounded float step (stats_moments
+    convention) — never the engines' order-sensitive float corr."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, cents)), F.lit(0)
+            ).alias(f"v_{t}")
+            for t in _CM_TYPES
+        ]
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").alias("n")]
+    for t in _CM_TYPES:
+        c = F.col(f"v_{t}").cast(dec)
+        aggs.append(F.sum(c).alias(f"s_{t}"))
+        aggs.append(F.sum(c * c).alias(f"ss_{t}"))
+    for i, a in enumerate(_CM_TYPES):
+        for b in _CM_TYPES[i + 1:]:
+            aggs.append(
+                F.sum(
+                    F.col(f"v_{a}").cast(dec) * F.col(f"v_{b}").cast(dec)
+                ).alias(f"sxy_{a}_{b}")
+            )
+    moments = hourly.agg(*aggs)
+    n = F.col("n").cast(dec)
+    pair_structs = []
+    for i, a in enumerate(_CM_TYPES):
+        for b in _CM_TYPES[i + 1:]:
+            num = (n * F.col(f"sxy_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+                "double"
+            )
+            den_a = (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+                "double"
+            )
+            den_b = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+                "double"
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("type_a"),
+                    F.lit(b).alias("type_b"),
+                    F.round(num / (F.sqrt(den_a) * F.sqrt(den_b)), 6).alias("corr"),
+                )
+            )
+    return moments.select(
+        F.col("n").cast("long").alias("n_hours"),
+        F.explode(F.array(*pair_structs)).alias("p"),
+    ).select("p.type_a", "p.type_b", "n_hours", "p.corr")
+
+
+def _cm_sql() -> str:
+    cond = ",\n         ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS v_{t}"
+        for t in _CM_TYPES
+    )
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for t in _CM_TYPES:
+        moments.append(f"SUM(CAST(v_{t} AS HUGEINT)) AS s_{t}")
+        moments.append(f"SUM(CAST(v_{t} AS HUGEINT) * v_{t}) AS ss_{t}")
+    pairs = []
+    for i, a in enumerate(_CM_TYPES):
+        for b in _CM_TYPES[i + 1:]:
+            moments.append(f"SUM(CAST(v_{a} AS HUGEINT) * v_{b}) AS sxy_{a}_{b}")
+            pairs.append(
+                f"SELECT '{a}' AS type_a, '{b}' AS type_b, CAST(n AS BIGINT) AS n_hours,\n"
+                f"  ROUND(CAST(n * sxy_{a}_{b} - s_{a} * s_{b} AS DOUBLE)\n"
+                f"    / (SQRT(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))\n"
+                f"       * SQRT(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))), 6) AS corr\n"
+                f"  FROM m"
+            )
+    return (
+        "WITH hourly AS (\n"
+        f"  SELECT date_trunc('hour', ts) AS h,\n         {cond}\n"
+        "  FROM events GROUP BY 1\n"
+        "),\n"
+        "m AS (\n  SELECT " + ",\n         ".join(moments) + "\n  FROM hourly\n)\n"
+        + "\nUNION ALL ".join(pairs)
+    )
+
+
+SQL_CORR_MATRIX = _cm_sql()
+
+
 QUERIES3 = {
+    "corr_matrix": q_corr_matrix,
     "window_frames": q_window_frames,
     "date_funcs": q_date_funcs,
     "stats_moments": q_stats_moments,
@@ -492,6 +594,7 @@ QUERIES3 = {
 }
 
 ORACLES3 = {
+    "corr_matrix": SQL_CORR_MATRIX,
     "window_frames": SQL_WINDOW_FRAMES,
     "date_funcs": SQL_DATE_FUNCS,
     "stats_moments": SQL_STATS_MOMENTS,
