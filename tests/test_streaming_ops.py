@@ -387,3 +387,90 @@ def test_streaming_heavy_hitters_spacesaving(spark):
     # bounded state: at most capacity entries per shard ever emitted
     per_shard = Counter(shard for (shard, _) in latest)
     assert all(n <= 16 for n in per_shard.values())
+
+
+def test_streaming_upsert_latest_wins_across_batches(spark):
+    from database_collector_spark.streaming.upsert import (
+        complete_generations,
+        read_state,
+        upsert_parquet_sink,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(src)
+        _write(src, "b1.json", [
+            {"id": 1, "v": "a", "ver": 1}, {"id": 2, "v": "b", "ver": 1},
+        ])
+        _write(src, "b2.json", [
+            {"id": 1, "v": "a2", "ver": 2}, {"id": 3, "v": "c", "ver": 1},
+        ])
+        q = (
+            spark.readStream.schema("id long, v string, ver long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(
+                upsert_parquet_sink(spark, out, key="id", version_col="ver")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        state = read_state(spark, out)
+        got = sorted((r["id"], r["v"], r["ver"]) for r in state.collect())
+        assert got == [(1, "a2", 2), (2, "b", 1), (3, "c", 1)]
+        # pruning keeps at most 2 generations on disk
+        assert len(complete_generations(spark, out)) <= 2
+
+
+def test_streaming_upsert_crash_between_write_and_commit(spark):
+    # batch 0 merges + writes gen=0, driver dies pre-commit; the replay
+    # must re-merge onto the pre-0 state (empty) and converge to ONE copy
+    from database_collector_spark.streaming.upsert import (
+        read_state,
+        upsert_parquet_sink,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(src)
+        _write(src, "b1.json", [
+            {"id": 1, "v": "a", "ver": 1},
+            {"id": 1, "v": "a2", "ver": 2},  # in-batch dup: high ver wins
+        ])
+        inner = upsert_parquet_sink(spark, out, key="id", version_col="ver")
+        crashed = {"already": False}
+
+        def crashing(batch_df, batch_id):
+            inner(batch_df, batch_id)
+            if not crashed["already"]:
+                crashed["already"] = True
+                raise RuntimeError("injected crash between write and commit")
+
+        def run():
+            return (
+                spark.readStream.schema("id long, v string, ver long")
+                .json(src)
+                .writeStream.foreachBatch(crashing)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = run()
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        finally:
+            q.stop()
+        assert crashed["already"]
+        q2 = run()
+        try:
+            assert q2.awaitTermination(120)
+        finally:
+            q2.stop()
+        got = [(r["id"], r["v"], r["ver"]) for r in read_state(spark, out).collect()]
+        assert got == [(1, "a2", 2)]
