@@ -639,3 +639,124 @@ def l2_normalize(embeddings: DataFrame) -> DataFrame:
         F.round(F.array_max(nc), 6).alias("nc_max"),
         nc.alias("normalized"),
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    *,
+    dims: int = 16,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact covariance moment sums over the first ``dims`` embedding
+    coordinates — the single-pass statistic under PCA/whitening/feature
+    decorrelation. Coordinates are scaled to exact integers
+    (round(x·scale)), so every sum is an order-free int64 and the gate
+    hashes bit-identically; Cov[i,j] = (n·s_ij − s_i·s_j) / (n²·scale²)
+    is exactly derivable downstream at any precision.
+
+    Plan: ONE aggregate whose shuffle carries a single row of
+    dims·(dims+3)/2 + 1 numbers regardless of corpus size (no pair
+    explode — the dims(dims+1)/2 products are codegen column
+    expressions); the (i, j) long form is an in-row explode of that one
+    row. This is the map-side-combine shape that makes covariance of a
+    100 TB embedding table cost one narrow scan.
+
+    Output: (i, j, n, s_i, s_j, s_ij) for 0 <= i <= j < dims.
+    """
+    x = [
+        F.round(F.element_at(F.col(vec_col), d + 1).cast("double") * scale).cast(
+            "long"
+        )
+        for d in range(dims)
+    ]
+    aggs = [F.count("*").alias("n")]
+    for i in range(dims):
+        aggs.append(F.sum(x[i]).alias(f"s_{i}"))
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(F.sum(x[i] * x[j]).alias(f"sx_{i}_{j}"))
+    one = embeddings.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            F.col(f"s_{i}").alias("s_i"),
+            F.col(f"s_{j}").alias("s_j"),
+            F.col(f"sx_{i}_{j}").alias("s_ij"),
+        )
+        for i in range(dims)
+        for j in range(i, dims)
+    ]
+    return one.select("n", F.explode(F.array(*pairs)).alias("p")).select(
+        "p.i", "p.j", "n", "p.s_i", "p.s_j", "p.s_ij"
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    *,
+    k: int = 2,
+    dims: int = 16,
+    scale: int = 1_000_000,
+    n_iter: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    The covariance comes from ``embedding_covariance``'s single
+    aggregate (driver traffic = ONE row — the same bounded-collect
+    budget as the k-means tier); eigenvectors come from deterministic
+    power iteration with deflation on the tiny dims×dims driver-side
+    matrix (fixed e_0 basis init, fixed iteration count — no RNG); the
+    projection is a broadcast map-side dot product, zero shuffle.
+    Exactness note: components are floats by nature — the differential
+    gate covers the covariance sums (exact ints); this projection is
+    pinned against numpy's eigendecomposition in pytest instead.
+    """
+    import numpy as np
+
+    row = (
+        embedding_covariance(
+            embeddings, dims=dims, scale=scale, vec_col=vec_col
+        )
+        .collect()
+    )
+    n = row[0]["n"]
+    cov = np.zeros((dims, dims))
+    for r in row:
+        c = (n * r["s_ij"] - r["s_i"] * r["s_j"]) / (n * n * scale * scale)
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
+    comps = []
+    m = cov.copy()
+    for c_idx in range(k):
+        v = np.zeros(dims)
+        v[c_idx % dims] = 1.0
+        for _ in range(n_iter):
+            v = m @ v
+            nv = float(np.linalg.norm(v))
+            if nv == 0.0:
+                break
+            v = v / nv
+        # sign convention: largest-|coord| entry positive
+        top = int(np.argmax(np.abs(v)))
+        if v[top] < 0:
+            v = -v
+        comps.append(v)
+        lam = float(v @ m @ v)
+        m = m - lam * np.outer(v, v)
+    # mean vector from the same collected row set (i == j rows hold s_i)
+    means = np.zeros(dims)
+    for r in row:
+        if r["i"] == r["j"]:
+            means[r["i"]] = r["s_i"] / (n * scale)
+    projections = []
+    for c_idx, v in enumerate(comps):
+        centered_dot = sum(
+            (F.element_at(F.col(vec_col), d + 1).cast("double") - float(means[d]))
+            * float(v[d])
+            for d in range(dims)
+        )
+        projections.append(centered_dot.alias(f"pc{c_idx + 1}"))
+    return embeddings.select(F.col(id_col), *projections)

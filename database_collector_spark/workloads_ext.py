@@ -1117,6 +1117,38 @@ GROUP BY component
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass exact covariance moment sums over the first 16
+    embedding dims (`operators/similarity.py::embedding_covariance`) —
+    the statistic under the PCA tier. One aggregate, one emitted row,
+    in-row explode to (i, j) long form; every sum an order-free int64."""
+    return similarity.embedding_covariance(
+        _t(spark, sf_dir, "embeddings"), dims=16
+    )
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH coords AS (
+  SELECT vec_id,
+         unnest(range(0, 16)) AS i,
+         unnest(list_transform(range(0, 16),
+                d -> CAST(ROUND(CAST(embedding[d+1] AS DOUBLE) * 1000000) AS BIGINT)))
+           AS x
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS s_ij
+  FROM coords a JOIN coords b USING (vec_id)
+  WHERE a.i <= b.i GROUP BY 1, 2
+),
+sums AS (SELECT i, CAST(SUM(x) AS BIGINT) AS s FROM coords GROUP BY i)
+SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+       (SELECT COUNT(*) FROM embeddings) AS n,
+       sa.s AS s_i, sb.s AS s_j, p.s_ij
+FROM pairs p JOIN sums sa ON sa.i = p.i JOIN sums sb ON sb.i = p.j
+"""
+
+
 def q_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-shingle-set similarity self-join at J >= 0.8 via
     AllPairs/PPJoin prefix filtering (`operators/dedup.py::
@@ -1155,6 +1187,7 @@ WHERE inter * 10 >= 8 * (sa.n + sb.n - inter)
 
 
 QUERIES_EXT = {
+    "embedding_covariance": q_embedding_covariance,
     "jaccard_join_exact": q_jaccard_join_exact,
     "text_token_stats": q_text_token_stats,
     "multimodal_decode": q_multimodal_decode,
@@ -1191,6 +1224,7 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "jaccard_join_exact": SQL_JACCARD_JOIN_EXACT,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

@@ -398,3 +398,66 @@ def test_l2_normalize_unit_norm_and_direction(spark):
     assert abs(out[1]["nc_min"] - out[1]["nc_max"]) < 1e-12
     assert abs(out[1]["nc_max"] - 0.125) < 1e-5
     assert math.isclose(out[1]["l2_norm"], 0.8, abs_tol=1e-5)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from database_collector_spark.operators.similarity import embedding_covariance
+
+    rng = [[((i * 31 + d * 7) % 13 - 6) / 10 for d in range(8)] for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+    )
+    rows = embedding_covariance(df, dims=8).collect()
+    x = np.round(np.array(rng, dtype=np.float32).astype(np.float64) * 1e6)
+    n = len(rng)
+    for r in rows:
+        assert r["n"] == n
+        assert r["s_i"] == int(x[:, r["i"]].sum())
+        assert r["s_ij"] == int((x[:, r["i"]] * x[:, r["j"]]).sum())
+
+
+def test_pca_project_recovers_numpy_components(spark):
+    import numpy as np
+
+    from database_collector_spark.operators.similarity import pca_project
+
+    # anisotropic cloud: dominant variance along a known diagonal
+    pts = []
+    for i in range(200):
+        t = (i % 41 - 20) / 4.0
+        s = ((i * 7) % 11 - 5) / 9.0
+        pts.append([t + 0.1 * s, t - 0.1 * s, s * 0.5, 0.05 * t] + [0.0] * 4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    got = pca_project(df, k=2, dims=8, n_iter=100).collect()
+    proj = np.array([[r["pc1"], r["pc2"]] for r in sorted(got, key=lambda r: r["vec_id"])])
+
+    x = np.array(pts, dtype=np.float32).astype(np.float64)
+    x = np.round(x * 1e6) / 1e6
+    xc = x - x.mean(axis=0)
+    cov = (xc.T @ xc) / len(x)
+    w, v = np.linalg.eigh(cov)
+    ref = xc @ v[:, ::-1][:, :2]
+    # per-component alignment up to sign: |cos| ~ 1 and variance ratio ~ 1
+    for c in range(2):
+        a, b = proj[:, c], ref[:, c]
+        cos = abs(float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.999, f"component {c} misaligned: |cos|={cos}"
+
+
+def test_pca_project_plan_is_broadcast_free_map_side(spark):
+    from database_collector_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 0.0, 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        pca_project(df, k=1, dims=4, n_iter=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
