@@ -511,7 +511,95 @@ FROM packed GROUP BY lang, chunk_id
 """
 
 
+_FF_STAGES = ("nonempty", "min_chars", "min_tokens", "latin_lang", "diversity")
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter-funnel attribution: how many documents survive
+    each successive quality filter, and which stage kills what — the
+    report every corpus pipeline publishes before anyone trusts its
+    yield numbers. Stages (cumulative, in order): nonempty text,
+    n_chars >= 100, >= 20 whitespace tokens, latin-script language,
+    type-token ratio >= 1/2 (as the integer compare
+    2*distinct >= tokens — no float ratio).
+
+    Plan: ONE scan — all five cumulative pass flags are map-side
+    booleans into a single global conditional aggregate (6 numbers);
+    the per-stage rows are an in-row explode. Adding a stage costs one
+    column, never a pass."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    flags = [
+        F.col("n_chars") > 0,
+        F.col("n_chars") >= 100,
+        F.size(toks) >= 20,
+        F.col("lang").isin("en", "fr", "de", "es"),
+        F.lit(2) * F.size(F.array_distinct(toks)) >= F.size(toks),
+    ]
+    cum = []
+    acc = F.lit(True)
+    for fl in flags:
+        acc = acc & fl
+        cum.append(acc)
+    agg = d.agg(
+        F.count("*").alias("n_total"),
+        *[
+            F.sum(c.cast("long")).alias(f"pass_{i}")
+            for i, c in enumerate(cum)
+        ],
+    )
+    rows = []
+    for i, name in enumerate(_FF_STAGES):
+        n_enter = F.col("n_total") if i == 0 else F.col(f"pass_{i - 1}")
+        rows.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(name).alias("stage_name"),
+                n_enter.alias("n_enter"),
+                F.col(f"pass_{i}").alias("n_pass"),
+                (n_enter - F.col(f"pass_{i}")).alias("n_fail"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.stage", "r.stage_name", "r.n_enter", "r.n_pass", "r.n_fail"
+    )
+
+
+SQL_FILTER_FUNNEL = """
+WITH f AS (
+  SELECT n_chars > 0 AS f1,
+         n_chars > 0 AND n_chars >= 100 AS f2,
+         n_chars > 0 AND n_chars >= 100
+           AND len(string_split(text, ' ')) >= 20 AS f3,
+         n_chars > 0 AND n_chars >= 100
+           AND len(string_split(text, ' ')) >= 20
+           AND lang IN ('en', 'fr', 'de', 'es') AS f4,
+         n_chars > 0 AND n_chars >= 100
+           AND len(string_split(text, ' ')) >= 20
+           AND lang IN ('en', 'fr', 'de', 'es')
+           AND 2 * len(list_distinct(string_split(text, ' ')))
+               >= len(string_split(text, ' ')) AS f5
+  FROM documents
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+         CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+         CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+         CAST(SUM(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS p5
+  FROM f
+)
+SELECT 1 AS stage, 'nonempty' AS stage_name, n_total AS n_enter, p1 AS n_pass, n_total - p1 AS n_fail FROM m
+UNION ALL SELECT 2, 'min_chars', p1, p2, p1 - p2 FROM m
+UNION ALL SELECT 3, 'min_tokens', p2, p3, p2 - p3 FROM m
+UNION ALL SELECT 4, 'latin_lang', p3, p4, p3 - p4 FROM m
+UNION ALL SELECT 5, 'diversity', p4, p5, p4 - p5 FROM m
+"""
+
+
 QUERIES5 = {
+    "filter_funnel": q_filter_funnel,
     "sample_stratified": q_sample_stratified,
     "hash_split": q_hash_split,
     "text_normalize": q_text_normalize,
@@ -526,6 +614,7 @@ QUERIES5 = {
 }
 
 ORACLES5 = {
+    "filter_funnel": SQL_FILTER_FUNNEL,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "hash_split": SQL_HASH_SPLIT,
     "text_normalize": SQL_TEXT_NORMALIZE,

@@ -132,6 +132,72 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: frequency of the first-3-event-type journey
+    per 30-minute session — the "what do users do first" product
+    analytics on top of sessionization. Session ids use the exact
+    sessionization gate definition; the path is an in-agg sorted slice
+    (no per-step self-joins — the same one-exchange-per-level shape as
+    the funnel), then one path-keyed count whose cardinality is bounded
+    by |event types|^3."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    inc = (
+        F.when(epoch - F.lag(epoch).over(w) > 1800, F.lit(1)).otherwise(F.lit(0))
+        + F.when(F.lag("ts").over(w).isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(inc).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    1,
+                    3,
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+
+
+SQL_SESSION_PATHS = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END
+           + CASE WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS inc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(SUM(inc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM g
+),
+p AS (
+  SELECT user_id, session_seq,
+         array_to_string(
+           list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each 'error' event aligned to the latest preceding
     'click' by the same user (metric-series alignment, SURVEY §2.3 note).
@@ -1818,6 +1884,7 @@ QUERIES_TS = {
     "time_weighted_avg": q_time_weighted_avg,
     "interval_coalesce": q_interval_coalesce,
     "prorate_daily": q_prorate_daily,
+    "session_paths": q_session_paths,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
     "attribution_first_touch": q_attribution_first_touch,
@@ -1856,6 +1923,7 @@ ORACLES_TS = {
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "interval_coalesce": SQL_INTERVAL_COALESCE,
     "prorate_daily": SQL_PRORATE_DAILY,
+    "session_paths": SQL_SESSION_PATHS,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
