@@ -1048,8 +1048,51 @@ FROM per_bin, tot
 """
 
 
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month Pareto frontier of orders: cheapest-and-latest trade-off
+    (minimize price cents, maximize order day). The engine runs the
+    linear single-window sweep (`operators/skyline.py::skyline_2d`);
+    the oracle is the O(n²) NOT EXISTS dominance self-join — a genuinely
+    different algorithm, so agreement pins the sweep's correctness."""
+    from database_collector_spark.operators.skyline import skyline_2d
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        F.floor(F.col("o_orderdate").cast("timestamp_ltz").cast("long") / 86400)
+        .cast("long")
+        .alias("y"),
+    )
+    return skyline_2d(pts, by=("month",)).select(
+        "month",
+        F.col("x").alias("price_cents"),
+        F.col("y").alias("day_idx"),
+        F.col("n_rows").alias("n_orders"),
+    )
+
+
+SQL_SKYLINE_ORDERS = """
+WITH pts AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS y,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT p.m AS month, p.x AS price_cents, p.y AS day_idx, p.n AS n_orders
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.m = p.m AND q.x <= p.x AND q.y >= p.y
+    AND (q.x < p.x OR q.y > p.y)
+)
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
+    "skyline_orders": q_skyline_orders,
     "dist_drift": q_dist_drift,
     "top_supplier": q_top_supplier,
     "cust_order_distribution": q_cust_order_distribution,
@@ -1071,6 +1114,7 @@ QUERIES4 = {
 
 ORACLES4 = {
     "market_share": SQL_MARKET_SHARE,
+    "skyline_orders": SQL_SKYLINE_ORDERS,
     "dist_drift": SQL_DIST_DRIFT,
     "top_supplier": SQL_TOP_SUPPLIER,
     "cust_order_distribution": SQL_CUST_ORDER_DISTRIBUTION,
