@@ -1090,8 +1090,70 @@ WHERE NOT EXISTS (
 """
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum of the orders table
+    (`operators/checksum.py::table_checksum`) — the replica-equality
+    primitive for every copy this engine makes (JDBC ingest, CDC apply,
+    upsert generations). Columns are canonicalized to engine-stable
+    strings (ints, cents, epoch days); the fold is four commutative
+    32-bit md5-word sums, so the result is independent of partitioning
+    and row order and comparable across engines."""
+    from database_collector_spark.operators.checksum import table_checksum
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_custkey").cast("string").alias("c"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string").alias("cents"),
+        F.floor(F.col("o_orderdate").cast("timestamp_ltz").cast("long") / 86400)
+        .cast("long")
+        .cast("string")
+        .alias("day"),
+    )
+    return table_checksum(o, ("k", "c", "s", "p", "cents", "day"))
+
+
+SQL_TABLE_CHECKSUM = """
+WITH canon AS (
+  SELECT md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR),
+           CAST(o_custkey AS VARCHAR),
+           o_orderstatus,
+           o_orderpriority,
+           CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS VARCHAR)
+         )) AS h
+  FROM orders
+),
+words AS (
+  SELECT
+    list_sum(list_transform(range(1, 9),
+      i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)
+           * (CAST(1 AS BIGINT) << (4 * (8 - i))))) AS h1,
+    list_sum(list_transform(range(1, 9),
+      i -> CAST(strpos('0123456789abcdef', substr(h, 8 + i, 1)) - 1 AS BIGINT)
+           * (CAST(1 AS BIGINT) << (4 * (8 - i))))) AS h2,
+    list_sum(list_transform(range(1, 9),
+      i -> CAST(strpos('0123456789abcdef', substr(h, 16 + i, 1)) - 1 AS BIGINT)
+           * (CAST(1 AS BIGINT) << (4 * (8 - i))))) AS h3,
+    list_sum(list_transform(range(1, 9),
+      i -> CAST(strpos('0123456789abcdef', substr(h, 24 + i, 1)) - 1 AS BIGINT)
+           * (CAST(1 AS BIGINT) << (4 * (8 - i))))) AS h4
+  FROM canon
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(h1) AS BIGINT) AS sum_h1,
+       CAST(SUM(h2) AS BIGINT) AS sum_h2,
+       CAST(SUM(h3) AS BIGINT) AS sum_h3,
+       CAST(SUM(h4) AS BIGINT) AS sum_h4
+FROM words
+"""
+
+
 QUERIES4 = {
     "market_share": q_market_share,
+    "table_checksum": q_table_checksum,
     "skyline_orders": q_skyline_orders,
     "dist_drift": q_dist_drift,
     "top_supplier": q_top_supplier,
@@ -1114,6 +1176,7 @@ QUERIES4 = {
 
 ORACLES4 = {
     "market_share": SQL_MARKET_SHARE,
+    "table_checksum": SQL_TABLE_CHECKSUM,
     "skyline_orders": SQL_SKYLINE_ORDERS,
     "dist_drift": SQL_DIST_DRIFT,
     "top_supplier": SQL_TOP_SUPPLIER,
