@@ -132,6 +132,40 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup reuse: monthly totals computed FROM the daily
+    aggregate, which is computed FROM the hourly aggregate — the
+    materialized-rollup maintenance path (hour→day→month), never a
+    re-scan per level. The oracle aggregates monthly straight from raw
+    events, so the gate pins the algebraic mergeability claim (counts
+    and integer cent sums re-aggregate losslessly; this is why the
+    incremental tier can maintain coarse rollups from fine ones).
+
+    Plan: the raw scan feeds ONE hour-keyed aggregate; each coarser
+    level re-aggregates the previous level's (tiny) output — at 100 TB
+    the day and month levels cost |hours| and |days| rows, not another
+    corpus pass."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("h")).alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    return daily.groupBy(
+        F.date_trunc("month", F.col("d")).alias("month"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+
+
+SQL_ROLLUP_CASCADE = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session path mining: frequency of the first-3-event-type journey
     per 30-minute session — the "what do users do first" product
@@ -1885,6 +1919,7 @@ QUERIES_TS = {
     "interval_coalesce": q_interval_coalesce,
     "prorate_daily": q_prorate_daily,
     "session_paths": q_session_paths,
+    "rollup_cascade": q_rollup_cascade,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
     "attribution_first_touch": q_attribution_first_touch,
@@ -1924,6 +1959,7 @@ ORACLES_TS = {
     "interval_coalesce": SQL_INTERVAL_COALESCE,
     "prorate_daily": SQL_PRORATE_DAILY,
     "session_paths": SQL_SESSION_PATHS,
+    "rollup_cascade": SQL_ROLLUP_CASCADE,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
