@@ -87,7 +87,8 @@ _CHECK_FIRST = [
     # pit_join, time_weighted_avg, pmi_collocations, triangle_count,
     # dist_drift, interval_coalesce, jaccard_join_exact, prorate_daily,
     # corr_matrix, embedding_covariance, session_paths, filter_funnel,
-    # skyline_orders, table_checksum, rollup_cascade): asof_join,
+    # skyline_orders, table_checksum, rollup_cascade, interpolate_linear,
+    # pattern_detect): asof_join,
     # sessionization, skew_salted_join, dedup_spans,
     # label_enrich, grouping_sets, range_join_buckets,
     # sample_stratified, tfidf_top_terms, ttl_expiry_counts,

@@ -1238,6 +1238,171 @@ FROM j
 """
 
 
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-interpolated densification — the numeric sibling of
+    dense_timeseries' LOCF: missing hours between two samples take the
+    convex combination (prev·(t_next−t) + next·(t−t_prev)) / (t_next−
+    t_prev), hours outside the sampled range stay NULL ('edge'). The
+    numerator form keeps every term non-negative, so the exact
+    subtract-remainder floor-div is portable (no negative floor/trunc
+    dialect split); values are milli-cents, all int64.
+
+    Plan: one observed-hour aggregate, the JVM-generated spine, and ONE
+    window sort carrying BOTH neighbors (struct-max over the preceding
+    frame, struct-min over the following frame — same sort, no second
+    exchange, no IGNORE NULLS dialect dependence)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.floor(F.col("ts").cast("timestamp_ltz").cast("long") / 3600) * 3600)
+    hourly = ev.groupBy("event_type", hour.alias("h")).agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    bounds = ev.agg(F.min(hour).alias("h_lo"), F.max(hour).alias("h_hi"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h_lo", "h_hi", F.lit(3600))).alias("h"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    present = F.col("cents").isNotNull()
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = j.select(
+        "event_type",
+        "h",
+        "cents",
+        F.max(F.when(present, F.struct("h", "cents"))).over(w_prev).alias("p"),
+        F.min(F.when(present, F.struct("h", "cents"))).over(w_next).alias("nx"),
+    )
+    ph, pc = F.col("p.h"), F.col("p.cents")
+    nh, nc = F.col("nx.h"), F.col("nx.cents")
+    num = (pc * (nh - F.col("h")) + nc * (F.col("h") - ph)) * 1000
+    den = nh - ph
+    interp = ((num - num % den) / den).cast("long")
+    return carried.select(
+        "event_type",
+        "h",
+        F.when(present, F.lit("sample"))
+        .when(F.col("p").isNotNull() & F.col("nx").isNotNull(), F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("kind"),
+        F.when(present, F.col("cents") * 1000)
+        .when(F.col("p").isNotNull() & F.col("nx").isNotNull(), interp)
+        .alias("v_milli"),
+    )
+
+
+SQL_INTERPOLATE_LINEAR = """
+WITH hourly AS (
+  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+         MAX(CAST(ROUND(value*100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT MIN((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) AS h_lo,
+         MAX((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) AS h_hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds,
+       LATERAL (SELECT unnest(generate_series(bounds.h_lo, bounds.h_hi, 3600)) AS h) s
+),
+j AS (
+  SELECT spine.event_type, spine.h, hourly.cents
+  FROM spine LEFT JOIN hourly
+    ON hourly.event_type = spine.event_type AND hourly.h = spine.h
+),
+c AS (
+  SELECT event_type, h, cents,
+         MAX(CASE WHEN cents IS NOT NULL THEN {'h': h, 'c': cents} END)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         MIN(CASE WHEN cents IS NOT NULL THEN {'h': h, 'c': cents} END)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+  FROM j
+)
+SELECT event_type, h,
+       CASE WHEN cents IS NOT NULL THEN 'sample'
+            WHEN p IS NOT NULL AND nx IS NOT NULL THEN 'interp'
+            ELSE 'edge' END AS kind,
+       CASE WHEN cents IS NOT NULL THEN cents * 1000
+            WHEN p IS NOT NULL AND nx IS NOT NULL THEN
+              CAST(((p.c * (nx.h - h) + nx.c * (h - p.h)) * 1000
+                    - ((p.c * (nx.h - h) + nx.c * (h - p.h)) * 1000)
+                      % (nx.h - p.h))
+                   / (nx.h - p.h) AS BIGINT)
+       END AS v_milli
+FROM c
+"""
+
+
+def q_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): purchases
+    preceded by a signup with NO error in between — the negative-
+    condition funnel a plain step-funnel can't express (funnel_steps
+    counts A→B; this demands ¬C between A and B).
+
+    Plan: ONE user-keyed window sort; the last-preceding signup and
+    last-preceding error ride the same sort as struct-max carries
+    (strictly-before frame), and the pattern test is a struct compare —
+    no per-step self-joins, no row-pattern automaton, the same
+    one-exchange shape as the funnel. Ties break on (ts, event_id) in
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mark = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, F.struct("ts", "event_id"))
+    ).over(w)
+    x = ev.select(
+        "user_id",
+        "event_type",
+        mark("signup").alias("ls"),
+        mark("error").alias("le"),
+    ).where(F.col("event_type") == "purchase")
+    clean = F.col("ls").isNotNull() & (
+        F.col("le").isNull() | (F.col("le") < F.col("ls"))
+    )
+    return x.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(clean.cast("long")).alias("n_clean"),
+    )
+
+
+SQL_PATTERN_DETECT = """
+WITH x AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN event_type = 'signup' THEN {'t': ts, 'i': event_id} END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls,
+         MAX(CASE WHEN event_type = 'error' THEN {'t': ts, 'i': event_id} END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS le
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN ls IS NOT NULL AND (le IS NULL OR le < ls)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM x WHERE event_type = 'purchase' GROUP BY user_id
+"""
+
+
 def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS linear trend — the capacity-planning query over
     collected metric series ("is this gauge drifting, and how fast").
@@ -1920,6 +2085,8 @@ QUERIES_TS = {
     "prorate_daily": q_prorate_daily,
     "session_paths": q_session_paths,
     "rollup_cascade": q_rollup_cascade,
+    "interpolate_linear": q_interpolate_linear,
+    "pattern_detect": q_pattern_detect,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
     "attribution_first_touch": q_attribution_first_touch,
@@ -1960,6 +2127,8 @@ ORACLES_TS = {
     "prorate_daily": SQL_PRORATE_DAILY,
     "session_paths": SQL_SESSION_PATHS,
     "rollup_cascade": SQL_ROLLUP_CASCADE,
+    "interpolate_linear": SQL_INTERPOLATE_LINEAR,
+    "pattern_detect": SQL_PATTERN_DETECT,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
