@@ -36,6 +36,11 @@ PICKS = [
     ("weighted_sample", "shuffle-free weighted reservoir (TakeOrdered heaps)"),
     ("zorder_layout", "codegen Morton OR-chain + 16-row locality aggregate"),
     ("seasonal_profile", "window and groupBy sharing one keyed exchange"),
+    ("pit_join", "SCD-2 point-in-time lookup: equi-join + interval residual"),
+    ("jaccard_join_exact", "prefix-filtered exact similarity join (AllPairs)"),
+    ("triangle_count", "degree-ordered wedge join (triangle counting)"),
+    ("skyline_orders", "Pareto frontier via single window sweep"),
+    ("dist_drift", "one-scan drift audit; totals from bounded window"),
 ]
 
 
