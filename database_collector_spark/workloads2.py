@@ -999,7 +999,88 @@ FROM d GROUP BY 1
 """
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join semantics (`<=>` / IS NOT DISTINCT FROM): rows
+    with a NULL join key still match their NULL-keyed group — the
+    semantics every dimension join with optional keys needs, and a
+    plain `=` silently drops. Key = NULLIF(o_orderstatus, 'O') so a
+    third of orders carry a NULL key; the right side is the per-key
+    aggregate of the same table, so every order must find exactly one
+    group row (asserted by the count row volume).
+
+    Plan note: Spark plans `<=>` as a hash join on a null-safe key wrap
+    — still an equi-join, never a nested loop."""
+    o = _t(spark, sf_dir, "orders")
+    skey = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    left = o.select(skey.alias("skey"), F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    grp = left.groupBy(F.col("skey").alias("gkey")).agg(
+        F.count("*").alias("grp_n"),
+        F.sum("cents").alias("grp_cents"),
+    )
+    joined = left.join(grp, left["skey"].eqNullSafe(grp["gkey"]))
+    return joined.groupBy("skey").agg(
+        F.count("*").alias("n_rows"),
+        F.max("grp_n").alias("grp_n"),
+        F.max("grp_cents").alias("grp_cents"),
+    )
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH l AS (
+  SELECT NULLIF(o_orderstatus, 'O') AS skey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT skey AS gkey, COUNT(*) AS grp_n, SUM(cents) AS grp_cents
+  FROM l GROUP BY skey
+)
+SELECT skey, COUNT(*) AS n_rows,
+       CAST(MAX(grp_n) AS BIGINT) AS grp_n,
+       CAST(MAX(grp_cents) AS BIGINT) AS grp_cents
+FROM l JOIN g ON l.skey IS NOT DISTINCT FROM g.gkey
+GROUP BY skey
+"""
+
+
+def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — BAG semantics set operations
+    (multiplicity-aware: a row appearing 5 times on the left and twice
+    on the right survives EXCEPT ALL 3 times), completing the set-ops
+    surface next to the distinct-set `set_ops` gate. Results aggregate
+    to (op, flag, n) so the gate hashes multiset cardinalities."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") <= 30).select("l_returnflag")
+    b = li.where(F.col("l_linestatus") == "F").select("l_returnflag")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_returnflag", "n")
+    )
+    it = (
+        a.intersectAll(b)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_returnflag", "n")
+    )
+    return ex.unionByName(it)
+
+
+SQL_BAG_SET_OPS = """
+WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity <= 30),
+b AS (SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'),
+ex AS (SELECT l_returnflag FROM a EXCEPT ALL SELECT l_returnflag FROM b),
+it AS (SELECT l_returnflag FROM a INTERSECT ALL SELECT l_returnflag FROM b)
+SELECT 'except_all' AS op, l_returnflag, COUNT(*) AS n FROM ex GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, l_returnflag, COUNT(*) AS n FROM it GROUP BY 2
+"""
+
+
 QUERIES2 = {
+    "null_safe_join": q_null_safe_join,
+    "bag_set_ops": q_bag_set_ops,
     "semi_anti_orders": q_semi_anti_orders,
     "correlated_avg_filter": q_correlated_avg_filter,
     "window_running": q_window_running,
@@ -1023,6 +1104,8 @@ QUERIES2 = {
 }
 
 ORACLES2 = {
+    "null_safe_join": SQL_NULL_SAFE_JOIN,
+    "bag_set_ops": SQL_BAG_SET_OPS,
     "semi_anti_orders": SQL_SEMI_ANTI_ORDERS,
     "correlated_avg_filter": SQL_CORRELATED_AVG_FILTER,
     "window_running": SQL_WINDOW_RUNNING,
