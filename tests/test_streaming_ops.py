@@ -474,3 +474,38 @@ def test_streaming_upsert_crash_between_write_and_commit(spark):
             q2.stop()
         got = [(r["id"], r["v"], r["ver"]) for r in read_state(spark, out).collect()]
         assert got == [(1, "a2", 2)]
+
+
+def test_stream_static_pit_join_enriches_against_scd2_dim(spark):
+    # a STREAMING fact joined to a static SCD-2 dimension through the
+    # same pit_join operator the batch tier uses: stream-static joins
+    # need no watermark, and gap semantics must survive streaming
+    from database_collector_spark.operators.timeseries import pit_join
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(src)
+        _write(src, "b1.json", [
+            {"k": "A", "ts": 5, "fid": 1},    # before any version -> NULL
+            {"k": "A", "ts": 15, "fid": 2},   # v1
+            {"k": "A", "ts": 25, "fid": 3},   # gap -> NULL
+            {"k": "A", "ts": 40, "fid": 4},   # open-ended v2
+        ])
+        # versions [10, 20) and [35, None): ts=25 falls in the gap
+        dim = spark.createDataFrame(
+            [("A", 10, 20, 1), ("A", 35, None, 2)],
+            "k string, valid_from long, valid_to long, attr long",
+        )
+        fact = spark.readStream.schema("k string, ts long, fid long").json(src)
+        joined = pit_join(fact, dim, keys=("k",), ts_col="ts", value_cols=("attr",))
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        got = {r["fid"]: r["attr"] for r in spark.read.parquet(out).collect()}
+        assert got == {1: None, 2: 1, 3: None, 4: 2}
