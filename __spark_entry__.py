@@ -88,7 +88,8 @@ _CHECK_FIRST = [
     # dist_drift, interval_coalesce, jaccard_join_exact, prorate_daily,
     # corr_matrix, embedding_covariance, session_paths, filter_funnel,
     # skyline_orders, table_checksum, rollup_cascade, interpolate_linear,
-    # pattern_detect, null_safe_join, bag_set_ops): asof_join,
+    # pattern_detect, null_safe_join, bag_set_ops, supplier_diversity,
+    # capped_balance): asof_join,
     # sessionization, skew_salted_join, dedup_spans,
     # label_enrich, grouping_sets, range_join_buckets,
     # sample_stratified, tfidf_top_terms, ttl_expiry_counts,

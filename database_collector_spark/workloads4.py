@@ -1090,6 +1090,113 @@ WHERE NOT EXISTS (
 """
 
 
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped supplier diversity: per (p_type, p_brand), the count
+    of DISTINCT suppliers shipping those parts — EXCLUDING suppliers
+    whose return rate exceeds 1/3 (the NOT IN <aggregated subquery>
+    shape, with the rate test as the integer cross-multiplication
+    3·returns > total, no float ratio).
+
+    Plan: the exclusion list is a supplier-keyed aggregate → LEFT ANTI
+    join (never a NOT IN nested loop, and null-safe by construction
+    since anti-join semantics don't invert on NULLs the way NOT IN
+    does); the distinct count groups by (type, brand, supp) first so
+    the wide shuffle carries distinct triples, not raw lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bad = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r"),
+        )
+        .where(F.lit(3) * F.col("r") > F.col("n"))
+        .select("l_suppkey")
+    )
+    good_lines = li.join(bad, "l_suppkey", "left_anti")
+    triples = (
+        good_lines.join(
+            F.broadcast(p.select("p_partkey", "p_type", "p_brand")),
+            good_lines["l_partkey"] == p["p_partkey"],
+        )
+        .select("p_type", "p_brand", "l_suppkey")
+        .distinct()
+    )
+    return triples.groupBy("p_type", "p_brand").agg(
+        F.count("*").alias("n_suppliers")
+    )
+
+
+SQL_SUPPLIER_DIVERSITY = """
+SELECT p.p_type, p.p_brand,
+       COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+  HAVING 3 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > COUNT(*)
+)
+GROUP BY 1, 2
+"""
+
+
+def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance per user (inventory/credit
+    semantics): purchases add cents, errors subtract them, and the
+    balance clamps at 0 — balance_i = max(0, balance_{i-1} + delta_i),
+    a NON-LINEAR recurrence no window frame can express (unlike a
+    running sum, each step depends on the clamped previous value).
+
+    The scalable exact form for bounded per-key histories is the in-row
+    fold: one key-sorted collect, then `aggregate()` (a codegen
+    higher-order fold) — one shuffle, sequential work confined inside
+    each row. The sequential dependence is irreducible (this is a
+    prefix computation that does not associate); for keys whose history
+    exceeds row budgets, chunk through applyInPandasWithState and carry
+    the clamp across chunks. All arithmetic exact int64 cents."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    delta = (
+        F.when(F.col("event_type") == "purchase", cents)
+        .when(F.col("event_type") == "error", -cents)
+        .otherwise(F.lit(0))
+    )
+    per_user = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", delta.alias("d")).alias("s"),
+    ).groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("hist")
+    )
+    fold = F.aggregate(
+        F.col("hist"),
+        F.lit(0).cast("long"),
+        lambda acc, s: F.greatest(F.lit(0).cast("long"), acc + s["d"]),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("hist").cast("long").alias("n_deltas"),
+        fold.alias("final_balance"),
+    )
+
+
+SQL_CAPPED_BALANCE = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value*100) AS BIGINT)
+              WHEN event_type = 'error' THEN -CAST(ROUND(value*100) AS BIGINT)
+              ELSE 0 END AS delta
+  FROM events
+),
+h AS (
+  SELECT user_id, list(delta ORDER BY ts, event_id) AS hist FROM d GROUP BY user_id
+)
+SELECT user_id, CAST(len(hist) AS BIGINT) AS n_deltas,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), hist),
+                   (acc, x) -> GREATEST(CAST(0 AS BIGINT), acc + x))
+         AS final_balance
+FROM h
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content checksum of the orders table
     (`operators/checksum.py::table_checksum`) — the replica-equality
@@ -1154,6 +1261,8 @@ FROM words
 QUERIES4 = {
     "market_share": q_market_share,
     "table_checksum": q_table_checksum,
+    "supplier_diversity": q_supplier_diversity,
+    "capped_balance": q_capped_balance,
     "skyline_orders": q_skyline_orders,
     "dist_drift": q_dist_drift,
     "top_supplier": q_top_supplier,
@@ -1177,6 +1286,8 @@ QUERIES4 = {
 ORACLES4 = {
     "market_share": SQL_MARKET_SHARE,
     "table_checksum": SQL_TABLE_CHECKSUM,
+    "supplier_diversity": SQL_SUPPLIER_DIVERSITY,
+    "capped_balance": SQL_CAPPED_BALANCE,
     "skyline_orders": SQL_SKYLINE_ORDERS,
     "dist_drift": SQL_DIST_DRIFT,
     "top_supplier": SQL_TOP_SUPPLIER,
