@@ -580,8 +580,120 @@ def _cm_sql() -> str:
 SQL_CORR_MATRIX = _cm_sql()
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower) of extended price per return flag,
+    weighted by quantity — the inventory-weighted central price a plain
+    median misstates. Definition: smallest value v with
+    2·cumweight(v) >= totalweight, all integer (cents × integer
+    quantity), so the pick is exact on any engine.
+
+    Plan note: weights aggregate per (flag, DISTINCT cents) FIRST, so
+    the cumulative window runs over the value domain (bounded by
+    distinct prices), not the row stream — the same domain-compression
+    trick that keeps exact order statistics viable when groups are
+    data-sized. One value-keyed aggregate + one per-flag window + one
+    final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_value = (
+        li.select(
+            "l_returnflag",
+            _cents("l_extendedprice").alias("cents"),
+            F.round("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    crossed = per_value.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    ).where(F.lit(2) * F.col("cw") >= F.col("tw"))
+    return crossed.groupBy("l_returnflag").agg(
+        F.min("cents").alias("wmedian_cents"),
+        F.max("tw").alias("total_weight"),
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH pv AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, cents,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM pv
+)
+SELECT l_returnflag,
+       CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+"""
+
+
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event counts per type with a one-week
+    half-life — recency-weighted popularity, the metric behind trending
+    lists. Dyadic exactness: weight = 2^(20 − age_weeks) as an INTEGER
+    (age measured back from the stream's max timestamp; older than 20
+    half-lives contributes 0), so the sum is bit-exact in any order and
+    the gate hashes — no float pow drift. Stream end is a one-row
+    broadcast (the ttl_expiry_counts precedent); everything else is one
+    map-side expression into a per-type aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    end = ev.agg(F.max(epoch).alias("end_s"))
+    age_w = F.floor((F.col("end_s") - epoch) / (7 * 86400)).cast("int")
+    # 2^(20-age) as a finite CASE over the 21 in-range ages (shiftleft's
+    # bit count must be a literal, not a column)
+    weight = F.when(age_w == 0, F.lit(1 << 20).cast("long"))
+    for k in range(1, 21):
+        weight = weight.when(age_w == k, F.lit(1 << (20 - k)).cast("long"))
+    weight = weight.otherwise(F.lit(0).cast("long"))
+    return (
+        ev.join(F.broadcast(end))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(weight).alias("decayed_scaled"),
+        )
+    )
+
+
+SQL_DECAYED_COUNTS = """
+WITH e AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s FROM events),
+w AS (
+  SELECT event_type,
+         CASE WHEN CAST(floor((end_s - CAST(floor(epoch(ts)) AS BIGINT))
+                              / 604800.0) AS INT) <= 20
+              THEN CAST(1 AS BIGINT)
+                   << (20 - CAST(floor((end_s - CAST(floor(epoch(ts)) AS BIGINT))
+                                       / 604800.0) AS INT))
+              ELSE 0 END AS wt
+  FROM events, e
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(wt) AS BIGINT) AS decayed_scaled
+FROM w GROUP BY event_type
+"""
+
+
 QUERIES3 = {
     "corr_matrix": q_corr_matrix,
+    "weighted_median": q_weighted_median,
+    "decayed_counts": q_decayed_counts,
     "window_frames": q_window_frames,
     "date_funcs": q_date_funcs,
     "stats_moments": q_stats_moments,
@@ -595,6 +707,8 @@ QUERIES3 = {
 
 ORACLES3 = {
     "corr_matrix": SQL_CORR_MATRIX,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "decayed_counts": SQL_DECAYED_COUNTS,
     "window_frames": SQL_WINDOW_FRAMES,
     "date_funcs": SQL_DATE_FUNCS,
     "stats_moments": SQL_STATS_MOMENTS,
