@@ -509,3 +509,50 @@ def test_stream_static_pit_join_enriches_against_scd2_dim(spark):
         q.stop()
         got = {r["fid"]: r["attr"] for r in spark.read.parquet(out).collect()}
         assert got == {1: None, 2: 1, 3: None, 4: 2}
+
+
+def test_dead_letter_sink_splits_and_survives_full_replay(spark):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from database_collector_spark.streaming.dlq import dead_letter_sink
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, good, dlq, ckpt = f"{tmp}/in", f"{tmp}/good", f"{tmp}/dlq", f"{tmp}/ck"
+        os.makedirs(src)
+        _write(src, "b1.json", [
+            {"id": 1, "v": 10},
+            {"id": 2, "v": -3},      # invalid: negative
+            {"id": 3, "v": None},    # invalid: NULL -> predicate NULL -> DLQ
+            {"id": 4, "v": 0},
+        ])
+        sink = dead_letter_sink(
+            good,
+            dlq,
+            valid=F.col("v") >= 0,
+            reason=F.when(F.col("v").isNull(), "null value").otherwise(
+                "negative value"
+            ),
+        )
+
+        def run():
+            q = (
+                spark.readStream.schema("id long, v long")
+                .json(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            q.stop()
+
+        run()
+        shutil.rmtree(ckpt)
+        run()  # worst-case full replay: both paths must converge, no dups
+
+        good_ids = sorted(r["id"] for r in spark.read.parquet(good).collect())
+        assert good_ids == [1, 4]
+        bad = {r["id"]: r["_reason"] for r in spark.read.parquet(dlq).collect()}
+        assert bad == {2: "negative value", 3: "null value"}
