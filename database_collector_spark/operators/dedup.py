@@ -850,3 +850,47 @@ def set_similarity_join(
             F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("un")
         )
     )
+
+
+def lsh_tune(
+    n_perm: int,
+    threshold: float,
+    *,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    steps: int = 1000,
+) -> tuple[int, int]:
+    """Pick the MinHash-LSH banding (bands, rows) for a target Jaccard
+    ``threshold`` — the parameter choice `minhash_lsh_pairs` callers
+    otherwise hand-tune and `lsh_recall_report` measures after the fact.
+
+    For b bands of r rows the candidate probability at similarity s is
+    the S-curve p(s) = 1 − (1 − s^r)^b. Among all factorizations
+    b·r <= n_perm this minimizes the weighted error mass
+    fp_weight·∫₀ᵗ p(s) ds + fn_weight·∫ᵗ¹ (1 − p(s)) ds (rectangle rule,
+    ``steps`` points — the standard public tuning recipe, e.g. in the
+    datasketch library's documentation of the same curve). Driver-side
+    pure math: deterministic, no data touched; raise fn_weight when a
+    missed near-dup costs more than a wasted verify (the usual case —
+    the exact-Jaccard verify already removes false positives).
+    """
+    assert 0 < threshold < 1 and n_perm >= 2
+    best: tuple[float, int, int] | None = None
+    for r in range(1, n_perm + 1):
+        b = n_perm // r
+        if b < 1:
+            break
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp_weight * fp + fn_weight * fn) / steps
+        # strict < keeps the SMALLEST r (cheapest bands) on exact ties
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
