@@ -62,6 +62,9 @@ def get_spark(
         # for MICROS files — set once here instead of mutating session
         # conf inside a table reader (hidden side effect, not thread-safe).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource filter pushdown (sources/prom_source.py
+        # consumes EqualTo('name') at parse time)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

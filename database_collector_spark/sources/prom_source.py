@@ -1,0 +1,177 @@
+"""Custom Python DataSource: Prometheus text-exposition files.
+
+The reference's whole output universe is Prometheus exposition data
+(its exporters serve /metrics; SURVEY §2.1) — this source closes the
+loop by making that format directly queryable: register once, then
+``spark.read.format("promtext").load(dir)`` yields the same canonical
+long format the rest of this engine processes (name, labels map,
+value, timestamp).
+
+Built on Spark 4's Python DataSource API (`pyspark.sql.datasource`) —
+a real pluggable source, not a driver-side file loop:
+
+* one ``InputPartition`` per ``.prom`` file, so a directory of
+  per-scrape dumps reads with file-level parallelism and scales with
+  the file count exactly like the built-in text sources;
+* ``pushFilters`` accepts ``EqualTo("name", ...)`` and prunes
+  non-matching metric lines AT PARSE TIME inside each partition — the
+  Python-source analogue of parquet predicate pushdown (a /metrics dump
+  is dominated by metrics you are not asking for);
+* parsing follows the public text-exposition grammar: ``# HELP``/
+  ``# TYPE``/blank lines skipped; ``name{l1="v1",...} value [ts_ms]``;
+  label values unescape ``\\\\``, ``\\"`` and ``\\n``; a bare name has
+  an empty label map. Malformed lines are SKIPPED and counted into a
+  ``_malformed`` diagnostic metric row per file (fail-soft, mirroring
+  the engine's quarantine convention — a truncated scrape can't kill
+  the read).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_LINE = re.compile(
+    r"^(?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)"
+    r"(?:\{(?P<labels>.*)\})?"
+    r"\s+(?P<value>[^\s]+)"
+    r"(?:\s+(?P<ts>-?\d+))?\s*$"
+)
+_LABEL = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"')
+
+SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("labels", MapType(StringType(), StringType())),
+        StructField("value", DoubleType()),
+        StructField("ts_ms", LongType()),
+        StructField("source_file", StringType()),
+    ]
+)
+
+
+def _unescape(v: str) -> str:
+    return v.replace("\\\\", "\x00").replace('\\"', '"').replace("\\n", "\n").replace(
+        "\x00", "\\"
+    )
+
+
+def _parse_value(raw: str) -> float:
+    low = raw.lower()
+    if low in ("+inf", "inf"):
+        return float("inf")
+    if low == "-inf":
+        return float("-inf")
+    if low == "nan":
+        return float("nan")
+    return float(raw)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class PromTextReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("promtext source requires a path")
+        self.name_eq: str | None = None
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("name",)
+                and isinstance(f.value, str)
+                and self.name_eq is None
+            ):
+                self.name_eq = f.value
+            else:
+                yield f
+
+    def partitions(self) -> list[_FilePartition]:
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".prom")
+            )
+        else:
+            files = [self.path]
+        if not files:
+            raise ValueError(f"no .prom files under {self.path}")
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        malformed = 0
+        fname = os.path.basename(partition.path)
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                m = _LINE.match(line)
+                if not m:
+                    malformed += 1
+                    continue
+                name = m.group("name")
+                if self.name_eq is not None and name != self.name_eq:
+                    continue
+                try:
+                    value = _parse_value(m.group("value"))
+                except ValueError:
+                    malformed += 1
+                    continue
+                labels = {
+                    k: _unescape(v)
+                    for k, v in _LABEL.findall(m.group("labels") or "")
+                }
+                ts = m.group("ts")
+                yield (name, labels, value, int(ts) if ts else None, fname)
+        if malformed and (self.name_eq is None or self.name_eq == "_malformed"):
+            yield ("_malformed", {"file": fname}, float(malformed), None, fname)
+
+
+class PromTextDataSource(DataSource):
+    """``spark.dataSource.register(PromTextDataSource)`` then
+    ``spark.read.format("promtext").load(path)`` — or call
+    :func:`register`, which also enables Python-source filter pushdown
+    (a reader implementing ``pushFilters`` ERRORS at read time when
+    ``spark.sql.python.filterPushdown.enabled`` is false; the engine's
+    own session factory sets it, this covers foreign sessions)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "promtext"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> PromTextReader:
+        return PromTextReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source on ``spark`` with pushdown enabled (the conf
+    is runtime-settable)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PromTextDataSource)

@@ -1,0 +1,97 @@
+"""Custom Python DataSource for Prometheus text exposition
+(sources/prom_source.py): grammar coverage, per-file partitions,
+EqualTo('name') parse-time pushdown, malformed-line fail-soft."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+from pyspark.sql import functions as F
+
+from database_collector_spark.sources.prom_source import (
+    PromTextDataSource,
+    PromTextReader,
+    _FilePartition,
+)
+
+FILE_A = """\
+# HELP http_requests_total Total requests.
+# TYPE http_requests_total counter
+http_requests_total{method="get",code="200"} 1027 1712000000000
+http_requests_total{method="post",code="200"} 3
+up 1
+this line is !! not exposition format
+escaped{msg="say \\"hi\\"\\n",path="C:\\\\tmp"} 4.5
+infinite{kind="pos"} +Inf
+"""
+
+FILE_B = """\
+up 0
+http_requests_total{method="get",code="500"} 7
+"""
+
+
+def _mkfiles(tmp):
+    with open(f"{tmp}/a.prom", "w") as f:
+        f.write(FILE_A)
+    with open(f"{tmp}/b.prom", "w") as f:
+        f.write(FILE_B)
+
+
+def test_promtext_reads_grammar_and_partitions_per_file(spark):
+    spark.dataSource.register(PromTextDataSource)
+    with tempfile.TemporaryDirectory() as tmp:
+        _mkfiles(tmp)
+        df = spark.read.format("promtext").load(tmp)
+        rows = {
+            (r["name"], tuple(sorted(r["labels"].items())), r["source_file"]): r
+            for r in df.collect()
+        }
+        # labels + timestamp
+        r = rows[("http_requests_total", (("code", "200"), ("method", "get")), "a.prom")]
+        assert (r["value"], r["ts_ms"]) == (1027.0, 1712000000000)
+        # bare metric, no labels, no ts
+        assert rows[("up", (), "a.prom")]["ts_ms"] is None
+        # escapes
+        esc = rows[("escaped", (("msg", 'say "hi"\n'), ("path", "C:\\tmp")), "a.prom")]
+        assert esc["value"] == 4.5
+        # +Inf
+        assert math.isinf(rows[("infinite", (("kind", "pos"),), "a.prom")]["value"])
+        # fail-soft: malformed line surfaced as a diagnostic row, not a crash
+        assert rows[("_malformed", (("file", "a.prom"),), "a.prom")]["value"] == 1.0
+        # one partition per file
+        nparts = df.select(F.spark_partition_id()).distinct().count()
+        assert nparts == 2
+
+
+def test_promtext_name_pushdown_prunes_at_parse_time(spark):
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    rdr = PromTextReader({"path": "/nonexistent"})
+    rest = list(
+        rdr.pushFilters(
+            [EqualTo(("name",), "up"), GreaterThan(("value",), 0)]
+        )
+    )
+    # the name filter is consumed; the value filter is handed back
+    assert rdr.name_eq == "up"
+    assert len(rest) == 1 and isinstance(rest[0], GreaterThan)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _mkfiles(tmp)
+        got = list(rdr.read(_FilePartition(f"{tmp}/a.prom")))
+        assert [(r[0], r[2]) for r in got] == [("up", 1.0)]
+
+
+def test_promtext_end_to_end_filter(spark):
+    spark.dataSource.register(PromTextDataSource)
+    with tempfile.TemporaryDirectory() as tmp:
+        _mkfiles(tmp)
+        df = (
+            spark.read.format("promtext")
+            .load(tmp)
+            .where(F.col("name") == "http_requests_total")
+        )
+        assert df.count() == 3
+        assert {r["source_file"] for r in df.collect()} == {"a.prom", "b.prom"}
