@@ -1048,6 +1048,74 @@ FROM per_bin, tot
 """
 
 
+_BENFORD_PPB = {
+    # round(log10(1 + 1/d) * 1e9) — fixed public constants, so neither
+    # engine computes a float log
+    1: 301029996, 2: 176091259, 3: 124938737, 4: 96910013,
+    5: 79181246, 6: 66946790, 7: 57991947, 8: 51152522, 9: 45757491,
+}
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen. Leading digit is extracted from the
+    integer cents' STRING form (no float log10, whose correct rounding
+    at exact powers of ten is not guaranteed cross-engine); expected
+    shares are the nine published Benford constants in ppb; the
+    deviation is the exact cross-multiplied |observed−expected| ppb —
+    the dist_drift arithmetic applied against a closed-form law."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (
+        o.select(digit.alias("digit"))
+        .where(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    expected = F.lit(None).cast("long")
+    for d, ppb in _BENFORD_PPB.items():
+        expected = F.when(F.col("digit") == d, F.lit(ppb)).otherwise(expected)
+    with_tot = per.select(
+        "digit", "n", F.sum("n").over(w_all).alias("tot"), expected.alias("exp_ppb")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = F.abs(
+        dec(F.col("n")) * F.lit(1_000_000_000).cast("decimal(38,0)")
+        - dec(F.col("exp_ppb")) * dec(F.col("tot"))
+    )
+    den = dec(F.col("tot"))
+    dev = ((num - num % den) / den).cast("long")
+    return with_tot.select(
+        "digit", "n", "exp_ppb", dev.alias("abs_dev_ppb")
+    )
+
+
+SQL_BENFORD_AUDIT = """
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+),
+f AS (SELECT digit, n FROM per WHERE digit >= 1),
+e(digit, exp_ppb) AS (VALUES
+  (1, 301029996), (2, 176091259), (3, 124938737), (4, 96910013),
+  (5, 79181246), (6, 66946790), (7, 57991947), (8, 51152522), (9, 45757491)
+),
+t AS (SELECT f.digit, CAST(f.n AS BIGINT) AS n, CAST(e.exp_ppb AS BIGINT) AS exp_ppb,
+             SUM(f.n) OVER () AS tot
+      FROM f JOIN e USING (digit))
+SELECT digit, n, exp_ppb,
+       CAST(ABS(CAST(n AS HUGEINT) * 1000000000 - CAST(exp_ppb AS HUGEINT) * tot)
+            // CAST(tot AS HUGEINT) AS BIGINT) AS abs_dev_ppb
+FROM t
+"""
+
+
 def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-month Pareto frontier of orders: cheapest-and-latest trade-off
     (minimize price cents, maximize order day). The engine runs the
@@ -1263,6 +1331,7 @@ QUERIES4 = {
     "table_checksum": q_table_checksum,
     "supplier_diversity": q_supplier_diversity,
     "capped_balance": q_capped_balance,
+    "benford_audit": q_benford_audit,
     "skyline_orders": q_skyline_orders,
     "dist_drift": q_dist_drift,
     "top_supplier": q_top_supplier,
@@ -1288,6 +1357,7 @@ ORACLES4 = {
     "table_checksum": SQL_TABLE_CHECKSUM,
     "supplier_diversity": SQL_SUPPLIER_DIVERSITY,
     "capped_balance": SQL_CAPPED_BALANCE,
+    "benford_audit": SQL_BENFORD_AUDIT,
     "skyline_orders": SQL_SKYLINE_ORDERS,
     "dist_drift": SQL_DIST_DRIFT,
     "top_supplier": SQL_TOP_SUPPLIER,
