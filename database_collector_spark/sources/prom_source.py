@@ -35,9 +35,11 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -169,9 +171,96 @@ class PromTextDataSource(DataSource):
     def reader(self, schema: StructType) -> PromTextReader:
         return PromTextReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "PromTextWriter":
+        return PromTextWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Register the source on ``spark`` with pushdown enabled (the conf
     is runtime-settable)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PromTextDataSource)
+
+
+def _escape(v: str) -> str:
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def _format_value(v: float) -> str:
+    import math
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    return repr(v)
+
+
+class _PromCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class PromTextWriter(DataSourceWriter):
+    """Per-task exposition writer: each partition writes ONE
+    ``part-<uuid>.prom`` shard via write-then-rename (the temp name is
+    invisible to readers until the atomic local rename), so a failed or
+    speculatively-duplicated task never leaves a readable half-file.
+    Labels are emitted in sorted key order — deterministic bytes for a
+    deterministic input partitioning."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("promtext writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PromCommit:
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.prom"
+        tmp = os.path.join(self.path, "." + name + ".tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                labels = row["labels"] or {}
+                lab = (
+                    "{"
+                    + ",".join(
+                        f'{k}="{_escape(v)}"' for k, v in sorted(labels.items())
+                    )
+                    + "}"
+                    if labels
+                    else ""
+                )
+                ts = f" {row['ts_ms']}" if row["ts_ms"] is not None else ""
+                fh.write(
+                    f"{row['name']}{lab} {_format_value(row['value'])}{ts}\n"
+                )
+                n += 1
+        os.replace(tmp, os.path.join(self.path, name))
+        return _PromCommit(name, n)
+
+    def commit(self, messages):
+        # two-phase overwrite: only AFTER every task committed do the
+        # pre-existing shards disappear — a failed job leaves the old
+        # table intact (abort removes just the new shards)
+        if self.overwrite:
+            new = {m.path for m in messages if m is not None}
+            for f in os.listdir(self.path):
+                if f.endswith(".prom") and f not in new:
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
+        return None
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.path))
+                except OSError:
+                    pass

@@ -95,3 +95,40 @@ def test_promtext_end_to_end_filter(spark):
         )
         assert df.count() == 3
         assert {r["source_file"] for r in df.collect()} == {"a.prom", "b.prom"}
+
+
+def test_promtext_writer_round_trips_and_two_phase_overwrite(spark):
+    spark.dataSource.register(PromTextDataSource)
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = [
+            ("up", {}, 1.0, None),
+            ("http_requests_total", {"code": "200", "method": "get"}, 1027.5,
+             1712000000000),
+            ("weird", {"msg": 'say "hi"\n', "path": "C:\\tmp"}, -0.25, None),
+            ("infinite", {"kind": "neg"}, float("-inf"), None),
+        ]
+        df = spark.createDataFrame(
+            rows, "name string, labels map<string,string>, value double, ts_ms long"
+        ).repartition(2)
+        df.write.format("promtext").mode("append").save(tmp)
+
+        back = spark.read.format("promtext").load(tmp)
+        got = {
+            (r["name"], tuple(sorted(r["labels"].items())), r["value"], r["ts_ms"])
+            for r in back.collect()
+        }
+        want = {
+            (n, tuple(sorted(lb.items())), v, ts) for n, lb, v, ts in rows
+        }
+        assert got == want
+        # no _malformed diagnostics: everything we wrote parses cleanly
+        assert not any(r["name"] == "_malformed" for r in back.collect())
+
+        # overwrite is two-phase: old shards vanish only on commit
+        df2 = spark.createDataFrame(
+            [("solo", {}, 2.0, None)],
+            "name string, labels map<string,string>, value double, ts_ms long",
+        )
+        df2.write.format("promtext").mode("overwrite").save(tmp)
+        names = [r["name"] for r in spark.read.format("promtext").load(tmp).collect()]
+        assert names == ["solo"]
