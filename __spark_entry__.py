@@ -89,8 +89,8 @@ _CHECK_FIRST = [
     # corr_matrix, embedding_covariance, session_paths, filter_funnel,
     # skyline_orders, table_checksum, rollup_cascade, interpolate_linear,
     # pattern_detect, null_safe_join, bag_set_ops, supplier_diversity,
-    # capped_balance, weighted_median, decayed_counts, benford_audit):
-    # asof_join,
+    # capped_balance, weighted_median, decayed_counts, benford_audit,
+    # time_to_convert, error_impact): asof_join,
     # sessionization, skew_salted_join, dedup_spans,
     # label_enrich, grouping_sets, range_join_buckets,
     # sample_stratified, tfidf_top_terms, ttl_expiry_counts,

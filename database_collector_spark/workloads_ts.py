@@ -1349,6 +1349,149 @@ FROM c
 """
 
 
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event: per signup-week cohort, the exact lower median of
+    seconds from a user's FIRST signup to their FIRST purchase at or
+    after it (non-converters excluded; n_users counts the cohort, so
+    the conversion rate rides along as exact integers). The survival-
+    analysis staple behind activation dashboards.
+
+    Plan: per-user firsts are one user-keyed aggregate (min + the
+    conditional min of purchases ≥ first signup via a struct compare);
+    the median uses the weighted_median value-domain trick — cumulative
+    window over per-(cohort, delta) counts, never a per-row sort."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    per_user = (
+        ev.select("user_id", "event_type", epoch.alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("s"))).alias("s0"),
+        )
+    )
+    purch = (
+        ev.select("user_id", "event_type", epoch.alias("s"))
+        .where(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .where(F.col("s0").isNotNull() & (F.col("s") >= F.col("s0")))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("p0"), F.min("s0").alias("s0"))
+    )
+    cohort = F.floor(F.col("s0") / 604800).alias("cohort_week")
+    deltas = purch.select(cohort, (F.col("p0") - F.col("s0")).alias("delta"))
+    per_value = deltas.groupBy("cohort_week", "delta").agg(F.count("*").alias("w"))
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("cohort_week").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    crossed = per_value.select(
+        "cohort_week",
+        "delta",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    ).where(F.lit(2) * F.col("cw") >= F.col("tw"))
+    signups = per_user.where(F.col("s0").isNotNull()).select(
+        F.floor(F.col("s0") / 604800).alias("cohort_week")
+    ).groupBy("cohort_week").agg(F.count("*").alias("n_users"))
+    med = crossed.groupBy("cohort_week").agg(
+        F.min("delta").alias("median_secs"),
+        F.max("tw").alias("n_converted"),
+    )
+    return signups.join(med, "cohort_week", "left")
+
+
+SQL_TIME_TO_CONVERT = """
+WITH pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s0
+  FROM events GROUP BY user_id
+),
+pp AS (
+  SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS p0, MIN(pu.s0) AS s0
+  FROM events e JOIN pu ON e.user_id = pu.user_id
+  WHERE e.event_type = 'purchase' AND pu.s0 IS NOT NULL
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= pu.s0
+  GROUP BY e.user_id
+),
+pv AS (
+  SELECT s0 // 604800 AS cohort_week, p0 - s0 AS delta, COUNT(*) AS w
+  FROM pp GROUP BY 1, 2
+),
+c AS (
+  SELECT cohort_week, delta,
+         SUM(w) OVER (PARTITION BY cohort_week ORDER BY delta
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY cohort_week) AS tw
+  FROM pv
+),
+med AS (
+  SELECT cohort_week, CAST(MIN(delta) AS BIGINT) AS median_secs,
+         CAST(MAX(tw) AS BIGINT) AS n_converted
+  FROM c WHERE 2 * cw >= tw GROUP BY cohort_week
+),
+sg AS (
+  SELECT s0 // 604800 AS cohort_week, COUNT(*) AS n_users
+  FROM pu WHERE s0 IS NOT NULL GROUP BY 1
+)
+SELECT sg.cohort_week, sg.n_users, med.median_secs, med.n_converted
+FROM sg LEFT JOIN med USING (cohort_week)
+"""
+
+
+def q_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-experience impact screen: purchase behavior of users who
+    ever hit a SEVERE error (value > 150 — plain errors are universal
+    in this stream, severe ones split the population) vs users who
+    never did — counts and exact per-mille purchase-per-event rates
+    (cross-multiplied integers; the 2x2 contingency the ops dashboard
+    wants before anyone claims causality). One user-keyed aggregate
+    then a 2-group rollup."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "error") & (F.col("value") > 150)).cast("int")
+        ).alias("hit_error"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purch"),
+        F.count("*").alias("n_events"),
+    )
+    g = per_user.groupBy("hit_error").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_purch").alias("purchases"),
+        F.sum("n_events").alias("events"),
+    )
+    permille = (
+        F.col("purchases") * 1000
+        - (F.col("purchases") * 1000) % F.col("events")
+    ) / F.col("events")
+    return g.select(
+        "hit_error", "n_users", "purchases", "events",
+        permille.cast("long").alias("purchase_permille"),
+    )
+
+
+SQL_ERROR_IMPACT = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'error' AND value > 150
+                  THEN 1 ELSE 0 END) AS hit_error,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT hit_error, COUNT(*) AS n_users,
+       CAST(SUM(n_purch) AS BIGINT) AS purchases,
+       CAST(SUM(n_events) AS BIGINT) AS events,
+       CAST(SUM(n_purch) AS BIGINT) * 1000 // CAST(SUM(n_events) AS BIGINT)
+         AS purchase_permille
+FROM pu GROUP BY hit_error
+"""
+
+
 def q_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-pattern detection (MATCH_RECOGNIZE-lite): purchases
     preceded by a signup with NO error in between — the negative-
@@ -2087,6 +2230,8 @@ QUERIES_TS = {
     "rollup_cascade": q_rollup_cascade,
     "interpolate_linear": q_interpolate_linear,
     "pattern_detect": q_pattern_detect,
+    "time_to_convert": q_time_to_convert,
+    "error_impact": q_error_impact,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
     "attribution_first_touch": q_attribution_first_touch,
@@ -2129,6 +2274,8 @@ ORACLES_TS = {
     "rollup_cascade": SQL_ROLLUP_CASCADE,
     "interpolate_linear": SQL_INTERPOLATE_LINEAR,
     "pattern_detect": SQL_PATTERN_DETECT,
+    "time_to_convert": SQL_TIME_TO_CONVERT,
+    "error_impact": SQL_ERROR_IMPACT,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
