@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -174,6 +175,9 @@ class PromTextDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "PromTextWriter":
         return PromTextWriter(self.options, overwrite)
 
+    def simpleStreamReader(self, schema: StructType) -> "PromTextStreamReader":
+        return PromTextStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the source on ``spark`` with pushdown enabled (the conf
@@ -264,3 +268,60 @@ class PromTextWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, m.path))
                 except OSError:
                     pass
+
+
+class PromTextStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a directory of ``.prom`` scrape dumps: each
+    micro-batch reads the files that appeared since the last offset.
+
+    Offsets are the lexicographically LARGEST file name consumed
+    (scrape dumps are conventionally timestamp-named, so lexicographic
+    = chronological; a file sorting at-or-before the current offset is
+    never read — name new dumps monotonically). That makes every batch
+    replayable: ``readBetweenOffsets(start, end)`` re-parses exactly
+    the files in (start, end] — deterministic failure recovery with no
+    state beyond the two names. Parsing (grammar, escapes, fail-soft
+    ``_malformed`` rows) is shared with the batch reader.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("promtext stream requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _files_between(self, start: str, end: str | None) -> list[str]:
+        names = sorted(
+            f for f in os.listdir(self.path)
+            if f.endswith(".prom") and f > start
+            and (end is None or f <= end)
+        )
+        return names
+
+    def _parse_files(self, names: list[str]) -> list[tuple]:
+        # a LIST, not a generator: Spark's simple-stream prefetch cache
+        # copy.copy()s the batch iterator for replay, and generators are
+        # not copyable. Simple stream readers are driver-prefetched by
+        # design, so per-batch materialization is the API's contract —
+        # batch size = the new scrape dumps since the last trigger.
+        rdr = PromTextReader({"path": self.path})
+        out: list[tuple] = []
+        for n in names:
+            out.extend(rdr.read(_FilePartition(os.path.join(self.path, n))))
+        return out
+
+    def read(self, start: dict):
+        names = self._files_between(start.get("last", ""), None)
+        if not names:
+            return [], start
+        return self._parse_files(names), {"last": names[-1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._parse_files(
+            self._files_between(start.get("last", ""), end.get("last", ""))
+        )
+
+    def commit(self, end: dict) -> None:
+        return None

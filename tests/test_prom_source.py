@@ -132,3 +132,75 @@ def test_promtext_writer_round_trips_and_two_phase_overwrite(spark):
         df2.write.format("promtext").mode("overwrite").save(tmp)
         names = [r["name"] for r in spark.read.format("promtext").load(tmp).collect()]
         assert names == ["solo"]
+
+
+def test_promtext_streaming_tails_new_dumps_with_checkpoint(spark):
+    import os
+
+    spark.dataSource.register(PromTextDataSource)
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+        os.makedirs(src)
+        with open(f"{src}/20240601-100000.prom", "w") as f:
+            f.write("up 1\nhttp_requests_total 5\n")
+
+        def run_pass():
+            q = (
+                spark.readStream.format("promtext")
+                .load(src)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            q.stop()
+
+        run_pass()
+        got = sorted(
+            (r["name"], r["value"], r["source_file"])
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [
+            ("http_requests_total", 5.0, "20240601-100000.prom"),
+            ("up", 1.0, "20240601-100000.prom"),
+        ]
+
+        # a later-named dump arrives; only IT is read on the next pass
+        with open(f"{src}/20240601-100015.prom", "w") as f:
+            f.write("up 0\n")
+        run_pass()
+        got = sorted(
+            (r["name"], r["value"], r["source_file"])
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [
+            ("http_requests_total", 5.0, "20240601-100000.prom"),
+            ("up", 0.0, "20240601-100015.prom"),
+            ("up", 1.0, "20240601-100000.prom"),
+        ]
+
+
+def test_promtext_stream_offsets_replay_deterministically():
+    import os
+
+    from database_collector_spark.sources.prom_source import PromTextStreamReader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for n, body in (("a.prom", "up 1\n"), ("b.prom", "up 2\n"), ("c.prom", "up 3\n")):
+            with open(os.path.join(tmp, n), "w") as f:
+                f.write(body)
+        rdr = PromTextStreamReader({"path": tmp})
+        start = rdr.initialOffset()
+        rows, mid = rdr.read(start)
+        assert [r[2] for r in rows] == [1.0, 2.0, 3.0]
+        assert mid == {"last": "c.prom"}
+        # no new files -> empty batch, offset unchanged
+        rows2, same = rdr.read(mid)
+        assert list(rows2) == [] and same == mid
+        # failure recovery re-reads exactly (start, mid]
+        replay = list(rdr.readBetweenOffsets(start, mid))
+        assert [r[2] for r in replay] == [1.0, 2.0, 3.0]
+        replay_tail = list(rdr.readBetweenOffsets({"last": "a.prom"}, mid))
+        assert [r[2] for r in replay_tail] == [2.0, 3.0]
