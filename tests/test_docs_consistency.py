@@ -1,0 +1,35 @@
+"""Documentation-drift guards: the gate surface and its docs must move
+together — every driver-gate query needs an oracle twin and a COVERAGE.md
+mention, and the correctness window must stay exactly driver-sized."""
+
+from __future__ import annotations
+
+import os
+
+import __spark_entry__ as entrymod
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_every_query_has_an_oracle():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(qs) == set(os_), (
+        f"queries without oracle: {sorted(set(qs) - set(os_))}; "
+        f"oracles without query: {sorted(set(os_) - set(qs))}"
+    )
+
+
+def test_every_query_is_documented_in_coverage():
+    with open(os.path.join(ROOT, "COVERAGE.md")) as fh:
+        cov = fh.read()
+    missing = [q for q in entrymod.queries() if q not in cov]
+    assert not missing, f"gates absent from COVERAGE.md: {missing}"
+
+
+def test_check_window_is_exactly_driver_sized_and_resolvable():
+    qs = entrymod.queries()
+    assert len(entrymod._CHECK_FIRST) == 50
+    unresolved = [q for q in entrymod._CHECK_FIRST if q not in qs]
+    assert not unresolved, f"window names unknown queries: {unresolved}"
+    # _ordered must put the window first, verbatim
+    assert list(qs)[:50] == entrymod._CHECK_FIRST
