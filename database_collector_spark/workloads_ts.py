@@ -1755,9 +1755,22 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
+    # 4-decimal mean via integer half-up rounding: ROUND(double, 4) ties
+    # split across engines (found by the sf0.001 differential run — a
+    # cell mean landing exactly on a .00005 boundary); round-half-up of
+    # s*100/n is the exact integer (200s + n) // (2n), and an int/1e4
+    # double divide is correctly rounded everywhere.
+    avg4 = (
+        (
+            F.lit(200) * F.max("s")
+            + F.max("n")
+            - (F.lit(200) * F.max("s") + F.max("n")) % (F.lit(2) * F.max("n"))
+        )
+        / (F.lit(2) * F.max("n"))
+    ).cast("long")
     return flagged.groupBy("event_type", "hod").agg(
         F.count("*").alias("n"),
-        F.round(F.max("s") / (F.lit(100.0) * F.max("n")), 4).alias("avg_value"),
+        (avg4.cast("double") / 10000.0).alias("avg_value"),
         F.sum("is_outlier").alias("n_outliers"),
     )
 
@@ -1774,7 +1787,9 @@ cells AS (
 )
 SELECT k.event_type, CAST(k.hod AS INT) AS hod,
        CAST(COUNT(*) AS BIGINT) AS n,
-       round(MAX(c.s) / (100.0 * MAX(c.n)), 4) AS avg_value,
+       CAST((200 * CAST(MAX(c.s) AS HUGEINT) + MAX(c.n))
+            // (2 * CAST(MAX(c.n) AS HUGEINT)) AS BIGINT) / 10000.0
+         AS avg_value,
        CAST(SUM(CASE WHEN abs(k.v_cents * c.n - c.s) > 500 * c.n
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM keyed k JOIN cells c USING (event_type, hod)
