@@ -221,3 +221,25 @@ def elect_representatives(
             F.col("_best.q").alias("keeper_quality"),
         )
     )
+
+
+def kfold_split(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    group_col: F.Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GROUP-aware k-fold assignment for cross-validation: fold =
+    md5(group_key) mod k, so every member of a duplicate group lands in
+    the SAME fold (the k-way generalization of leakage_safe_split's
+    train/val/test) and the assignment is reproducible across corpus
+    versions — adding documents never moves existing groups between
+    folds. Pure map-side labeling, no join, no shuffle."""
+    key = group_col if group_col is not None else F.md5(F.col("text"))
+    hv = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return docs.select(
+        F.col(id_col),
+        key.alias("group_key"),
+        (hv % k).cast("int").alias("fold"),
+    )

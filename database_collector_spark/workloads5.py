@@ -598,7 +598,44 @@ UNION ALL SELECT 5, 'diversity', p4, p5, p4 - p5 FROM m
 """
 
 
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold CV assignment (`curation.kfold_split`): folds
+    hashed from the exact-dup group key, summarized per (lang, fold)
+    with doc AND distinct-group counts — the group count exposes any
+    straddling (a group in two folds would inflate it)."""
+    from database_collector_spark import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    assigned = curation.kfold_split(docs, k=5).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return assigned.groupBy("lang", "fold").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("group_key").alias("n_groups"),
+    )
+
+
+SQL_KFOLD_SPLIT = """
+WITH g AS (
+  SELECT doc_id, lang, md5(text) AS group_key, md5(md5(text)) AS h
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang, group_key,
+         CAST(list_sum(list_transform(range(1, 9),
+                i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1
+                          AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - i)))))
+              % 5 AS INT) AS fold
+  FROM g
+)
+SELECT lang, fold, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups
+FROM f GROUP BY 1, 2
+"""
+
+
 QUERIES5 = {
+    "kfold_split": q_kfold_split,
     "filter_funnel": q_filter_funnel,
     "sample_stratified": q_sample_stratified,
     "hash_split": q_hash_split,
@@ -614,6 +651,7 @@ QUERIES5 = {
 }
 
 ORACLES5 = {
+    "kfold_split": SQL_KFOLD_SPLIT,
     "filter_funnel": SQL_FILTER_FUNNEL,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "hash_split": SQL_HASH_SPLIT,
