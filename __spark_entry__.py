@@ -90,7 +90,8 @@ _CHECK_FIRST = [
     # skyline_orders, table_checksum, rollup_cascade, interpolate_linear,
     # pattern_detect, null_safe_join, bag_set_ops, supplier_diversity,
     # capped_balance, weighted_median, decayed_counts, benford_audit,
-    # time_to_convert, error_impact, kfold_split): asof_join,
+    # time_to_convert, error_impact, kfold_split, freshness_audit):
+    # asof_join,
     # sessionization, skew_salted_join, dedup_spans,
     # label_enrich, grouping_sets, range_join_buckets,
     # sample_stratified, tfidf_top_terms, ttl_expiry_counts,

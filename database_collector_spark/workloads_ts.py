@@ -1443,6 +1443,42 @@ FROM sg LEFT JOIN med USING (cohort_week)
 """
 
 
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit — the first page of any collector
+    dashboard: for each event type, its last-seen timestamp, the lag
+    behind the freshest stream in exact epoch seconds, and a staleness
+    flag (> 1 h behind). One scan: per-type MAX aggregate, global max
+    via a window over the |types|-row aggregate output (bounded by
+    construction), integer lag — no clock reads, so the audit is
+    deterministic and replayable."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    per = ev.groupBy("event_type").agg(
+        F.max(epoch).alias("last_s"), F.count("*").alias("n")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per.select(
+        "event_type",
+        "n",
+        "last_s",
+        (F.max("last_s").over(w) - F.col("last_s")).alias("lag_s"),
+        ((F.max("last_s").over(w) - F.col("last_s")) > 3600).alias("stale"),
+    )
+
+
+SQL_FRESHNESS_AUDIT = """
+WITH per AS (
+  SELECT event_type, MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, last_s,
+       MAX(last_s) OVER () - last_s AS lag_s,
+       (MAX(last_s) OVER () - last_s) > 3600 AS stale
+FROM per
+"""
+
+
 def q_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-experience impact screen: purchase behavior of users who
     ever hit a SEVERE error (value > 150 — plain errors are universal
@@ -2247,6 +2283,7 @@ QUERIES_TS = {
     "pattern_detect": q_pattern_detect,
     "time_to_convert": q_time_to_convert,
     "error_impact": q_error_impact,
+    "freshness_audit": q_freshness_audit,
     "seasonal_profile": q_seasonal_profile,
     "event_transitions": q_event_transitions,
     "attribution_first_touch": q_attribution_first_touch,
@@ -2291,6 +2328,7 @@ ORACLES_TS = {
     "pattern_detect": SQL_PATTERN_DETECT,
     "time_to_convert": SQL_TIME_TO_CONVERT,
     "error_impact": SQL_ERROR_IMPACT,
+    "freshness_audit": SQL_FRESHNESS_AUDIT,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attribution_first_touch": SQL_ATTRIBUTION_FIRST_TOUCH,
