@@ -45,65 +45,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # Round-7 rotation, part 1 — MANDATORY HEAD: the 15 gates added late
-    # in r6 that have never had a driver CORRECTNESS row (r6 judge
-    # re-confirmed them green locally; this is their first driver
-    # evidence).
-    "funnel_steps", "retention_cohorts", "counter_rate", "rolling_zscore",
-    "heavy_hitters_by_lang", "pii_scrub", "dedup_fuzzy",
-    "posexplode_tokens", "null_funcs", "map_funcs", "try_arith",
-    "histogram_quantile", "dense_timeseries", "fk_integrity",
-    "profile_table",
-    # part 2 — gates NEW in round 7 (never driver-checked; local
-    # tools/check.py green). Early-r7: Bloom join pre-reduction,
-    # char entropy, incremental IVF, per-series metric analytics,
-    # bitmap distinct, WAV decode, URL dedup, skew/quantile/postings.
-    "fk_bloom", "char_entropy", "ann_ivf_incremental",
-    "trend_slope", "ewma_smooth", "mad_outliers", "bitmap_distinct",
-    "multimodal_audio", "url_dedup", "key_skew_profile", "quantile_norm",
-    "token_postings",
-    # Late-r7 IR/corpus tier: BM25, BPE training, weighted reservoir,
-    # z-order layout, exact PageRank, image dHash, perplexity signal,
-    # leakage-safe split, seasonal profile.
-    "bm25_scores", "bpe_merges", "weighted_sample", "zorder_layout",
-    "pagerank_exact", "image_dhash_dedup", "unigram_logppl",
-    "leakage_safe_split", "seasonal_profile",
-    # part 3 — touched by round-7 code changes: heavy_hitters gained the
-    # explicit NULL-item contract; ann_ivf_kmeans's oracle CTE builder
-    # was source-parametrized for the incremental gate
-    "heavy_hitters", "ann_ivf_kmeans",
-    # part 4 — oldest r5-latest queries (semantic flagships first); the
-    # remaining r5-latest queries move to the r8 mandatory head below.
-    "bpe_encode", "theil_sen_slope", "rolling_median",
-    "event_transitions", "trimmed_mean", "corpus_overlap",
-    "lsh_recall_report", "embedding_normalize", "cms_estimates",
-    "attribution_first_touch", "cusum_changepoints",
-    "cluster_representatives",
+    # Round-8 rotation, part 1 — RED-ROW RETEST: map_funcs was r7's one
+    # red driver row (hash-only mismatch). Root cause was oracle-side:
+    # DuckDB typed `f_cents` HUGEINT (expression over a SUM(BIGINT) CTE
+    # column) and the driver's Arrow canonicalization rendered it
+    # float64 vs Spark's int64. The oracle now casts to BIGINT, and
+    # tests/test_oracle_schemas.py LIMIT-0-sweeps all oracles so the
+    # class cannot recur (time_weighted_avg / prorate_daily /
+    # rollup_cascade had the same latent bug and are cast too).
+    "map_funcs",
+    # part 2 — MANDATORY: the 35 gates with no driver CORRECTNESS row in
+    # any round (== queries() minus the union of CORRECTNESS_r*.json
+    # keys; pinned by tests/test_docs_consistency.py). All green in the
+    # local tools/check.py harness.
+    "null_safe_join", "bag_set_ops", "corr_matrix", "weighted_median",
+    "decayed_counts", "table_checksum", "supplier_diversity",
+    "capped_balance", "benford_audit", "skyline_orders", "dist_drift",
+    "waiting_suppliers", "kfold_split", "filter_funnel",
+    "embedding_covariance", "jaccard_join_exact",
+    "embedding_dedup_clusters", "pmi_collocations", "triangle_count",
+    "chunk_documents", "oov_rate", "pit_join", "time_weighted_avg",
+    "interval_coalesce", "prorate_daily", "session_paths",
+    "rollup_cascade", "interpolate_linear", "pattern_detect",
+    "time_to_convert", "error_impact", "freshness_audit",
+    "value_histogram", "sliding_unique_users", "variant_json",
+    # part 3 — gates NEW in round 8 (never driver-checked).
+    # (filled in as r8 lands new operators)
+    # part 4 — backfill: oldest driver evidence is the r5-latest cohort;
+    # semantic flagships first per the r7 verdict's rotation directive.
+    "long_running_sessions", "asof_join", "sessionization",
+    "skew_salted_join", "dedup_spans", "label_enrich", "grouping_sets",
+    "range_join_buckets", "sample_stratified", "tfidf_top_terms",
+    "ttl_expiry_counts", "events_sliding", "ann_ivf_multiprobe",
+    "ann_ivf_probe",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r8 MANDATORY HEAD (r5-latest leftovers now at 3-round-old driver
-    # evidence; all pytest-pinned) PLUS the r7 gates that no longer
-    # fit (value_histogram, waiting_suppliers, chunk_documents, oov_rate,
-    # sliding_unique_users, variant_json, long_running_sessions,
-    # pit_join, time_weighted_avg, pmi_collocations, triangle_count,
-    # dist_drift, interval_coalesce, jaccard_join_exact, prorate_daily,
-    # corr_matrix, embedding_covariance, session_paths, filter_funnel,
-    # skyline_orders, table_checksum, rollup_cascade, interpolate_linear,
-    # pattern_detect, null_safe_join, bag_set_ops, supplier_diversity,
-    # capped_balance, weighted_median, decayed_counts, benford_audit,
-    # time_to_convert, error_impact, kfold_split, freshness_audit):
-    # asof_join,
-    # sessionization, skew_salted_join, dedup_spans,
-    # label_enrich, grouping_sets, range_join_buckets,
-    # sample_stratified, tfidf_top_terms, ttl_expiry_counts,
-    # events_sliding, ann_ivf_multiprobe, ann_ivf_probe,
-    # ann_pq_adc, ann_pq_codes, approx_distinct, approx_quantiles,
+    # r9 MANDATORY HEAD: any red r8 rows first, then r8's new gates that
+    # did not fit above, then the remaining r5-latest cohort
+    # (ann_pq_adc, ann_pq_codes, approx_distinct, approx_quantiles,
     # argmax_customer, correlated_avg_filter, cube_counts,
     # cust_order_distribution, date_rollup, dedup_embedding_lsh_multi,
     # gap_detect, grouped_counter, semi_anti_orders, shipping_priority,
     # stats_moments, text_token_stats, array_funcs, case_having,
     # date_funcs, string_funcs, set_ops, limit_cap, engine_dispatch,
     # window_frames, window_running, unpivot_melt, top_supplier,
-    # market_share, decile_stats, exact_percentiles
+    # market_share, decile_stats, exact_percentiles), then the r6-latest
+    # cohort oldest-first.
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 

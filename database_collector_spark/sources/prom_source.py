@@ -58,6 +58,15 @@ _LINE = re.compile(
     r"(?:\s+(?P<ts>-?\d+))?\s*$"
 )
 _LABEL = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"')
+# full label-list grammar (items comma-separated, optional trailing comma
+# per the exposition format): findall alone would silently SKIP malformed
+# segments ('metric{garbage,l="v"} 1' would lose 'garbage' without
+# counting as malformed), so the labels group must fullmatch this before
+# the per-item findall is trusted
+_LABEL_LIST = re.compile(
+    r'(?:[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"'
+    r'(?:,[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*")*,?)?'
+)
 
 SCHEMA = StructType(
     [
@@ -137,6 +146,10 @@ class PromTextReader(DataSourceReader):
                     malformed += 1
                     continue
                 name = m.group("name")
+                raw_labels = m.group("labels")
+                if raw_labels is not None and not _LABEL_LIST.fullmatch(raw_labels):
+                    malformed += 1
+                    continue
                 if self.name_eq is not None and name != self.name_eq:
                     continue
                 try:
@@ -145,8 +158,7 @@ class PromTextReader(DataSourceReader):
                     malformed += 1
                     continue
                 labels = {
-                    k: _unescape(v)
-                    for k, v in _LABEL.findall(m.group("labels") or "")
+                    k: _unescape(v) for k, v in _LABEL.findall(raw_labels or "")
                 }
                 ts = m.group("ts")
                 yield (name, labels, value, int(ts) if ts else None, fname)
@@ -201,17 +213,24 @@ def _format_value(v: float) -> str:
 
 
 class _PromCommit(WriterCommitMessage):
-    def __init__(self, path: str, n_rows: int):
+    def __init__(self, tmp: str, path: str, n_rows: int):
+        self.tmp = tmp
         self.path = path
         self.n_rows = n_rows
 
 
 class PromTextWriter(DataSourceWriter):
     """Per-task exposition writer: each partition writes ONE
-    ``part-<uuid>.prom`` shard via write-then-rename (the temp name is
-    invisible to readers until the atomic local rename), so a failed or
-    speculatively-duplicated task never leaves a readable half-file.
-    Labels are emitted in sorted key order — deterministic bytes for a
+    ``part-<uuid>.prom`` shard. Tasks only produce hidden
+    ``.part-<uuid>.prom.tmp`` files; the tmp→final renames happen in
+    driver-side :meth:`commit`, AFTER the job succeeded — so a failed,
+    retried, or speculatively-duplicated task attempt never becomes a
+    readable shard (only the attempt whose commit message the driver
+    accepted is published; orphan ``.tmp`` files from losing attempts
+    are swept by both ``commit`` and ``abort``). Assumes ``path`` is
+    storage the driver and executors share (local mode, NFS, or a FUSE
+    mount) — the same contract the read side already requires. Labels
+    are emitted in sorted key order — deterministic bytes for a
     deterministic input partitioning."""
 
     def __init__(self, options: dict, overwrite: bool):
@@ -244,30 +263,44 @@ class PromTextWriter(DataSourceWriter):
                     f"{row['name']}{lab} {_format_value(row['value'])}{ts}\n"
                 )
                 n += 1
-        os.replace(tmp, os.path.join(self.path, name))
-        return _PromCommit(name, n)
+        return _PromCommit(os.path.basename(tmp), name, n)
+
+    def _sweep_tmp(self, keep: set[str] = frozenset()) -> None:
+        for f in os.listdir(self.path):
+            if f.startswith(".part-") and f.endswith(".prom.tmp") and f not in keep:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
 
     def commit(self, messages):
+        # publish exactly the accepted attempts: tmp→final rename happens
+        # HERE, driver-side, so a task attempt that wrote its tmp file but
+        # lost the commit race never becomes readable
+        new = set()
+        for m in messages:
+            if m is not None:
+                os.replace(
+                    os.path.join(self.path, m.tmp),
+                    os.path.join(self.path, m.path),
+                )
+                new.add(m.path)
         # two-phase overwrite: only AFTER every task committed do the
         # pre-existing shards disappear — a failed job leaves the old
-        # table intact (abort removes just the new shards)
+        # table intact (abort removes just the new tmp files)
         if self.overwrite:
-            new = {m.path for m in messages if m is not None}
             for f in os.listdir(self.path):
                 if f.endswith(".prom") and f not in new:
                     try:
                         os.remove(os.path.join(self.path, f))
                     except OSError:
                         pass
+        # orphan tmp files = losing speculative/retried attempts
+        self._sweep_tmp()
         return None
 
     def abort(self, messages):
-        for m in messages:
-            if m is not None:
-                try:
-                    os.remove(os.path.join(self.path, m.path))
-                except OSError:
-                    pass
+        self._sweep_tmp()
 
 
 class PromTextStreamReader(SimpleDataSourceStreamReader):

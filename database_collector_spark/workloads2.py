@@ -935,7 +935,7 @@ WITH per AS (
 )
 SELECT o_orderpriority,
        CAST(COUNT(*) AS INT) AS n_statuses,
-       MAX(CASE WHEN o_orderstatus = 'F' THEN cents END) AS f_cents,
+       CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN cents END) AS BIGINT) AS f_cents,
        string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
        CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM per GROUP BY 1

@@ -161,7 +161,7 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLUP_CASCADE = """
 SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY 1, 2
 """
 
@@ -422,8 +422,9 @@ y AS (
 )
 SELECT CAST(d AS BIGINT) AS day_idx,
        COUNT(*) AS n_slices,
-       SUM(ov) AS covered_us,
-       SUM((CAST(cents AS HUGEINT) * 1000000 * ov) // tot) AS micro_cents
+       CAST(SUM(ov) AS BIGINT) AS covered_us,
+       CAST(SUM((CAST(cents AS HUGEINT) * 1000000 * ov) // tot) AS BIGINT)
+         AS micro_cents
 FROM y GROUP BY d
 """
 
@@ -458,8 +459,8 @@ WITH s AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
 )
 SELECT event_type, COUNT(*) AS n_points,
-       SUM((cv + cv2) * (tus2 - tus)) AS twa_numer,
-       2 * SUM(tus2 - tus) AS twa_denom,
+       CAST(SUM((cv + cv2) * (tus2 - tus)) AS BIGINT) AS twa_numer,
+       CAST(2 * SUM(tus2 - tus) AS BIGINT) AS twa_denom,
        CASE WHEN 2 * SUM(tus2 - tus) > 0 THEN
          CAST(SUM((cv + cv2) * (tus2 - tus)) AS DOUBLE)
            / CAST(2 * SUM(tus2 - tus) AS DOUBLE) / 100

@@ -33,3 +33,23 @@ def test_check_window_is_exactly_driver_sized_and_resolvable():
     assert not unresolved, f"window names unknown queries: {unresolved}"
     # _ordered must put the window first, verbatim
     assert list(qs)[:50] == entrymod._CHECK_FIRST
+
+
+def test_rotation_debt_cannot_drift():
+    """Every registered query with no driver CORRECTNESS row in ANY past
+    round must sit inside the current 50-entry window — otherwise a gate
+    could accumulate rounds of "green locally" with zero driver
+    evidence. Computed from the artifacts, not a hand-kept list."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            seen |= set(json.load(fh))
+    never = [q for q in entrymod.queries() if q not in seen]
+    outside = [q for q in never if q not in entrymod._CHECK_FIRST]
+    assert not outside, (
+        f"{len(outside)} never-driver-checked queries outside the check "
+        f"window: {outside}"
+    )

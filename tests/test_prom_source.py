@@ -204,3 +204,54 @@ def test_promtext_stream_offsets_replay_deterministically():
         assert [r[2] for r in replay] == [1.0, 2.0, 3.0]
         replay_tail = list(rdr.readBetweenOffsets({"last": "a.prom"}, mid))
         assert [r[2] for r in replay_tail] == [2.0, 3.0]
+
+
+def test_promtext_malformed_label_segment_counts_as_malformed():
+    """A line whose labels group contains a segment the label grammar
+    rejects must be SKIPPED AND COUNTED (pre-fix, findall silently
+    dropped the bad segment and kept the line with partial labels)."""
+    rdr = PromTextReader({"path": "/nonexistent"})
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(f"{tmp}/x.prom", "w") as f:
+            f.write('m{garbage,l="v"} 1\n')       # junk segment
+            f.write('m{l="v" ,k="w"} 2\n')        # stray space in list
+            f.write('m{l="v",} 3\n')              # trailing comma: LEGAL
+            f.write('ok{a="b"} 4\n')
+        got = list(rdr.read(_FilePartition(f"{tmp}/x.prom")))
+    by_name = {}
+    for r in got:
+        by_name.setdefault(r[0], []).append(r)
+    assert [r[2] for r in by_name["m"]] == [3.0]
+    assert by_name["m"][0][1] == {"l": "v"}
+    assert by_name["ok"][0][1] == {"a": "b"}
+    assert by_name["_malformed"][0][2] == 2.0
+
+
+def test_promtext_losing_task_attempt_never_publishes(spark):
+    """Task-retry/speculation safety: write() only produces hidden .tmp
+    files; the tmp→final rename happens in driver-side commit() for the
+    accepted messages only, and orphan .tmp files (losing attempts) are
+    swept — append mode cannot yield duplicated rows."""
+    import os
+
+    from database_collector_spark.sources.prom_source import PromTextWriter
+
+    with tempfile.TemporaryDirectory() as tmp:
+        w = PromTextWriter({"path": tmp}, overwrite=False)
+        rows = [{"name": "up", "labels": {}, "value": 1.0, "ts_ms": None}]
+        winner = w.write(iter(rows))
+        loser = w.write(iter(rows))  # duplicate attempt of the same task
+        # nothing readable yet: both attempts are hidden tmp files
+        assert [f for f in os.listdir(tmp) if f.endswith(".prom")] == []
+        assert len([f for f in os.listdir(tmp) if f.endswith(".tmp")]) == 2
+        w.commit([winner])  # driver accepted only the winner
+        vis = [f for f in os.listdir(tmp) if f.endswith(".prom")]
+        assert vis == [winner.path]
+        assert loser.path not in vis
+        # the losing attempt's tmp file was swept
+        assert [f for f in os.listdir(tmp) if f.endswith(".tmp")] == []
+        # and abort() likewise leaves no tmp debris
+        m = w.write(iter(rows))
+        w.abort([m])
+        assert [f for f in os.listdir(tmp) if f.endswith(".tmp")] == []
+        assert [f for f in os.listdir(tmp) if f.endswith(".prom")] == vis
