@@ -235,9 +235,15 @@ def kfold_split(
     the SAME fold (the k-way generalization of leakage_safe_split's
     train/val/test) and the assignment is reproducible across corpus
     versions — adding documents never moves existing groups between
-    folds. Pure map-side labeling, no join, no shuffle."""
+    folds. Pure map-side labeling, no join, no shuffle.
+
+    NULL group keys (e.g. NULL text under the default md5 key) coalesce
+    to an explicit sentinel, so NULL-key docs land deterministically in
+    one fold instead of silently dropping out of every fold
+    (md5(NULL) would propagate NULL through the assignment)."""
     key = group_col if group_col is not None else F.md5(F.col("text"))
-    hv = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    hashed = F.coalesce(key.cast("string"), F.lit("\x00__null_key__"))
+    hv = F.conv(F.substring(F.md5(hashed), 1, 8), 16, 10).cast("long")
     return docs.select(
         F.col(id_col),
         key.alias("group_key"),

@@ -160,17 +160,35 @@ def pit_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"unknown how {how!r}: expected 'left' or 'inner'")
+    clash = sorted(
+        set(fact.columns) & ({valid_from, valid_to} | set(value_cols))
+    )
+    if clash:
+        raise ValueError(
+            f"pit_join: fact already has column(s) {clash}; rename them or "
+            f"the dim payload columns — the joined output would be ambiguous"
+        )
+    # alias EVERY dim-side column (keys and payload) so the join output
+    # never carries duplicate names regardless of fact's schema
     d = dim.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
-        valid_from,
-        valid_to,
-        *value_cols,
+        F.col(valid_from).alias(f"__d_{valid_from}"),
+        F.col(valid_to).alias(f"__d_{valid_to}"),
+        *[F.col(c).alias(f"__d_{c}") for c in value_cols],
     )
-    cond = fact[ts_col] >= d[valid_from]
-    cond = cond & (d[valid_to].isNull() | (fact[ts_col] < d[valid_to]))
+    cond = fact[ts_col] >= d[f"__d_{valid_from}"]
+    cond = cond & (
+        d[f"__d_{valid_to}"].isNull() | (fact[ts_col] < d[f"__d_{valid_to}"])
+    )
     for k in keys:
         cond = (fact[k] == d[f"__k_{k}"]) & cond
-    return fact.join(d, on=cond, how=how).drop(*[f"__k_{k}" for k in keys])
+    joined = fact.join(d, on=cond, how=how)
+    return joined.select(
+        *[F.col(c) for c in fact.columns],
+        F.col(f"__d_{valid_from}").alias(valid_from),
+        F.col(f"__d_{valid_to}").alias(valid_to),
+        *[F.col(f"__d_{c}").alias(c) for c in value_cols],
+    )
 
 
 def time_weighted_avg(

@@ -197,3 +197,29 @@ def test_elect_representatives_plan_is_aggregate_not_window(spark):
     )
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_kfold_split_null_key_gets_a_fold_not_null(spark):
+    """NULL group keys must land deterministically in ONE fold — never
+    fold=NULL (which would silently exclude the docs from every fold)."""
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha"),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text="alpha"),
+        ]
+    )
+    out = curation.kfold_split(docs, k=5).collect()
+    folds = {r["doc_id"]: r["fold"] for r in out}
+    assert all(f is not None for f in folds.values())
+    # all NULL-key docs share one fold (one group), dup texts share theirs
+    assert folds[2] == folds[3]
+    assert folds[1] == folds[4]
+    # group_key output stays faithful: NULL text -> NULL group_key
+    gk = {r["doc_id"]: r["group_key"] for r in out}
+    assert gk[2] is None and gk[1] is not None

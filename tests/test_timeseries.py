@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from database_collector_spark.operators.timeseries import asof_join
 
@@ -148,6 +149,25 @@ def test_pit_join_rejects_unknown_how(spark):
     fact, dim = _pit_frames(spark)
     with pytest.raises(ValueError):
         pit_join(fact, dim, keys=("k",), how="full")
+
+
+def test_pit_join_output_has_no_duplicate_columns_and_rejects_clashes(spark):
+    from database_collector_spark.operators.timeseries import pit_join
+
+    fact, dim = _pit_frames(spark)
+    out = pit_join(fact, dim, keys=("k",), ts_col="ts", value_cols=("attr",))
+    # every output column name unique — downstream selects never ambiguous
+    assert len(out.columns) == len(set(out.columns))
+    assert out.columns == ["k", "ts", "fid", "valid_from", "valid_to", "attr"]
+    # dim interval columns come through and are selectable by bare name
+    vf = {r["fid"]: r["valid_from"] for r in out.collect()}
+    assert vf[2] == 10 and vf[5] == 40 and vf[4] is None
+
+    # a fact that ALREADY carries a payload/interval column name is a
+    # loud error, not a silently ambiguous join output
+    fact_clash = fact.withColumn("attr", F.lit(0))
+    with pytest.raises(ValueError, match="attr"):
+        pit_join(fact_clash, dim, keys=("k",), ts_col="ts", value_cols=("attr",))
 
 
 def test_pit_join_plans_as_equi_join_not_nested_loop(spark):
