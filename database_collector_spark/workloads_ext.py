@@ -602,6 +602,31 @@ FROM documents
 """
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: synthesize spec-grade
+    PNGs (same pixel closed form as ``multimodal_decode``, but the bytes
+    genuinely round-trip DEFLATE + PNG scanline filtering + chunk CRCs —
+    stdlib zlib is the codec, operators/codecs.py), then decode via the
+    magic-dispatched ``decode_image_any``. The oracle recomputes the
+    closed form, so any codec error — inflate, unfilter, CRC, stride —
+    hash-mismatches. The sniffed codec column doubles as the dispatch
+    check (every payload must identify as 'png')."""
+    media = multimodal.to_png_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_image_any(media)
+
+
+SQL_MULTIMODAL_PNG = """
+SELECT doc_id,
+       'png' AS codec,
+       CAST(2 + doc_id % 7 AS INT) AS w,
+       CAST(2 + doc_id % 5 AS INT) AS h,
+       CAST(((doc_id*7) % 256)     * (2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS sum_r,
+       CAST(((doc_id*7 + 1) % 256) * (2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS sum_g,
+       CAST(((doc_id*7 + 2) % 256) * (2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS sum_b
+FROM documents
+"""
+
+
 def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic messy-URL fixture: four raw variants of the same
     logical page (tracking params / uppercase+default port+trailing
@@ -1191,6 +1216,7 @@ QUERIES_EXT = {
     "jaccard_join_exact": q_jaccard_join_exact,
     "text_token_stats": q_text_token_stats,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_png": q_multimodal_png,
     "multimodal_audio": q_multimodal_audio,
     "url_dedup": q_url_dedup,
     "token_postings": q_token_postings,
@@ -1228,6 +1254,7 @@ ORACLES_EXT = {
     "jaccard_join_exact": SQL_JACCARD_JOIN_EXACT,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_png": SQL_MULTIMODAL_PNG,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "url_dedup": SQL_URL_DEDUP,
     "token_postings": SQL_TOKEN_POSTINGS,
