@@ -2223,6 +2223,58 @@ def q_sliding_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_unique_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production drop-in `sliding_unique_users` documents: same
+    1 h / 15 min hop windows, but the per-(window, type) distinct comes
+    from HLL++ (``approx_count_distinct``, rsd=0.02) instead of an exact
+    distinct — mergeable fixed-size registers instead of a shuffled
+    distinct set, which is what survives 100 TB (the hop expansion still
+    costs 4x rows, but the agg state per group drops from |users| to
+    ~4 KB). Emitted as a bounded-error verdict exactly like
+    ``approx_distinct``: exact count + "approx within max(5%, ±5)".
+    The ±5 absolute floor covers the small-window regime (measured at
+    sf0.1: every window with ≥50 users is EXACT under rsd=0.02, and the
+    worst small-window absolute error across 14 415 windows is 3 — 5%
+    alone would demand ±1 on a 30-user window, tighter than HLL's
+    small-range estimator guarantees). A false verdict on any window
+    hash-mismatches the oracle's literal TRUE."""
+    ev = _t(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02).cast("double")
+    exact = F.countDistinct("user_id")
+    tol = F.greatest(0.05 * exact.cast("double"), F.lit(5.0))
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            exact.alias("exact_users"),
+            (F.abs(approx - exact.cast("double")) <= tol).alias("within_tol"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type",
+            "exact_users", "within_tol",
+        )
+    )
+
+
+SQL_SLIDING_UNIQUE_APPROX = """
+WITH e AS (
+  SELECT event_type, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+expanded AS (
+  SELECT event_type, user_id,
+         to_timestamp((s // 900 - hop.h) * 900) AS win_start
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS h) hop
+  WHERE (s // 900 - hop.h) * 900 + 3600 > s AND (s // 900 - hop.h) * 900 <= s
+)
+SELECT win_start, event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tol
+FROM expanded GROUP BY 1, 2
+"""
+
+
 SQL_SLIDING_UNIQUE_USERS = """
 WITH e AS (
   SELECT event_type, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
@@ -2293,6 +2345,7 @@ QUERIES_TS = {
     "rolling_median": q_rolling_median,
     "value_histogram": q_value_histogram,
     "sliding_unique_users": q_sliding_unique_users,
+    "sliding_unique_approx": q_sliding_unique_approx,
     "variant_json": q_variant_json,
     "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
@@ -2338,6 +2391,7 @@ ORACLES_TS = {
     "rolling_median": SQL_ROLLING_MEDIAN,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "sliding_unique_users": SQL_SLIDING_UNIQUE_USERS,
+    "sliding_unique_approx": SQL_SLIDING_UNIQUE_APPROX,
     "variant_json": SQL_VARIANT_JSON,
     "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,
