@@ -634,7 +634,57 @@ FROM f GROUP BY 1, 2
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle: every doc gets a
+    pseudorandom md5 sort key (seeded, so re-runs and re-ships produce
+    the identical order), is routed to one of 8 output shards by the
+    key's low bits, and receives its position WITHIN the shard. Training
+    jobs then read shards round-robin — a uniformly shuffled stream.
+
+    The 100 TB shape is the whole point: a naive global
+    ``row_number() OVER (ORDER BY key)`` funnels every row through ONE
+    partition. Here the shard id is map-side arithmetic and positions
+    are per-shard windows — 8 independent sorts of |docs|/8 rows each
+    (at real scale, shards = O(cluster width) and each window sort is a
+    range-partitioned spill-friendly sort). Deterministic: seed is part
+    of the key, ties impossible (doc_id in the key)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle-seed-1|"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 8
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("sort_key"), shard.alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+SQL_CORPUS_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id,
+         md5('shuffle-seed-1|' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, sort_key,
+         CAST((SELECT SUM(CAST(strpos('0123456789abcdef',
+                                      substr(sort_key, i, 1)) - 1 AS BIGINT)
+                          * (CAST(1 AS BIGINT) << (4 * (8 - i))))
+               FROM (SELECT unnest(generate_series(1, 8)) AS i)) % 8
+              AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard
+                          ORDER BY sort_key, doc_id) AS pos_in_shard
+FROM s
+"""
+
+
 QUERIES5 = {
+    "corpus_shuffle": q_corpus_shuffle,
     "kfold_split": q_kfold_split,
     "filter_funnel": q_filter_funnel,
     "sample_stratified": q_sample_stratified,
@@ -651,6 +701,7 @@ QUERIES5 = {
 }
 
 ORACLES5 = {
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "kfold_split": SQL_KFOLD_SPLIT,
     "filter_funnel": SQL_FILTER_FUNNEL,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -355,6 +355,104 @@ FROM per_doc, total
 """
 
 
+def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM negative log-likelihood per document with add-one
+    smoothing — the context-aware upgrade of ``unigram_logppl`` (a doc
+    full of common words in IMPROBABLE order now scores badly, which the
+    unigram filter cannot see). P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V)
+    where c(w1·) counts bigram CONTEXTS (occurrences of w1 as a bigram
+    head) and V is the unigram vocabulary — add-one keeps every
+    probability finite without a backoff table.
+
+    avg_nll = (Σ ln(c(w1·)+V) − Σ ln(c(w1w2)+1)) / n_bigrams: both sums
+    range over the doc's bigram positions, all counts engine-exact
+    integers, ln only in the SUM(ln(integer)) shape the unigram gate
+    already pins. Docs with <2 tokens are reported with NULL nll.
+
+    Plan: bigrams come from one in-row zip (transform over the token
+    array — no posexplode self-join), then ONE bigram-keyed shuffle for
+    corpus counts; context counts reuse the bigram table (one more
+    partial agg), both joined back broadcast (vocab-sized), one doc
+    re-aggregate. Reference never scores text (its payloads are numeric
+    samples); this extends SURVEY §2's quality tier."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("ts"),
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                " (t, i) -> struct(t AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ccnt = bcnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    per_doc = (
+        bi.join(F.broadcast(bcnt), ["w1", "w2"])
+        .join(F.broadcast(ccnt), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.log(F.col("c1") + F.col("v"))).alias("s_ctx"),
+            F.sum(F.log(F.col("c12") + 1)).alias("s_big"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round((F.col("s_ctx") - F.col("s_big")) / F.col("n_bigrams"), 4)
+            .alias("avg_nll"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_nll",
+        )
+    )
+
+
+SQL_BIGRAM_LOGPPL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) s
+),
+bcnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+ccnt AS (SELECT w1, SUM(c12) AS c1 FROM bcnt GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(ts) AS t FROM toks)
+),
+per_doc AS (
+  SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+         SUM(ln(ccnt.c1 + vocab.v)) AS s_ctx,
+         SUM(ln(bcnt.c12 + 1)) AS s_big
+  FROM bi
+  JOIN bcnt USING (w1, w2) JOIN ccnt USING (w1) CROSS JOIN vocab
+  GROUP BY bi.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round((p.s_ctx - p.s_big) / p.n_bigrams, 4) AS avg_nll
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +969,7 @@ QUERIES_IR = {
     "pagerank_exact": q_pagerank_exact,
     "image_dhash_dedup": q_image_dhash_dedup,
     "unigram_logppl": q_unigram_logppl,
+    "bigram_logppl": q_bigram_logppl,
     "leakage_safe_split": q_leakage_safe_split,
     "bpe_encode": q_bpe_encode,
     "trimmed_mean": q_trimmed_mean,
@@ -891,6 +990,7 @@ ORACLES_IR = {
     "pagerank_exact": SQL_PAGERANK_EXACT,
     "image_dhash_dedup": SQL_IMAGE_DHASH_DEDUP,
     "unigram_logppl": SQL_UNIGRAM_LOGPPL,
+    "bigram_logppl": SQL_BIGRAM_LOGPPL,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "bpe_encode": SQL_BPE_ENCODE,
     "trimmed_mean": SQL_TRIMMED_MEAN,

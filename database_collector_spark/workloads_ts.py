@@ -2223,6 +2223,153 @@ def q_sliding_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION cardinality between event-type audiences via a
+    coordinated bottom sketch — the estimate HLL structurally cannot
+    give (HLL unions merge; intersections only come from
+    inclusion-exclusion with compounding error). Every user hashes to
+    one md5-derived uniform; each type's sketch is the users whose
+    uniform < p = 1/4 (threshold bottom-sketch, the fixed-p variant of
+    KMV / MinHash coordinated sampling). Because the SAME hash decides
+    membership on both sides, sketch_A ∩ sketch_B is an unbiased
+    p-sample of A ∩ B: estimate = |K_A ∩ K_B| / p.
+
+    At 100 TB the sketch join touches p·|users| rows instead of the full
+    audiences — and the sketches are reusable across every pairwise
+    question. Gate emits the exact intersection (oracle twin) plus a
+    bounded-error verdict: within max(15 %, ±20) — |K∩| is
+    Binomial(n∩, p), rel. sd = sqrt((1−p)/(n∩·p)) ≈ 5.5 % at n∩ = 1000,
+    so 15 % is ~3σ, and the ±20 floor covers small intersections.
+    Deterministic: md5 uniforms, no RNG."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("event_type", "user_id").distinct()
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    kept = u.where(hv < int(0.25 * 2**32))
+    a, b = [
+        df.select(
+            F.col("event_type").alias(n), "user_id"
+        )
+        for df, n in ((u, "type_a"), (u, "type_b"))
+    ]
+    exact = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("exact_common"))
+    )
+    ka, kb = [
+        kept.select(F.col("event_type").alias(n), "user_id")
+        for n in ("type_a", "type_b")
+    ]
+    est = (
+        ka.join(kb, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg((F.count("*") * 4.0).alias("est"))
+    )
+    tol = F.greatest(0.15 * F.col("exact_common").cast("double"), F.lit(20.0))
+    return (
+        exact.join(est, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "exact_common",
+            (
+                F.abs(F.coalesce("est", F.lit(0.0)) - F.col("exact_common"))
+                <= tol
+            ).alias("within_tol"),
+        )
+    )
+
+
+SQL_KMV_INTERSECTION = """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(DISTINCT a.user_id) AS exact_common,
+       TRUE AS within_tol
+FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014 — the
+    pixel-perfect reduction every TSDB dashboard path uses): per
+    (event_type, 6 h bucket) keep exactly the four extremum points —
+    first/last by time, min/max by value — which provably preserve the
+    line rendering of the full series at bucket-per-pixel resolution.
+    Unlike LTTB (whose selected point depends sequentially on the
+    previous bucket's choice), M4 is a pure per-bucket aggregate: ONE
+    partial-agg shuffle on (type, bucket), mergeable map-side, no
+    window, no order dependence — the form that survives 100 TB.
+    Tie-breaks are total (struct-lexicographic on (value, ts, event_id)
+    / (ts, event_id)), so the gate is bit-deterministic; values pass
+    through untouched (no float arithmetic)."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.floor(F.col("ts").cast("timestamp_ltz").cast("long") / 21600)
+    g = ev.select(
+        "event_type",
+        b.alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    ).groupBy("event_type", "bucket")
+    return g.agg(
+        F.count("*").alias("n_points"),
+        F.min(F.struct("ts", "event_id", "value")).alias("_f"),
+        F.max(F.struct("ts", "event_id", "value")).alias("_l"),
+        F.min(F.struct("value", "ts", "event_id")).alias("_lo"),
+        F.max(F.struct("value", "ts", "event_id")).alias("_hi"),
+    ).select(
+        "event_type",
+        "bucket",
+        "n_points",
+        F.col("_f.ts").alias("ts_first"),
+        F.col("_f.value").alias("v_first"),
+        F.col("_l.ts").alias("ts_last"),
+        F.col("_l.value").alias("v_last"),
+        F.col("_lo.value").alias("v_min"),
+        F.col("_lo.ts").alias("ts_min"),
+        F.col("_hi.value").alias("v_max"),
+        F.col("_hi.ts").alias("ts_max"),
+    )
+
+
+SQL_M4_DOWNSAMPLE = """
+WITH p AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         ts, event_id, value
+  FROM events
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rf,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rl,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value, ts, event_id) AS rlo,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value DESC, ts DESC, event_id DESC) AS rhi,
+    COUNT(*) OVER (PARTITION BY event_type, bucket) AS n_points
+  FROM p
+)
+SELECT event_type, bucket, CAST(MAX(n_points) AS BIGINT) AS n_points,
+       MAX(CASE WHEN rf = 1 THEN ts END) AS ts_first,
+       MAX(CASE WHEN rf = 1 THEN value END) AS v_first,
+       MAX(CASE WHEN rl = 1 THEN ts END) AS ts_last,
+       MAX(CASE WHEN rl = 1 THEN value END) AS v_last,
+       MAX(CASE WHEN rlo = 1 THEN value END) AS v_min,
+       MAX(CASE WHEN rlo = 1 THEN ts END) AS ts_min,
+       MAX(CASE WHEN rhi = 1 THEN value END) AS v_max,
+       MAX(CASE WHEN rhi = 1 THEN ts END) AS ts_max
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_sliding_unique_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE production drop-in `sliding_unique_users` documents: same
     1 h / 15 min hop windows, but the per-(window, type) distinct comes
@@ -2346,6 +2493,8 @@ QUERIES_TS = {
     "value_histogram": q_value_histogram,
     "sliding_unique_users": q_sliding_unique_users,
     "sliding_unique_approx": q_sliding_unique_approx,
+    "m4_downsample": q_m4_downsample,
+    "kmv_intersection": q_kmv_intersection,
     "variant_json": q_variant_json,
     "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
@@ -2392,6 +2541,8 @@ ORACLES_TS = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "sliding_unique_users": SQL_SLIDING_UNIQUE_USERS,
     "sliding_unique_approx": SQL_SLIDING_UNIQUE_APPROX,
+    "m4_downsample": SQL_M4_DOWNSAMPLE,
+    "kmv_intersection": SQL_KMV_INTERSECTION,
     "variant_json": SQL_VARIANT_JSON,
     "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,

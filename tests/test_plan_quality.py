@@ -498,3 +498,44 @@ def test_dist_drift_single_scan(spark):
 
     plan = _plan(q_dist_drift(spark, SF))
     assert plan.count("Scan parquet") == 1
+
+
+def test_m4_downsample_is_one_partial_agg_exchange(spark):
+    # M4 must plan as partial HashAggregate -> ONE (type,bucket) exchange
+    # -> final HashAggregate: no window, no sort, no join — the mergeable
+    # per-bucket form that distinguishes it from sequential LTTB
+    from database_collector_spark.workloads_ts import q_m4_downsample
+
+    plan = _plan(q_m4_downsample(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_corpus_shuffle_has_no_single_partition_window(spark):
+    # the whole point vs a global row_number: positions come from
+    # shard-partitioned windows, never an Exchange SinglePartition
+    from database_collector_spark.workloads5 import q_corpus_shuffle
+
+    plan = _plan(q_corpus_shuffle(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Exchange hashpartitioning(shard" in plan
+
+
+def test_kmv_sketch_join_is_hash_join(spark):
+    # both the sketch-sample join and the exact twin must be planned as
+    # user_id hash joins (shuffle or broadcast), never a nested loop
+    from database_collector_spark.workloads_ts import q_kmv_intersection
+
+    plan = _plan(q_kmv_intersection(spark, SF))
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bigram_logppl_broadcasts_count_tables(spark):
+    # corpus bigram/context/vocab tables join back broadcast — the doc
+    # side never reshuffles for the lookups
+    from database_collector_spark.workloads_ir import q_bigram_logppl
+
+    plan = _plan(q_bigram_logppl(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
