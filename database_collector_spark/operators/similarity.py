@@ -760,3 +760,97 @@ def pca_project(
         )
         projections.append(centered_dot.alias(f"pc{c_idx + 1}"))
     return embeddings.select(F.col(id_col), *projections)
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8) — the per-dimension compressed tier
+# ---------------------------------------------------------------------------
+
+
+def sq8_stats(embeddings: DataFrame) -> list[tuple[int, int]]:
+    """Per-dimension (min, max) of the QUANTIZED corpus — SQ8's training
+    artifact (dim-sized, a driver-side constant like the PQ codebooks).
+    One posexplode + one dim-keyed aggregate; integer-exact."""
+    rows = (
+        with_quantized(embeddings)
+        .select(F.posexplode("qe").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    out = [(0, 0)] * len(rows)
+    for r in rows:
+        out[r["i"]] = (r["mn"], r["mx"])
+    return out
+
+
+def _sq8_code_expr(col: str, stats: list[tuple[int, int]]) -> F.Column:
+    """codes[i] = (qe[i] - mn_i) * 255 div (mx_i - mn_i) — non-negative
+    integer floor-div, so Spark's ``div`` and DuckDB's ``//`` agree
+    bit-for-bit (no float enters). Degenerate dims (mx == mn) code 0."""
+    mns = ",".join(str(m) for m, _ in stats)
+    rngs = ",".join(str(mx - mn) for mn, mx in stats)
+    return F.expr(
+        f"zip_with({col}, zip_with(array({mns}), array({rngs}),"
+        " (m, r) -> struct(m AS m, r AS r)),"
+        " (x, s) -> CASE WHEN s.r = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (x - s.m) * 255 div s.r END)"
+    )
+
+
+def sq8_encode(embeddings: DataFrame, stats: list[tuple[int, int]]) -> DataFrame:
+    """Corpus -> (vec_id, codes): each 64-dim vector compresses to 64
+    one-byte codes (4x smaller than float32, 8x smaller than the
+    int64-quantized form) with NO codebook training — SQ8 is the cheap
+    middle rung between full vectors and PQ. Zero-shuffle map."""
+    return with_quantized(embeddings).select(
+        "vec_id", _sq8_code_expr("qe", stats).alias("codes")
+    )
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    *,
+    topk: int = 3,
+    rerank: int = 10,
+) -> DataFrame:
+    """Two-stage SQ8 search: (1) scan the CODES with the symmetric
+    integer distance sum((c_a - c_q)^2) and keep the top ``rerank``
+    candidates per query; (2) re-score only those candidates with the
+    EXACT quantized squared L2 on the full vectors and emit the top
+    ``topk``. ``queries`` carries (q_id, q_codes, q_qe); corpus side
+    additionally needs ``qe`` for the rerank.
+
+    The 100 TB shape: stage 1 reads 1-byte codes (broadcast queries, no
+    shuffle), stage 2 touches full vectors for only |queries| x rerank
+    rows — the standard SQ + rerank pipeline (FAISS's
+    IndexScalarQuantizer refined by IndexRefineFlat). Integer-exact both
+    stages; ties broken by vec_id."""
+    from pyspark.sql.window import Window
+
+    approx = F.aggregate(
+        F.zip_with("codes", "q_codes", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    exact = F.aggregate(
+        F.zip_with("qe", "q_qe", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(queries))
+        .withColumn("sq8_dist", approx)
+    )
+    w1 = Window.partitionBy("q_id").orderBy("sq8_dist", "vec_id")
+    cand = scored.withColumn("crank", F.row_number().over(w1)).filter(
+        F.col("crank") <= rerank
+    )
+    w2 = Window.partitionBy("q_id").orderBy("exact_dist", "vec_id")
+    return (
+        cand.withColumn("exact_dist", exact)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "rank", "vec_id", "sq8_dist", "exact_dist")
+    )

@@ -175,12 +175,99 @@ WHERE rank <= 3
 """
 
 
+_SQ8_STATS_CACHE: dict[str, list[tuple[int, int]]] = {}
+
+
+def _sq8_stats(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
+    # dim-sized training artifact, deterministic — cached like PQ books
+    if sf_dir not in _SQ8_STATS_CACHE:
+        _SQ8_STATS_CACHE[sf_dir] = similarity.sq8_stats(
+            _t(spark, sf_dir, "embeddings")
+        )
+    return _SQ8_STATS_CACHE[sf_dir]
+
+
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 two-stage search for query vectors vec_id < 5: per-dimension
+    min/max grid compresses every vector to 64 one-byte codes (NO
+    codebook training — the cheap rung between full vectors and PQ),
+    stage 1 scans codes with the symmetric integer distance, stage 2
+    reranks the 10 survivors per query with the exact quantized L2.
+    Integer floor-div encoding, so DuckDB replays it bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = _sq8_stats(spark, sf_dir)
+    enc = similarity.sq8_encode(emb, stats).join(
+        similarity.with_quantized(emb).select("vec_id", "qe"), "vec_id"
+    )
+    queries = (
+        similarity.sq8_encode(emb, stats)
+        .join(similarity.with_quantized(emb).select("vec_id", "qe"), "vec_id")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("codes").alias("q_codes"),
+            F.col("qe").alias("q_qe"),
+        )
+    )
+    return similarity.sq8_topk(enc, queries, topk=3, rerank=10)
+
+
+def _sql_sq8_topk() -> str:
+    return f"""
+WITH {_SQL_QUANT},
+sidx AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+stats AS (
+  SELECT i, MIN(qe[i]) AS mn, MAX(qe[i]) AS mx FROM qe, sidx GROUP BY i
+),
+codes AS (
+  SELECT vec_id,
+         list(CASE WHEN s.mx = s.mn THEN 0
+                   ELSE (qe[s.i] - s.mn) * 255 // (s.mx - s.mn) END
+              ORDER BY s.i) AS codes
+  FROM qe, stats s GROUP BY vec_id
+),
+queries AS (
+  SELECT c.vec_id AS q_id, c.codes AS q_codes, q.qe AS q_qe
+  FROM codes c JOIN qe q USING (vec_id) WHERE c.vec_id < 5
+),
+approx AS (
+  SELECT q.q_id, c.vec_id,
+         (SELECT SUM((c.codes[i] - q.q_codes[i]) * (c.codes[i] - q.q_codes[i]))
+          FROM sidx) AS sq8_dist
+  FROM codes c CROSS JOIN queries q
+),
+cand AS (
+  SELECT q_id, vec_id, sq8_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq8_dist, vec_id) AS crank
+  FROM approx
+),
+rer AS (
+  SELECT c.q_id, c.vec_id, c.sq8_dist,
+         (SELECT SUM((e.qe[i] - q.q_qe[i]) * (e.qe[i] - q.q_qe[i]))
+          FROM sidx) AS exact_dist
+  FROM cand c
+  JOIN qe e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.q_id = c.q_id
+  WHERE c.crank <= 10
+)
+SELECT q_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY exact_dist, vec_id) AS INT) AS rank,
+       vec_id, CAST(sq8_dist AS BIGINT) AS sq8_dist,
+       CAST(exact_dist AS BIGINT) AS exact_dist
+FROM rer
+QUALIFY rank <= 3
+"""
+
+
 QUERIES_PQ = {
     "ann_pq_codes": q_ann_pq_codes,
     "ann_pq_adc": q_ann_pq_adc,
+    "ann_sq8_topk": q_ann_sq8_topk,
 }
 
 ORACLES_PQ = {
     "ann_pq_codes": _sql_pq_codes(),
     "ann_pq_adc": _sql_pq_adc(),
+    "ann_sq8_topk": _sql_sq8_topk(),
 }

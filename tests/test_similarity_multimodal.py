@@ -461,3 +461,70 @@ def test_pca_project_plan_is_broadcast_free_map_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_sq8_codes_bounded_and_degenerate_dims_zero(spark):
+    rows = [
+        Row(vec_id=0, embedding=[0.0, 1.0, 5.0], label=0),
+        Row(vec_id=1, embedding=[0.5, 1.0, -5.0], label=0),
+        Row(vec_id=2, embedding=[1.0, 1.0, 0.0], label=0),
+    ]
+    emb = spark.createDataFrame(rows)
+    stats = similarity.sq8_stats(emb)
+    assert len(stats) == 3
+    # dim 1 is constant -> degenerate range
+    assert stats[1][0] == stats[1][1]
+    enc = {r["vec_id"]: r["codes"] for r in similarity.sq8_encode(emb, stats).collect()}
+    for codes in enc.values():
+        assert all(0 <= c <= 255 for c in codes)
+        assert codes[1] == 0  # degenerate dim codes 0
+    # extremes map to the grid ends
+    assert enc[0][0] == 0 and enc[2][0] == 255
+    assert enc[1][2] == 0 and enc[0][2] == 255
+
+
+def test_sq8_topk_with_full_rerank_equals_exact_topk(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)], label=0)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows)
+    stats = similarity.sq8_stats(emb)
+    enc = similarity.sq8_encode(emb, stats).join(
+        similarity.with_quantized(emb).select("vec_id", "qe"), "vec_id"
+    )
+    queries = enc.filter("vec_id < 2").selectExpr(
+        "vec_id AS q_id", "codes AS q_codes", "qe AS q_qe"
+    )
+    # rerank >= corpus: stage 2 sees everything, so the result must be
+    # the EXACT quantized-L2 top-k regardless of stage-1 quality
+    got = similarity.sq8_topk(enc, queries, topk=3, rerank=30).collect()
+    from pyspark.sql import functions as F
+
+    exact = (
+        enc.crossJoin(F.broadcast(queries))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("qe", "q_qe", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select("q_id", "vec_id", "d")
+        .collect()
+    )
+    import collections
+
+    by_q = collections.defaultdict(list)
+    for r in exact:
+        by_q[r["q_id"]].append((r["d"], r["vec_id"]))
+    for q, lst in by_q.items():
+        want = [v for _, v in sorted(lst)[:3]]
+        have = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["q_id"] == q]
+        assert have == want, (q, have, want)
+        # self-match leads with distance 0
+        assert have[0] == q
