@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_collector_spark.operators import dedup, multimodal, similarity, text
+from database_collector_spark.operators import (
+    dedup,
+    entity,
+    multimodal,
+    similarity,
+    text,
+)
 from database_collector_spark.workloads import _t
 
 # ---------------------------------------------------------------------------
@@ -627,6 +633,82 @@ FROM documents
 """
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key entity resolution end-to-end (operators/entity.py):
+    every customer spawns 2–3 deterministic contact-record variants —
+    v0 (name as-is, dashed phone), v1 (UPPERCASE name, bare-digit
+    phone), and for odd keys v2 (an unrelated account alias, '+1 '
+    international phone). v0↔v1 link by BOTH normalized keys, v2 links
+    ONLY through the phone normalizer's country-code strip — so the
+    gate exercises name normalization, phone normalization, the
+    per-key blocking joins, the OR-union, and transitive closure all
+    at once. The oracle states the ground truth in closed form of
+    c_custkey: any resolution error (missed link, over-merge, wrong
+    canonical id) changes at least one row."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    k = F.col("c_custkey")
+    digits = F.lpad(((k * 7919) % 10_000_000_000).cast("string"), 10, "0")
+    dashed = F.concat_ws(
+        "-",
+        F.substring(digits, 1, 3),
+        F.substring(digits, 4, 3),
+        F.substring(digits, 7, 4),
+    )
+    v0 = cust.select(
+        (k * 4).alias("record_id"), F.col("c_name").alias("name"),
+        dashed.alias("phone"),
+    )
+    v1 = cust.select(
+        (k * 4 + 1).alias("record_id"), F.upper("c_name").alias("name"),
+        digits.alias("phone"),
+    )
+    v2 = cust.where(k % 2 == 1).select(
+        (k * 4 + 2).alias("record_id"),
+        F.concat(F.lit("acct-"), k.cast("string")).alias("name"),
+        F.concat(F.lit("+1 "), dashed).alias("phone"),
+    )
+    rec = (
+        v0.unionByName(v1)
+        .unionByName(v2)
+        .withColumn("name_n", entity.normalize_name(F.col("name")))
+        .withColumn("phone_n", entity.normalize_phone(F.col("phone")))
+    )
+    res = entity.resolve_entities(
+        rec.select("record_id", "name_n", "phone_n"),
+        keys=("phone_n", "name_n"),
+    )
+    return (
+        rec.join(res, "record_id")
+        .groupBy("entity_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("name_n").alias("n_name_variants"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(record_id)),"
+                    " x -> CAST(x AS STRING))"
+                ),
+                ",",
+            ).alias("record_ids"),
+        )
+    )
+
+
+SQL_ENTITY_RESOLUTION = """
+SELECT 4 * c_custkey AS entity_id,
+       CAST(CASE WHEN c_custkey % 2 = 1 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_records,
+       CAST(CASE WHEN c_custkey % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_name_variants,
+       CAST(4 * c_custkey AS VARCHAR) || ',' ||
+       CAST(4 * c_custkey + 1 AS VARCHAR) ||
+       CASE WHEN c_custkey % 2 = 1
+            THEN ',' || CAST(4 * c_custkey + 2 AS VARCHAR) ELSE '' END
+         AS record_ids
+FROM customer
+"""
+
+
 def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic messy-URL fixture: four raw variants of the same
     logical page (tracking params / uppercase+default port+trailing
@@ -1217,6 +1299,7 @@ QUERIES_EXT = {
     "text_token_stats": q_text_token_stats,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_png": q_multimodal_png,
+    "entity_resolution": q_entity_resolution,
     "multimodal_audio": q_multimodal_audio,
     "url_dedup": q_url_dedup,
     "token_postings": q_token_postings,
@@ -1255,6 +1338,7 @@ ORACLES_EXT = {
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_png": SQL_MULTIMODAL_PNG,
+    "entity_resolution": SQL_ENTITY_RESOLUTION,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "url_dedup": SQL_URL_DEDUP,
     "token_postings": SQL_TOKEN_POSTINGS,
