@@ -172,3 +172,55 @@ def cms_point_estimates(
         .groupBy("probe_item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+def cms_cells_by(
+    items: DataFrame,
+    *,
+    by: str,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Grouped Count-Min: one depth x width sketch PER ``by`` group,
+    built in a single pass (cells keyed (group, row, col) — the shuffle
+    moves at most |groups| * depth * width cells however large the
+    input). Same md5 hashing as ``cms_cells``, so grouped sketches stay
+    deterministic and cross-engine checkable."""
+    cells = []
+    for d in range(depth):
+        hx = F.md5(F.concat(F.lit(f"{d}:"), F.col(item_col).cast("string")))
+        col_idx = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % width).cast(
+            "int"
+        )
+        cells.append(F.struct(F.lit(d).alias("row"), col_idx.alias("col")))
+    return (
+        items.select(by, F.explode(F.array(*cells)).alias("c"))
+        .groupBy(by, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two CMS sketches (AMS/CMS inner
+    product): estimate = MIN over hash rows of sum_col cnt_a * cnt_b.
+    One-sided like point queries — never an undercount of the true
+    join size sum_v f_a(v) * f_b(v); collisions only add. Inputs are
+    ``cms_cells``-shaped frames (row, col, cnt) with any extra leading
+    key columns carried through (grouped sketches join on those too).
+
+    This is the planner's question — "how big is A join B on this key?"
+    — answered from two O(depth x width) summaries without touching
+    either table again; sketches are reusable across every pairing."""
+    keys_a = [c for c in cells_a.columns if c not in ("row", "col", "cnt")]
+    keys_b = [c for c in cells_b.columns if c not in ("row", "col", "cnt")]
+    a = cells_a.withColumnRenamed("cnt", "cnt_a")
+    b = cells_b.withColumnRenamed("cnt", "cnt_b")
+    per_row = (
+        a.join(b, ["row", "col"])
+        .groupBy(*keys_a, *keys_b, "row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    return per_row.groupBy(*keys_a, *keys_b).agg(
+        F.min("dot").alias("cms_join_estimate")
+    )

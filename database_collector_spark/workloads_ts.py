@@ -2223,6 +2223,96 @@ def q_sliding_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-SIZE estimation from Count-Min sketches (the AMS/CMS inner
+    product — a query planner's cardinality estimate): for each pair of
+    event types, estimate |A ⋈ B on user_id| = Σ_u n_a(u)·n_b(u) as
+    MIN over hash rows of Σ_col cntA·cntB, from per-type sketches built
+    in ONE pass (operators/sketches.py::cms_cells_by/cms_inner_product).
+    md5 hashing makes the ESTIMATE itself deterministic, so the oracle
+    replays sketch construction and the inner product exactly — plus
+    the one-sided guarantee (never an undercount) as a checked column.
+    At 100 TB the exact answer needs a per-pair join; the sketches are
+    depth×width cells per type, built once, reused for every pairing."""
+    from database_collector_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    items = ev.select("event_type", F.col("user_id").alias("item"))
+    cells = sketches.cms_cells_by(items, by="event_type").localCheckpoint(
+        eager=True
+    )
+    est = sketches.cms_inner_product(
+        cells.withColumnRenamed("event_type", "type_a"),
+        cells.withColumnRenamed("event_type", "type_b"),
+    ).where(F.col("type_a") < F.col("type_b"))
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    a = per_user.select(
+        F.col("event_type").alias("type_a"), "user_id", F.col("n").alias("n_a")
+    )
+    b = per_user.select(
+        F.col("event_type").alias("type_b"), "user_id", F.col("n").alias("n_b")
+    )
+    exact = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("exact_join_size"))
+    )
+    return exact.join(est, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_join_size",
+        "cms_join_estimate",
+        (F.col("cms_join_estimate") >= F.col("exact_join_size")).alias(
+            "no_undercount"
+        ),
+    )
+
+
+_SQL_HEX8_TS = (
+    "(SELECT SUM(CAST(strpos('0123456789abcdef', substr({h}, i, 1)) - 1 AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << (4 * (8 - i))))"
+    " FROM (SELECT unnest(generate_series(1, 8)) AS i))"
+)
+
+SQL_CMS_JOIN_SIZE = f"""
+WITH it AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item FROM events),
+hashed AS (
+  SELECT it.event_type, dd.d,
+         {_SQL_HEX8_TS.format(h="md5(dd.d || ':' || it.item)")} % 256 AS col
+  FROM it, (SELECT unnest(generate_series(0, 3)) AS d) dd
+),
+cells AS (
+  SELECT event_type, d, col, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2, 3
+),
+dots AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.d,
+         SUM(a.cnt * b.cnt) AS dot
+  FROM cells a
+  JOIN cells b ON a.d = b.d AND a.col = b.col AND a.event_type < b.event_type
+  GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT type_a, type_b, MIN(dot) AS cms_join_estimate FROM dots GROUP BY 1, 2
+),
+pu AS (SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2),
+exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         SUM(a.n * b.n) AS exact_join_size
+  FROM pu a JOIN pu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT e.type_a, e.type_b,
+       CAST(e.exact_join_size AS BIGINT) AS exact_join_size,
+       CAST(s.cms_join_estimate AS BIGINT) AS cms_join_estimate,
+       s.cms_join_estimate >= e.exact_join_size AS no_undercount
+FROM exact e JOIN est s USING (type_a, type_b)
+"""
+
+
 def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-INTERSECTION cardinality between event-type audiences via a
     coordinated bottom sketch — the estimate HLL structurally cannot
@@ -2495,6 +2585,7 @@ QUERIES_TS = {
     "sliding_unique_approx": q_sliding_unique_approx,
     "m4_downsample": q_m4_downsample,
     "kmv_intersection": q_kmv_intersection,
+    "cms_join_size": q_cms_join_size,
     "variant_json": q_variant_json,
     "events_sliding": q_events_sliding,
     "sessionization": q_sessionization,
@@ -2543,6 +2634,7 @@ ORACLES_TS = {
     "sliding_unique_approx": SQL_SLIDING_UNIQUE_APPROX,
     "m4_downsample": SQL_M4_DOWNSAMPLE,
     "kmv_intersection": SQL_KMV_INTERSECTION,
+    "cms_join_size": SQL_CMS_JOIN_SIZE,
     "variant_json": SQL_VARIANT_JSON,
     "events_sliding": SQL_EVENTS_SLIDING,
     "sessionization": SQL_SESSIONIZATION,

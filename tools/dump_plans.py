@@ -41,6 +41,11 @@ PICKS = [
     ("triangle_count", "degree-ordered wedge join (triangle counting)"),
     ("skyline_orders", "Pareto frontier via single window sweep"),
     ("dist_drift", "one-scan drift audit; totals from bounded window"),
+    ("m4_downsample", "mergeable per-bucket M4 extrema (one exchange, no window)"),
+    ("kmv_intersection", "coordinated bottom-sketch join + exact twin"),
+    ("corpus_shuffle", "sharded deterministic shuffle (no SinglePartition)"),
+    ("ann_sq8_topk", "SQ8 code scan + exact rerank (broadcast queries)"),
+    ("entity_resolution", "multi-key blocking joins + CC fixpoint"),
 ]
 
 
