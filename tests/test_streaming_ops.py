@@ -556,3 +556,77 @@ def test_dead_letter_sink_splits_and_survives_full_replay(spark):
         assert good_ids == [1, 4]
         bad = {r["id"]: r["_reason"] for r in spark.read.parquet(dlq).collect()}
         assert bad == {2: "negative value", 3: "null value"}
+
+
+def test_streaming_cms_cells_merge_to_batch_sketch(spark):
+    """The CMS docstring's mergeability claim, proven over a real
+    stream: building the grouped sketch as a streaming aggregation in
+    update mode (cell-wise counts accumulate across micro-batches and
+    passes) must converge to EXACTLY the batch sketch over the union of
+    all inputs — sketches are algebraic state, safe to maintain
+    incrementally forever."""
+    from pyspark.sql import functions as F
+
+    from database_collector_spark.operators import sketches
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        b1 = [{"g": "a", "item": f"u{i % 7}"} for i in range(20)]
+        b2 = [{"g": "a", "item": f"u{i % 5}"} for i in range(15)] + [
+            {"g": "b", "item": "u0"}
+        ]
+        _write(src, "b1.json", b1)
+
+        # streaming twin of cms_cells_by: identical hash exprs, counts
+        # accumulated by the streaming agg state instead of one batch agg
+        def build(path):
+            stream = spark.readStream.schema("g string, item string").json(path)
+            cells = []
+            for d in range(4):
+                hx = F.md5(F.concat(F.lit(f"{d}:"), F.col("item")))
+                col_idx = (
+                    F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 256
+                ).cast("int")
+                cells.append(F.struct(F.lit(d).alias("row"), col_idx.alias("col")))
+            return (
+                stream.select("g", F.explode(F.array(*cells)).alias("c"))
+                .groupBy("g", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+                .agg(F.count("*").alias("cnt"))
+            )
+
+        state = {}
+
+        def collect_pass(path):
+            rows = []
+
+            def sink(batch_df, _bid):
+                rows.extend(batch_df.collect())
+
+            q = (
+                build(path)
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                assert q.awaitTermination(120)
+            finally:
+                q.stop()
+            for r in rows:  # update mode: latest row per key wins
+                state[(r["g"], r["row"], r["col"])] = r["cnt"]
+
+        collect_pass(src)
+        _write(src, "b2.json", b2)
+        collect_pass(src)
+
+        batch = spark.createDataFrame(
+            [(r["g"], r["item"]) for r in b1 + b2], "g string, item string"
+        )
+        want = {
+            (r["g"], r["row"], r["col"]): r["cnt"]
+            for r in sketches.cms_cells_by(batch, by="g").collect()
+        }
+        assert state == want
