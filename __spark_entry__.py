@@ -73,10 +73,10 @@ _CHECK_FIRST = [
     "multimodal_png", "sliding_unique_approx", "bigram_logppl",
     "m4_downsample", "kmv_intersection", "corpus_shuffle",
     "ann_sq8_topk", "entity_resolution", "cms_join_size",
+    "rrf_fusion", "kcore_peel",
     # part 4 — backfill: oldest driver evidence is the r5-latest cohort;
     # semantic flagships first per the r7 verdict's rotation directive.
     "long_running_sessions", "asof_join", "sessionization",
-    "skew_salted_join", "dedup_spans",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
     # r9 MANDATORY HEAD: any red r8 rows first, then r8's new gates that
     # did not fit above, then the remaining r5-latest cohort

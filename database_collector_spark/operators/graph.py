@@ -460,3 +460,78 @@ def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> 
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    *,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Iterative k-core peeling (the onion decomposition): round r
+    removes every node whose degree among STILL-ALIVE nodes is < k;
+    output is ``(node, peel_round)`` with ``peel_round`` NULL for nodes
+    that survive into the k-core. Input edges are undirected pairs
+    (self-loops ignored; duplicates deduped here).
+
+    Plan per round: one degree aggregate + one semi/anti filter over a
+    strictly-shrinking edge set, checkpointed so the lineage stays flat
+    — the standard distributed peel (Montresor et al., "Distributed
+    k-core decomposition", PODC 2011 compute coreness the same
+    alive-degree way). Round count = peel depth ≤ graph degeneracy
+    rounds, which is small for real sparse graphs; at 100 TB each round
+    is two exchanges on the shrinking remainder. Raises if ``max_iter``
+    rounds do not reach the fixpoint (a silent partial peel would be a
+    wrong answer, not an approximation)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    peeled = None  # (node, peel_round)
+    for r in range(1, max_iter + 1):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        drop = (
+            nodes.join(deg, "node", "left")
+            .where(F.coalesce("deg", F.lit(0)) < k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        n_drop = drop.count()
+        if n_drop == 0:
+            break
+        tagged = drop.select("node", F.lit(r).alias("peel_round"))
+        peeled = tagged if peeled is None else peeled.union(tagged)
+        nodes = nodes.join(drop, "node", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(drop.select(F.col("node").alias("a")), "a", "left_anti")
+            .join(drop.select(F.col("node").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"k-core peel did not converge in {max_iter} rounds")
+    survivors = nodes.select(
+        "node", F.lit(None).cast("int").alias("peel_round")
+    )
+    out = survivors if peeled is None else peeled.select(
+        "node", F.col("peel_round").cast("int")
+    ).union(survivors)
+    return out

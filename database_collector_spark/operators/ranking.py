@@ -27,6 +27,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from database_collector_spark.operators.text import tokens_col
 
@@ -114,3 +115,42 @@ def bm25_topk(
     full sort."""
     scored = bm25_scores(docs, query_terms, **kwargs)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    *,
+    k: int = 60,
+    id_col: str = "doc_id",
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two ranked lists: rrf(d) = Σ_lists 1/(k + rank_d), documents
+    missing from a list contribute nothing from it — the standard
+    score-free hybrid-retrieval combiner (lexical BM25 + vector ranks
+    fuse without any score calibration).
+
+    Inputs are (id, rank) frames that are ALREADY per-list top-N
+    (bounded — real systems fuse top-k lists, never corpus-wide ranks),
+    so the fusion is a tiny full-outer join + one bounded sort. The
+    rrf score is a sum of at most two fixed rationals — rounded to 6
+    it is cross-engine stable."""
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    fused = a.join(b, id_col, "full_outer").select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= topk)
+        .select("fused_rank", id_col, "rank_a", "rank_b", "rrf_score")
+    )

@@ -259,6 +259,83 @@ FROM r{n_iter}, n
 SQL_PAGERANK_EXACT = _sql_pagerank_exact()
 
 
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion decomposition of the deterministic 3-out link graph (the
+    pagerank_exact fixture made undirected): iterative k=5 peeling
+    labels every node with the round it left the graph
+    (operators/graph.py::kcore_peel — alive-degree recount each round,
+    Montresor et al. PODC'11 shape). On this fixture the 5-core is
+    empty, so every node carries a round 1..6 — the full peel frontier
+    sequence is visible in the output and any degree-recount error at
+    any round moves at least one label. Oracle: the peel unrolled
+    round-by-round in CTEs (the BPE-merge unrolling pattern)."""
+    from database_collector_spark.operators import graph as g
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    v = F.col("doc_id")
+    edges = None
+    for m, c in ((2, 1), (3, 7), (5, 11)):
+        e = docs.select(
+            v.alias("src"), ((m * v + c) % n).alias("dst")
+        )
+        edges = e if edges is None else edges.union(e)
+    return g.kcore_peel(edges, k=5, max_iter=12)
+
+
+def _sql_kcore_peel(rounds: int = 10, k: int = 5) -> str:
+    ctes = [
+        """params AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS s, (m * doc_id + c) % (SELECT n FROM params) AS d
+  FROM documents,
+       (VALUES (2, 1), (3, 7), (5, 11)) AS mc(m, c)
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM raw WHERE s <> d
+),
+n0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p})
+  GROUP BY 1
+),
+p{r} AS MATERIALIZED (
+  SELECT n{p}.node FROM n{p} LEFT JOIN d{r} USING (node)
+  WHERE COALESCE(d{r}.deg, 0) < {k}
+),
+n{r} AS MATERIALIZED (
+  SELECT node FROM n{p} WHERE node NOT IN (SELECT node FROM p{r})
+),
+e{r} AS MATERIALIZED (
+  SELECT a, b FROM e{p}
+  WHERE a NOT IN (SELECT node FROM p{r}) AND b NOT IN (SELECT node FROM p{r})
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT node, CAST({r} AS INT) AS peel_round FROM p{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+{unions}
+UNION ALL
+SELECT node, CAST(NULL AS INT) AS peel_round FROM n{rounds}
+"""
+    )
+
+
+SQL_KCORE_PEEL = _sql_kcore_peel()
+
+
 def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup via perceptual dHash over REAL decoded pixels:
     gradient P6 fixtures (bytewise-distinct per doc — a brightness
@@ -352,6 +429,98 @@ per_doc AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        round((n_tokens * ln(t_total) - sum_ln_cnt) / n_tokens, 4) AS avg_nll
 FROM per_doc, total
+"""
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (operators/ranking.py::rrf_fuse —
+    Cormack et al. SIGIR'09): list A = BM25 top-100 for {hash, join,
+    vector}, list B = raw term-frequency top-100 for the same terms
+    (genuinely different orderings: B has no idf and no length
+    normalization), fused by Σ 1/(60 + rank). Per-list ranks come from a
+    bounded 100-row window AFTER a distributed orderBy/limit — never a
+    corpus-wide ranking window; ordering keys are the rounded BM25
+    score / integer tf with doc_id tie-breaks, so both engines produce
+    identical lists at every step."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = ranking.bm25_scores(docs, _BM25_TERMS)
+    top_a = bm.orderBy(F.col("score").desc(), "doc_id").limit(100)
+    ra = top_a.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "rank")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .where(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    top_b = tf.orderBy(F.col("tf").desc(), "doc_id").limit(100)
+    rb = top_b.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("tf").desc(), "doc_id")).cast("int"),
+    ).select("doc_id", "rank")
+    return ranking.rrf_fuse(ra, rb, k=60, topk=20)
+
+
+SQL_RRF_FUSION = """
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+ft AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term IN ('hash', 'join', 'vector')
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ft GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ft GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75
+              + 0.75 * dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs))) AS contrib
+  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+bm AS (
+  SELECT doc_id,
+         round(0.0
+               + COALESCE(SUM(CASE WHEN term = 'hash' THEN contrib END), 0.0)
+               + COALESCE(SUM(CASE WHEN term = 'join' THEN contrib END), 0.0)
+               + COALESCE(SUM(CASE WHEN term = 'vector' THEN contrib END), 0.0),
+               4) AS score
+  FROM scored GROUP BY doc_id
+),
+ra AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+           AS rank_a
+  FROM bm ORDER BY score DESC, doc_id LIMIT 100
+),
+tfd AS (SELECT doc_id, SUM(tf) AS tf FROM tf GROUP BY doc_id),
+rb AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS INT)
+           AS rank_b
+  FROM tfd ORDER BY tf DESC, doc_id LIMIT 100
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_a, rb.rank_b,
+         round(COALESCE(1.0 / (60 + ra.rank_a), 0.0)
+               + COALESCE(1.0 / (60 + rb.rank_b), 0.0), 6) AS rrf_score
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS fused_rank,
+       doc_id, rank_a, rank_b, rrf_score
+FROM fused
+QUALIFY fused_rank <= 20
 """
 
 
@@ -970,6 +1139,8 @@ QUERIES_IR = {
     "image_dhash_dedup": q_image_dhash_dedup,
     "unigram_logppl": q_unigram_logppl,
     "bigram_logppl": q_bigram_logppl,
+    "rrf_fusion": q_rrf_fusion,
+    "kcore_peel": q_kcore_peel,
     "leakage_safe_split": q_leakage_safe_split,
     "bpe_encode": q_bpe_encode,
     "trimmed_mean": q_trimmed_mean,
@@ -991,6 +1162,8 @@ ORACLES_IR = {
     "image_dhash_dedup": SQL_IMAGE_DHASH_DEDUP,
     "unigram_logppl": SQL_UNIGRAM_LOGPPL,
     "bigram_logppl": SQL_BIGRAM_LOGPPL,
+    "rrf_fusion": SQL_RRF_FUSION,
+    "kcore_peel": SQL_KCORE_PEEL,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "bpe_encode": SQL_BPE_ENCODE,
     "trimmed_mean": SQL_TRIMMED_MEAN,

@@ -162,3 +162,33 @@ def test_triangle_counts_normalizes_dupes_reversals_loops(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_kcore_peel_labels_rounds_and_preserves_core(spark):
+    from pyspark.sql import functions as F
+
+    from database_collector_spark.operators.graph import kcore_peel
+
+    # K5 clique (nodes 0-4) + a degrading tail: 5~{3,4,6}, 6~{4,5,7},
+    # 7~{6} — each round the frontier loss drops the next node below k=3
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(3, 5), (4, 5), (5, 6), (4, 6), (6, 7)]
+    edges = spark.createDataFrame(clique + tail, "src long, dst long")
+    out = {r["node"]: r["peel_round"] for r in kcore_peel(edges, k=3).collect()}
+    # k=3: 7 (deg 1) falls round 1; 6 drops to deg 2 -> round 2; then 5
+    assert out[7] == 1 and out[6] == 2 and out[5] == 3
+    for n in range(5):
+        assert out[n] is None, f"clique node {n} must survive the 3-core"
+
+    # non-convergence is loud, never a silent partial peel
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        kcore_peel(edges, k=3, max_iter=2)
+
+    # self-loops are ignored, duplicate/reversed edges deduped
+    noisy = spark.createDataFrame(
+        clique + tail + [(0, 0), (1, 0), (7, 6)], "src long, dst long"
+    )
+    out2 = {r["node"]: r["peel_round"] for r in kcore_peel(noisy, k=3).collect()}
+    assert out2 == out
