@@ -73,19 +73,24 @@ _CHECK_FIRST = [
     "multimodal_png", "sliding_unique_approx", "bigram_logppl",
     "m4_downsample", "kmv_intersection", "corpus_shuffle",
     "ann_sq8_topk", "entity_resolution", "cms_join_size",
-    "rrf_fusion", "kcore_peel",
+    "rrf_fusion", "kcore_peel", "dedup_containment", "psi_drift",
     # part 4 — backfill: oldest driver evidence is the r5-latest cohort;
     # semantic flagships first per the r7 verdict's rotation directive.
-    "long_running_sessions", "asof_join", "sessionization",
+    "long_running_sessions",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r9 MANDATORY HEAD: any red r8 rows first, then r8's new gates that
-    # did not fit above, then the remaining r5-latest cohort
+    # r9 MANDATORY HEAD: any red r8 rows first, then any r9-new gates,
+    # then the remaining r5-latest cohort — semantic flagships
+    # asof_join, sessionization, skew_salted_join, dedup_spans,
+    # label_enrich, grouping_sets, range_join_buckets first (they were
+    # displaced from the r8 backfill by the 13 r8-new gates), then
     # (ann_pq_adc, ann_pq_codes, approx_distinct, approx_quantiles,
     # argmax_customer, correlated_avg_filter, cube_counts,
     # cust_order_distribution, date_rollup, dedup_embedding_lsh_multi,
     # gap_detect, grouped_counter, semi_anti_orders, shipping_priority,
     # stats_moments, text_token_stats, array_funcs, case_having,
     # date_funcs, string_funcs, set_ops, limit_cap, engine_dispatch,
+    # sample_stratified, tfidf_top_terms, ttl_expiry_counts,
+    # events_sliding, ann_ivf_multiprobe, ann_ivf_probe,
     # window_frames, window_running, unpivot_melt, top_supplier,
     # market_share, decile_stats, exact_percentiles), then the r6-latest
     # cohort oldest-first.

@@ -592,12 +592,24 @@ def ngram_jaccard_pairs(
     )
     if df_max is not None:
         buckets = buckets.filter(F.size("ds") <= df_max)
+    return _bucket_pair_counts(buckets).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _bucket_pair_counts(buckets: DataFrame) -> DataFrame:
+    """Shingle buckets -> (doc_a, doc_b, n_a, n_b, shared): each bucket's
+    i<j pairs via an index-pair comprehension (O(1) element lookups; the
+    slice()-based form copied the bucket's tail array once per left
+    element — O(bucket²) allocation on top of the O(bucket²) pairs), one
+    pair-count aggregate. Shared tail of every set-overlap measure
+    (Jaccard, containment)."""
     return (
         buckets.select(
-            # index-pair comprehension via O(1) element lookups; the
-            # slice()-based form copied the bucket's tail array once per
-            # left element (O(bucket²) allocation on top of the O(bucket²)
-            # pairs themselves)
             F.explode(
                 F.expr(
                     "flatten(transform(sequence(0, size(ds) - 2), i -> "
@@ -614,14 +626,46 @@ def ngram_jaccard_pairs(
             F.col("pr.n_b").alias("n_b"),
         )
         .agg(F.count("*").alias("shared"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame, *, n: int = 3, threshold: float = 0.9, df_max: int | None = 64
+) -> DataFrame:
+    """Broder CONTAINMENT dedup — the asymmetric overlap Jaccard misses:
+    c(A→B) = |S_A ∩ S_B| / |S_A| finds a short document swallowed by a
+    long one (quote-inside-article, chunk-inside-corpus), where Jaccard
+    stays low because the union is dominated by the big doc. Emits pairs
+    where EITHER direction reaches ``threshold``, with both directional
+    containments; the smaller side is the removal candidate.
+
+    Same blocking/plan as ``ngram_jaccard_pairs`` (grouped bucket pair
+    generation, df_max hot-shingle cap with the identical recall
+    caveat); the threshold test is exact integer cross-multiplication —
+    shared·10 ≥ 9·n — so no float enters the decision."""
+    _exclude_infer_filters_from_generate(docs)
+    num, den = round(threshold * 10), 10
+    sh = shingle_sets(docs, n=n).select(
+        "doc_id",
+        F.size("sh_arr").cast("long").alias("n_sh"),
+        F.explode("sh_arr").alias("shingle"),
+    )
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if df_max is not None:
+        buckets = buckets.filter(F.size("ds") <= df_max)
+    pairs = _bucket_pair_counts(buckets)
+    hit = (F.col("shared") * den >= num * F.col("n_a")) | (
+        F.col("shared") * den >= num * F.col("n_b")
+    )
+    return pairs.filter(hit).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("shared") / F.col("n_a"), 4).alias("cont_a_in_b"),
+        F.round(F.col("shared") / F.col("n_b"), 4).alias("cont_b_in_a"),
     )
 
 

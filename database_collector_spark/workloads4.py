@@ -1048,6 +1048,77 @@ FROM per_bin, tot
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per bin — the industry drift score
+    next to `dist_drift`'s total-variation: psi_bin =
+    (pB − pA)·ln(pB/pA) with add-one (Laplace) smoothed shares
+    pX = (nX + 1)/(NX + 12), so empty bins contribute a finite term
+    instead of ±inf (the standard PSI smoothing). Same fixed 12-bin
+    equi-width layout and half-month split as dist_drift; shares are
+    exact rationals, one ln per bin, result rounded to 6 (rule of
+    thumb: psi_total < 0.1 stable, > 0.25 shifted).
+
+    Plan: identical to dist_drift — ONE scan into a 12-group
+    conditional aggregate; totals from the bounded post-aggregate
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    in_a = (F.col("ts") < mid).cast("long")
+    per_bin = (
+        ev.select(
+            F.least(F.floor(F.col("value") / 50), F.lit(11))
+            .cast("long")
+            .alias("bin"),
+            in_a.alias("in_a"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("in_a").alias("n_a"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("n_b"),
+        )
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = per_bin.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).alias("na_tot"),
+        F.sum("n_b").over(w).alias("nb_tot"),
+    )
+    pa = (F.col("n_a") + 1) / (F.col("na_tot") + 12)
+    pb = (F.col("n_b") + 1) / (F.col("nb_tot") + 12)
+    return with_tot.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_bin"),
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 11) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+per_bin AS (
+  SELECT bin, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_a) AS na_tot, SUM(n_b) AS nb_tot FROM per_bin),
+sh AS (
+  SELECT bin, n_a, n_b,
+         (CAST(n_a AS DOUBLE) + 1) / (na_tot + 12) AS pa,
+         (CAST(n_b AS DOUBLE) + 1) / (nb_tot + 12) AS pb
+  FROM per_bin, tot
+)
+SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round((pb - pa) * ln(pb / pa), 6) AS psi_bin
+FROM sh
+"""
+
+
 _BENFORD_PPB = {
     # round(log10(1 + 1/d) * 1e9) — fixed public constants, so neither
     # engine computes a float log
@@ -1334,6 +1405,7 @@ QUERIES4 = {
     "benford_audit": q_benford_audit,
     "skyline_orders": q_skyline_orders,
     "dist_drift": q_dist_drift,
+    "psi_drift": q_psi_drift,
     "top_supplier": q_top_supplier,
     "cust_order_distribution": q_cust_order_distribution,
     "gap_detect": q_gap_detect,
@@ -1360,6 +1432,7 @@ ORACLES4 = {
     "benford_audit": SQL_BENFORD_AUDIT,
     "skyline_orders": SQL_SKYLINE_ORDERS,
     "dist_drift": SQL_DIST_DRIFT,
+    "psi_drift": SQL_PSI_DRIFT,
     "top_supplier": SQL_TOP_SUPPLIER,
     "cust_order_distribution": SQL_CUST_ORDER_DISTRIBUTION,
     "gap_detect": SQL_GAP_DETECT,

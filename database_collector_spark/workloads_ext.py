@@ -368,6 +368,39 @@ WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.3
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment dedup (operators/dedup.py::containment_pairs):
+    c(A→B) = |S_A∩S_B| / |S_A| ≥ 0.9 in either direction — catches a
+    short doc swallowed by a long one, which Jaccard's union-dominated
+    denominator misses. Same shingle blocking + df_max cap as the
+    Jaccard gate; the threshold decision is exact integer
+    cross-multiplication."""
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {_SQL_SHINGLES},
+kept_sh AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 64) k
+    ON k.shingle = sh.shingle
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM kept_sh a JOIN kept_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / na.n, 4) AS cont_a_in_b,
+       round(CAST(shared AS DOUBLE) / nb.n, 4) AS cont_b_in_a
+FROM shared
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE shared * 10 >= 9 * na.n OR shared * 10 >= 9 * nb.n
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit term-frequency SimHash per document."""
     return dedup.simhash(_t(spark, sf_dir, "documents"))
@@ -1300,6 +1333,7 @@ QUERIES_EXT = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_png": q_multimodal_png,
     "entity_resolution": q_entity_resolution,
+    "dedup_containment": q_dedup_containment,
     "multimodal_audio": q_multimodal_audio,
     "url_dedup": q_url_dedup,
     "token_postings": q_token_postings,
@@ -1339,6 +1373,7 @@ ORACLES_EXT = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_png": SQL_MULTIMODAL_PNG,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "url_dedup": SQL_URL_DEDUP,
     "token_postings": SQL_TOKEN_POSTINGS,
