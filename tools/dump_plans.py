@@ -46,6 +46,8 @@ PICKS = [
     ("corpus_shuffle", "sharded deterministic shuffle (no SinglePartition)"),
     ("ann_sq8_topk", "SQ8 code scan + exact rerank (broadcast queries)"),
     ("entity_resolution", "multi-key blocking joins + CC fixpoint"),
+    ("rrf_fusion", "bounded top-k rank fusion (no corpus-wide window)"),
+    ("dedup_containment", "directional containment over blocked pair counts"),
 ]
 
 
