@@ -630,3 +630,68 @@ def test_streaming_cms_cells_merge_to_batch_sketch(spark):
             for r in sketches.cms_cells_by(batch, by="g").collect()
         }
         assert state == want
+
+
+def test_streaming_m4_windows_match_batch_twin(spark):
+    """M4's struct-extrema aggregate is algebraic, so it runs unchanged
+    as a watermarked streaming windowed aggregation: every window the
+    stream CLOSES (append mode) must carry exactly the batch M4 points
+    for that window — the dashboard downsampler can run incrementally
+    on the live stream with no semantic drift."""
+    from pyspark.sql import functions as F
+
+    def m4_agg(df):
+        g = df.groupBy(F.window("ts", "10 minutes").alias("w"), "g")
+        return g.agg(
+            F.count("*").alias("n_points"),
+            F.min(F.struct("ts", "v")).alias("_f"),
+            F.max(F.struct("ts", "v")).alias("_l"),
+            F.min(F.struct("v", "ts")).alias("_lo"),
+            F.max(F.struct("v", "ts")).alias("_hi"),
+        ).select(
+            F.col("w.start").alias("win_start"), "g", "n_points",
+            F.col("_f.v").alias("v_first"), F.col("_l.v").alias("v_last"),
+            F.col("_lo.v").alias("v_min"), F.col("_hi.v").alias("v_max"),
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        recs = [
+            {"g": "a", "ts": f"2024-06-01T10:{m:02d}:00", "v": float((7 * m) % 13)}
+            for m in range(0, 55)
+        ]
+        _write(src, "b1.json", recs)
+        # a late second batch advances the watermark far enough to close
+        # every 10-minute window the first batch populated
+        _write(src, "b2.json", [{"g": "a", "ts": "2024-06-01T12:00:00", "v": 1.0}])
+
+        def build(path):
+            stream = spark.readStream.schema(
+                "g string, ts timestamp, v double"
+            ).json(path)
+            return m4_agg(stream.withWatermark("ts", "0 seconds"))
+
+        got = _run_stream(spark, src, build, f"{tmp}/ckpt", out_mode="append")
+        emitted = {
+            (r["win_start"], r["g"]): (
+                r["n_points"], r["v_first"], r["v_last"], r["v_min"], r["v_max"]
+            )
+            for r in got
+        }
+        batch = spark.createDataFrame(
+            [(r["g"], r["ts"], r["v"]) for r in recs],
+            "g string, ts string, v double",
+        ).select("g", F.col("ts").cast("timestamp").alias("ts"), "v")
+        want = {
+            (r["win_start"], r["g"]): (
+                r["n_points"], r["v_first"], r["v_last"], r["v_min"], r["v_max"]
+            )
+            for r in m4_agg(batch).collect()
+        }
+        # all six 10-minute windows of batch 1 closed and match exactly
+        assert len(emitted) >= 6
+        for key, vals in emitted.items():
+            if key in want:  # the 12:00 straggler window may stay open
+                assert vals == want[key], key
+        assert sum(1 for k in emitted if k in want) >= 6
