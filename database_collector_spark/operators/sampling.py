@@ -63,3 +63,42 @@ def weighted_reservoir(
         .limit(k)
         .select(id_col, "weight", F.round("_key", 6).alias("sample_key"))
     )
+
+
+def weighted_reservoir_by(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    by: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-GROUP k-item weighted sample without replacement — the
+    stratified form of :func:`weighted_reservoir` (e.g. k quality-
+    weighted exemplar docs per language for eval-set construction).
+    Same Efraimidis–Spirakis keys over md5-derived exact uniforms;
+    selection is the k smallest keys WITHIN each ``by`` group via one
+    group-keyed window — ONE shuffle regardless of group count, versus
+    a per-group TakeOrdered loop which would schedule |groups| jobs.
+    Deterministic for a fixed (corpus, salt); ties impossible (id in
+    the ordering)."""
+    from pyspark.sql.window import Window
+
+    key = sample_key(id_col, weight_col, salt)
+    w = Window.partitionBy(by).orderBy(F.asc("_key"), F.asc(id_col))
+    return (
+        df.select(
+            F.col(by),
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("_key"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            by, id_col, "weight",
+            F.round("_key", 6).alias("sample_key"),
+            F.col("rn").cast("int").alias("draw"),
+        )
+    )

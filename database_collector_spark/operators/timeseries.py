@@ -350,3 +350,83 @@ def prorate_daily(
         ov.alias("overlap_us"),
         ((num - num % den) / den).cast("long").alias("share_micro"),
     )
+
+
+def interval_subtract(
+    base: DataFrame,
+    holes: DataFrame,
+    *,
+    by: tuple[str, ...],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Per-key interval-set DIFFERENCE base − holes: the parts of each
+    base interval NOT covered by any hole interval (expected-uptime
+    minus observed-heartbeats = outage windows; licensed-range minus
+    embargoes = servable ranges). Half-open [start, end) semantics;
+    empty results (fully covered keys) simply emit nothing.
+
+    Plan: both sides collapse through :func:`coalesce_intervals` (one
+    keyed window each), then ONE sweep: the union of boundary events is
+    window-sorted per key, running coverage counters for base/hole
+    decide for every elementary segment whether base is active and no
+    hole is — linear in |boundaries|, never a base×holes interval join
+    (which is quadratic per key and unbounded under overlap). The same
+    keyed (partition, order) pair carries the whole sweep: one shuffle
+    per side + one for the union.
+    """
+    b = coalesce_intervals(base, by=by, start_col=start_col, end_col=end_col)
+    h = coalesce_intervals(holes, by=by, start_col=start_col, end_col=end_col)
+
+    def events(df: DataFrame, delta_col: str, other: str) -> DataFrame:
+        return df.select(
+            *by,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("start").alias("t"), F.lit(1).alias(delta_col),
+                        F.lit(0).alias(other),
+                    ),
+                    F.struct(
+                        F.col("end").alias("t"), F.lit(-1).alias(delta_col),
+                        F.lit(0).alias(other),
+                    ),
+                )
+            ).alias("e"),
+        ).select(*by, "e.t", f"e.{delta_col}", f"e.{other}")
+
+    ev = events(b, "db", "dh").unionByName(events(h, "dh", "db"))
+    # at one timestamp: apply hole-opens and base-opens before closes is
+    # unnecessary after coalescing (no zero-length islands), but the sum
+    # over ALL events at time t must be complete before the segment
+    # [t, next_t) is classified — hence range frame on t, not row frame
+    w_cum = (
+        Window.partitionBy(*by)
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = Window.partitionBy(*by).orderBy("t")
+    seg = (
+        ev.groupBy(*by, "t")
+        .agg(F.sum("db").alias("db"), F.sum("dh").alias("dh"))
+        .select(
+            *by,
+            "t",
+            F.sum("db").over(w_cum).alias("n_base"),
+            F.sum("dh").over(w_cum).alias("n_hole"),
+        )
+        .withColumn("t_next", F.lead("t").over(w_next))
+    )
+    kept = seg.filter(
+        (F.col("n_base") > 0)
+        & (F.col("n_hole") == 0)
+        & F.col("t_next").isNotNull()
+        & (F.col("t_next") > F.col("t"))
+    ).select(*by, F.col("t").alias("start"), F.col("t_next").alias("end"))
+    # adjacent kept segments can touch (a hole ended exactly where
+    # another began is impossible post-coalesce, but a base boundary
+    # inside an uncovered stretch splits segments) — re-coalesce to
+    # maximal intervals
+    return coalesce_intervals(
+        kept, by=by, start_col="start", end_col="end"
+    ).select(*by, "island", "start", "end")

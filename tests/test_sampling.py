@@ -7,6 +7,7 @@ import hashlib
 import math
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from database_collector_spark.operators import sampling
 
@@ -57,3 +58,38 @@ def test_weighted_reservoir_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_weighted_reservoir_by_matches_global_within_each_group(spark):
+    """Per-group selection must equal running the global reservoir on
+    each group separately (same keys, same salt) — the stratified form
+    changes the plan, never the draw."""
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, lang=("en" if i % 2 == 0 else "de"), w=1 + i % 5)
+            for i in range(40)
+        ]
+    )
+    per = sampling.weighted_reservoir_by(
+        docs, k=4, weight_col="w", by="lang"
+    ).collect()
+    assert len(per) == 8
+    for lang in ("en", "de"):
+        got = sorted(
+            (r["draw"], r["doc_id"]) for r in per if r["lang"] == lang
+        )
+        want_df = sampling.weighted_reservoir(
+            docs.where(F.col("lang") == lang), k=4, weight_col="w"
+        )
+        want = [r["doc_id"] for r in want_df.collect()]
+        assert [d for _, d in got] == want
+        assert [d for d, _ in got] == [1, 2, 3, 4]
+    # deterministic across invocations
+    again = sampling.weighted_reservoir_by(
+        docs, k=4, weight_col="w", by="lang"
+    ).collect()
+    assert sorted(map(tuple, per)) == sorted(map(tuple, again))

@@ -296,3 +296,63 @@ def test_prorate_daily_midnight_split_and_dust(spark):
     }
     # no rows for the zero-length interval
     assert not any(rid == 3 for rid, _ in got)
+
+
+# ---------------------------------------------------------- interval_subtract
+
+
+def test_interval_subtract_base_minus_holes(spark):
+    from database_collector_spark.operators.timeseries import interval_subtract
+
+    base = spark.createDataFrame(
+        [
+            Row(k="A", start=0, end=100),
+            Row(k="A", start=120, end=140),
+            Row(k="B", start=0, end=10),
+        ]
+    )
+    holes = spark.createDataFrame(
+        [
+            Row(k="A", start=10, end=20),   # punches a hole
+            Row(k="A", start=15, end=30),   # overlaps the first hole
+            Row(k="A", start=90, end=130),  # spans across two base islands
+            Row(k="B", start=0, end=10),    # covers B fully
+            Row(k="C", start=0, end=5),     # hole with no base: ignored
+        ]
+    )
+    out = sorted(
+        (r["k"], r["start"], r["end"])
+        for r in interval_subtract(base, holes, by=("k",)).collect()
+    )
+    assert out == [("A", 0, 10), ("A", 30, 90), ("A", 130, 140)]
+
+
+def test_interval_subtract_no_holes_returns_coalesced_base(spark):
+    from database_collector_spark.operators.timeseries import interval_subtract
+
+    base = spark.createDataFrame(
+        [Row(k="A", start=0, end=5), Row(k="A", start=5, end=9)]
+    )
+    holes = spark.createDataFrame([Row(k="Z", start=0, end=1)])
+    out = [
+        (r["k"], r["start"], r["end"])
+        for r in interval_subtract(base, holes, by=("k",)).collect()
+    ]
+    assert out == [("A", 0, 9)]
+
+
+def test_interval_subtract_hole_splitting_base_boundary_inside_gap(spark):
+    from database_collector_spark.operators.timeseries import interval_subtract
+
+    # two touching base islands with a hole strictly inside the first:
+    # the uncovered stretch crosses the internal base boundary and must
+    # come back as ONE maximal interval
+    base = spark.createDataFrame(
+        [Row(k="A", start=0, end=50), Row(k="A", start=50, end=80)]
+    )
+    holes = spark.createDataFrame([Row(k="A", start=10, end=20)])
+    out = sorted(
+        (r["start"], r["end"])
+        for r in interval_subtract(base, holes, by=("k",)).collect()
+    )
+    assert out == [(0, 10), (20, 80)]
