@@ -580,6 +580,26 @@ def ngram_jaccard_pairs(
     row).
     """
     _exclude_infer_filters_from_generate(docs)
+    buckets = _shingle_buckets(docs, n=n, df_max=df_max)
+    return _bucket_pair_counts(buckets).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _shingle_buckets(
+    docs: DataFrame, *, n: int, df_max: int | None
+) -> DataFrame:
+    """The one shingle-blocking definition shared by every set-overlap
+    measure: exploded (doc_id, set-size, shingle) stream grouped per
+    shingle into a doc_id-sorted bucket, singleton buckets dropped,
+    hot buckets capped at ``df_max`` docs (recall caveat documented on
+    ``ngram_jaccard_pairs``). A change to the bucket order or the cap
+    semantics here changes Jaccard and containment TOGETHER — they can
+    no longer silently diverge."""
     sh = shingle_sets(docs, n=n).select(
         "doc_id",
         F.size("sh_arr").cast("long").alias("n_sh"),
@@ -592,13 +612,7 @@ def ngram_jaccard_pairs(
     )
     if df_max is not None:
         buckets = buckets.filter(F.size("ds") <= df_max)
-    return _bucket_pair_counts(buckets).select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    return buckets
 
 
 def _bucket_pair_counts(buckets: DataFrame) -> DataFrame:
@@ -641,23 +655,15 @@ def containment_pairs(
 
     Same blocking/plan as ``ngram_jaccard_pairs`` (grouped bucket pair
     generation, df_max hot-shingle cap with the identical recall
-    caveat); the threshold test is exact integer cross-multiplication —
-    shared·10 ≥ 9·n — so no float enters the decision."""
+    caveat); the threshold test is exact integer cross-multiplication
+    at millesimal resolution (shared·1000 ≥ round(t·1000)·n) — no float
+    enters the decision and arbitrary thresholds survive exactly."""
     _exclude_infer_filters_from_generate(docs)
-    num, den = round(threshold * 10), 10
-    sh = shingle_sets(docs, n=n).select(
-        "doc_id",
-        F.size("sh_arr").cast("long").alias("n_sh"),
-        F.explode("sh_arr").alias("shingle"),
-    )
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    if df_max is not None:
-        buckets = buckets.filter(F.size("ds") <= df_max)
-    pairs = _bucket_pair_counts(buckets)
+    # exact rational threshold at millesimal resolution: round(0.9*1000)
+    # = 900/1000; a tenths-only quantization (round(t*10)) silently
+    # rewrote e.g. 0.85 -> 0.8 (banker's rounding) and 0.95 -> 1.0
+    num, den = round(threshold * 1000), 1000
+    pairs = _bucket_pair_counts(_shingle_buckets(docs, n=n, df_max=df_max))
     hit = (F.col("shared") * den >= num * F.col("n_a")) | (
         F.col("shared") * den >= num * F.col("n_b")
     )

@@ -526,6 +526,8 @@ def kcore_peel(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        if nodes.count() == 0:
+            break  # graph emptied at exactly this round: fully determined
     else:
         raise RuntimeError(f"k-core peel did not converge in {max_iter} rounds")
     survivors = nodes.select(

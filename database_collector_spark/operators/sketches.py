@@ -111,24 +111,12 @@ def bitmap_distinct(
     )
 
 
-def cms_cells(
-    items: DataFrame,
-    *,
-    item_col: str = "item",
-    depth: int = 4,
-    width: int = 256,
-) -> DataFrame:
-    """Count-Min sketch as a DataFrame of non-zero cells: for each of
-    ``depth`` md5-salted hash rows, the item maps to column
-    ``int(md5(d || ':' || item)[:8], 16) % width``; a cell's value is
-    the exact count of items hashing there. Deterministic by
-    construction (md5), so unlike HLL the SKETCH ITSELF is
-    oracle-checkable, not just a bounded-error verdict.
-
-    100 TB shape: the cell table is at most depth*width rows — a partial
-    aggregate folds each partition's items map-side, the shuffle moves
-    O(depth*width) cells, and the sketch is mergeable across batches and
-    streams by cell-wise addition (the CMS property)."""
+def cms_cell_structs(item_col: str, depth: int, width: int) -> list[F.Column]:
+    """The one CMS hashing definition: for each of ``depth`` md5-salted
+    rows, the item maps to column ``int(md5(d || ':' || item)[:8], 16)
+    % width``. Shared by every sketch builder (batch, grouped, probe,
+    streaming twin) — a salt/width change in one place keeps all
+    sketches mutually mergeable and comparable."""
     cells = []
     for d in range(depth):
         hx = F.md5(F.concat(F.lit(f"{d}:"), F.col(item_col).cast("string")))
@@ -136,6 +124,27 @@ def cms_cells(
             "int"
         )
         cells.append(F.struct(F.lit(d).alias("row"), col_idx.alias("col")))
+    return cells
+
+
+def cms_cells(
+    items: DataFrame,
+    *,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch as a DataFrame of non-zero cells (hashing:
+    :func:`cms_cell_structs`); a cell's value is the exact count of
+    items hashing there. Deterministic by construction (md5), so unlike
+    HLL the SKETCH ITSELF is oracle-checkable, not just a bounded-error
+    verdict.
+
+    100 TB shape: the cell table is at most depth*width rows — a partial
+    aggregate folds each partition's items map-side, the shuffle moves
+    O(depth*width) cells, and the sketch is mergeable across batches and
+    streams by cell-wise addition (the CMS property)."""
+    cells = cms_cell_structs(item_col, depth, width)
     return (
         items.select(F.explode(F.array(*cells)).alias("c"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
@@ -156,13 +165,7 @@ def cms_point_estimates(
     MIN over the depth cells the probe hashes to. Guaranteed >= the true
     count; the probe side broadcasts against the tiny cell table."""
     sketch = cms_cells(items, item_col=item_col, depth=depth, width=width)
-    probe_cells = []
-    for d in range(depth):
-        hx = F.md5(F.concat(F.lit(f"{d}:"), F.col(probe_col).cast("string")))
-        col_idx = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % width).cast(
-            "int"
-        )
-        probe_cells.append(F.struct(F.lit(d).alias("row"), col_idx.alias("col")))
+    probe_cells = cms_cell_structs(probe_col, depth, width)
     probed = probes.select(
         F.col(probe_col).alias("probe_item"),
         F.explode(F.array(*probe_cells)).alias("c"),
@@ -187,13 +190,7 @@ def cms_cells_by(
     moves at most |groups| * depth * width cells however large the
     input). Same md5 hashing as ``cms_cells``, so grouped sketches stay
     deterministic and cross-engine checkable."""
-    cells = []
-    for d in range(depth):
-        hx = F.md5(F.concat(F.lit(f"{d}:"), F.col(item_col).cast("string")))
-        col_idx = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % width).cast(
-            "int"
-        )
-        cells.append(F.struct(F.lit(d).alias("row"), col_idx.alias("col")))
+    cells = cms_cell_structs(item_col, depth, width)
     return (
         items.select(by, F.explode(F.array(*cells)).alias("c"))
         .groupBy(by, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
@@ -206,14 +203,27 @@ def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
     product): estimate = MIN over hash rows of sum_col cnt_a * cnt_b.
     One-sided like point queries — never an undercount of the true
     join size sum_v f_a(v) * f_b(v); collisions only add. Inputs are
-    ``cms_cells``-shaped frames (row, col, cnt) with any extra leading
-    key columns carried through (grouped sketches join on those too).
+    ``cms_cells``-shaped frames (row, col, cnt); any extra key columns
+    are carried through and the output holds one estimate per
+    (keys_a x keys_b) combination — grouped sketches therefore estimate
+    ALL pairings in one call (that is the point: sketches build once,
+    answer every pairing). The two sides' key column names must be
+    DISJOINT (rename before calling, as q_cms_join_size does with
+    type_a/type_b); identical names would make the join output
+    ambiguous, so that is rejected loudly.
 
     This is the planner's question — "how big is A join B on this key?"
     — answered from two O(depth x width) summaries without touching
     either table again; sketches are reusable across every pairing."""
     keys_a = [c for c in cells_a.columns if c not in ("row", "col", "cnt")]
     keys_b = [c for c in cells_b.columns if c not in ("row", "col", "cnt")]
+    clash = sorted(set(keys_a) & set(keys_b))
+    if clash:
+        raise ValueError(
+            f"cms_inner_product: key column(s) {clash} appear on both "
+            "sides; rename one side (e.g. type_a/type_b) so every "
+            "pairing's keys are distinguishable in the output"
+        )
     a = cells_a.withColumnRenamed("cnt", "cnt_a")
     b = cells_b.withColumnRenamed("cnt", "cnt_b")
     per_row = (

@@ -58,14 +58,15 @@ _LINE = re.compile(
     r"(?:\s+(?P<ts>-?\d+))?\s*$"
 )
 _LABEL = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"')
-# full label-list grammar (items comma-separated, optional trailing comma
-# per the exposition format): findall alone would silently SKIP malformed
-# segments ('metric{garbage,l="v"} 1' would lose 'garbage' without
-# counting as malformed), so the labels group must fullmatch this before
-# the per-item findall is trusted
+# full label-list grammar (items comma-separated, optional trailing
+# comma, optional whitespace around commas — real exporters emit
+# 'a="1", b="2"' and Prometheus's own text parser tolerates it): findall
+# alone would silently SKIP malformed segments ('metric{garbage,l="v"} 1'
+# would lose 'garbage' without counting as malformed), so the labels
+# group must fullmatch this before the per-item findall is trusted
+_LABEL_ITEM = r'[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"'
 _LABEL_LIST = re.compile(
-    r'(?:[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"'
-    r'(?:,[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*")*,?)?'
+    rf"(?:{_LABEL_ITEM}(?:\s*,\s*{_LABEL_ITEM})*(?:\s*,)?\s*)?"
 )
 
 SCHEMA = StructType(

@@ -617,7 +617,10 @@ def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_KFOLD_SPLIT = """
 WITH g AS (
-  SELECT doc_id, lang, md5(text) AS group_key, md5(md5(text)) AS h
+  -- mirror kfold_split's NULL-key sentinel (curation.py): NULL text
+  -- hashes the sentinel and lands in a real fold, group_key stays NULL
+  SELECT doc_id, lang, md5(text) AS group_key,
+         md5(COALESCE(md5(text), chr(0) || '__null_key__')) AS h
   FROM documents
 ),
 f AS (

@@ -259,6 +259,9 @@ FROM r{n_iter}, n
 SQL_PAGERANK_EXACT = _sql_pagerank_exact()
 
 
+_KCORE_ROUNDS = 12  # shared Spark/oracle bound (fixture peels in <= 6)
+
+
 def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Onion decomposition of the deterministic 3-out link graph (the
     pagerank_exact fixture made undirected): iterative k=5 peeling
@@ -268,7 +271,9 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty, so every node carries a round 1..6 — the full peel frontier
     sequence is visible in the output and any degree-recount error at
     any round moves at least one label. Oracle: the peel unrolled
-    round-by-round in CTEs (the BPE-merge unrolling pattern)."""
+    round-by-round in CTEs (the BPE-merge unrolling pattern);
+    _KCORE_ROUNDS is the single bound both sides share, so the Spark
+    iteration budget can never silently exceed the oracle's unroll."""
     from database_collector_spark.operators import graph as g
 
     docs = _t(spark, sf_dir, "documents")
@@ -280,10 +285,10 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             v.alias("src"), ((m * v + c) % n).alias("dst")
         )
         edges = e if edges is None else edges.union(e)
-    return g.kcore_peel(edges, k=5, max_iter=12)
+    return g.kcore_peel(edges, k=5, max_iter=_KCORE_ROUNDS)
 
 
-def _sql_kcore_peel(rounds: int = 10, k: int = 5) -> str:
+def _sql_kcore_peel(rounds: int = _KCORE_ROUNDS, k: int = 5) -> str:
     ctes = [
         """params AS (SELECT COUNT(*) AS n FROM documents),
 raw AS (

@@ -199,15 +199,12 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = similarity.sq8_encode(emb, stats).join(
         similarity.with_quantized(emb).select("vec_id", "qe"), "vec_id"
     )
-    queries = (
-        similarity.sq8_encode(emb, stats)
-        .join(similarity.with_quantized(emb).select("vec_id", "qe"), "vec_id")
-        .filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("codes").alias("q_codes"),
-            F.col("qe").alias("q_qe"),
-        )
+    # queries are a filtered alias of the SAME encoded frame — one
+    # encode/quantize in the plan, not two
+    queries = enc.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("qe").alias("q_qe"),
     )
     return similarity.sq8_topk(enc, queries, topk=3, rerank=10)
 

@@ -582,13 +582,7 @@ def test_streaming_cms_cells_merge_to_batch_sketch(spark):
         # accumulated by the streaming agg state instead of one batch agg
         def build(path):
             stream = spark.readStream.schema("g string, item string").json(path)
-            cells = []
-            for d in range(4):
-                hx = F.md5(F.concat(F.lit(f"{d}:"), F.col("item")))
-                col_idx = (
-                    F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 256
-                ).cast("int")
-                cells.append(F.struct(F.lit(d).alias("row"), col_idx.alias("col")))
+            cells = sketches.cms_cell_structs("item", depth=4, width=256)
             return (
                 stream.select("g", F.explode(F.array(*cells)).alias("c"))
                 .groupBy("g", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
