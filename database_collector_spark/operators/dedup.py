@@ -944,3 +944,55 @@ def lsh_tune(
             best = (err, b, r)
     assert best is not None
     return best[1], best[2]
+
+
+def boundary_overlap_pairs(
+    docs: DataFrame, *, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Shard-boundary duplication detector: find ordered pairs where doc
+    A's LAST ``k`` words equal doc B's FIRST ``k`` words — the signature
+    of a document split across extraction shards or a crawl that
+    re-emitted a page's tail as the next record's head. Containment and
+    Jaccard both miss this shape when the overlap is a small fraction of
+    either document.
+
+    Plan: each doc contributes one md5 of its head window and one of its
+    tail window (zero-shuffle projection); candidates come from ONE
+    equi-join tail_hash = head_hash (never a substring scan), then the
+    actual word windows verify the match (md5 collision safety) and the
+    pair is emitted with the overlap text. Self-pairs are excluded;
+    docs shorter than ``k`` words have no window and never match."""
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    base = docs.select(
+        "doc_id",
+        toks.alias("ts"),
+    ).where(F.size("ts") >= k)
+    head = F.array_join(F.slice("ts", 1, k), " ")
+    tail = F.array_join(
+        F.slice("ts", F.size("ts") - k + 1, k), " "
+    )
+    sides = base.select(
+        "doc_id",
+        head.alias("head_txt"),
+        tail.alias("tail_txt"),
+        F.md5(head).alias("head_h"),
+        F.md5(tail).alias("tail_h"),
+    )
+    a = sides.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tail_txt").alias("overlap_a"),
+        F.col("tail_h").alias("h"),
+    )
+    b = sides.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("head_txt").alias("overlap_b"),
+        F.col("head_h").alias("h"),
+    )
+    return (
+        a.join(b, "h")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("overlap_a") == F.col("overlap_b"))
+        )
+        .select("doc_a", "doc_b", F.col("overlap_a").alias("overlap"))
+    )

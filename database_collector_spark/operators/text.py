@@ -441,3 +441,56 @@ def pmi_collocations(
             ((num - num % den) / den).cast("long").alias("pmi_ppb"),
         )
     )
+
+
+def readability(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per document from
+    deterministic surface counts — the classic readability pair corpus
+    filters bucket documents with (alongside the perplexity and Gopher
+    signals). Real syllabification needs a dictionary; the standard
+    dictionary-free approximation counts VOWEL GROUPS per word
+    (runs of [aeiouy], minimum 1 per non-empty word) — deterministic,
+    language-naive, and the convention readability tooling uses when no
+    lexicon ships.
+
+    All three inputs (words, sentences, syllables) are exact integers
+    from one zero-shuffle projection (regexp counts + a token fold);
+    the two scores are fixed rational combinations rounded to 3.
+    Sentences = runs of [.!?] (minimum 1 so the formulas stay total on
+    fragment documents)."""
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    n_words = F.size(toks)
+    # sentence terminators: runs of .!? count once
+    n_sent = F.greatest(
+        F.size(F.expr(rf"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1),
+    )
+    # per-word vowel-group count, min 1; summed in-row (no explode) —
+    # written as one SQL expr so the lambda variable binds inside the
+    # nested regexp_extract_all
+    syl = F.expr(
+        "aggregate("
+        f" filter(split({text_col}, ' '), t -> t <> ''),"
+        " cast(0 as bigint),"
+        " (acc, w) -> acc + cast(greatest("
+        "   size(regexp_extract_all(w, '[aeiouyAEIOUY]+', 0)), 1) as bigint))"
+    )
+    wd = n_words.cast("double")
+    ease = (
+        F.lit(206.835)
+        - 1.015 * (wd / n_sent.cast("double"))
+        - 84.6 * (syl.cast("double") / wd)
+    )
+    grade = (
+        0.39 * (wd / n_sent.cast("double"))
+        + 11.8 * (syl.cast("double") / wd)
+        - F.lit(15.59)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.when(n_words > 0, F.round(ease, 3)).alias("flesch_ease"),
+        F.when(n_words > 0, F.round(grade, 3)).alias("fk_grade"),
+    )

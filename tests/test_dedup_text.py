@@ -429,3 +429,51 @@ def test_lsh_tune_fn_weight_pushes_toward_recall():
     # recall-heavy tuning lowers the curve midpoint (catches more):
     mid = lambda b, r: (1.0 / b) ** (1.0 / r)
     assert mid(b_rec, r_rec) <= mid(b_bal, r_bal)
+
+
+def test_boundary_overlap_pairs_detects_shard_splits(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators.dedup import boundary_overlap_pairs
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1's tail == doc 2's head (4-word overlap window)
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=2, text="epsilon zeta eta theta iota kappa"),
+            # unrelated doc
+            Row(doc_id=3, text="one two three four five six"),
+            # doc too short for a window
+            Row(doc_id=4, text="tiny doc"),
+            # doc 5 is doc 3's tail -> ordered pair (3, 5), never (5, 3)
+            Row(doc_id=5, text="three four five six seven eight"),
+        ]
+    )
+    out = sorted(
+        (r["doc_a"], r["doc_b"], r["overlap"])
+        for r in boundary_overlap_pairs(docs, k=4).collect()
+    )
+    assert out == [
+        (1, 2, "epsilon zeta eta theta"),
+        (3, 5, "three four five six"),
+    ]
+
+
+def test_boundary_overlap_pairs_no_self_and_identical_docs_both_ways(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators.dedup import boundary_overlap_pairs
+
+    # identical docs whose tail == own head (cyclic text): both ordered
+    # pairs emitted, but never (d, d) self-pairs
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d a b c d"),
+            Row(doc_id=2, text="a b c d a b c d"),
+        ]
+    )
+    out = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in boundary_overlap_pairs(docs, k=4).collect()
+    )
+    assert out == [(1, 2), (2, 1)]

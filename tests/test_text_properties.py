@@ -259,3 +259,29 @@ def test_pmi_collocations_count_lookups_broadcast(spark):
     # never be a join probe side of a shuffle join
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_readability_hand_fixture(spark):
+    from database_collector_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            # 4 words, 2 sentences, syllables: "go"(1) "now"(1) "stop"(1)
+            # "here"(2: e, e) = 5
+            Row(doc_id=1, text="Go now. Stop here!"),
+            Row(doc_id=2, text=""),  # empty: counts 0, scores NULL
+            # fragment without terminator: sentence floor of 1
+            Row(doc_id=3, text="simple fragment text"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in readability(docs).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (4, 2, 5)
+    # ease = 206.835 - 1.015*(4/2) - 84.6*(5/4) = 206.835-2.03-105.75
+    assert abs(r1["flesch_ease"] - 99.055) < 1e-9
+    # grade = 0.39*2 + 11.8*1.25 - 15.59 = 0.78+14.75-15.59
+    assert abs(r1["fk_grade"] - (-0.06)) < 1e-9
+    assert got[2]["n_words"] == 0 and got[2]["flesch_ease"] is None
+    assert got[3]["n_sentences"] == 1
+    # "simple"(2: i,e) "fragment"(2: a,e) "text"(1) = 5
+    assert got[3]["n_syllables"] == 5
