@@ -192,3 +192,36 @@ def test_kcore_peel_labels_rounds_and_preserves_core(spark):
     )
     out2 = {r["node"]: r["peel_round"] for r in kcore_peel(noisy, k=3).collect()}
     assert out2 == out
+
+
+def test_bfs_distances_multi_source_min_hops(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators.graph import bfs_distances
+
+    # path 0-1-2-3-4-5 plus a shortcut 0-3; sources {0}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3)],
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([Row(node=0)])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs).collect()}
+    # the shortcut makes 3 one hop away, 4 two, 5 three
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+
+    # multi-source: nearest source wins; hop bound truncates
+    srcs2 = spark.createDataFrame([Row(node=0), Row(node=5)])
+    got2 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, srcs2, max_hops=1).collect()
+    }
+    assert got2 == {0: 0, 5: 0, 1: 1, 3: 1, 4: 1}
+
+    # directed: only forward edges traversed
+    got3 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            edges, spark.createDataFrame([Row(node=4)]), directed=True
+        ).collect()
+    }
+    assert got3 == {4: 0, 5: 1}
