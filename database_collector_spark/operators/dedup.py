@@ -962,7 +962,9 @@ def boundary_overlap_pairs(
     actual word windows verify the match (md5 collision safety) and the
     pair is emitted with the overlap text. Self-pairs are excluded;
     docs shorter than ``k`` words have no window and never match."""
-    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    from database_collector_spark.operators.text import nonempty_tokens_col
+
+    toks = nonempty_tokens_col(text_col)
     base = docs.select(
         "doc_id",
         toks.alias("ts"),

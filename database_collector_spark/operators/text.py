@@ -31,6 +31,14 @@ def tokens_col(text_col: str = "text") -> F.Column:
     return F.split(F.col(text_col), " ")
 
 
+def nonempty_tokens_col(text_col: str = "text") -> F.Column:
+    """Whitespace tokens with empties dropped — the ONE definition of
+    "word" for operators that must agree on word counts (readability,
+    boundary overlap, bigram LM). A tokenization tweak here changes
+    them together instead of letting five inline copies drift."""
+    return F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token counting: whitespace tokens, distinct tokens,
     type-token ratio, average token length (exact rational -> round 4)."""
@@ -454,20 +462,17 @@ def readability(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     lexicon ships.
 
     All three inputs (words, sentences, syllables) are exact integers
-    from one zero-shuffle projection (regexp counts + a token fold);
-    the two scores are fixed rational combinations rounded to 3.
-    Sentences = runs of [.!?] (minimum 1 so the formulas stay total on
-    fragment documents)."""
-    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
-    n_words = F.size(toks)
-    # sentence terminators: runs of .!? count once
-    n_sent = F.greatest(
-        F.size(F.expr(rf"regexp_extract_all({text_col}, '[.!?]+', 0)")),
-        F.lit(1),
-    )
+    computed ONCE in an inner projection (expressions containing lambda
+    variables get no common-subexpression elimination, so deriving the
+    scores directly from the folds would re-run the per-word regexp
+    fold three times per row); the two scores are fixed rational
+    combinations of those columns rounded to 3. Sentences = runs of
+    [.!?] (minimum 1 so the formulas stay total on fragment
+    documents). Zero shuffles."""
+    toks = nonempty_tokens_col(text_col)
     # per-word vowel-group count, min 1; summed in-row (no explode) —
-    # written as one SQL expr so the lambda variable binds inside the
-    # nested regexp_extract_all
+    # one SQL expr so the lambda variable binds inside the nested
+    # regexp_extract_all
     syl = F.expr(
         "aggregate("
         f" filter(split({text_col}, ' '), t -> t <> ''),"
@@ -475,22 +480,26 @@ def readability(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         " (acc, w) -> acc + cast(greatest("
         "   size(regexp_extract_all(w, '[aeiouyAEIOUY]+', 0)), 1) as bigint))"
     )
-    wd = n_words.cast("double")
-    ease = (
-        F.lit(206.835)
-        - 1.015 * (wd / n_sent.cast("double"))
-        - 84.6 * (syl.cast("double") / wd)
-    )
-    grade = (
-        0.39 * (wd / n_sent.cast("double"))
-        + 11.8 * (syl.cast("double") / wd)
-        - F.lit(15.59)
-    )
-    return docs.select(
+    counts = docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_sent.alias("n_sentences"),
+        F.size(toks).alias("n_words"),
+        F.greatest(
+            F.size(F.expr(rf"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+            F.lit(1),
+        ).alias("n_sentences"),
         syl.alias("n_syllables"),
-        F.when(n_words > 0, F.round(ease, 3)).alias("flesch_ease"),
-        F.when(n_words > 0, F.round(grade, 3)).alias("fk_grade"),
+    )
+    wd = F.col("n_words").cast("double")
+    sent = F.col("n_sentences").cast("double")
+    sy = F.col("n_syllables").cast("double")
+    ease = F.lit(206.835) - 1.015 * (wd / sent) - 84.6 * (sy / wd)
+    grade = 0.39 * (wd / sent) + 11.8 * (sy / wd) - F.lit(15.59)
+    nonzero = F.col("n_words") > 0
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(nonzero, F.round(ease, 3)).alias("flesch_ease"),
+        F.when(nonzero, F.round(grade, 3)).alias("fk_grade"),
     )

@@ -429,4 +429,4 @@ def interval_subtract(
     # maximal intervals
     return coalesce_intervals(
         kept, by=by, start_col="start", end_col="end"
-    ).select(*by, "island", "start", "end")
+    ).select(*by, "start", "end")

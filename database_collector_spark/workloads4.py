@@ -989,7 +989,10 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     petabyte row counts."""
     ev = _t(spark, sf_dir, "events")
     mid = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
-    in_a = (F.col("ts") < mid).cast("long")
+    # NULL-total comparison: when(...).otherwise(0) matches the oracle's
+    # CASE WHEN (a NULL ts counts in period B), where a bare cast would
+    # silently drop NULL-ts rows from BOTH halves
+    in_a = F.when(F.col("ts") < mid, F.lit(1)).otherwise(F.lit(0)).cast("long")
     per_bin = (
         ev.select(
             F.least(F.floor(F.col("value") / 50), F.lit(11)).cast("long").alias("bin"),
@@ -1058,12 +1061,22 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rationals, one ln per bin, result rounded to 6 (rule of
     thumb: psi_total < 0.1 stable, > 0.25 shifted).
 
+    ALL 12 bins are emitted (a fixed spine left-joins the observed
+    counts, zero-filled): a bin empty in both halves still carries its
+    nonzero smoothed term whenever the half totals differ, so summing
+    the output rows IS the 12-term smoothed PSI — omitting unobserved
+    bins would silently undercount the statistic against its own
+    definition.
+
     Plan: identical to dist_drift — ONE scan into a 12-group
     conditional aggregate; totals from the bounded post-aggregate
-    window."""
+    window; the spine join touches 12 rows."""
     ev = _t(spark, sf_dir, "events")
     mid = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
-    in_a = (F.col("ts") < mid).cast("long")
+    # NULL-total comparison: when(...).otherwise(0) matches the oracle's
+    # CASE WHEN (a NULL ts counts in period B), where a bare cast would
+    # silently drop NULL-ts rows from BOTH halves
+    in_a = F.when(F.col("ts") < mid, F.lit(1)).otherwise(F.lit(0)).cast("long")
     per_bin = (
         ev.select(
             F.least(F.floor(F.col("value") / 50), F.lit(11))
@@ -1076,6 +1089,12 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("in_a").alias("n_a"),
             F.sum(F.lit(1) - F.col("in_a")).alias("n_b"),
         )
+    )
+    spine = spark.range(0, 12).select(F.col("id").alias("bin"))
+    per_bin = spine.join(per_bin, "bin", "left").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
     w = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -1103,8 +1122,13 @@ WITH binned AS (
          CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in_a
   FROM events
 ),
-per_bin AS (
+obs AS (
   SELECT bin, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b FROM binned GROUP BY bin
+),
+per_bin AS (
+  SELECT s.bin, COALESCE(o.n_a, 0) AS n_a, COALESCE(o.n_b, 0) AS n_b
+  FROM (SELECT unnest(generate_series(0, 11)) AS bin) s
+  LEFT JOIN obs o ON o.bin = s.bin
 ),
 tot AS (SELECT SUM(n_a) AS na_tot, SUM(n_b) AS nb_tot FROM per_bin),
 sh AS (

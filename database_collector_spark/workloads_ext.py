@@ -27,12 +27,20 @@ from database_collector_spark.workloads import _t
 # distinct word-3-gram shingles per document (mirrors operators.dedup.shingles)
 
 
+# Oracle-side position bound: must EXCEED the longest document's token
+# count or the oracle's shingle sets silently truncate while Spark's are
+# complete (sizes and shared counts diverge — latent until the fixture
+# grows longer docs). Fixture max is ~100 tokens (TESTDATA.md);
+# tests/test_docs_consistency.py pins the headroom against the real data.
+_SHINGLE_POS_BOUND = 2000
+
+
 def _sql_shingles(table: str = "documents") -> str:
     return f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
+  FROM toks, (SELECT unnest(generate_series(1, {_SHINGLE_POS_BOUND})) AS i) ii
   WHERE i <= len(t) - 2
 )
 """
@@ -937,7 +945,7 @@ SQL_HEAVY_HITTERS = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (
   SELECT t[i] || ' ' || t[i+1] AS gram
-  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
+  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) ii
   WHERE i <= len(t) - 1
 )
 SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
@@ -1057,7 +1065,7 @@ SQL_HEAVY_HITTERS_BY_LANG = """
 WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
 grams AS (
   SELECT lang, t[i] || ' ' || t[i+1] AS gram
-  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
+  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) ii
   WHERE i <= len(t) - 1
 ),
 totals AS (SELECT lang, COUNT(*) AS tot FROM grams

@@ -551,8 +551,7 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples); this extends SURVEY §2's quality tier."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id",
-        F.expr("filter(split(text, ' '), t -> t <> '')").alias("ts"),
+        "doc_id", text.nonempty_tokens_col().alias("ts")
     )
     bi = toks.select(
         "doc_id",
@@ -566,7 +565,7 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     ccnt = bcnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
-        docs.select(F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("t"))
+        docs.select(F.explode(text.nonempty_tokens_col()).alias("t"))
         .agg(F.countDistinct("t").alias("v"))
     )
     per_doc = (

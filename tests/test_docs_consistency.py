@@ -53,3 +53,23 @@ def test_rotation_debt_cannot_drift():
         f"{len(outside)} never-driver-checked queries outside the check "
         f"window: {outside}"
     )
+
+
+def test_oracle_position_bound_exceeds_longest_document():
+    """Several oracles enumerate token positions with a fixed
+    generate_series bound; if a regenerated fixture ever carries a doc
+    longer than that bound, the oracle's n-gram sets silently truncate
+    while Spark's stay complete. Pin the headroom against the real
+    data at the largest fixture SF."""
+    import duckdb
+
+    from database_collector_spark.workloads_ext import _SHINGLE_POS_BOUND
+
+    longest = duckdb.sql(
+        "SELECT MAX(len(string_split(text, ' '))) FROM "
+        "read_parquet('/root/testdata/sf0.1/documents.parquet')"
+    ).fetchone()[0]
+    assert longest * 2 <= _SHINGLE_POS_BOUND, (
+        f"longest doc has {longest} tokens; raise _SHINGLE_POS_BOUND "
+        f"(and the inline 2000 bounds in the gram oracles) well past it"
+    )
