@@ -451,6 +451,142 @@ def pmi_collocations(
     )
 
 
+def _feature_col(text_col: str, bigrams: bool) -> F.Column:
+    """Unigram (and optionally word-bigram) feature array, in-row."""
+    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+    if not bigrams:
+        return F.expr(toks)
+    # bigram i joins token i with token i+1; element_at is 1-based and the
+    # slice bounds keep i+2 in range. slice length is floored at 0 so
+    # single-token and empty docs yield an empty bigram array, not an error.
+    return F.expr(
+        f"concat({toks}, transform("
+        f" slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
+        f" (x, i) -> concat(x, '_', element_at({toks}, i + 2))))"
+    )
+
+
+def _hash_weight_sql(feat: str, n_buckets: int, salt: str) -> str:
+    """SQL for the per-feature signed milli-weight.
+
+    bucket = first 8 md5 hex digits of ``feat || ':' || salt`` as a
+    32-bit int (the engine-exact idiom from operators/sampling.py), mod
+    ``n_buckets``; weight = the same hash construction over the BUCKET
+    re-keyed with a 'w:' prefix, mapped into [-1000, 1000]. Hashing the
+    bucket (not the feature) is what makes this a genuine hashed model:
+    features that collide into one bucket share ONE weight, exactly as a
+    trained hashing-trick model would."""
+    bucket = (
+        f"(CAST(conv(substring(md5(concat({feat}, ':', '{salt}')), 1, 8), 16, 10)"
+        f" AS BIGINT) % {n_buckets})"
+    )
+    return (
+        f"(CAST(conv(substring(md5(concat('w:', CAST({bucket} AS STRING),"
+        f" ':', '{salt}')), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000)"
+    )
+
+
+def hashed_classifier(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 4096,
+    salt: str = "clf",
+    bigrams: bool = False,
+    weights: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed bag-of-features linear classifier inference (the fastText
+    architecture: hashing-trick features -> shared-bucket weights ->
+    mean-pooled linear score -> sigmoid), the standard model-based
+    quality gate LLM-corpus curation runs after the heuristic filters
+    (quality_score / readability / unigram LM are feature-free; this is
+    the learned-filter shape, e.g. a "looks like reference text" model).
+
+    Two execution paths with IDENTICAL output contract:
+
+    * ``weights=None`` — self-contained deterministic model: the weight
+      of bucket b is derived from md5(b) (a stand-in for trained
+      parameters, engine-exact so a DuckDB oracle can replay it). The
+      whole operator is a zero-shuffle in-row fold: per doc, ONE
+      ``aggregate(transform(features, f -> w(f)))`` expression — at
+      100 TB this runs at scan speed with no explode and no join.
+    * ``weights=<DataFrame(bucket: long, weight_milli: long)>`` — the
+      production trained-model path: explode features -> broadcast-join
+      the (≤ n_buckets)-row weight table -> re-aggregate per doc.
+      The weight table is model-sized, never data-sized, so the join is
+      always a broadcast; the one shuffle is the per-doc re-aggregate.
+
+    Exactness: logits accumulate INTEGER milli-weights (engine-exact);
+    the single transcendental is the final sigmoid, rounded to 6 (same
+    exact-intermediates convention as char_entropy / weighted_sample).
+    Missing buckets in a supplied weight table read as weight 0, the
+    hashing-trick convention for unseen features.
+
+    Output: (doc_id, n_feats, logit_milli, p_keep, label) where
+    label = 'keep' iff the mean feature weight is strictly positive.
+    """
+    feats = _feature_col(text_col, bigrams)
+    # feature array materialized ONCE: lambda-bearing expressions get no
+    # common-subexpression elimination (see readability), so deriving the
+    # fold and size() from a shared column avoids re-running the per-word
+    # regex/concat work per consumer.
+    base = docs.select("doc_id", feats.alias("_feats"))
+    if weights is None:
+        w_sql = _hash_weight_sql("f", n_buckets, salt)
+        scored = base.select(
+            "doc_id",
+            F.size("_feats").cast("long").alias("n_feats"),
+            F.expr(
+                f"aggregate(_feats, CAST(0 AS BIGINT), (acc, f) -> acc + {w_sql})"
+            ).alias("logit_milli"),
+        )
+    else:
+        bucket_sql = (
+            f"CAST(conv(substring(md5(concat(f, ':', '{salt}')), 1, 8), 16, 10)"
+            f" AS BIGINT) % {n_buckets}"
+        )
+        # explode_outer keeps zero-feature docs as one NULL row, so they
+        # survive the re-aggregate with n_feats = 0 instead of vanishing
+        exploded = base.select(
+            "doc_id", F.explode_outer("_feats").alias("f")
+        ).select("doc_id", F.expr(bucket_sql).alias("bucket"))
+        joined = exploded.join(F.broadcast(weights), "bucket", "left")
+        scored = joined.groupBy("doc_id").agg(
+            F.count("bucket").cast("long").alias("n_feats"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("weight_milli"), F.lit(0))), F.lit(0)
+            ).cast("long").alias("logit_milli"),
+        )
+    nonzero = F.col("n_feats") > 0
+    logit = F.col("logit_milli") / (F.lit(1000.0) * F.col("n_feats"))
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "logit_milli",
+        F.when(nonzero, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)).alias(
+            "p_keep"
+        ),
+        F.when(nonzero & (F.col("logit_milli") > 0), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
+def hash_weight_table(spark, *, n_buckets: int = 4096, salt: str = "clf") -> DataFrame:
+    """The deterministic pseudo-model as an explicit (bucket,
+    weight_milli) table — what a trained model would ship as parquet.
+    Built with ONE sequence-range select (n_buckets rows, no data scan);
+    feeding it back through ``hashed_classifier(weights=...)`` must
+    reproduce the in-row path bit-for-bit (pinned in tests)."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        F.expr(
+            f"CAST(conv(substring(md5(concat('w:', CAST(id AS STRING),"
+            f" ':', '{salt}')), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"
+        ).alias("weight_milli"),
+    )
+
+
 def readability(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Flesch reading-ease and Flesch–Kincaid grade per document from
     deterministic surface counts — the classic readability pair corpus

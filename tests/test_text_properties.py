@@ -285,3 +285,105 @@ def test_readability_hand_fixture(spark):
     assert got[3]["n_sentences"] == 1
     # "simple"(2: i,e) "fragment"(2: a,e) "text"(1) = 5
     assert got[3]["n_syllables"] == 5
+
+
+def _md5_hv(s: str) -> int:
+    """Python mirror of the engine hash idiom: first 8 md5 hex digits."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _ref_weight(feat: str, n_buckets: int, salt: str) -> int:
+    bucket = _md5_hv(f"{feat}:{salt}") % n_buckets
+    return _md5_hv(f"w:{bucket}:{salt}") % 2001 - 1000
+
+
+def _ref_classify(tokens, n_buckets, salt, bigrams):
+    feats = list(tokens)
+    if bigrams:
+        feats += [f"{a}_{b}" for a, b in zip(tokens, tokens[1:])]
+    logit_milli = sum(_ref_weight(f, n_buckets, salt) for f in feats)
+    return len(feats), logit_milli
+
+
+def test_hashed_classifier_matches_python_reference(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox the quick"),
+            Row(doc_id=2, text="zzz"),
+            Row(doc_id=3, text=""),  # zero features: p NULL, label drop
+        ]
+    )
+    for bigrams in (False, True):
+        got = {
+            r["doc_id"]: r
+            for r in text.hashed_classifier(
+                docs, n_buckets=64, salt="t", bigrams=bigrams
+            ).collect()
+        }
+        for doc_id, txt in [(1, "the quick brown fox the quick"), (2, "zzz")]:
+            toks = [t for t in txt.split(" ") if t]
+            n_feats, logit = _ref_classify(toks, 64, "t", bigrams)
+            r = got[doc_id]
+            assert (r["n_feats"], r["logit_milli"]) == (n_feats, logit)
+            p = 1.0 / (1.0 + math.exp(-logit / (1000.0 * n_feats)))
+            assert abs(r["p_keep"] - p) < 5e-7
+            assert r["label"] == ("keep" if logit > 0 else "drop")
+        r3 = got[3]
+        assert (r3["n_feats"], r3["logit_milli"]) == (0, 0)
+        assert r3["p_keep"] is None and r3["label"] == "drop"
+
+
+def test_hashed_classifier_weight_table_path_identical(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma alpha"),
+            Row(doc_id=2, text="delta"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    inrow = text.hashed_classifier(docs, n_buckets=32, salt="t", bigrams=True)
+    table = text.hash_weight_table(spark, n_buckets=32, salt="t")
+    joined = text.hashed_classifier(
+        docs, n_buckets=32, salt="t", bigrams=True, weights=table
+    )
+    a = sorted(map(tuple, inrow.collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b
+
+
+def test_hashed_classifier_weight_table_join_is_broadcast(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    table = text.hash_weight_table(spark, n_buckets=16, salt="t")
+    plan = (
+        text.hashed_classifier(docs, n_buckets=16, salt="t", weights=table)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(doc_tokens, min_size=1, max_size=4),
+    bigrams=st.booleans(),
+)
+def test_hashed_classifier_property_matches_reference(spark, docs, bigrams):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logit_milli"])
+        for r in text.hashed_classifier(
+            df, n_buckets=128, salt="p", bigrams=bigrams
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        assert got[i] == _ref_classify(toks, 128, "p", bigrams)
