@@ -249,3 +249,60 @@ def kfold_split(
         key.alias("group_key"),
         (hv % k).cast("int").alias("fold"),
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    *,
+    by: str = "source",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the published
+    multilingual/domain mixture rule (XLM-R / mT5 style): sample domain
+    i with probability p_i ∝ (n_i / N)^(1/T). T = 1 reproduces natural
+    token shares; T → ∞ approaches uniform; the usual 1 < T < 5 range
+    up-weights the tail without flattening the head. This computes the
+    RECIPE the existing mixture_sample gate consumes as rates.
+
+    Token counts are the exact in-row whitespace fold (ONE scan, no
+    explode); the per-domain aggregate moves |domains| rows, and the
+    normalization runs over that post-aggregate frame via a global
+    window documented-bounded at |domains| rows (the same bounded
+    pattern as workloads4's share windows). Exactness: counts and
+    shares are integer rationals; ``pow`` is the single transcendental
+    per domain, summed over |domains| doubles before one divide, then
+    rounded (same exact-intermediates convention as char_entropy).
+
+    Output per domain: (domain, n_docs, n_tokens, raw_share,
+    temp_weight, oversample) where temp_weight sums to 1 and
+    oversample = temp_weight / raw_share is the per-domain duplication
+    factor a sampler must apply to realize the recipe.
+    """
+    from pyspark.sql.window import Window
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    n_tok = F.expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long")
+    per = docs.groupBy(F.col(by).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    # |domains| rows post-aggregate: the unpartitioned windows are bounded
+    # by construction, never data-sized
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    powed = F.pow(share, F.lit(1.0 / temperature))
+    return (
+        per.withColumn("raw_share", share)
+        .withColumn("_p", powed)
+        .withColumn("temp_weight", F.col("_p") / F.sum("_p").over(w))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round("raw_share", 6).alias("raw_share"),
+            F.round("temp_weight", 6).alias("temp_weight"),
+            F.round(F.col("temp_weight") / F.col("raw_share"), 4).alias("oversample"),
+        )
+        .orderBy("domain")
+    )

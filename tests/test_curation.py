@@ -223,3 +223,62 @@ def test_kfold_split_null_key_gets_a_fold_not_null(spark):
     # group_key output stays faithful: NULL text -> NULL group_key
     gk = {r["doc_id"]: r["group_key"] for r in out}
     assert gk[2] is None and gk[1] is not None
+
+
+def test_temperature_mixture_matches_python_reference(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    docs = spark.createDataFrame(
+        [
+            # web: 6 tokens, books: 2, code: 1 — a skewed recipe
+            Row(doc_id=1, source="web", text="a b c"),
+            Row(doc_id=2, source="web", text="d e f"),
+            Row(doc_id=3, source="books", text="g h"),
+            Row(doc_id=4, source="code", text="i"),
+        ]
+    )
+    T = 2.0
+    got = {r["domain"]: r for r in curation.temperature_mixture(docs, temperature=T).collect()}
+    toks = {"web": 6, "books": 2, "code": 1}
+    ndocs = {"web": 2, "books": 1, "code": 1}
+    total = sum(toks.values())
+    pows = {d: (n / total) ** (1.0 / T) for d, n in toks.items()}
+    psum = sum(pows.values())
+    for d in toks:
+        r = got[d]
+        assert (r["n_docs"], r["n_tokens"]) == (ndocs[d], toks[d])
+        assert abs(r["raw_share"] - toks[d] / total) < 5e-7
+        assert abs(r["temp_weight"] - pows[d] / psum) < 5e-7
+        assert abs(r["oversample"] - (pows[d] / psum) / (toks[d] / total)) < 5e-4
+    # the recipe is a distribution
+    assert abs(sum(r["temp_weight"] for r in got.values()) - 1.0) < 2e-6
+
+
+def test_temperature_mixture_limits(spark):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from database_collector_spark import curation
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="web", text="a b c d e f g h"),
+            Row(doc_id=2, source="code", text="i j"),
+        ]
+    )
+    # T=1: temperature weights ARE the natural shares
+    t1 = {r["domain"]: r for r in curation.temperature_mixture(docs, temperature=1.0).collect()}
+    for r in t1.values():
+        assert abs(r["temp_weight"] - r["raw_share"]) < 2e-6
+        assert abs(r["oversample"] - 1.0) < 5e-4
+    # very high T: approaches uniform — tail domain pulled up toward 0.5
+    t9 = {r["domain"]: r for r in curation.temperature_mixture(docs, temperature=1000.0).collect()}
+    assert abs(t9["code"]["temp_weight"] - 0.5) < 1e-3
+    # tail is up-weighted monotonically in T
+    t2 = {r["domain"]: r for r in curation.temperature_mixture(docs, temperature=2.0).collect()}
+    assert t1["code"]["temp_weight"] < t2["code"]["temp_weight"] < t9["code"]["temp_weight"]
+    with _pytest.raises(ValueError):
+        curation.temperature_mixture(docs, temperature=0.0)
