@@ -854,3 +854,98 @@ def sq8_topk(
         .filter(F.col("rank") <= topk)
         .select("q_id", "rank", "vec_id", "sq8_dist", "exact_dist")
     )
+
+
+def jl_matrix(k: int = 8, dim: int = EMBED_DIM, seed: int = 7) -> list[list[int]]:
+    """Achlioptas sparse ternary JL matrix (Achlioptas 2003, public):
+    R[j][i] in {+1, -1, 0} with probabilities {1/6, 1/6, 2/3}; the
+    projection y = R x satisfies the Johnson–Lindenstrauss distance
+    guarantee once scaled by sqrt(3/k). Entries come from the same
+    shared LCG as the LSH hyperplanes, built in Python so Spark and the
+    oracle consume identical literals; 2/3 sparsity means 2/3 of the
+    multiply-adds vanish at codegen."""
+    flat = _lcg_floats(seed, k * dim)
+    tern = [1 if u < -2.0 / 3.0 else (-1 if u > 2.0 / 3.0 else 0) for u in flat]
+    return [tern[j * dim : (j + 1) * dim] for j in range(k)]
+
+
+def jl_project(
+    embeddings: DataFrame, *, k: int = 8, seed: int = 7, dim: int = EMBED_DIM
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of the embedding column
+    into k dimensions, with per-vector norm-distortion audit — the
+    dimensionality-reduction front end that makes a downstream ANN /
+    clustering tier cheap (project 100 TB of wide vectors to k dims in
+    ONE map-only pass, then index the k-dim output).
+
+    Exactness: inputs are the quantized integer vectors (with_quantized),
+    the ternary matrix entries are integer literals, so every projected
+    component y_j = Σ_i R[j][i]·qe_i and both squared norms are exact
+    int64 — order-free, engine-exact. The single inexact step is the
+    audit ratio distortion = sqrt((3/k)·|y|²) / sqrt(|x|²), one sqrt
+    chain rounded to 6 (JL says this concentrates near 1).
+
+    Plan: zero shuffle — k integer fold expressions per row (sparse:
+    ~dim/3 terms each survive constant folding), no explode, no join.
+
+    Output: (vec_id, proj: array<bigint>, x_norm2, y_norm2, distortion).
+    """
+    mat = jl_matrix(k, dim, seed)
+    base = with_quantized(embeddings)
+    comps = []
+    for j in range(k):
+        terms = " + ".join(
+            f"({c} * element_at(qe, {i + 1}))"
+            for i, c in enumerate(mat[j])
+            if c != 0
+        )
+        comps.append(F.expr(f"CAST({terms or '0'} AS BIGINT)").alias(f"y_{j}"))
+    proj = base.select("vec_id", F.col("qnorm2").alias("x_norm2"), *comps)
+    y = F.array(*[F.col(f"y_{j}") for j in range(k)])
+    y_norm2 = F.expr(
+        "aggregate(_y, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+    )
+    return (
+        proj.withColumn("_y", y)
+        .select(
+            "vec_id",
+            F.col("_y").alias("proj"),
+            "x_norm2",
+            y_norm2.alias("y_norm2"),
+        )
+        .withColumn(
+            "distortion",
+            F.when(
+                F.col("x_norm2") > 0,
+                F.round(
+                    F.sqrt(F.col("y_norm2") * (3.0 / k)) / F.sqrt(F.col("x_norm2")),
+                    6,
+                ),
+            ),
+        )
+    )
+
+
+def jl_distortion_report(
+    embeddings: DataFrame, *, k: int = 8, seed: int = 7, dim: int = EMBED_DIM
+) -> DataFrame:
+    """One-row JL quality audit: min / mean / max norm distortion and
+    the fraction inside ±30% — the measurement that justifies (or
+    rejects) a chosen k before committing the projected index, same
+    measurement-tier shape as lsh_recall_report. One aggregate over the
+    map-side projection; the shuffle carries one row."""
+    d = jl_project(embeddings, k=k, seed=seed, dim=dim)
+    return d.filter(F.col("x_norm2") > 0).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("distortion"), 6).alias("min_distortion"),
+        F.round(F.avg("distortion"), 6).alias("mean_distortion"),
+        F.round(F.max("distortion"), 6).alias("max_distortion"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("distortion") >= 0.7) & (F.col("distortion") <= 1.3), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("frac_within_30pct"),
+    )

@@ -528,3 +528,68 @@ def test_sq8_topk_with_full_rerank_equals_exact_topk(spark):
         assert have == want, (q, have, want)
         # self-match leads with distance 0
         assert have[0] == q
+
+
+def _jl_ref(vec, mat, k):
+    """Python mirror of jl_project over one float vector."""
+    qe = [int(round(x * similarity.QUANT_SCALE)) for x in vec]
+    y = [sum(c * q for c, q in zip(row, qe)) for row in mat]
+    x2 = sum(q * q for q in qe)
+    y2 = sum(v * v for v in y)
+    dist = math.sqrt(y2 * (3.0 / k)) / math.sqrt(x2) if x2 > 0 else None
+    return y, x2, y2, dist
+
+
+def test_jl_project_matches_python_reference(spark):
+    k, dim, seed = 4, 6, 11
+    vecs = [
+        (1, [0.5, -0.25, 0.125, 1.0, -1.0, 0.75]),
+        (2, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # zero vector: distortion NULL
+        (3, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs]
+    )
+    mat = similarity.jl_matrix(k, dim, seed)
+    got = {
+        r["vec_id"]: r
+        for r in similarity.jl_project(df, k=k, seed=seed, dim=dim).collect()
+    }
+    for i, v in vecs:
+        y, x2, y2, dist = _jl_ref(v, mat, k)
+        r = got[i]
+        assert list(r["proj"]) == y
+        assert (r["x_norm2"], r["y_norm2"]) == (x2, y2)
+        if dist is None:
+            assert r["distortion"] is None
+        else:
+            assert abs(r["distortion"] - dist) < 5e-7
+
+
+def test_jl_matrix_is_ternary_and_sparse(spark):
+    mat = similarity.jl_matrix(16, 64, 7)
+    flat = [c for row in mat for c in row]
+    assert set(flat) <= {-1, 0, 1}
+    # Achlioptas sparsity: ~2/3 zeros (loose band; deterministic seed)
+    zfrac = flat.count(0) / len(flat)
+    assert 0.5 < zfrac < 0.8
+
+
+def test_jl_distortion_concentrates_on_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rep = similarity.jl_distortion_report(emb, k=16, seed=7).collect()[0]
+    assert rep["n_vecs"] == 500
+    # JL with k=16: distortion concentrates near 1; wide deterministic band
+    assert 0.3 < rep["min_distortion"] <= rep["mean_distortion"]
+    assert rep["mean_distortion"] <= rep["max_distortion"] < 3.0
+    assert 0.6 < rep["mean_distortion"] < 1.4
+    assert rep["frac_within_30pct"] > 0.5
+
+
+def test_jl_project_plan_is_map_only(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        similarity.jl_project(emb, k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero-shuffle projection
