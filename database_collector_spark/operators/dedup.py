@@ -970,8 +970,13 @@ def boundary_overlap_pairs(
         toks.alias("ts"),
     ).where(F.size("ts") >= k)
     head = F.array_join(F.slice("ts", 1, k), " ")
+    # greatest() keeps the slice total: the size >= k guard above does
+    # NOT protect this expression — whole-stage codegen can evaluate it
+    # as a shared subexpression inside the Filter stage, where rows with
+    # fewer than k words would make the start argument non-positive and
+    # abort the job
     tail = F.array_join(
-        F.slice("ts", F.size("ts") - k + 1, k), " "
+        F.slice("ts", F.greatest(F.size("ts") - k + 1, F.lit(1)), k), " "
     )
     sides = base.select(
         "doc_id",

@@ -1,0 +1,464 @@
+"""STAGED round-9 gate queries + DuckDB oracles for the operators that
+landed late in round 8 (COVERAGE.md "gate queued r9" rows).
+
+NOT yet merged into ``__spark_entry__.queries()`` — the r8 driver check
+window is full and the rotation rule requires every newly REGISTERED
+gate to enter the window in its registration round. Staging the gate
+code here with a pytest differential (tests/test_r9_staged_differential.py
+runs the exact tools/check.py comparison at sf0.001) means the r9
+registration is a two-line import with every oracle already proven,
+instead of a round-opening debugging session.
+
+Determinism conventions are the repo's usual: exact integer
+intermediates, md5-derived uniforms/weights (first-8-hex-digits idiom
+shared with operators/sampling.py), one transcendental at most per
+output column, rounded floats. Every oracle's final schema is
+BIGINT-cast where DuckDB would infer HUGEINT (the map_funcs failure
+class; swept by the staged differential test alongside
+tests/test_oracle_schemas.py's LIMIT-0 check of registered oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_collector_spark import curation
+from database_collector_spark.operators import (
+    dedup,
+    graph,
+    sampling,
+    similarity,
+    text,
+    timeseries,
+)
+from database_collector_spark.workloads import _t
+
+# DuckDB rendering of the repo's md5 hash idiom: first 8 hex digits of
+# md5(expr) as a BIGINT (strpos-sum form, mirrors SQL_WEIGHTED_SAMPLE).
+def _hv_sql(expr: str) -> str:
+    return (
+        f"(SELECT SUM(CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - i))))"
+        " FROM (SELECT unnest(generate_series(1, 8)) AS i))"
+    )
+
+
+# ---------------------------------------------------------------- readability
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document
+    (operators/text.py::readability — vowel-group syllables, sentence
+    floor 1, zero-shuffle in-row folds)."""
+    return text.readability(_t(spark, sf_dir, "documents"))
+
+
+SQL_READABILITY_SCORES = """
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+  FROM documents
+),
+syl AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+         CAST(SUM(greatest(len(regexp_extract_all(w, '[aeiouyAEIOUY]+')), 1)) AS BIGINT)
+           AS n_syllables
+  FROM words GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         COALESCE(s.n_words, 0) AS n_words,
+         CAST(greatest(len(regexp_extract_all(d.text, '[.!?]+')), 1) AS INT) AS n_sentences,
+         CAST(COALESCE(s.n_syllables, 0) AS BIGINT) AS n_syllables
+  FROM documents d LEFT JOIN syl s USING (doc_id)
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                       - 84.6 * (n_syllables * 1.0 / n_words), 3) END AS flesch_ease,
+       CASE WHEN n_words > 0 THEN
+         round(0.39 * (n_words * 1.0 / n_sentences)
+               + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 3) END AS fk_grade
+FROM base
+"""
+
+
+# -------------------------------------------------------- temperature mixture
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-T=2 domain sampling recipe over documents.source
+    (curation.py::temperature_mixture — one scan, |domains|-row
+    aggregate, bounded post-aggregate normalization windows)."""
+    return curation.temperature_mixture(
+        _t(spark, sf_dir, "documents"), by="source", temperature=2.0
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH per AS (
+  SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT domain, n_docs, n_tokens,
+         n_tokens / (SELECT SUM(n_tokens) * 1.0 FROM per) AS share,
+         pow(n_tokens / (SELECT SUM(n_tokens) * 1.0 FROM per), 0.5) AS p
+  FROM per
+)
+SELECT domain, n_docs, n_tokens,
+       round(share, 6) AS raw_share,
+       round(p / (SELECT SUM(p) FROM t), 6) AS temp_weight,
+       round((p / (SELECT SUM(p) FROM t)) / share, 4) AS oversample
+FROM t
+"""
+
+
+# --------------------------------------------------------- hashed classifier
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape hashed linear quality gate over documents, with
+    word bigrams (operators/text.py::hashed_classifier — zero-shuffle
+    in-row fold over md5-derived bucket weights)."""
+    return text.hashed_classifier(
+        _t(spark, sf_dir, "documents"), n_buckets=4096, salt="clf", bigrams=True
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(ts) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, ts[i] || '_' || ts[i + 1] AS f
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) ii
+),
+hv AS (SELECT doc_id, {_hv_sql("f || ':' || 'clf'")} AS h FROM feats),
+wt AS (
+  SELECT doc_id,
+         {_hv_sql("'w:' || CAST(h % 4096 AS VARCHAR) || ':' || 'clf'")} % 2001 - 1000 AS w
+  FROM hv
+),
+agg AS (
+  SELECT t.doc_id,
+         CAST(COALESCE(a.n, 0) AS BIGINT) AS n_feats,
+         CAST(COALESCE(a.s, 0) AS BIGINT) AS logit_milli
+  FROM toks t
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM wt GROUP BY doc_id) a
+    USING (doc_id)
+)
+SELECT doc_id, n_feats, logit_milli,
+       CASE WHEN n_feats > 0 THEN
+         round(1.0 / (1.0 + exp(-(logit_milli / (1000.0 * n_feats)))), 6) END AS p_keep,
+       CASE WHEN n_feats > 0 AND logit_milli > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM agg
+"""
+
+
+# --------------------------------------------------- stratified weighted sample
+
+def q_weighted_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language k=5 weighted document sample, weight = n_chars
+    (operators/sampling.py::weighted_reservoir_by — per-group A-ES keys,
+    one group-keyed window)."""
+    return sampling.weighted_reservoir_by(
+        _t(spark, sf_dir, "documents"), k=5, weight_col="n_chars", by="lang"
+    )
+
+
+SQL_WEIGHTED_SAMPLE_BY = f"""
+WITH v AS (
+  SELECT lang, doc_id, n_chars AS weight,
+         {_hv_sql("CAST(doc_id AS VARCHAR)")} AS hv
+  FROM documents
+),
+keyed AS (
+  SELECT lang, doc_id, weight, -ln((hv + 0.5) / 4294967296.0) / weight AS k
+  FROM v
+),
+r AS (
+  SELECT lang, doc_id, weight, k,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k ASC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, weight, round(k, 6) AS sample_key, CAST(rn AS INT) AS draw
+FROM r WHERE rn <= 5
+"""
+
+
+# ------------------------------------------------------------- JL projection
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 Johnson–Lindenstrauss projection of every embedding with the
+    per-vector norm-distortion audit (operators/similarity.py::
+    jl_project — exact-integer components, zero shuffle)."""
+    return similarity.jl_project(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, seed=7
+    )
+
+
+def _sql_jl_projection(k: int = 8, seed: int = 7, dim: int = 64) -> str:
+    mat = similarity.jl_matrix(k, dim, seed)
+    comps = []
+    for j in range(k):
+        terms = " + ".join(
+            f"({c} * qe[{i + 1}])" for i, c in enumerate(mat[j]) if c != 0
+        )
+        comps.append(f"CAST({terms or '0'} AS BIGINT) AS y_{j}")
+    ys = ", ".join(f"y_{j}" for j in range(k))
+    y2 = " + ".join(f"y_{j} * y_{j}" for j in range(k))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+  FROM embeddings
+),
+p AS (SELECT vec_id, qe, {', '.join(comps)} FROM q),
+f AS (
+  SELECT vec_id, [{ys}] AS proj,
+         CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS x_norm2,
+         CAST({y2} AS BIGINT) AS y_norm2
+  FROM p
+)
+SELECT vec_id, proj, x_norm2, y_norm2,
+       CASE WHEN x_norm2 > 0 THEN
+         round(sqrt(y_norm2 * (3.0 / {k})) / sqrt(CAST(x_norm2 AS DOUBLE)), 6)
+       END AS distortion
+FROM f
+"""
+
+
+SQL_JL_PROJECTION = _sql_jl_projection()
+
+
+# -------------------------------------------------------- interval difference
+
+def q_interval_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user uncovered windows: activity intervals (every non-error
+    event opens [ts, ts + value sec)) MINUS error intervals
+    (operators/timeseries.py::interval_subtract — coalesce both sides +
+    one boundary sweep, never a base x holes interval join)."""
+    ev = _t(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    iv = ev.select(
+        "user_id",
+        "event_type",
+        tus.alias("start"),
+        (tus + F.round(F.col("value") * 1_000_000).cast("long")).alias("end"),
+    )
+    base = iv.where(F.col("event_type") != "error").drop("event_type")
+    holes = iv.where(F.col("event_type") == "error").drop("event_type")
+    out = timeseries.interval_subtract(base, holes, by=("user_id",))
+    return out.select(
+        "user_id", F.col("start").alias("start_us"), F.col("end").alias("end_us")
+    )
+
+
+# Oracle is deliberately a DIFFERENT formulation: elementary segments
+# from the union of all boundaries, EXISTS/NOT EXISTS coverage tests
+# (constant within an elementary segment), then an islands merge.
+SQL_INTERVAL_OUTAGES = """
+WITH iv AS (
+  SELECT user_id, event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e
+  FROM events
+),
+b AS (SELECT user_id, s, e FROM iv WHERE event_type <> 'error'),
+h AS (SELECT user_id, s, e FROM iv WHERE event_type = 'error'),
+bounds AS (
+  SELECT DISTINCT user_id, t FROM (
+    SELECT user_id, s AS t FROM b UNION ALL SELECT user_id, e FROM b
+    UNION ALL SELECT user_id, s FROM h UNION ALL SELECT user_id, e FROM h
+  )
+),
+seg AS (
+  SELECT user_id, t AS s,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS e
+  FROM bounds
+),
+kept AS (
+  SELECT user_id, s, e FROM seg
+  WHERE e IS NOT NULL AND e > s
+    AND EXISTS (SELECT 1 FROM b
+                WHERE b.user_id = seg.user_id AND b.s <= seg.s AND b.e >= seg.e)
+    AND NOT EXISTS (SELECT 1 FROM h
+                    WHERE h.user_id = seg.user_id AND h.s < seg.e AND h.e > seg.s)
+),
+x AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM kept
+),
+y AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM x
+)
+SELECT user_id, MIN(s) AS start_us, MAX(e) AS end_us
+FROM y GROUP BY user_id, isl
+"""
+
+
+# ------------------------------------------------------------- BFS distances
+
+_BFS_HOPS = 3
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the nearest seed within 3 hops over the same
+    deterministic 3-out-regular link graph as the pagerank gate
+    (v -> (2v+1)%N, (3v+7)%N, (5v+11)%N), seeds = doc_id % 50 == 0,
+    directed (operators/graph.py::bfs_distances — frontier join +
+    settled anti-join per hop, checkpointed)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = docs.agg(F.count("*").alias("nn"))
+    v = F.col("doc_id")
+    edges = docs.join(F.broadcast(n_row)).select(
+        v.alias("src"),
+        F.explode(
+            F.array(
+                (2 * v + 1) % F.col("nn"),
+                (3 * v + 7) % F.col("nn"),
+                (5 * v + 11) % F.col("nn"),
+            )
+        ).alias("dst"),
+    )
+    sources = docs.where(v % 50 == 0).select(v.alias("node"))
+    out = graph.bfs_distances(
+        edges, sources, max_hops=_BFS_HOPS, directed=True
+    )
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def _sql_bfs_hops(max_hops: int = _BFS_HOPS) -> str:
+    ctes = [
+        "n AS (SELECT COUNT(*) AS nn FROM documents)",
+        """e AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, (2 * doc_id + 1) % nn AS dst FROM documents, n
+    UNION ALL SELECT doc_id, (3 * doc_id + 7) % nn FROM documents, n
+    UNION ALL SELECT doc_id, (5 * doc_id + 11) % nn FROM documents, n
+  ) WHERE src <> dst GROUP BY src, dst
+)""",
+        "r0 AS MATERIALIZED (SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0)",
+        "s0 AS MATERIALIZED (SELECT node FROM r0)",
+    ]
+    for hop in range(1, max_hops + 1):
+        ctes.append(
+            f"""r{hop} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node FROM e JOIN r{hop - 1} f ON e.src = f.node
+  WHERE e.dst NOT IN (SELECT node FROM s{hop - 1})
+)"""
+        )
+        ctes.append(
+            f"s{hop} AS MATERIALIZED (SELECT node FROM s{hop - 1} UNION ALL SELECT node FROM r{hop})"
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT node, CAST({hop} AS INT) AS dist FROM r{hop}"
+        for hop in range(max_hops + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+SQL_BFS_HOPS = _sql_bfs_hops()
+
+
+# ----------------------------------------------------- shard boundary overlap
+
+_SHARD_K = 8
+_SPLIT_MIN = 24
+_HEAD_LEN = 16
+
+
+def q_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-boundary duplication sweep (operators/dedup.py::
+    boundary_overlap_pairs, k=8) over a deterministic re-sharding of the
+    corpus: every document with >= 24 words is split into shard 2d
+    (words 1..16) and shard 2d+1 (words 9..end) — an 8-word overlap at
+    the seam, the split-document shape — while shorter docs pass through
+    whole as shard 2d. The detector must recover exactly the seams (plus
+    any incidental cross-document window collisions, which both engines
+    surface identically)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.nonempty_tokens_col("text")
+    base = docs.select("doc_id", toks.alias("ts"))
+    long_docs = base.where(F.size("ts") >= _SPLIT_MIN)
+    shard_a = long_docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.array_join(F.slice("ts", 1, _HEAD_LEN), " ").alias("text"),
+    )
+    shard_b = long_docs.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                "ts",
+                _HEAD_LEN - _SHARD_K + 1,
+                F.size("ts") - (_HEAD_LEN - _SHARD_K),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    whole = base.where(F.size("ts") < _SPLIT_MIN).select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.array_join("ts", " ").alias("text"),
+    )
+    shards = shard_a.unionByName(shard_b).unionByName(whole)
+    return dedup.boundary_overlap_pairs(shards, k=_SHARD_K)
+
+
+SQL_SHARD_OVERLAP = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+shards AS (
+  SELECT doc_id * 2 AS sid, array_to_string(ts[1:{_HEAD_LEN}], ' ') AS txt
+  FROM t WHERE len(ts) >= {_SPLIT_MIN}
+  UNION ALL
+  SELECT doc_id * 2 + 1, array_to_string(ts[{_HEAD_LEN - _SHARD_K + 1}:len(ts)], ' ')
+  FROM t WHERE len(ts) >= {_SPLIT_MIN}
+  UNION ALL
+  SELECT doc_id * 2, array_to_string(ts, ' ')
+  FROM t WHERE len(ts) < {_SPLIT_MIN}
+),
+sides AS (
+  SELECT sid, ws,
+         array_to_string(ws[1:{_SHARD_K}], ' ') AS head_txt,
+         array_to_string(ws[len(ws) - {_SHARD_K - 1}:len(ws)], ' ') AS tail_txt
+  FROM (SELECT sid, list_filter(string_split(txt, ' '), t -> t <> '') AS ws
+        FROM shards)
+  WHERE len(ws) >= {_SHARD_K}
+)
+SELECT a.sid AS doc_a, b.sid AS doc_b, a.tail_txt AS overlap
+FROM sides a JOIN sides b ON a.tail_txt = b.head_txt AND a.sid <> b.sid
+"""
+
+
+QUERIES_R9 = {
+    "readability_scores": q_readability_scores,
+    "temperature_mixture": q_temperature_mixture,
+    "quality_classifier": q_quality_classifier,
+    "weighted_sample_by": q_weighted_sample_by,
+    "jl_projection": q_jl_projection,
+    "interval_outages": q_interval_outages,
+    "bfs_hops": q_bfs_hops,
+    "shard_overlap": q_shard_overlap,
+}
+
+ORACLES_R9 = {
+    "readability_scores": SQL_READABILITY_SCORES,
+    "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "weighted_sample_by": SQL_WEIGHTED_SAMPLE_BY,
+    "jl_projection": SQL_JL_PROJECTION,
+    "interval_outages": SQL_INTERVAL_OUTAGES,
+    "bfs_hops": SQL_BFS_HOPS,
+    "shard_overlap": SQL_SHARD_OVERLAP,
+}

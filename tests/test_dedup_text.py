@@ -477,3 +477,24 @@ def test_boundary_overlap_pairs_no_self_and_identical_docs_both_ways(spark):
         for r in boundary_overlap_pairs(docs, k=4).collect()
     )
     assert out == [(1, 2), (2, 1)]
+
+
+def test_boundary_overlap_pairs_tolerates_docs_shorter_than_k(spark):
+    # regression: the size >= k guard does not stop codegen from
+    # evaluating the tail slice as a shared subexpression inside the
+    # Filter stage; with a 2-word doc the slice start went non-positive
+    # and aborted the whole job before the greatest() floor
+    from database_collector_spark.operators.dedup import boundary_overlap_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b"),  # shorter than k: no window, no crash
+            Row(doc_id=2, text="w x y z tail one two three"),
+            Row(doc_id=3, text="tail one two three p q r s"),
+        ]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["overlap"]
+        for r in boundary_overlap_pairs(docs, k=4).collect()
+    }
+    assert got == {(2, 3): "tail one two three"}
