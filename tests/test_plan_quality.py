@@ -539,3 +539,50 @@ def test_bigram_logppl_broadcasts_count_tables(spark):
     plan = _plan(q_bigram_logppl(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hashed_classifier_inrow_path_zero_shuffle(spark):
+    from database_collector_spark.operators.text import hashed_classifier
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(hashed_classifier(_t(spark, SF, "documents"), bigrams=True))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_temperature_mixture_single_aggregate_exchange(spark):
+    from database_collector_spark import curation
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(curation.temperature_mixture(_t(spark, SF, "documents")))
+    # one partial->final aggregate pair on the domain key; the
+    # normalization windows run post-aggregate over |domains| rows
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_readability_zero_shuffle(spark):
+    from database_collector_spark.operators.text import readability
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(readability(_t(spark, SF, "documents")))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_shard_overlap_candidates_via_hash_equi_join(spark):
+    from database_collector_spark import workloads_r9
+
+    plan = _plan(workloads_r9.q_shard_overlap(spark, SF))
+    # candidate pairs MUST come from the window-hash equi-join — never a
+    # nested-loop/cartesian text scan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_outages_never_joins_base_with_holes(spark):
+    from database_collector_spark import workloads_r9
+
+    plan = _plan(workloads_r9.q_interval_outages(spark, SF))
+    # the sweep is window-only: unions + keyed windows, zero joins — a
+    # base x holes interval join would appear as any join operator
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
