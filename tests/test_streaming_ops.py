@@ -689,3 +689,41 @@ def test_streaming_m4_windows_match_batch_twin(spark):
             if key in want:  # the 12:00 straggler window may stay open
                 assert vals == want[key], key
         assert sum(1 for k in emitted if k in want) >= 6
+
+
+def test_streaming_quality_gate_matches_batch_classifier(spark):
+    """hashed_classifier is a stateless projection, so the same call
+    runs unchanged over readStream — the ingest-time quality gate: docs
+    arriving across micro-batches score exactly as the batch pass over
+    the union would (no state, no watermark, per-row decision)."""
+    from database_collector_spark.operators.text import hashed_classifier
+
+    recs1 = [
+        {"doc_id": 1, "text": "the quick brown fox jumps"},
+        {"doc_id": 2, "text": "zzz qqq"},
+    ]
+    recs2 = [
+        {"doc_id": 3, "text": "some more text arriving later"},
+        {"doc_id": 4, "text": ""},
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        _write(src, "b1.json", recs1)
+        _write(src, "b2.json", recs2)
+
+        def build(path):
+            stream = spark.readStream.schema("doc_id long, text string").json(path)
+            return hashed_classifier(stream, n_buckets=64, salt="s", bigrams=True)
+
+        got = _run_stream(spark, src, build, f"{tmp}/ckpt")
+        batch = hashed_classifier(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in recs1 + recs2],
+                "doc_id long, text string",
+            ),
+            n_buckets=64,
+            salt="s",
+            bigrams=True,
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
