@@ -3,11 +3,13 @@ the "switch from the reference and run everything" demonstration.
 
     raw parquet corpus
       -> quality + entropy + perplexity filters      (zero-shuffle scans)
+      -> hashed-classifier model gate (audit mode)   (zero-shuffle fold)
       -> exact dedup + MinHash-LSH near-dup tier     (bounded wide ops)
       -> leakage-safe group-aware train/val/test     (map-side labels)
       -> BPE tokenizer train + corpus token counts   (vocab-sized loop)
       -> overlapping-window chunking                 (map expansion)
       -> z-ordered curated write                     (range-partitioned)
+      -> temperature-mixture sampling recipe         (|domains|-row agg)
 
 Run:  python examples/full_pipeline.py [sf_dir] [out_dir]
 Defaults: /root/testdata/sf0.001 and a temp directory.
@@ -45,6 +47,15 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         .drop("entropy")
     )
 
+    # 1b. model-based quality gate (fastText-shape hashed classifier) in
+    #     AUDIT mode: scores attach to every surviving doc and the keep
+    #     fraction is reported; a real deployment loads trained weights
+    #     (hashed_classifier(weights=...)) and filters on label/p_keep.
+    scores = text.hashed_classifier(kept, bigrams=True).select(
+        "doc_id", "p_keep", F.col("label").alias("clf_label")
+    )
+    kept = kept.join(scores, "doc_id")
+
     # 2. leakage-safe split OVERRIDES the per-doc split from curate():
     #    byte-identical texts can never straddle train/test.
     split = curation.leakage_safe_split(kept).select("doc_id", "split")
@@ -71,6 +82,16 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
 
     chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
 
+    # 6. sampling recipe: temperature-scaled domain mixture over the
+    #    curated corpus — the oversample factors a repeat-sampler applies
+    #    when assembling the final training mix.
+    mixture = {
+        r["domain"]: r["oversample"]
+        for r in curation.temperature_mixture(
+            kept, by="source", temperature=2.0
+        ).collect()
+    }
+
     stats = {
         "n_raw": docs.count(),
         "n_kept": kept.count(),
@@ -80,6 +101,10 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
             r["split"]: r["n"]
             for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
         },
+        "clf_keep_frac": kept.agg(
+            F.round(F.avg((F.col("clf_label") == "keep").cast("double")), 4)
+        ).collect()[0][0],
+        "mixture_oversample": mixture,
     }
     kept.unpersist()
     return stats

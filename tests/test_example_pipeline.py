@@ -24,6 +24,10 @@ def test_full_pipeline_end_to_end(spark):
         assert stats["n_merges"] == 8
         assert set(stats["splits"]) <= {"train", "val", "test"}
         assert sum(stats["splits"].values()) == stats["n_kept"]
+        assert 0.0 <= stats["clf_keep_frac"] <= 1.0
+        assert stats["mixture_oversample"] and all(
+            v > 0 for v in stats["mixture_oversample"].values()
+        )
         # artifacts on disk, readable, with the expected columns
         curated = spark.read.parquet(f"{out}/curated")
         assert {"doc_id", "split", "n_bpe_tokens", "_zkey"} <= set(curated.columns)
