@@ -949,3 +949,55 @@ def jl_distortion_report(
             6,
         ).alias("frac_within_30pct"),
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame, *, top_n: int = 20, dims: int = EMBED_DIM
+) -> DataFrame:
+    """Global-centroid outlier audit: the ``top_n`` vectors farthest
+    (squared L2) from the corpus mean embedding — the standard screen
+    for corrupt encodes, wrong-modality rows, and junk clusters before
+    an embedding corpus feeds dedup/ANN tiers.
+
+    Exactness chain: with the quantized integers qe, the residual
+    r_i = n·qe_i − s_i (s_i = Σ qe_i, both exact int64; |r_i| stays
+    under 2^53 for any corpus where n·scale·max|x| does — ~1e15 rows at
+    unit-normalized embeddings) is EXACT in double; dist2 = Σ r_i² is
+    accumulated in a PINNED left-to-right association order, generated
+    identically in the Spark expression and the oracle SQL, so every
+    double is bit-identical across engines even where r_i² exceeds
+    integer range. d2 = dist2 / (n²·scale²) rescales to input units
+    (the divisor is a power-of-two multiple of an exact square —
+    exact), rounded to 6.
+
+    Plan: ONE count+dims-sums aggregate (single row) broadcast back
+    over the corpus, the fold is codegen map-side, and top_n is a
+    TakeOrdered (per-partition heaps + driver merge of top_n·p rows) —
+    no corpus shuffle anywhere. Ties cannot flip: dist2 is bit-exact
+    and the sort breaks ties by vec_id.
+    """
+    base = with_quantized(embeddings)
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.element_at("qe", i + 1)).alias(f"_s{i}") for i in range(dims)
+    ]
+    stats = base.agg(*aggs)
+    joined = base.join(F.broadcast(stats))
+    dist2 = None
+    for i in range(dims):
+        r = (
+            F.col("_n").cast("double") * F.element_at("qe", i + 1).cast("double")
+            - F.col(f"_s{i}").cast("double")
+        )
+        term = r * r
+        dist2 = term if dist2 is None else dist2 + term
+    nd = (
+        F.col("_n").cast("double")
+        * F.col("_n").cast("double")
+        * F.lit(float(QUANT_SCALE) * float(QUANT_SCALE))
+    )
+    return (
+        joined.select("vec_id", (dist2 / nd).alias("_d2"))
+        .orderBy(F.desc("_d2"), F.asc("vec_id"))
+        .limit(top_n)
+        .select("vec_id", F.round("_d2", 6).alias("d2_from_mean"))
+    )

@@ -235,6 +235,49 @@ FROM f
 SQL_JL_PROJECTION = _sql_jl_projection()
 
 
+# ---------------------------------------------------------- embedding outliers
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vectors farthest from the corpus mean embedding
+    (operators/similarity.py::embedding_outliers — one stats aggregate
+    broadcast back, pinned-order double fold, TakeOrdered)."""
+    return similarity.embedding_outliers(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), top_n=20
+    )
+
+
+def _sql_embedding_outliers(top_n: int = 20, dims: int = 64) -> str:
+    scale2 = float(1 << 40)  # QUANT_SCALE^2
+    sums = ", ".join(
+        f"CAST(SUM(qe[{i + 1}]) AS BIGINT) AS s{i}" for i in range(dims)
+    )
+    # association order MUST match the Spark fold: ((t0 + t1) + t2) ...
+    terms = " + ".join(
+        f"((CAST(n AS DOUBLE) * CAST(qe[{i + 1}] AS DOUBLE) - CAST(s{i} AS DOUBLE))"
+        f" * (CAST(n AS DOUBLE) * CAST(qe[{i + 1}] AS DOUBLE) - CAST(s{i} AS DOUBLE)))"
+        for i in range(dims)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+  FROM embeddings
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums} FROM q),
+d AS (
+  SELECT vec_id,
+         ({terms}) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * {scale2}) AS d2
+  FROM q, s
+)
+SELECT vec_id, round(d2, 6) AS d2_from_mean
+FROM d ORDER BY d2 DESC, vec_id ASC LIMIT {top_n}
+"""
+
+
+SQL_EMBEDDING_OUTLIERS = _sql_embedding_outliers()
+
+
 # -------------------------------------------------------- interval difference
 
 def q_interval_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +490,7 @@ QUERIES_R9 = {
     "quality_classifier": q_quality_classifier,
     "weighted_sample_by": q_weighted_sample_by,
     "jl_projection": q_jl_projection,
+    "embedding_outliers": q_embedding_outliers,
     "interval_outages": q_interval_outages,
     "bfs_hops": q_bfs_hops,
     "shard_overlap": q_shard_overlap,
@@ -458,6 +502,7 @@ ORACLES_R9 = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "weighted_sample_by": SQL_WEIGHTED_SAMPLE_BY,
     "jl_projection": SQL_JL_PROJECTION,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "interval_outages": SQL_INTERVAL_OUTAGES,
     "bfs_hops": SQL_BFS_HOPS,
     "shard_overlap": SQL_SHARD_OVERLAP,

@@ -593,3 +593,46 @@ def test_jl_project_plan_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # zero-shuffle projection
+
+
+def test_embedding_outliers_matches_python_reference(spark):
+    vecs = {
+        1: [0.0, 0.0, 0.0, 0.0],
+        2: [1.0, 1.0, 1.0, 1.0],
+        3: [0.25, 0.25, 0.25, 0.25],
+        4: [-2.0, 0.5, 0.0, 0.75],
+    }
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()]
+    )
+    got = [
+        (r["vec_id"], r["d2_from_mean"])
+        for r in similarity.embedding_outliers(df, top_n=3, dims=4).collect()
+    ]
+    qe = {i: [round(x * similarity.QUANT_SCALE) for x in v] for i, v in vecs.items()}
+    n = len(vecs)
+    s = [sum(qe[i][d] for i in qe) for d in range(4)]
+    ref = {}
+    for i in qe:
+        dist2 = 0.0
+        for d in range(4):
+            r = float(n * qe[i][d]) - float(s[d])
+            dist2 += r * r
+        ref[i] = dist2 / (float(n) * float(n) * float(similarity.QUANT_SCALE) ** 2)
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [v for v, _ in got] == [v for v, _ in expect]
+    for (_, g), (_, e) in zip(got, expect):
+        assert abs(g - e) < 5e-7
+
+
+def test_embedding_outliers_no_corpus_shuffle(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        similarity.embedding_outliers(emb, top_n=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # stats row broadcast back; top_n via TakeOrdered — the only
+    # exchange permitted is the single-row aggregate's
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
