@@ -67,3 +67,11 @@ def test_staged_gate_matches_oracle(spark, con, name):
     assert check.value_hash(s_canon) == check.value_hash(o_canon), (
         f"{name}: value hash mismatch; first spark={s_canon[:2]} oracle={o_canon[:2]}"
     )
+
+
+def test_staged_names_do_not_collide_with_registered_gates():
+    import __spark_entry__ as entry
+
+    registered = set(entry.oracle_sql())
+    overlap = registered & set(workloads_r9.QUERIES_R9)
+    assert not overlap, f"staged names shadow registered gates: {overlap}"
