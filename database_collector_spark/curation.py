@@ -306,3 +306,47 @@ def temperature_mixture(
         )
         .orderBy("domain")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus version diff: per-document added / removed / changed /
+    unchanged status between two snapshots, by content hash — the audit
+    every dataset release needs (what moved between corpus v1 and v2,
+    and is the churn rate sane) and the input to incremental
+    re-processing (only 'added' + 'changed' re-enter the pipeline).
+
+    Plan: each side reduces to (id, md5(text)) map-side, then ONE
+    full-outer equi-join on the id — co-partitioned, one exchange per
+    side (zero with both snapshots bucketed by id via sinks/bucketed).
+    Never a text-comparison join: texts meet only through their hashes.
+
+    Output: (id_col, old_h, new_h, status); hash columns are NULL on
+    the absent side.
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("old_h")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("new_h")
+    )
+    status = (
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .when(F.col("old_h") != F.col("new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "_id", "full_outer").select(
+        F.col("_id").alias(id_col), "old_h", "new_h", status.alias("status")
+    )
+
+
+def corpus_diff_summary(diff: DataFrame) -> DataFrame:
+    """Status counts from :func:`corpus_diff` — the release-gate
+    numbers (4 rows max; churn thresholds alert on these)."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -235,6 +235,57 @@ FROM f
 SQL_JL_PROJECTION = _sql_jl_projection()
 
 
+# ----------------------------------------------------------------- corpus diff
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff documents -> v2 under a deterministic closed-form
+    mutation — drop doc_id % 17 == 0, rewrite text for doc_id % 13 == 0,
+    add shifted-id docs for doc_id % 19 == 0 — and report every
+    non-unchanged row (curation.py::corpus_diff: map-side content
+    hashes + ONE full-outer equi-join)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = F.col("doc_id")
+    survivors = docs.where(v % 17 != 0).select(
+        "doc_id",
+        F.when(v % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(v % 19 == 0).select(
+        (v + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("added "), F.col("text")).alias("text"),
+    )
+    new = survivors.unionByName(added)
+    return curation.corpus_diff(docs, new).where(F.col("status") != "unchanged")
+
+
+SQL_CORPUS_DIFF = """
+WITH old AS (SELECT doc_id, md5(text) AS old_h FROM documents),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS new_h
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, md5('added ' || text)
+  FROM documents WHERE doc_id % 19 = 0
+),
+j AS (
+  SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id, old_h, new_h
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT doc_id, old_h, new_h,
+       CASE WHEN old_h IS NULL THEN 'added'
+            WHEN new_h IS NULL THEN 'removed'
+            WHEN old_h <> new_h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j
+WHERE CASE WHEN old_h IS NULL THEN 'added'
+           WHEN new_h IS NULL THEN 'removed'
+           WHEN old_h <> new_h THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+"""
+
+
 # ---------------------------------------------------------- embedding outliers
 
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,6 +542,7 @@ QUERIES_R9 = {
     "weighted_sample_by": q_weighted_sample_by,
     "jl_projection": q_jl_projection,
     "embedding_outliers": q_embedding_outliers,
+    "corpus_diff": q_corpus_diff,
     "interval_outages": q_interval_outages,
     "bfs_hops": q_bfs_hops,
     "shard_overlap": q_shard_overlap,
@@ -503,6 +555,7 @@ ORACLES_R9 = {
     "weighted_sample_by": SQL_WEIGHTED_SAMPLE_BY,
     "jl_projection": SQL_JL_PROJECTION,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "corpus_diff": SQL_CORPUS_DIFF,
     "interval_outages": SQL_INTERVAL_OUTAGES,
     "bfs_hops": SQL_BFS_HOPS,
     "shard_overlap": SQL_SHARD_OVERLAP,

@@ -282,3 +282,51 @@ def test_temperature_mixture_limits(spark):
     assert t1["code"]["temp_weight"] < t2["code"]["temp_weight"] < t9["code"]["temp_weight"]
     with _pytest.raises(ValueError):
         curation.temperature_mixture(docs, temperature=0.0)
+
+
+def test_corpus_diff_statuses(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    old = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="same"),
+            Row(doc_id=2, text="before"),
+            Row(doc_id=3, text="gone"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="same"),
+            Row(doc_id=2, text="after"),
+            Row(doc_id=4, text="fresh"),
+        ]
+    )
+    d = curation.corpus_diff(old, new)
+    got = {r["doc_id"]: r["status"] for r in d.collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # hash columns are NULL exactly on the absent side
+    nulls = {r["doc_id"]: (r["old_h"] is None, r["new_h"] is None) for r in d.collect()}
+    assert nulls[3] == (False, True) and nulls[4] == (True, False)
+    summary = {
+        r["status"]: r["n_docs"]
+        for r in curation.corpus_diff_summary(d).collect()
+    }
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_corpus_diff_joins_hashes_not_texts(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    old = spark.createDataFrame([Row(doc_id=1, text="a")])
+    new = spark.createDataFrame([Row(doc_id=1, text="a")])
+    plan = (
+        curation.corpus_diff(old, new)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one equi-join on the id; never a nested-loop text comparison
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
