@@ -170,3 +170,53 @@ def encode_corpus(
         F.size(toks).alias("n_words"),
         n_tokens.alias("n_bpe_tokens"),
     )
+
+
+def fertility_report(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility audit: BPE tokens per word and
+    characters per BPE token — the standard suitability check before
+    committing a tokenizer to a multilingual corpus (high fertility on
+    a language means its texts cost disproportionate sequence length;
+    the mT5/XLM-R papers report exactly this table). Groups are
+    typically languages or sources.
+
+    Composition: :func:`encode_corpus`'s zero-shuffle projection
+    supplies exact integer (n_words, n_bpe_tokens) per doc; joined back
+    to the group key and character count, the report is ONE |groups|-row
+    aggregate of integer sums — fertility and chars/token are the only
+    doubles, derived from exact totals and rounded (corpus-size-free
+    state, scan-speed cost).
+
+    Output per group: (group, n_docs, n_words, n_chars, n_bpe_tokens,
+    fertility, chars_per_token).
+    """
+    counts = encode_corpus(docs, merges, text_col=text_col)
+    keyed = docs.select(
+        "doc_id", F.col(by).alias("grp"), F.length(text_col).alias("n_chars")
+    ).join(counts, "doc_id")
+    return (
+        keyed.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col("grp").alias(by),
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4).alias("fertility"),
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+    )

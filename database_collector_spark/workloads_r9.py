@@ -235,6 +235,47 @@ FROM f
 SQL_JL_PROJECTION = _sql_jl_projection()
 
 
+# ---------------------------------------------------------- tokenizer fertility
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE tokens/word, chars/token)
+    after learning 4 merges on the corpus (operators/bpe.py::
+    fertility_report — encode projection + one |langs|-row aggregate)."""
+    from database_collector_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merge_rows = bpe.train(docs, n_merges=4).orderBy("rank").collect()
+    merges = [(r["sym_a"], r["sym_b"]) for r in merge_rows]
+    return bpe.fertility_report(docs, merges, by="lang")
+
+
+def _sql_bpe_fertility() -> str:
+    from database_collector_spark.workloads_ir import _sql_bpe_encode
+
+    return f"""
+WITH enc AS (SELECT * FROM ({_sql_bpe_encode(4)}) q),
+k AS (
+  SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars,
+         e.n_words, e.n_bpe_tokens
+  FROM documents d JOIN enc e USING (doc_id)
+),
+a AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS n_words,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+  FROM k GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
+       round(n_bpe_tokens * 1.0 / n_words, 4) AS fertility,
+       round(n_chars * 1.0 / n_bpe_tokens, 4) AS chars_per_token
+FROM a
+"""
+
+
+SQL_BPE_FERTILITY = _sql_bpe_fertility()
+
+
 # ----------------------------------------------------------------- corpus diff
 
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,6 +584,7 @@ QUERIES_R9 = {
     "jl_projection": q_jl_projection,
     "embedding_outliers": q_embedding_outliers,
     "corpus_diff": q_corpus_diff,
+    "bpe_fertility": q_bpe_fertility,
     "interval_outages": q_interval_outages,
     "bfs_hops": q_bfs_hops,
     "shard_overlap": q_shard_overlap,
@@ -556,6 +598,7 @@ ORACLES_R9 = {
     "jl_projection": SQL_JL_PROJECTION,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "corpus_diff": SQL_CORPUS_DIFF,
+    "bpe_fertility": SQL_BPE_FERTILITY,
     "interval_outages": SQL_INTERVAL_OUTAGES,
     "bfs_hops": SQL_BFS_HOPS,
     "shard_overlap": SQL_SHARD_OVERLAP,

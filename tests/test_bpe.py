@@ -127,3 +127,33 @@ def test_encode_corpus_consistent_with_trained_vocab_segmentation(spark):
                 syms = out
             n += len(syms)
         assert got[i] == n
+
+
+def test_fertility_report_hand_fixture(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            # with merge (a,b): "ab ab" -> 2 tokens; words 2; chars 5
+            Row(doc_id=1, lang="en", text="ab ab"),
+            # "abc" -> [ab, c] = 2 tokens; words 1; chars 3
+            Row(doc_id=2, lang="en", text="abc"),
+            # "xyz" -> 3 tokens (no merge applies); words 1; chars 3
+            Row(doc_id=3, lang="de", text="xyz"),
+        ]
+    )
+    got = {
+        r["lang"]: r
+        for r in bpe.fertility_report(docs, [("a", "b")], by="lang").collect()
+    }
+    en = got["en"]
+    assert (en["n_docs"], en["n_words"], en["n_chars"], en["n_bpe_tokens"]) == (
+        2, 3, 8, 4,
+    )
+    assert abs(en["fertility"] - round(4 / 3, 4)) < 1e-9
+    assert abs(en["chars_per_token"] - 2.0) < 1e-9
+    de = got["de"]
+    assert (de["n_words"], de["n_bpe_tokens"]) == (1, 3)
+    assert abs(de["fertility"] - 3.0) < 1e-9
