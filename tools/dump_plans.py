@@ -50,6 +50,15 @@ PICKS = [
     ("dedup_containment", "directional containment over blocked pair counts"),
 ]
 
+# staged r9 gates (workloads_r9.py) — not yet registered with the driver
+STAGED_PICKS = [
+    ("quality_classifier", "zero-shuffle hashed-model fold (fastText shape)"),
+    ("jl_projection", "map-only JL projection (Exchange-free)"),
+    ("embedding_outliers", "single-row stats broadcast + TakeOrdered top-n"),
+    ("interval_outages", "join-free interval difference (window sweep)"),
+    ("corpus_diff", "full-outer hash diff (texts never join)"),
+]
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -65,8 +74,15 @@ def main() -> None:
         "`tests/test_plan_quality.py`; this file is the human-readable half.",
         "",
     ]
-    for name, why in PICKS:
-        df = qs[name](spark, SF)
+    from database_collector_spark import workloads_r9
+
+    staged = {n: (workloads_r9.QUERIES_R9[n], True) for n, _ in STAGED_PICKS}
+    for name, why in PICKS + STAGED_PICKS:
+        if name in staged:
+            df = staged[name][0](spark, SF)
+            why = f"{why} [staged r9]"
+        else:
+            df = qs[name](spark, SF)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
@@ -74,7 +90,7 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md with {len(PICKS)} plans")
+    print(f"wrote PLANS.md with {len(PICKS) + len(STAGED_PICKS)} plans")
 
 
 if __name__ == "__main__":
