@@ -5,7 +5,11 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 row count, sorted column names, and an order-insensitive canonical value
 hash — the same shape of check the driver records in CORRECTNESS_r{N}.json.
 
-Usage:  python tools/check.py [sf_dir] [query_name ...]
+Usage:  python tools/check.py [--staged] [sf_dir] [query_name ...]
+
+``--staged`` additionally includes the workloads_r9 STAGED gates (not
+yet registered with the driver) so they run through the exact same
+harness.
 """
 
 from __future__ import annotations
@@ -65,8 +69,12 @@ def value_hash(canon: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    staged = "--staged" in args
+    if staged:
+        args = [a for a in args if a != "--staged"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from database_collector_spark.session import get_spark
@@ -80,6 +88,11 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if staged:
+        from database_collector_spark import workloads_r9
+
+        queries = {**queries, **workloads_r9.QUERIES_R9}
+        oracles = {**oracles, **workloads_r9.ORACLES_R9}
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
