@@ -290,19 +290,28 @@ def temperature_mixture(
     # |domains| rows post-aggregate: the unpartitioned windows are bounded
     # by construction, never data-sized
     w = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    total = F.sum("n_tokens").over(w)
+    share = F.when(total > 0, F.col("n_tokens") / total)
     powed = F.pow(share, F.lit(1.0 / temperature))
+    # zero-token inputs degrade to NULL weights instead of aborting the
+    # job (Spark 4 ANSI DIVIDE_BY_ZERO): an all-empty domain gets
+    # share 0 / oversample NULL, an all-empty corpus gets NULL shares —
+    # fail-soft like the rest of the engine's boundaries
+    psum = F.sum("_p").over(w)
     return (
         per.withColumn("raw_share", share)
         .withColumn("_p", powed)
-        .withColumn("temp_weight", F.col("_p") / F.sum("_p").over(w))
+        .withColumn("temp_weight", F.when(psum > 0, F.col("_p") / psum))
         .select(
             "domain",
             "n_docs",
             "n_tokens",
             F.round("raw_share", 6).alias("raw_share"),
             F.round("temp_weight", 6).alias("temp_weight"),
-            F.round(F.col("temp_weight") / F.col("raw_share"), 4).alias("oversample"),
+            F.when(
+                F.col("raw_share") > 0,
+                F.round(F.col("temp_weight") / F.col("raw_share"), 4),
+            ).alias("oversample"),
         )
         .orderBy("domain")
     )
@@ -327,14 +336,15 @@ def corpus_diff(
     Never a text-comparison join: texts meet only through their hashes.
 
     Output: (id_col, old_h, new_h, status); hash columns are NULL on
-    the absent side.
+    the absent side — and ONLY there: a NULL text hashes to a sentinel
+    (md5(NULL) would propagate NULL and make a NULL-text doc present in
+    both snapshots read as 'added'; NULL text is in-domain for this
+    module, see kfold_split), so NULL->NULL is 'unchanged' and
+    NULL<->text transitions are 'changed'.
     """
-    o = old.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("old_h")
-    )
-    n = new.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("new_h")
-    )
+    h = F.coalesce(F.md5(F.col(text_col)), F.lit("\x00__null_text__"))
+    o = old.select(F.col(id_col).alias("_id"), h.alias("old_h"))
+    n = new.select(F.col(id_col).alias("_id"), h.alias("new_h"))
     status = (
         F.when(F.col("old_h").isNull(), F.lit("added"))
         .when(F.col("new_h").isNull(), F.lit("removed"))

@@ -214,9 +214,15 @@ def fertility_report(
             "n_words",
             "n_chars",
             "n_bpe_tokens",
-            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4).alias("fertility"),
-            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4).alias(
-                "chars_per_token"
-            ),
+            # zero-word / zero-token groups (all-empty texts) report
+            # NULL ratios instead of aborting under ANSI DIVIDE_BY_ZERO
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4),
+            ).alias("fertility"),
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4),
+            ).alias("chars_per_token"),
         )
     )

@@ -51,10 +51,14 @@ def weighted_reservoir(
     """k-item weighted sample without replacement: P(item in sample) is
     proportional-to-weight (exactly, sequentially over the k draws).
     Returns (id, weight, sample_key rounded to 6) for the k smallest
-    keys; deterministic for a fixed (corpus, salt)."""
+    keys; deterministic for a fixed (corpus, salt). Items with
+    non-positive weight are excluded up front — the A-ES semantics
+    (zero weight = never drawn), and the guard that keeps the key's
+    divide from aborting under ANSI on a zero-weight row."""
     key = sample_key(id_col, weight_col, salt)
     return (
-        df.select(
+        df.where(F.col(weight_col) > 0)
+        .select(
             F.col(id_col),
             F.col(weight_col).alias("weight"),
             key.alias("_key"),
@@ -82,13 +86,15 @@ def weighted_reservoir_by(
     group-keyed window — ONE shuffle regardless of group count, versus
     a per-group TakeOrdered loop which would schedule |groups| jobs.
     Deterministic for a fixed (corpus, salt); ties impossible (id in
-    the ordering)."""
+    the ordering). Non-positive weights are excluded up front, same
+    contract as :func:`weighted_reservoir`."""
     from pyspark.sql.window import Window
 
     key = sample_key(id_col, weight_col, salt)
     w = Window.partitionBy(by).orderBy(F.asc("_key"), F.asc(id_col))
     return (
-        df.select(
+        df.where(F.col(weight_col) > 0)
+        .select(
             F.col(by),
             F.col(id_col),
             F.col(weight_col).alias("weight"),

@@ -26,9 +26,11 @@ Public API limits honored (CloudWatch PutMetricData documentation):
 * <= 1000 MetricDatum per request (and ~1 MB payload; 1000 plain datums
   sit well under it);
 * <= 30 dimensions per metric — excess label pairs are dropped
-  deterministically (lexicographically-sorted prefix kept) and counted;
+  deterministically (lexicographically-sorted prefix kept);
 * values must be finite and within ~[8.515920e-109, 1.174271e+108] in
-  magnitude — NaN/Inf/oversized are dropped fail-soft and counted,
+  magnitude — NaN/Inf/oversized samples are dropped fail-soft, counted
+  into the optional ``dropped_acc`` Spark accumulator (the executor-side
+  channel for drop telemetry; without one the drop is silent by choice),
   denormal-small magnitudes are flushed to 0.0 (all mirroring how the
   engine's other boundaries fail soft instead of panicking, unlike
   secrets-manager.go:51);
@@ -139,9 +141,14 @@ class CloudWatchSink:
         storage_resolution: int = 60,
         chunk: int = MAX_DATUMS_PER_CALL,
         client_factory: Callable[[], object] | None = None,
+        dropped_acc=None,
     ) -> None:
         if not namespace or namespace.startswith(":"):
             raise ValueError(f"invalid CloudWatch namespace: {namespace!r}")
+        if int(chunk) < 1:
+            # a non-positive chunk would silently degrade to one datum
+            # per API call (1000x the request traffic) — loud instead
+            raise ValueError(f"chunk must be >= 1, got {chunk}")
         self.namespace = namespace
         self.region = region
         self.endpoint_url = endpoint_url
@@ -149,6 +156,9 @@ class CloudWatchSink:
         self.storage_resolution = storage_resolution
         self.chunk = min(int(chunk), MAX_DATUMS_PER_CALL)
         self.client_factory = client_factory
+        # optional Spark accumulator (anything with .add(int)): the
+        # executor->driver channel for fail-soft drop counts
+        self.dropped_acc = dropped_acc
 
     def _client(self):
         if self.client_factory is not None:
@@ -165,21 +175,23 @@ class CloudWatchSink:
     # rows: Row(labels: map, value: double, ts: timestamp)
     def __call__(self, rows: Iterator) -> None:
         client = None
-        datums = (
-            d
-            for d in (
-                to_datum(
+
+        def datums_of(rows):
+            for row in rows:
+                d = to_datum(
                     row["labels"],
                     row["value"],
                     row["ts"],
                     unit=self.unit,
                     storage_resolution=self.storage_resolution,
                 )
-                for row in rows
-            )
-            if d is not None
-        )
-        for batch in chunk_datums(datums, self.chunk):
+                if d is None:
+                    if self.dropped_acc is not None:
+                        self.dropped_acc.add(1)
+                    continue
+                yield d
+
+        for batch in chunk_datums(datums_of(rows), self.chunk):
             if client is None:  # lazy: empty partitions never build a client
                 client = self._client()
             client.put_metric_data(Namespace=self.namespace, MetricData=batch)
@@ -224,7 +236,10 @@ def publish_df(df, sink: CloudWatchSink, *, max_rows: int = 100_000) -> int:
             row["labels"], row["value"], row["ts"],
             unit=sink.unit, storage_resolution=sink.storage_resolution,
         )
-        if d is not None:
+        if d is None:
+            if sink.dropped_acc is not None:
+                sink.dropped_acc.add(1)
+        else:
             datums.append(d)
     for batch in chunk_datums(iter(datums), sink.chunk):
         client.put_metric_data(Namespace=sink.namespace, MetricData=batch)

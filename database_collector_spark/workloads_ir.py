@@ -147,7 +147,7 @@ WITH v AS (
                                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
                           AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - i))))
           FROM (SELECT unnest(generate_series(1, 8)) AS i)) AS hv
-  FROM documents
+  FROM documents WHERE n_chars > 0
 ),
 keyed AS (
   SELECT doc_id, weight,

@@ -109,7 +109,8 @@ t AS (
 SELECT domain, n_docs, n_tokens,
        round(share, 6) AS raw_share,
        round(p / (SELECT SUM(p) FROM t), 6) AS temp_weight,
-       round((p / (SELECT SUM(p) FROM t)) / share, 4) AS oversample
+       CASE WHEN share > 0 THEN
+         round((p / (SELECT SUM(p) FROM t)) / share, 4) END AS oversample
 FROM t
 """
 
@@ -173,7 +174,7 @@ SQL_WEIGHTED_SAMPLE_BY = f"""
 WITH v AS (
   SELECT lang, doc_id, n_chars AS weight,
          {_hv_sql("CAST(doc_id AS VARCHAR)")} AS hv
-  FROM documents
+  FROM documents WHERE n_chars > 0
 ),
 keyed AS (
   SELECT lang, doc_id, weight, -ln((hv + 0.5) / 4294967296.0) / weight AS k
@@ -267,8 +268,8 @@ a AS (
   FROM k GROUP BY lang
 )
 SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
-       round(n_bpe_tokens * 1.0 / n_words, 4) AS fertility,
-       round(n_chars * 1.0 / n_bpe_tokens, 4) AS chars_per_token
+       CASE WHEN n_words > 0 THEN round(n_bpe_tokens * 1.0 / n_words, 4) END AS fertility,
+       CASE WHEN n_bpe_tokens > 0 THEN round(n_chars * 1.0 / n_bpe_tokens, 4) END AS chars_per_token
 FROM a
 """
 
@@ -301,13 +302,14 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CORPUS_DIFF = """
-WITH old AS (SELECT doc_id, md5(text) AS old_h FROM documents),
+WITH old AS (SELECT doc_id, COALESCE(md5(text), chr(0) || '__null_text__') AS old_h FROM documents),
 new AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS new_h
+         COALESCE(md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END),
+                  chr(0) || '__null_text__') AS new_h
   FROM documents WHERE doc_id % 17 <> 0
   UNION ALL
-  SELECT doc_id + 10000000, md5('added ' || text)
+  SELECT doc_id + 10000000, COALESCE(md5('added ' || text), chr(0) || '__null_text__')
   FROM documents WHERE doc_id % 19 = 0
 ),
 j AS (

@@ -157,3 +157,20 @@ def test_fertility_report_hand_fixture(spark):
     de = got["de"]
     assert (de["n_words"], de["n_bpe_tokens"]) == (1, 3)
     assert abs(de["fertility"] - 3.0) < 1e-9
+
+
+def test_fertility_report_zero_word_group_is_fail_soft(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, lang="en", text="ab ab"), Row(doc_id=2, lang="xx", text="")]
+    )
+    got = {
+        r["lang"]: r for r in bpe.fertility_report(docs, [("a", "b")]).collect()
+    }
+    assert got["xx"]["n_words"] == 0
+    assert got["xx"]["fertility"] is None
+    assert got["xx"]["chars_per_token"] is None
+    assert got["en"]["fertility"] is not None

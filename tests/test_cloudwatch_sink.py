@@ -162,3 +162,46 @@ def test_empty_partition_builds_no_client():
         raise AssertionError("client built for an empty partition")
 
     CloudWatchSink("NS", client_factory=boom)(iter([]))
+
+
+class _Acc:
+    def __init__(self):
+        self.n = 0
+
+    def add(self, v):
+        self.n += v
+
+
+def test_dropped_samples_counted_into_accumulator():
+    import math
+
+    from database_collector_spark.sinks.cloudwatch import CloudWatchSink
+
+    calls = []
+
+    class _Client:
+        def put_metric_data(self, Namespace, MetricData):
+            calls.append(len(MetricData))
+
+    acc = _Acc()
+    sink = CloudWatchSink("ns", client_factory=_Client, dropped_acc=acc)
+    rows = [
+        {"labels": {"__name__": "m"}, "value": 1.0, "ts": None},
+        {"labels": {"__name__": "m"}, "value": math.nan, "ts": None},
+        {"labels": {"__name__": "m"}, "value": math.inf, "ts": None},
+        {"labels": {"__name__": "m"}, "value": 2.0, "ts": None},
+    ]
+    sink(iter(rows))
+    assert acc.n == 2
+    assert sum(calls) == 2
+
+
+def test_nonpositive_chunk_raises():
+    import pytest
+
+    from database_collector_spark.sinks.cloudwatch import CloudWatchSink
+
+    with pytest.raises(ValueError):
+        CloudWatchSink("ns", chunk=0)
+    with pytest.raises(ValueError):
+        CloudWatchSink("ns", chunk=-3)

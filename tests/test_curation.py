@@ -330,3 +330,38 @@ def test_corpus_diff_joins_hashes_not_texts(spark):
     # one equi-join on the id; never a nested-loop text comparison
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mixture_zero_token_domain_is_fail_soft(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="web", text="a b c"),
+            Row(doc_id=2, source="empty", text=""),
+        ]
+    )
+    got = {r["domain"]: r for r in curation.temperature_mixture(docs).collect()}
+    # zero-token domain: share 0, oversample NULL — never DIVIDE_BY_ZERO
+    assert got["empty"]["raw_share"] == 0.0
+    assert got["empty"]["oversample"] is None
+    assert got["web"]["temp_weight"] == 1.0
+    # all-empty corpus degrades to NULL shares, not an abort
+    allempty = spark.createDataFrame([Row(doc_id=1, source="s", text="")])
+    row = curation.temperature_mixture(allempty).collect()[0]
+    assert row["raw_share"] is None and row["temp_weight"] is None
+
+
+def test_corpus_diff_null_text_is_content_not_absence(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame([(1, None), (2, None), (3, "x")], schema)
+    new = spark.createDataFrame([(1, None), (2, "y"), (3, None)], schema)
+    got = {r["doc_id"]: r["status"] for r in curation.corpus_diff(old, new).collect()}
+    # NULL text present on both sides is unchanged; NULL<->text is changed
+    assert got == {1: "unchanged", 2: "changed", 3: "changed"}

@@ -93,3 +93,28 @@ def test_weighted_reservoir_by_matches_global_within_each_group(spark):
         docs, k=4, weight_col="w", by="lang"
     ).collect()
     assert sorted(map(tuple, per)) == sorted(map(tuple, again))
+
+
+def test_weighted_reservoir_excludes_nonpositive_weights(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, w=10),
+            Row(doc_id=2, w=0),    # zero weight: never drawn, never aborts
+            Row(doc_id=3, w=-5),   # negative: same
+            Row(doc_id=4, w=3),
+        ]
+    )
+    got = {r["doc_id"] for r in sampling.weighted_reservoir(df, 10, "w").collect()}
+    assert got == {1, 4}
+    by = spark.createDataFrame(
+        [Row(doc_id=1, g="a", w=1), Row(doc_id=2, g="a", w=0)]
+    )
+    got_by = {
+        r["doc_id"]
+        for r in sampling.weighted_reservoir_by(by, 5, "w", by="g").collect()
+    }
+    assert got_by == {1}
