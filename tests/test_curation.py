@@ -365,3 +365,29 @@ def test_corpus_diff_null_text_is_content_not_absence(spark):
     got = {r["doc_id"]: r["status"] for r in curation.corpus_diff(old, new).collect()}
     # NULL text present on both sides is unchanged; NULL<->text is changed
     assert got == {1: "unchanged", 2: "changed", 3: "changed"}
+
+
+def test_corpus_diff_roundtrip_reconstructs_new_hashes(spark):
+    # invariant: old hashes + diff = new hashes
+    # (unchanged/changed keep-or-replace, removed deleted, added inserted)
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    old = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in [(1, "a"), (2, "b"), (3, "c")]]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in [(1, "a"), (2, "B"), (4, "d")]]
+    )
+    diff = {r["doc_id"]: r for r in curation.corpus_diff(old, new).collect()}
+    rebuilt = {
+        i: r["new_h"] for i, r in diff.items() if r["status"] != "removed"
+    }
+    import hashlib
+
+    expect = {
+        i: hashlib.md5(t.encode()).hexdigest()
+        for i, t in [(1, "a"), (2, "B"), (4, "d")]
+    }
+    assert rebuilt == expect

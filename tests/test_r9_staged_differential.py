@@ -75,3 +75,14 @@ def test_staged_names_do_not_collide_with_registered_gates():
     registered = set(entry.oracle_sql())
     overlap = registered & set(workloads_r9.QUERIES_R9)
     assert not overlap, f"staged names shadow registered gates: {overlap}"
+
+
+def test_every_staged_gate_is_documented_in_coverage():
+    cov = open("/root/repo/COVERAGE.md").read()
+    # every staged gate's COVERAGE row must carry the PRE-VERIFIED
+    # marker naming workloads_r9; gate names appear in the window-head
+    # directive so r9 registration can't silently miss one
+    entry_src = open("/root/repo/__spark_entry__.py").read()
+    for name in workloads_r9.QUERIES_R9:
+        assert name in entry_src, f"{name} missing from the r9 window-head comment"
+    assert cov.count("PRE-VERIFIED") >= 10
