@@ -387,3 +387,41 @@ def test_hashed_classifier_property_matches_reference(spark, docs, bigrams):
     }
     for i, toks in enumerate(docs):
         assert got[i] == _ref_classify(toks, 128, "p", bigrams)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(doc_tokens, min_size=1, max_size=3),
+    weights=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=16, max_size=16
+    ),
+)
+def test_hashed_classifier_arbitrary_weight_table_matches_reference(
+    spark, docs, weights
+):
+    """The trained-model path with an ARBITRARY weight table (not the
+    md5-derived pseudo-model): per-doc logit must equal the Python
+    reference lookup, with unseen buckets reading weight 0."""
+    n_buckets = 16
+    # sparse table: drop half the buckets to exercise the missing->0 path
+    table_rows = [(b, w) for b, w in enumerate(weights) if b % 2 == 0]
+    table = spark.createDataFrame(table_rows, "bucket long, weight_milli long")
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs)]
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logit_milli"])
+        for r in text.hashed_classifier(
+            df, n_buckets=n_buckets, salt="w", weights=table
+        ).collect()
+    }
+    wmap = dict(table_rows)
+    for i, toks in enumerate(docs):
+        logit = sum(
+            wmap.get(_md5_hv(f"{t}:w") % n_buckets, 0) for t in toks
+        )
+        assert got[i] == (len(toks), logit)
