@@ -525,6 +525,14 @@ def hashed_classifier(
     Output: (doc_id, n_feats, logit_milli, p_keep, label) where
     label = 'keep' iff the mean feature weight is strictly positive.
     """
+    import re as _re
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # salt is interpolated into a SQL expression string: restrict it to
+    # identifier-safe characters so it can never alter the expression
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]*", salt):
+        raise ValueError(f"salt must be identifier-safe, got {salt!r}")
     feats = _feature_col(text_col, bigrams)
     # feature array materialized ONCE: lambda-bearing expressions get no
     # common-subexpression elimination (see readability), so deriving the

@@ -425,3 +425,13 @@ def test_hashed_classifier_arbitrary_weight_table_matches_reference(
             wmap.get(_md5_hv(f"{t}:w") % n_buckets, 0) for t in toks
         )
         assert got[i] == (len(toks), logit)
+
+
+def test_hashed_classifier_rejects_unsafe_salt_and_buckets(spark):
+    import pytest
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a")])
+    with pytest.raises(ValueError):
+        text.hashed_classifier(docs, salt="x'); DROP--")
+    with pytest.raises(ValueError):
+        text.hashed_classifier(docs, n_buckets=0)
