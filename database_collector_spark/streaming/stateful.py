@@ -242,3 +242,104 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup filter: SimHash prefix routing + per-bucket state
+# ---------------------------------------------------------------------------
+
+ND_STATE_SCHEMA = T.StructType(
+    [T.StructField("sigs", T.ArrayType(T.LongType()), True)]
+)
+
+ND_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("simhash", T.LongType(), True),
+        T.StructField("bucket", T.IntegerType(), True),
+        T.StructField("is_dup", T.BooleanType(), True),
+        T.StructField("min_hamming", T.IntegerType(), True),
+    ]
+)
+
+
+def _make_near_dup_fn(max_hamming: int, capacity: int):
+    def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        sigs = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdf_iter:
+            # doc_id order makes the within-batch dedup decision
+            # deterministic under any partition arrival order
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, sig in zip(pdf["doc_id"], pdf["simhash"]):
+                sig = int(sig)
+                mind = (
+                    min(bin(sig ^ int(s)).count("1") for s in sigs)
+                    if sigs
+                    else None
+                )
+                dup = mind is not None and mind <= max_hamming
+                if not dup:
+                    sigs.append(sig)
+                    if len(sigs) > capacity:
+                        sigs = sigs[-capacity:]
+                rows.append((int(doc_id), sig, int(key[0]), bool(dup), mind))
+        state.update((sigs,))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "simhash", "bucket", "is_dup", "min_hamming"]
+        )
+
+    return fn
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    *,
+    bits: int = 16,
+    prefix_bits: int = 6,
+    max_hamming: int = 3,
+    capacity: int = 256,
+) -> DataFrame:
+    """Streaming near-duplicate filter: flag documents whose SimHash is
+    within ``max_hamming`` bits of one already seen — the ingest-time
+    twin of the batch SimHash tier (operators/dedup.py::simhash), for
+    pipelines that must reject near-dups as a crawl ARRIVES instead of
+    re-scanning the corpus per batch.
+
+    Shape: the signature is the batch tier's zero-shuffle md5-nibble
+    projection (pure expression, runs unchanged on readStream); routing
+    key = the signature's top ``prefix_bits`` (single-probe prefix
+    routing), so each doc consults exactly ONE state bucket. State per
+    bucket is a capacity-capped signature list (FIFO eviction) —
+    total state <= 2^prefix_bits * capacity signatures regardless of
+    stream length, the same bounded-state discipline as
+    streaming_heavy_hitters.
+
+    Recall contract (documented, not silent): near-dups whose
+    signatures differ inside the routing prefix land in different
+    buckets and are MISSED — single-probe prefix routing trades recall
+    for one-bucket state access; the batch simhash_pairs tier is the
+    exhaustive sweep. Exact duplicates always collide (identical
+    signature -> identical prefix).
+
+    Output per input doc: (doc_id, simhash, bucket, is_dup,
+    min_hamming) where min_hamming is NULL for the first doc of its
+    bucket; update mode.
+    """
+    from database_collector_spark.operators.dedup import simhash
+
+    if not (0 < prefix_bits < bits <= 63):
+        raise ValueError(f"need 0 < prefix_bits < bits <= 63, got {prefix_bits}/{bits}")
+    sigs = simhash(docs, bits=bits)
+    keyed = sigs.select(
+        "doc_id",
+        "simhash",
+        F.shiftright("simhash", bits - prefix_bits).cast("int").alias("bucket"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _make_near_dup_fn(max_hamming, capacity),
+        outputStructType=ND_OUTPUT_SCHEMA,
+        stateStructType=ND_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -727,3 +727,44 @@ def test_streaming_quality_gate_matches_batch_classifier(spark):
             bigrams=True,
         ).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_streaming_near_dup_flags_repeats_within_bucket(spark):
+    from database_collector_spark.streaming.stateful import streaming_near_dup
+
+    t_a = "alpha beta gamma delta epsilon"
+    t_b = "completely different words over here entirely"
+    t_c = "third distinct document body with other tokens"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        _write(
+            src,
+            "b1.json",
+            [{"doc_id": 1, "text": t_a}, {"doc_id": 2, "text": t_b}],
+        )
+        _write(
+            src,
+            "b2.json",
+            [
+                {"doc_id": 3, "text": t_a},  # exact repeat of doc 1
+                {"doc_id": 4, "text": t_c},  # fresh
+                {"doc_id": 5, "text": t_c},  # same-batch repeat of doc 4
+            ],
+        )
+
+        def build(path):
+            stream = spark.readStream.schema("doc_id long, text string").json(path)
+            return streaming_near_dup(stream, max_hamming=1)
+
+        got = {
+            r["doc_id"]: r
+            for r in _run_stream(spark, src, build, f"{tmp}/ckpt", out_mode="update")
+        }
+        assert got[1]["is_dup"] is False
+        assert got[3]["is_dup"] is True and got[3]["min_hamming"] == 0
+        assert got[3]["simhash"] == got[1]["simhash"]
+        assert got[4]["is_dup"] is False
+        assert got[5]["is_dup"] is True and got[5]["min_hamming"] == 0
+        # doc 2 must not be flagged against unrelated docs
+        assert got[2]["is_dup"] is False
