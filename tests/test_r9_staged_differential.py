@@ -86,3 +86,19 @@ def test_every_staged_gate_is_documented_in_coverage():
     for name in workloads_r9.QUERIES_R9:
         assert name in entry_src, f"{name} missing from the r9 window-head comment"
     assert cov.count("PRE-VERIFIED") >= 10
+
+
+def test_r9_registration_dry_run_composes(spark):
+    """Simulate the r9 registration: merging QUERIES_R9/ORACLES_R9 into
+    the registered dicts must yield a 1:1 query/oracle surface where
+    every staged name resolves and returns a DataFrame at sf0.001 —
+    so the actual registration round cannot hit an import cycle,
+    name clash, or arity surprise."""
+    import __spark_entry__ as entry
+
+    queries = {**entry.queries(), **workloads_r9.QUERIES_R9}
+    oracles = {**entry.oracle_sql(), **workloads_r9.ORACLES_R9}
+    assert set(workloads_r9.QUERIES_R9) <= set(queries)
+    assert set(queries) == set(oracles)
+    df = queries["quality_classifier"](spark, SF)
+    assert df.columns == ["doc_id", "n_feats", "logit_milli", "p_keep", "label"]
