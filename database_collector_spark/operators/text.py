@@ -466,6 +466,20 @@ def _feature_col(text_col: str, bigrams: bool) -> F.Column:
     )
 
 
+def _check_clf_params(n_buckets: int, salt: str) -> None:
+    """Shared guard for EVERY function that interpolates the salt into
+    a SQL expression string (hashed_classifier and hash_weight_table):
+    identifier-safe salts can never alter the expression, and the two
+    entry points accept exactly the same salt domain so a weight table
+    always round-trips through the classifier."""
+    import re as _re
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]*", salt):
+        raise ValueError(f"salt must be identifier-safe, got {salt!r}")
+
+
 def _hash_weight_sql(feat: str, n_buckets: int, salt: str) -> str:
     """SQL for the per-feature signed milli-weight.
 
@@ -525,14 +539,7 @@ def hashed_classifier(
     Output: (doc_id, n_feats, logit_milli, p_keep, label) where
     label = 'keep' iff the mean feature weight is strictly positive.
     """
-    import re as _re
-
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    # salt is interpolated into a SQL expression string: restrict it to
-    # identifier-safe characters so it can never alter the expression
-    if not _re.fullmatch(r"[A-Za-z0-9_.-]*", salt):
-        raise ValueError(f"salt must be identifier-safe, got {salt!r}")
+    _check_clf_params(n_buckets, salt)
     feats = _feature_col(text_col, bigrams)
     # feature array materialized ONCE: lambda-bearing expressions get no
     # common-subexpression elimination (see readability), so deriving the
@@ -586,6 +593,7 @@ def hash_weight_table(spark, *, n_buckets: int = 4096, salt: str = "clf") -> Dat
     Built with ONE sequence-range select (n_buckets rows, no data scan);
     feeding it back through ``hashed_classifier(weights=...)`` must
     reproduce the in-row path bit-for-bit (pinned in tests)."""
+    _check_clf_params(n_buckets, salt)
     return spark.range(n_buckets).select(
         F.col("id").alias("bucket"),
         F.expr(

@@ -267,10 +267,14 @@ def _make_near_dup_fn(max_hamming: int, capacity: int):
     def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
         sigs = list(state.get[0]) if state.exists else []
         rows = []
-        for pdf in pdf_iter:
-            # doc_id order makes the within-batch dedup decision
-            # deterministic under any partition arrival order
-            pdf = pdf.sort_values("doc_id")
+        # the iterator yields Arrow-sized CHUNKS: sorting each chunk
+        # alone would leave cross-chunk order = arrival order, so the
+        # within-batch decision would depend on partitioning and
+        # checkpoint replay could flip which of two mutual near-dups is
+        # flagged — materialize the bucket's batch, then ONE global sort
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("doc_id")
             for doc_id, sig in zip(pdf["doc_id"], pdf["simhash"]):
                 sig = int(sig)
                 mind = (
@@ -328,8 +332,15 @@ def streaming_near_dup(
     """
     from database_collector_spark.operators.dedup import simhash
 
-    if not (0 < prefix_bits < bits <= 63):
-        raise ValueError(f"need 0 < prefix_bits < bits <= 63, got {prefix_bits}/{bits}")
+    # bits must be a nibble multiple: simhash reads bits//4 md5 hex
+    # chars, so a non-multiple would leave the TOP bits — exactly this
+    # routing prefix — constant, silently collapsing the bucket space.
+    # prefix_bits caps at 31 because the bucket is cast to int.
+    if bits % 4 != 0 or not (0 < prefix_bits < bits <= 60) or prefix_bits > 31:
+        raise ValueError(
+            "need bits % 4 == 0, 0 < prefix_bits <= 31, prefix_bits < bits <= 60; "
+            f"got prefix_bits={prefix_bits} bits={bits}"
+        )
     sigs = simhash(docs, bits=bits)
     keyed = sigs.select(
         "doc_id",

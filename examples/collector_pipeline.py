@@ -57,15 +57,18 @@ def _registry(spark):
     return spark.createDataFrame(rows, SOURCES_REGISTRY_SCHEMA)
 
 
-def main() -> None:
-    spark = get_spark("collector-pipeline-example")
+def _default_scrape_fn(spark_, target, request):
+    fixture = spark_.createDataFrame(
+        [Row(status="ACTIVE"), Row(status="ACTIVE"), Row(status="IDLE")]
+    )
+    fixture.createOrReplaceTempView("scrape")
+    return spark_.sql(request)
 
-    def scrape_fn(spark_, target, request):
-        fixture = spark_.createDataFrame(
-            [Row(status="ACTIVE"), Row(status="ACTIVE"), Row(status="IDLE")]
-        )
-        fixture.createOrReplaceTempView("scrape")
-        return spark_.sql(request)
+
+def run_example(spark, scrape_fn=_default_scrape_fn) -> dict:
+    """The whole loop; returns the stats dict main() prints (the test
+    calls this same function, so example and test cannot drift)."""
+    from datetime import timezone
 
     samples = []
     results = run_once(
@@ -77,25 +80,41 @@ def main() -> None:
         anchor_ts="2024-06-01 00:00:00",
     )
 
-    # sink fan-out, dry: same enriched rows into both wire formats
-    series = [
-        (dict(r["labels"]), float(r["value"]), r["ts"]) for r in samples
-    ]
+    # sink fan-out, dry: the SAME enriched rows into both wire formats.
+    # The collected ts is naive UTC (session timezone is pinned UTC);
+    # stamp it as UTC explicitly for prompb, matching to_datum's own
+    # naive->UTC rule, so the two sinks carry identical instants on any
+    # host timezone.
+    series = [(dict(r["labels"]), float(r["value"]), r["ts"]) for r in samples]
     prompb = encode_write_request(
-        [(labels, v, int(ts.timestamp() * 1000)) for labels, v, ts in series]
+        [
+            (labels, v, int(ts.replace(tzinfo=timezone.utc).timestamp() * 1000))
+            for labels, v, ts in series
+        ]
     )
     datums = [d for d in (to_datum(l, v, ts) for l, v, ts in series) if d]
     batches = list(chunk_datums(iter(datums)))
+    return {
+        "targets": sorted(r.target for r in results),
+        "n_samples": len(samples),
+        "prompb_bytes": len(prompb),
+        "cloudwatch_datums": len(datums),
+        "cloudwatch_batches": len(batches),
+        "datum_ts_utc": sorted(
+            {d["Timestamp"].isoformat() for d in datums if "Timestamp" in d}
+        ),
+        "prompb_ts_ms": sorted(
+            {
+                int(ts.replace(tzinfo=timezone.utc).timestamp() * 1000)
+                for _, _, ts in series
+            }
+        ),
+    }
 
-    print(
-        {
-            "targets": [r.target for r in results],
-            "n_samples": len(samples),
-            "prompb_bytes": len(prompb),
-            "cloudwatch_datums": len(datums),
-            "cloudwatch_batches": len(batches),
-        }
-    )
+
+def main() -> None:
+    spark = get_spark("collector-pipeline-example")
+    print(run_example(spark))
 
 
 if __name__ == "__main__":

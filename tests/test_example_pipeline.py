@@ -45,37 +45,25 @@ def test_examples_dir_importable_without_side_effects():
     assert callable(mod.run_pipeline)
 
 
-def test_collector_pipeline_example_runs(spark, capsys):
-    from examples import collector_pipeline
+def test_collector_pipeline_example_runs(spark):
+    from datetime import timezone
 
-    def scrape_fn(spark_, target, request):
-        from pyspark.sql import Row
+    from examples.collector_pipeline import run_example
 
-        fixture = spark_.createDataFrame(
-            [Row(status="ACTIVE"), Row(status="IDLE")]
+    stats = run_example(spark)
+    assert stats["targets"] == ["db-mysql", "db-oracle-ee", "db-postgres"]
+    assert stats["n_samples"] == 6
+    assert stats["prompb_bytes"] > 0
+    assert stats["cloudwatch_datums"] == 6
+    assert stats["cloudwatch_batches"] == 1
+    # parity: both sinks carry the SAME instants (UTC) for the samples
+    datum_ms = {
+        int(
+            __import__("datetime")
+            .datetime.fromisoformat(t)
+            .timestamp()
+            * 1000
         )
-        fixture.createOrReplaceTempView("scrape")
-        return spark_.sql(request)
-
-    from database_collector_spark.pipeline import run_once
-    from database_collector_spark.sinks.cloudwatch import to_datum
-    from database_collector_spark.sinks.remote_write import encode_write_request
-
-    samples = []
-    results = run_once(
-        spark,
-        collector_pipeline._registry(spark),
-        {e: collector_pipeline.CONFIG for e in ("mysql", "postgres", "oracle")},
-        scrape_fn,
-        sink_fn=lambda df: samples.extend(df.collect()),
-        anchor_ts="2024-06-01 00:00:00",
-    )
-    assert len(results) == 3 and len(samples) == 6
-    series = [(dict(r["labels"]), float(r["value"]), r["ts"]) for r in samples]
-    prompb = encode_write_request(
-        [(l, v, int(ts.timestamp() * 1000)) for l, v, ts in series]
-    )
-    assert len(prompb) > 0
-    datums = [d for d in (to_datum(l, v, ts) for l, v, ts in series) if d]
-    assert len(datums) == 6
-    assert all(d["MetricName"] == "sessions_active" for d in datums)
+        for t in stats["datum_ts_utc"]
+    }
+    assert datum_ms == set(stats["prompb_ts_ms"])

@@ -79,13 +79,16 @@ def test_staged_names_do_not_collide_with_registered_gates():
 
 def test_every_staged_gate_is_documented_in_coverage():
     cov = open("/root/repo/COVERAGE.md").read()
-    # every staged gate's COVERAGE row must carry the PRE-VERIFIED
-    # marker naming workloads_r9; gate names appear in the window-head
-    # directive so r9 registration can't silently miss one
+    # every staged gate must appear in the window-head directive AND
+    # have exactly one PRE-VERIFIED COVERAGE row (rows are 1:1 with
+    # staged gates), so adding a gate without a row — or deleting a
+    # row — fails here, not in the r9 registration round
     entry_src = open("/root/repo/__spark_entry__.py").read()
     for name in workloads_r9.QUERIES_R9:
         assert name in entry_src, f"{name} missing from the r9 window-head comment"
-    assert cov.count("PRE-VERIFIED") >= 10
+    assert cov.count("PRE-VERIFIED") == len(workloads_r9.QUERIES_R9), (
+        "PRE-VERIFIED COVERAGE rows must be 1:1 with staged gates"
+    )
 
 
 def test_r9_registration_dry_run_composes(spark):
@@ -98,7 +101,10 @@ def test_r9_registration_dry_run_composes(spark):
 
     queries = {**entry.queries(), **workloads_r9.QUERIES_R9}
     oracles = {**entry.oracle_sql(), **workloads_r9.ORACLES_R9}
-    assert set(workloads_r9.QUERIES_R9) <= set(queries)
     assert set(queries) == set(oracles)
-    df = queries["quality_classifier"](spark, SF)
-    assert df.columns == ["doc_id", "n_feats", "logit_milli", "p_keep", "label"]
+    # EVERY staged gate must build its DataFrame (plan construction
+    # catches import cycles, arity mistakes, bad column references —
+    # no collect, so this stays cheap)
+    for name, q in workloads_r9.QUERIES_R9.items():
+        df = q(spark, SF)
+        assert df.columns, name
