@@ -929,3 +929,54 @@ def decode_audio_any(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_batches, schema=AUDIO_ANY_SCHEMA)
+
+
+def scene_changes(
+    frame_stats: DataFrame, *, threshold_milli: int = 60_000
+) -> DataFrame:
+    """Content-adaptive keyframe election over ``decode_frames`` output:
+    flag frames whose per-channel mean brightness jumps from the
+    previous frame by more than ``threshold_milli`` (milli-units summed
+    over R/G/B) — the scene-cut detector that replaces fixed every-nth
+    sampling when a video corpus should keep one frame per SHOT for the
+    downstream encoder (the standard histogram-difference cut heuristic,
+    reduced to channel means which the decode tier already emits).
+
+    Exactness: per-frame channel means are integer floor-div
+    milli-values from the exact pixel sums, deltas are integer — the
+    flag is engine-exact, no float anywhere. Plan: ONE doc-keyed window
+    (lag) over the frame stats; the first frame of every doc is always
+    a cut (delta NULL). Frames with null stats (malformed, quarantined
+    upstream) pass through with is_cut false and null delta.
+
+    Output: (doc_id, frame_idx, delta_milli, is_cut).
+    """
+    from pyspark.sql.window import Window
+
+    area = F.col("w").cast("long") * F.col("h").cast("long")
+    means = frame_stats.select(
+        "doc_id",
+        "frame_idx",
+        *[
+            F.when(area > 0, (F.col(f"sum_{c}") * 1000 - (F.col(f"sum_{c}") * 1000) % area) / area)
+            .cast("long")
+            .alias(f"m_{c}")
+            for c in ("r", "g", "b")
+        ],
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = None
+    for c in ("r", "g", "b"):
+        d = F.abs(F.col(f"m_{c}") - F.lag(f"m_{c}").over(w))
+        delta = d if delta is None else delta + d
+    first = F.lag("frame_idx").over(w).isNull()
+    has_stats = F.col("m_r").isNotNull()
+    return means.select(
+        "doc_id",
+        "frame_idx",
+        delta.alias("delta_milli"),
+        (
+            has_stats
+            & (first | (F.coalesce(delta, F.lit(0)) >= threshold_milli))
+        ).alias("is_cut"),
+    )

@@ -636,3 +636,25 @@ def test_embedding_outliers_no_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def _p6(w, h, val):
+    return f"P6\n{w} {h}\n255\n".encode() + bytes([val]) * (w * h * 3)
+
+
+def test_scene_changes_flags_brightness_cuts(spark):
+    # video: two dark frames, a bright frame (cut), then bright again
+    payload = _p6(4, 4, 10) + _p6(4, 4, 12) + _p6(4, 4, 200) + _p6(4, 4, 201)
+    media = spark.createDataFrame([Row(doc_id=1, payload=bytearray(payload))])
+    frames = multimodal.frame_sample(media, every_nth=1, decode_stub=False)
+    stats = multimodal.decode_frames(frames)
+    got = {
+        r["frame_idx"]: r
+        for r in multimodal.scene_changes(stats, threshold_milli=60_000).collect()
+    }
+    assert got[0]["is_cut"] is True and got[0]["delta_milli"] is None
+    # 10 -> 12: delta = 3 channels * 2 * 1000 = 6000 < threshold
+    assert got[1]["is_cut"] is False and got[1]["delta_milli"] == 6000
+    # 12 -> 200: 3 * 188 * 1000 = 564000 >= threshold
+    assert got[2]["is_cut"] is True and got[2]["delta_milli"] == 564000
+    assert got[3]["is_cut"] is False and got[3]["delta_milli"] == 3000
