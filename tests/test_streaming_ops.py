@@ -768,3 +768,55 @@ def test_streaming_near_dup_flags_repeats_within_bucket(spark):
         assert got[5]["is_dup"] is True and got[5]["min_hamming"] == 0
         # doc 2 must not be flagged against unrelated docs
         assert got[2]["is_dup"] is False
+
+
+def test_near_dup_state_fn_is_chunk_order_invariant():
+    """The state function must produce identical decisions whether a
+    bucket's micro-batch arrives as one chunk or as arbitrarily-ordered
+    Arrow chunks (the applyInPandasWithState iterator contract)."""
+    import pandas as pd
+
+    from database_collector_spark.streaming.stateful import _make_near_dup_fn
+
+    class _State:
+        def __init__(self):
+            self.exists = False
+            self.value = None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.exists = True
+            self.value = v
+
+    rows = [(5, 0b1010), (1, 0b1010), (3, 0b0101), (2, 0b1011)]
+
+    def run(chunks):
+        fn = _make_near_dup_fn(max_hamming=1, capacity=16)
+        st = _State()
+        out = pd.concat(
+            list(fn((0,), iter(chunks), st))
+        ).sort_values("doc_id")
+        return list(map(tuple, out[["doc_id", "is_dup"]].itertuples(index=False))), st.value
+
+    whole = [pd.DataFrame(rows, columns=["doc_id", "simhash"])]
+    split = [
+        pd.DataFrame(rows[:1], columns=["doc_id", "simhash"]),
+        pd.DataFrame(rows[1:3], columns=["doc_id", "simhash"]),
+        pd.DataFrame(rows[3:], columns=["doc_id", "simhash"]),
+    ]
+    split_rev = list(reversed(split))
+    a, sa = run(whole)
+    b, sb = run(split)
+    c, sc = run(split_rev)
+    # chunking must not change decisions...
+    assert a == b
+    assert sa == sb
+    # ...but chunk ARRIVAL order does change which rows each chunk holds;
+    # concat-then-sort makes even reversed arrival identical
+    assert a == c and sa == sc
+    # semantic spot-check: doc 1 first (1010 fresh), doc 2 (1011, 1 bit) dup,
+    # doc 3 (0101, 4 bits) fresh, doc 5 (1010 exact) dup
+    assert a == [(1, False), (2, True), (3, False), (5, True)]
