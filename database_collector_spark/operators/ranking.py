@@ -154,3 +154,60 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= topk)
         .select("fused_rank", id_col, "rank_a", "rank_b", "rrf_score")
     )
+
+
+def auc_exact(
+    scored: DataFrame, *, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label, at corpus scale
+    — the evaluation tier for any scorer in the engine (the hashed
+    quality classifier, BM25 relevance, an uploaded model's scores).
+    AUC = P(score_pos > score_neg) + 0.5 P(tie), the Mann-Whitney U
+    statistic normalized by n_pos * n_neg.
+
+    Scale shape (value-domain compression, same trick as the exact
+    weighted median): ONE groupBy collapses the corpus to per-distinct-
+    score (n_pos, n_neg) counts; the U sum then needs a running
+    negative-count below each score value — a window over the
+    COMPRESSED value table (|distinct scores| rows, score-ordered), not
+    the corpus. U = sum over values of pos_v * (neg_below + 0.5*neg_v).
+    Never a pos x neg pair join, never a corpus-wide rank window.
+
+    Exactness: counts are integers; 2U = sum of pos_v * (2*neg_below +
+    neg_v) is an exact int64 aggregate; the single division 2U /
+    (2 * n_pos * n_neg) happens once in double, rounded to 6. Degenerate
+    inputs (no positives or no negatives) return NULL auc, fail-soft.
+
+    Output: one row (n_pos, n_neg, auc).
+    """
+    from pyspark.sql.window import Window
+
+    lab = F.col(label_col).cast("int")
+    per_score = (
+        scored.select(F.col(score_col).alias("s"), lab.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count(F.when(F.col("y") == 1, 1)).alias("pos"),
+            F.count(F.when(F.col("y") == 0, 1)).alias("neg"),
+        )
+    )
+    # window over the compressed value table: |distinct scores| rows
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    u2 = per_score.select(
+        "pos",
+        "neg",
+        (
+            F.col("pos")
+            * (2 * F.coalesce(F.sum("neg").over(w), F.lit(0)) + F.col("neg"))
+        ).alias("u2_term"),
+    )
+    return u2.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.when(
+            (F.sum("pos") > 0) & (F.sum("neg") > 0),
+            F.round(
+                F.sum("u2_term") / (2.0 * F.sum("pos") * F.sum("neg")), 6
+            ),
+        ).alias("auc"),
+    )

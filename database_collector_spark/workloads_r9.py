@@ -236,6 +236,65 @@ FROM f
 SQL_JL_PROJECTION = _sql_jl_projection()
 
 
+# ------------------------------------------------------------------ exact AUC
+
+def q_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a fixed linear scorer over embeddings against
+    the binary label (label >= 5) — operators/ranking.py::auc_exact
+    (value-domain-compressed Mann-Whitney U, never a pos x neg pair
+    join). The scorer is the shared-LCG hyperplane dot product in exact
+    integers, so the score column is engine-exact."""
+    from database_collector_spark.operators import ranking
+
+    plane = similarity.hyperplanes_int(1, dim=64, seed=5)[0]
+    emb = similarity.with_quantized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    arr = "array(" + ",".join(str(c) for c in plane) + ")"
+    score = F.expr(
+        f"aggregate(zip_with(qe, {arr}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = emb.select(
+        score.alias("score"),
+        (F.col("label") >= 5).cast("int").alias("label"),
+    )
+    return ranking.auc_exact(scored)
+
+
+def _sql_auc_scores() -> str:
+    plane = similarity.hyperplanes_int(1, dim=64, seed=5)[0]
+    dot = " + ".join(f"({c} * qe[{i + 1}])" for i, c in enumerate(plane))
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+sc AS (SELECT CAST({dot} AS BIGINT) AS s, y FROM q),
+per AS (
+  SELECT s, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg
+  FROM sc GROUP BY s
+),
+u AS (
+  SELECT pos, neg,
+         pos * (2 * COALESCE(SUM(neg) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + neg)
+           AS u2_term
+  FROM per
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+         round(SUM(u2_term) / (2.0 * SUM(pos) * SUM(neg)), 6) END AS auc
+FROM u
+"""
+
+
+SQL_AUC_SCORES = _sql_auc_scores()
+
+
 # ---------------------------------------------------------- tokenizer fertility
 
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +646,7 @@ QUERIES_R9 = {
     "embedding_outliers": q_embedding_outliers,
     "corpus_diff": q_corpus_diff,
     "bpe_fertility": q_bpe_fertility,
+    "auc_scores": q_auc_scores,
     "interval_outages": q_interval_outages,
     "bfs_hops": q_bfs_hops,
     "shard_overlap": q_shard_overlap,
@@ -601,6 +661,7 @@ ORACLES_R9 = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "corpus_diff": SQL_CORPUS_DIFF,
     "bpe_fertility": SQL_BPE_FERTILITY,
+    "auc_scores": SQL_AUC_SCORES,
     "interval_outages": SQL_INTERVAL_OUTAGES,
     "bfs_hops": SQL_BFS_HOPS,
     "shard_overlap": SQL_SHARD_OVERLAP,

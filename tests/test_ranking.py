@@ -67,3 +67,43 @@ def test_bm25_plan_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # tiny df/stats sides must broadcast, not shuffle
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def _auc_ref(pairs):
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return u / (len(pos) * len(neg))
+
+
+def test_auc_exact_hand_fixture_with_ties(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators.ranking import auc_exact
+
+    pairs = [(10, 1), (8, 1), (8, 0), (5, 0), (5, 1), (2, 0), (2, 0), (12, 1)]
+    df = spark.createDataFrame([Row(score=s, label=y) for s, y in pairs])
+    row = auc_exact(df).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (4, 4)
+    assert abs(row["auc"] - round(_auc_ref(pairs), 6)) < 1e-9
+    # degenerate: single-class input -> NULL, not an abort
+    onlypos = spark.createDataFrame([Row(score=1, label=1)])
+    assert auc_exact(onlypos).collect()[0]["auc"] is None
+
+
+def test_auc_exact_random_property(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators.ranking import auc_exact
+
+    rng = random.Random(7)
+    pairs = [(rng.randint(0, 20), rng.randint(0, 1)) for _ in range(200)]
+    df = spark.createDataFrame([Row(score=s, label=y) for s, y in pairs])
+    row = auc_exact(df).collect()[0]
+    assert abs(row["auc"] - round(_auc_ref(pairs), 6)) < 1e-9
