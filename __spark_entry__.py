@@ -79,10 +79,11 @@ _CHECK_FIRST = [
     "long_running_sessions",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
     # r9 MANDATORY HEAD: any red r8 rows first, then the r9-new gates —
-    # the TWELVE staged in workloads_r9.py with pre-verified oracles
+    # the THIRTEEN staged in workloads_r9.py with pre-verified oracles
     # (readability_scores, temperature_mixture, quality_classifier,
     # weighted_sample_by, jl_projection, embedding_outliers,
-    # corpus_diff, bpe_fertility, auc_scores, interval_outages, bfs_hops,
+    # corpus_diff, bpe_fertility, auc_scores, lang_confusion,
+    # interval_outages, bfs_hops,
     # shard_overlap; registration = import QUERIES_R9/ORACLES_R9 into
     # the dicts below + list them here) plus any further r9 additions,
     # then the remaining r5-latest cohort — semantic flagships

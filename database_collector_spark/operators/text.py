@@ -655,3 +655,35 @@ def readability(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         F.when(nonzero, F.round(ease, 3)).alias("flesch_ease"),
         F.when(nonzero, F.round(grade, 3)).alias("fk_grade"),
     )
+
+
+def lang_id_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion table for the stopword language identifier against the
+    corpus's ground-truth ``lang`` column — the accuracy audit that
+    turns lang_id from a heuristic into a measured one (which languages
+    it misroutes, and where 'unknown' concentrates), the same
+    measurement-tier completion auc_exact gives the scorers.
+
+    Composition: lang_id's zero-shuffle projection, ONE
+    (actual, predicted)-keyed aggregate, and a per-actual share from a
+    window over the post-aggregate frame (≤ |langs|·(|langs|+1) rows —
+    bounded by label cardinality, never data-sized).
+
+    Output: (actual_lang, pred_lang, n_docs, frac_of_actual).
+    """
+    from pyspark.sql.window import Window
+
+    per = (
+        lang_id(docs)
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("actual_lang")
+    return per.select(
+        "actual_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
+            "frac_of_actual"
+        ),
+    )

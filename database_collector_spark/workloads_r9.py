@@ -236,6 +236,35 @@ FROM f
 SQL_JL_PROJECTION = _sql_jl_projection()
 
 
+# ------------------------------------------------------------ lang-ID audit
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion table of the stopword language identifier vs the
+    corpus ground truth (operators/text.py::lang_id_confusion — lang_id
+    projection + one keyed aggregate + a label-cardinality-bounded
+    share window)."""
+    return text.lang_id_confusion(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lang_confusion() -> str:
+    from database_collector_spark.workloads_ext import SQL_LANG_ID
+
+    return f"""
+WITH pred AS (SELECT * FROM ({SQL_LANG_ID}) q),
+per AS (
+  SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT actual_lang, pred_lang, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY actual_lang), 4) AS frac_of_actual
+FROM per
+"""
+
+
+SQL_LANG_CONFUSION = _sql_lang_confusion()
+
+
 # ------------------------------------------------------------------ exact AUC
 
 def q_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,6 +676,7 @@ QUERIES_R9 = {
     "corpus_diff": q_corpus_diff,
     "bpe_fertility": q_bpe_fertility,
     "auc_scores": q_auc_scores,
+    "lang_confusion": q_lang_confusion,
     "interval_outages": q_interval_outages,
     "bfs_hops": q_bfs_hops,
     "shard_overlap": q_shard_overlap,
@@ -662,6 +692,7 @@ ORACLES_R9 = {
     "corpus_diff": SQL_CORPUS_DIFF,
     "bpe_fertility": SQL_BPE_FERTILITY,
     "auc_scores": SQL_AUC_SCORES,
+    "lang_confusion": SQL_LANG_CONFUSION,
     "interval_outages": SQL_INTERVAL_OUTAGES,
     "bfs_hops": SQL_BFS_HOPS,
     "shard_overlap": SQL_SHARD_OVERLAP,

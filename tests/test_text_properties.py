@@ -435,3 +435,22 @@ def test_hashed_classifier_rejects_unsafe_salt_and_buckets(spark):
         text.hashed_classifier(docs, salt="x'); DROP--")
     with pytest.raises(ValueError):
         text.hashed_classifier(docs, n_buckets=0)
+
+
+def test_lang_id_confusion_counts_and_shares(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="the quick fox"),
+            Row(doc_id=2, lang="en", text="the and of"),
+            Row(doc_id=3, lang="en", text="el la de"),  # misroutes to es
+            Row(doc_id=4, lang="de", text="qqq zzz"),  # no votes: unknown
+        ]
+    )
+    got = {
+        (r["actual_lang"], r["pred_lang"]): (r["n_docs"], r["frac_of_actual"])
+        for r in text.lang_id_confusion(docs).collect()
+    }
+    assert got[("en", "en")] == (2, round(2 / 3, 4))
+    assert got[("en", "es")] == (1, round(1 / 3, 4))
+    assert got[("de", "unknown")] == (1, 1.0)
+    assert len(got) == 3
