@@ -658,3 +658,51 @@ def test_scene_changes_flags_brightness_cuts(spark):
     # 12 -> 200: 3 * 188 * 1000 = 564000 >= threshold
     assert got[2]["is_cut"] is True and got[2]["delta_milli"] == 564000
     assert got[3]["is_cut"] is False and got[3]["delta_milli"] == 3000
+
+
+def test_jl_project_random_property(spark):
+    import random
+
+    rng = random.Random(3)
+    k, dim, seed = 6, 10, 13
+    vecs = {
+        i: [round(rng.uniform(-1, 1), 3) for _ in range(dim)] for i in range(12)
+    }
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in vecs.items()])
+    mat = similarity.jl_matrix(k, dim, seed)
+    got = {
+        r["vec_id"]: r
+        for r in similarity.jl_project(df, k=k, seed=seed, dim=dim).collect()
+    }
+    for i, v in vecs.items():
+        y, x2, y2, dist = _jl_ref(v, mat, k)
+        r = got[i]
+        assert list(r["proj"]) == y and (r["x_norm2"], r["y_norm2"]) == (x2, y2)
+        assert abs(r["distortion"] - dist) < 5e-7
+
+
+def test_embedding_outliers_random_property(spark):
+    import random
+
+    rng = random.Random(9)
+    dims = 6
+    vecs = {i: [round(rng.uniform(-2, 2), 3) for _ in range(dims)] for i in range(30)}
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in vecs.items()])
+    got = [
+        (r["vec_id"], r["d2_from_mean"])
+        for r in similarity.embedding_outliers(df, top_n=8, dims=dims).collect()
+    ]
+    qe = {i: [round(x * similarity.QUANT_SCALE) for x in v] for i, v in vecs.items()}
+    n = len(vecs)
+    s = [sum(qe[i][d] for i in qe) for d in range(dims)]
+    ref = {}
+    for i in qe:
+        d2 = 0.0
+        for d in range(dims):
+            r = float(n * qe[i][d]) - float(s[d])
+            d2 += r * r
+        ref[i] = d2 / (float(n) * float(n) * float(similarity.QUANT_SCALE) ** 2)
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [v for v, _ in got] == [v for v, _ in expect]
+    for (_, g), (_, e) in zip(got, expect):
+        assert abs(g - e) < 5e-7
