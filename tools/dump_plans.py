@@ -57,6 +57,7 @@ STAGED_PICKS = [
     ("embedding_outliers", "single-row stats broadcast + TakeOrdered top-n"),
     ("interval_outages", "join-free interval difference (window sweep)"),
     ("corpus_diff", "full-outer hash diff (texts never join)"),
+    ("auc_scores", "value-domain-compressed Mann-Whitney U (exact AUC)"),
 ]
 
 
