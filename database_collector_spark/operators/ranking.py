@@ -157,7 +157,11 @@ def rrf_fuse(
 
 
 def auc_exact(
-    scored: DataFrame, *, score_col: str = "score", label_col: str = "label"
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    coarse_buckets: int = 1024,
 ) -> DataFrame:
     """Exact ROC AUC of a score against a binary label, at corpus scale
     — the evaluation tier for any scorer in the engine (the hashed
@@ -165,41 +169,90 @@ def auc_exact(
     AUC = P(score_pos > score_neg) + 0.5 P(tie), the Mann-Whitney U
     statistic normalized by n_pos * n_neg.
 
-    Scale shape (value-domain compression, same trick as the exact
-    weighted median): ONE groupBy collapses the corpus to per-distinct-
-    score (n_pos, n_neg) counts; the U sum then needs a running
-    negative-count below each score value — a window over the
-    COMPRESSED value table (|distinct scores| rows, score-ordered), not
-    the corpus. U = sum over values of pos_v * (neg_below + 0.5*neg_v).
-    Never a pos x neg pair join, never a corpus-wide rank window.
+    Scale shape: ONE groupBy collapses the corpus to per-distinct-score
+    (n_pos, n_neg) counts (value-domain compression, same trick as the
+    exact weighted median); the running negative-count below each score
+    then comes from a TWO-LEVEL distributed prefix sum — scores are
+    range-bucketed into <= ``coarse_buckets`` monotone buckets, the
+    within-bucket windows run partitioned (parallel), and the only
+    unpartitioned window runs over the <= ``coarse_buckets``-row bucket
+    totals. No corpus-sized single-partition sort exists for ANY score
+    cardinality (an all-distinct score column — the common case for
+    real-valued model scores — compresses nothing, so a plain global
+    window would funnel the corpus through one task). Bucket boundaries
+    only affect partitioning, never the result: floor((s-lo)/width) is
+    monotone in s even under float roundoff, and the prefix sums are
+    exact regardless of where the cuts land. Never a pos x neg pair
+    join.
 
-    Exactness: counts are integers; 2U = sum of pos_v * (2*neg_below +
-    neg_v) is an exact int64 aggregate; the single division 2U /
-    (2 * n_pos * n_neg) happens once in double, rounded to 6. Degenerate
-    inputs (no positives or no negatives) return NULL auc, fail-soft.
+    Exactness: counts are integers; the 2U accumulation runs in
+    DECIMAL(38,0) (2U <= 2*n_pos*n_neg overflows int64 past ~3e9
+    balanced rows — the ANSI overflow class); the single division
+    2U / (2 * n_pos * n_neg) happens once in double, rounded to 6.
+    NULL scores and NULL labels are EXCLUDED (documented contract,
+    mirrored in oracle twins — engines disagree on NULL sort order).
+    Degenerate inputs (no positives or no negatives) return NULL auc,
+    fail-soft.
 
     Output: one row (n_pos, n_neg, auc).
     """
-    from pyspark.sql.window import Window
-
     lab = F.col(label_col).cast("int")
+    base = scored.select(F.col(score_col).alias("s"), lab.alias("y")).where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    # localCheckpoint: three downstream branches (min/max range, bucket
+    # totals, the U accumulation) reference this table — without the
+    # checkpoint each branch re-derives it from a full corpus scan
+    # (4 scans at 100 TB); the materialized form is the narrow
+    # compressed table (3 columns, |distinct scores| rows)
     per_score = (
-        scored.select(F.col(score_col).alias("s"), lab.alias("y"))
-        .groupBy("s")
+        base.groupBy("s")
         .agg(
             F.count(F.when(F.col("y") == 1, 1)).alias("pos"),
             F.count(F.when(F.col("y") == 0, 1)).alias("neg"),
         )
+        .localCheckpoint(eager=True)
     )
-    # window over the compressed value table: |distinct scores| rows
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    u2 = per_score.select(
-        "pos",
-        "neg",
-        (
-            F.col("pos")
-            * (2 * F.coalesce(F.sum("neg").over(w), F.lit(0)) + F.col("neg"))
-        ).alias("u2_term"),
+    # range bucketing from a 1-row broadcast min/max — monotone in s
+    rng = per_score.agg(
+        F.min("s").cast("double").alias("_lo"), F.max("s").cast("double").alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo")
+    b = F.when(
+        span > 0,
+        F.least(
+            F.lit(coarse_buckets - 1),
+            F.floor(
+                (F.col("s").cast("double") - F.col("_lo")) / (span / coarse_buckets)
+            ),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    bucketed = per_score.join(F.broadcast(rng)).select("s", "pos", "neg", b.alias("b"))
+    # level 1: negatives strictly below each bucket — window over the
+    # <= coarse_buckets-row bucket-total table (the ONLY unpartitioned
+    # window, bounded by construction)
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_neg = (
+        bucketed.groupBy("b")
+        .agg(F.sum("neg").alias("bn"))
+        .select("b", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("neg_before_b"))
+    )
+    # level 2: within-bucket prefix, partitioned -> parallel
+    ww = Window.partitionBy("b").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    dec = "decimal(38,0)"
+    u2 = (
+        bucketed.join(F.broadcast(bucket_neg), "b")
+        .select(
+            "pos",
+            "neg",
+            (
+                F.col("pos").cast(dec)
+                * (
+                    2 * (F.col("neg_before_b") + F.coalesce(F.sum("neg").over(ww), F.lit(0)))
+                    + F.col("neg")
+                ).cast(dec)
+            ).alias("u2_term"),
+        )
     )
     return u2.agg(
         F.sum("pos").cast("long").alias("n_pos"),
@@ -207,7 +260,9 @@ def auc_exact(
         F.when(
             (F.sum("pos") > 0) & (F.sum("neg") > 0),
             F.round(
-                F.sum("u2_term") / (2.0 * F.sum("pos") * F.sum("neg")), 6
+                F.sum("u2_term").cast("double")
+                / (2.0 * F.sum("pos") * F.sum("neg")),
+                6,
             ),
         ).alias("auc"),
     )

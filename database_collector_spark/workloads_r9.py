@@ -299,9 +299,9 @@ WITH q AS (
   SELECT list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe,
          CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
-  FROM embeddings
+  FROM embeddings WHERE label IS NOT NULL
 ),
-sc AS (SELECT CAST({dot} AS BIGINT) AS s, y FROM q),
+sc AS (SELECT CAST({dot} AS BIGINT) AS s, y FROM q WHERE qe IS NOT NULL),
 per AS (
   SELECT s, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
          SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg

@@ -586,3 +586,29 @@ def test_interval_outages_never_joins_base_with_holes(spark):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, op
+
+
+def test_auc_exact_has_no_corpus_sized_single_partition_window(spark):
+    from database_collector_spark import workloads_r9
+
+    plan = _plan(workloads_r9.q_auc_scores(spark, SF))
+    # the per-score running-negatives window MUST be partitioned by the
+    # coarse bucket; SinglePartition exchanges are allowed only for the
+    # bounded pieces (1-row min/max + final aggregates, <=1024-row
+    # bucket-total window)
+    assert "windowspecdefinition(b" in plan
+    assert plan.count("Exchange SinglePartition") <= 4
+    assert "BatchEvalPython" not in plan
+    # the corpus is scanned once: branches reuse the checkpointed
+    # per-score table instead of re-deriving it
+    assert plan.count("zip_with") <= 1
+
+
+def test_lang_confusion_never_explodes_the_token_stream(spark):
+    from database_collector_spark import workloads_r9
+
+    plan = _plan(workloads_r9.q_lang_confusion(spark, SF))
+    # lang_id is an in-row fold: no Generate (explode), no Python, no join
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -107,3 +107,31 @@ def test_auc_exact_random_property(spark):
     df = spark.createDataFrame([Row(score=s, label=y) for s, y in pairs])
     row = auc_exact(df).collect()[0]
     assert abs(row["auc"] - round(_auc_ref(pairs), 6)) < 1e-9
+
+
+def test_auc_exact_excludes_null_scores_and_labels(spark):
+    from database_collector_spark.operators.ranking import auc_exact
+
+    df = spark.createDataFrame(
+        [(10, 1), (None, 1), (5, None), (3, 0)], "score int, label int"
+    )
+    row = auc_exact(df).collect()[0]
+    # only (10,1) and (3,0) survive: AUC = 1
+    assert (row["n_pos"], row["n_neg"]) == (1, 1)
+    assert row["auc"] == 1.0
+
+
+def test_auc_exact_all_distinct_scores_property(spark):
+    # the real-valued-model case: zero value-domain compression — the
+    # two-level prefix sum must still produce the exact answer
+    import random
+
+    from pyspark.sql import Row
+
+    from database_collector_spark.operators.ranking import auc_exact
+
+    rng = random.Random(11)
+    pairs = [(rng.random(), rng.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame([Row(score=s, label=y) for s, y in pairs])
+    row = auc_exact(df, coarse_buckets=16).collect()[0]
+    assert abs(row["auc"] - round(_auc_ref(pairs), 6)) < 1e-9
