@@ -211,7 +211,9 @@ def auc_exact(
             F.count(F.when(F.col("y") == 1, 1)).alias("pos"),
             F.count(F.when(F.col("y") == 0, 1)).alias("neg"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: materializes on the first action (building the plan
+        # must not itself run a job), then every branch reuses it
+        .localCheckpoint(eager=False)
     )
     # range bucketing from a 1-row broadcast min/max — monotone in s
     rng = per_score.agg(
