@@ -205,3 +205,30 @@ def test_nonpositive_chunk_raises():
         CloudWatchSink("ns", chunk=0)
     with pytest.raises(ValueError):
         CloudWatchSink("ns", chunk=-3)
+
+
+def test_dropped_acc_counts_through_real_executor_path(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from database_collector_spark.sinks.cloudwatch import CloudWatchSink, write_batch
+
+    class _NullClient:
+        def put_metric_data(self, Namespace, MetricData):
+            pass
+
+    acc = spark.sparkContext.accumulator(0)
+    sink = CloudWatchSink("ns", client_factory=_NullClient, dropped_acc=acc)
+    df = spark.createDataFrame(
+        [
+            ({"__name__": "m"}, 1.0, None),
+            ({"__name__": "m"}, float("nan"), None),
+            ({"__name__": "m"}, float("inf"), None),
+            ({"__name__": "m"}, 2.0, None),
+        ],
+        "labels map<string,string>, value double, ts timestamp",
+    ).repartition(3)
+    write_batch(df, sink)
+    # the accumulator is the executor->driver drop-telemetry channel
+    assert acc.value == 2
