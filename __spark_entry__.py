@@ -28,6 +28,7 @@ from database_collector_spark import (
     workloads_ext,
     workloads_ir,
     workloads_pq,
+    workloads_r9,
     workloads_ts,
 )
 
@@ -45,62 +46,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # Round-8 rotation, part 1 — RED-ROW RETEST: map_funcs was r7's one
-    # red driver row (hash-only mismatch). Root cause was oracle-side:
-    # DuckDB typed `f_cents` HUGEINT (expression over a SUM(BIGINT) CTE
-    # column) and the driver's Arrow canonicalization rendered it
-    # float64 vs Spark's int64. The oracle now casts to BIGINT, and
-    # tests/test_oracle_schemas.py LIMIT-0-sweeps all oracles so the
-    # class cannot recur (time_weighted_avg / prorate_daily /
-    # rollup_cascade had the same latent bug and are cast too).
-    "map_funcs",
-    # part 2 — MANDATORY: the 35 gates with no driver CORRECTNESS row in
-    # any round (== queries() minus the union of CORRECTNESS_r*.json
-    # keys; pinned by tests/test_docs_consistency.py). All green in the
-    # local tools/check.py harness.
-    "null_safe_join", "bag_set_ops", "corr_matrix", "weighted_median",
-    "decayed_counts", "table_checksum", "supplier_diversity",
-    "capped_balance", "benford_audit", "skyline_orders", "dist_drift",
-    "waiting_suppliers", "kfold_split", "filter_funnel",
-    "embedding_covariance", "jaccard_join_exact",
-    "embedding_dedup_clusters", "pmi_collocations", "triangle_count",
-    "chunk_documents", "oov_rate", "pit_join", "time_weighted_avg",
-    "interval_coalesce", "prorate_daily", "session_paths",
-    "rollup_cascade", "interpolate_linear", "pattern_detect",
-    "time_to_convert", "error_impact", "freshness_audit",
-    "value_histogram", "sliding_unique_users", "variant_json",
-    # part 3 — gates NEW in round 8 (never driver-checked).
-    "multimodal_png", "sliding_unique_approx", "bigram_logppl",
-    "m4_downsample", "kmv_intersection", "corpus_shuffle",
-    "ann_sq8_topk", "entity_resolution", "cms_join_size",
-    "rrf_fusion", "kcore_peel", "dedup_containment", "psi_drift",
-    # part 4 — backfill: oldest driver evidence is the r5-latest cohort;
-    # semantic flagships first per the r7 verdict's rotation directive.
-    "long_running_sessions",
+    # Round-9 rotation, part 1 — RED-ROW RETEST: the r8 report's only
+    # two red rows (rows green at 13,528, schema+hash red). Root cause
+    # was oracle-side: DuckDB to_timestamp() returns TIMESTAMP WITH
+    # TIME ZONE while Spark's window().start is naive TIMESTAMP, so the
+    # driver's Arrow dtype compare red-flagged tz-aware vs naive. Both
+    # oracles now CAST(... AS TIMESTAMP) (judge-verified exact match at
+    # 13,528 rows), tests/test_oracle_schemas.py's BANNED set now
+    # includes the TZ types, and tools/check.py no longer strips tzinfo
+    # (the masking that hid this through two full three-SF sweeps).
+    "sliding_unique_users", "sliding_unique_approx",
+    # part 2 — the THIRTEEN r9 gates staged in workloads_r9.py since
+    # round 8 (oracles pre-verified by the driver-identical staged
+    # differential, judge-re-run green; registered this round).
+    "readability_scores", "temperature_mixture", "quality_classifier",
+    "weighted_sample_by", "jl_projection", "embedding_outliers",
+    "corpus_diff", "bpe_fertility", "auc_scores", "lang_confusion",
+    "interval_outages", "bfs_hops", "shard_overlap",
+    # part 3 — backfill per the r8 verdict's rotation directive: the
+    # semantic flagships displaced from the r8 backfill by that round's
+    # 13 new gates...
+    "asof_join", "sessionization", "skew_salted_join", "dedup_spans",
+    "label_enrich", "grouping_sets", "range_join_buckets",
+    # ...then the remaining r5-latest cohort, oldest evidence first.
+    "ann_pq_adc", "ann_pq_codes", "approx_distinct", "approx_quantiles",
+    "argmax_customer", "correlated_avg_filter", "cube_counts",
+    "cust_order_distribution", "date_rollup",
+    "dedup_embedding_lsh_multi", "gap_detect", "grouped_counter",
+    "semi_anti_orders", "shipping_priority", "stats_moments",
+    "text_token_stats", "array_funcs", "case_having", "date_funcs",
+    "string_funcs", "set_ops", "limit_cap", "engine_dispatch",
+    "sample_stratified", "tfidf_top_terms", "ttl_expiry_counts",
+    "events_sliding", "ann_ivf_multiprobe",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r9 MANDATORY HEAD: any red r8 rows first, then the r9-new gates —
-    # the THIRTEEN staged in workloads_r9.py with pre-verified oracles
-    # (readability_scores, temperature_mixture, quality_classifier,
-    # weighted_sample_by, jl_projection, embedding_outliers,
-    # corpus_diff, bpe_fertility, auc_scores, lang_confusion,
-    # interval_outages, bfs_hops,
-    # shard_overlap; registration = import QUERIES_R9/ORACLES_R9 into
-    # the dicts below + list them here) plus any further r9 additions,
-    # then the remaining r5-latest cohort — semantic flagships
-    # asof_join, sessionization, skew_salted_join, dedup_spans,
-    # label_enrich, grouping_sets, range_join_buckets first (they were
-    # displaced from the r8 backfill by the 13 r8-new gates), then
-    # (ann_pq_adc, ann_pq_codes, approx_distinct, approx_quantiles,
-    # argmax_customer, correlated_avg_filter, cube_counts,
-    # cust_order_distribution, date_rollup, dedup_embedding_lsh_multi,
-    # gap_detect, grouped_counter, semi_anti_orders, shipping_priority,
-    # stats_moments, text_token_stats, array_funcs, case_having,
-    # date_funcs, string_funcs, set_ops, limit_cap, engine_dispatch,
-    # sample_stratified, tfidf_top_terms, ttl_expiry_counts,
-    # events_sliding, ann_ivf_multiprobe, ann_ivf_probe,
+    # r10 MANDATORY HEAD: any red r9 rows first, then the r10-new gates
+    # staged in workloads_r10.py (registration = import
+    # QUERIES_R10/ORACLES_R10 into the dicts below + list them here),
+    # then the rest of the r5-latest cohort (ann_ivf_probe,
     # window_frames, window_running, unpivot_melt, top_supplier,
     # market_share, decile_stats, exact_percentiles), then the r6-latest
-    # cohort oldest-first.
+    # cohort oldest-first — subject to the max-staleness meta-test in
+    # tests/test_docs_consistency.py (no registered gate's newest driver
+    # row older than 5 rounds).
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 
@@ -121,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads_ext.QUERIES_EXT,
         **workloads_ir.QUERIES_IR,
         **workloads_pq.QUERIES_PQ,
+        **workloads_r9.QUERIES_R9,
         **workloads_ts.QUERIES_TS,
     })
 
@@ -136,5 +124,6 @@ def oracle_sql() -> dict[str, str]:
         **workloads_ext.ORACLES_EXT,
         **workloads_ir.ORACLES_IR,
         **workloads_pq.ORACLES_PQ,
+        **workloads_r9.ORACLES_R9,
         **workloads_ts.ORACLES_TS,
     })

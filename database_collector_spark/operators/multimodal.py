@@ -971,12 +971,16 @@ def scene_changes(
         delta = d if delta is None else delta + d
     first = F.lag("frame_idx").over(w).isNull()
     has_stats = F.col("m_r").isNotNull()
+    # A valid frame whose PREDECESSOR was quarantined (null stats) has a
+    # NULL delta but is not `first` — treat it like a first frame (cut):
+    # a real shot boundary must not hide behind one corrupt frame.
+    prev_valid = F.lag("m_r").over(w).isNotNull()
     return means.select(
         "doc_id",
         "frame_idx",
         delta.alias("delta_milli"),
         (
             has_stats
-            & (first | (F.coalesce(delta, F.lit(0)) >= threshold_milli))
+            & (first | ~prev_valid | (F.coalesce(delta, F.lit(0)) >= threshold_milli))
         ).alias("is_cut"),
     )

@@ -234,3 +234,122 @@ def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
     return per_row.groupBy(*keys_a, *keys_b).agg(
         F.min("dot").alias("cms_join_estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HLL registers (cross-engine reproducible sketch state)
+# ---------------------------------------------------------------------------
+#
+# approx_count_distinct above is the production default, but its register
+# hash is Spark-internal: the sketch STATE cannot be recomputed by another
+# engine, so gates can only bound its error. This tier is the
+# persistable/mergeable alternative the 100 TB rollup story needs: an HLL
+# whose registers are a pure function of the item strings via md5, so (a)
+# a register table written to parquet today merges with one computed by a
+# different engine tomorrow, and (b) a DuckDB oracle can recompute the
+# exact same registers and the differential hashes sketch STATE, not just
+# an error band. Hash split: md5 hex chars [1,8] -> 32-bit h1, register =
+# h1 % m; hex chars [9,16] -> 32-bit h2, rho = 33 - bit_length(h2)
+# (h2 = 0 -> 33). bin()/length() agree between Spark and DuckDB, so rho
+# is engine-exact. Estimation is Flajolet et al.'s HLL with the linear-
+# counting small-range correction; the register sum is kept as the exact
+# integer sum(2^(33 - rho)) so every float enters through ONE division
+# (or one log) on identical operands.
+
+HLL_M = 256  # registers; rsd ~ 1.04/sqrt(m) = 6.5%
+_HLL_POW33 = 1 << 33
+
+
+def hll_rho_projection(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    *,
+    salt: str,
+    m: int = HLL_M,
+) -> DataFrame:
+    """(group..., reg, rho) per input row — the map-side projection.
+
+    Pure per-row column ops (md5 + conv + bin), no shuffle. Feed into
+    ``hll_partial_registers`` for the partial-aggregate collapse.
+    """
+    h = f"md5(concat(cast({item_col} as string), ':', '{salt}'))"
+    h1 = f"cast(conv(substring({h}, 1, 8), 16, 10) as bigint)"
+    h2 = f"cast(conv(substring({h}, 9, 8), 16, 10) as bigint)"
+    return df.select(
+        *group_cols,
+        F.expr(f"cast({h1} % {m} as int)").alias("reg"),
+        F.expr(
+            f"cast(case when {h2} = 0 then 33 else 33 - length(bin({h2})) end as int)"
+        ).alias("rho"),
+    )
+
+
+def hll_partial_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    item_col: str,
+    *,
+    salt: str,
+    m: int = HLL_M,
+) -> DataFrame:
+    """Per-group register table: (group..., reg, rho = max over items).
+
+    This IS the persistable sketch state: at most ``m`` rows per group,
+    mergeable by max(rho) per register across any partitioning of the
+    input (days, shards, engines) — union partial tables and re-run
+    ``merge_hll_registers`` to roll up. One partial-agg shuffle of
+    O(groups x m) rows, map-side combined.
+    """
+    return (
+        hll_rho_projection(df, group_cols, item_col, salt=salt, m=m)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_hll_registers(
+    partials: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge register tables down to coarser groups: max(rho) per
+    (group, reg). Losslessly associative/commutative — merging daily
+    partials to a month equals sketching the month directly."""
+    return partials.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_finalize(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    m: int = HLL_M,
+) -> DataFrame:
+    """Registers -> estimate per group.
+
+    Output columns: ``n_regs`` (hit registers), ``v_zero`` (empty
+    registers), ``reg_sum`` (exact integer sum over ALL m registers of
+    2^(33 - rho), empty regs contributing 2^33 — the scaled-integer form
+    of HLL's harmonic denominator, order-independent and cross-engine
+    exact), ``est_users`` (double: alpha_m * m^2 * 2^33 / reg_sum, with
+    the standard linear-counting switch m * ln(m / v_zero) when the raw
+    estimate <= 2.5 m and empty registers remain).
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("int").alias("n_regs"),
+        F.sum(F.shiftleft(F.lit(1).cast("long"), 33 - F.col("rho"))).alias(
+            "hit_sum"
+        ),
+    )
+    v_zero = (F.lit(m) - F.col("n_regs")).cast("int")
+    reg_sum = (F.col("hit_sum") + v_zero.cast("long") * F.lit(_HLL_POW33)).alias(
+        "reg_sum"
+    )
+    raw = F.lit(alpha * m * m * float(_HLL_POW33)) / F.col("reg_sum").cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    return (
+        agg.select(*group_cols, "n_regs", v_zero.alias("v_zero"), reg_sum)
+        .withColumn("est_users", est)
+    )

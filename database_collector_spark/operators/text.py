@@ -632,14 +632,18 @@ def readability(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         " (acc, w) -> acc + cast(greatest("
         "   size(regexp_extract_all(w, '[aeiouyAEIOUY]+', 0)), 1) as bigint))"
     )
+    # NULL text is in-domain (curation.py declares it): size()/aggregate()
+    # over a NULL array yield NULL, but the oracle's LEFT JOIN COALESCEs
+    # word/syllable counts to 0 — match that (scores stay NULL via the
+    # n_words > 0 guard; greatest(NULL, 1) is 1 in both engines).
     counts = docs.select(
         "doc_id",
-        F.size(toks).alias("n_words"),
+        F.coalesce(F.size(toks), F.lit(0)).alias("n_words"),
         F.greatest(
             F.size(F.expr(rf"regexp_extract_all({text_col}, '[.!?]+', 0)")),
             F.lit(1),
         ).alias("n_sentences"),
-        syl.alias("n_syllables"),
+        F.coalesce(syl, F.lit(0).cast("bigint")).alias("n_syllables"),
     )
     wd = F.col("n_words").cast("double")
     sent = F.col("n_sentences").cast("double")

@@ -375,6 +375,13 @@ def interval_subtract(
     keyed (partition, order) pair carries the whole sweep: one shuffle
     per side + one for the union.
     """
+    # Empty/inverted intervals (end <= start) are meaningless under
+    # half-open semantics but would survive coalesce_intervals and emit
+    # their -1 boundary event BEFORE their +1 in the sweep, corrupting
+    # the running coverage counters (a covered segment could be emitted
+    # as uncovered). Drop them up front; the SQL oracles mirror this.
+    base = base.where(F.col(end_col) > F.col(start_col))
+    holes = holes.where(F.col(end_col) > F.col(start_col))
     b = coalesce_intervals(base, by=by, start_col=start_col, end_col=end_col)
     h = coalesce_intervals(holes, by=by, start_col=start_col, end_col=end_col)
 

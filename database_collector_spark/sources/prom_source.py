@@ -66,7 +66,7 @@ _LABEL = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"')
 # group must fullmatch this before the per-item findall is trusted
 _LABEL_ITEM = r'[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"'
 _LABEL_LIST = re.compile(
-    rf"(?:{_LABEL_ITEM}(?:\s*,\s*{_LABEL_ITEM})*(?:\s*,)?\s*)?"
+    rf"\s*(?:{_LABEL_ITEM}(?:\s*,\s*{_LABEL_ITEM})*(?:\s*,)?\s*)?"
 )
 
 SCHEMA = StructType(

@@ -492,8 +492,8 @@ WITH iv AS (
          epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e
   FROM events
 ),
-b AS (SELECT user_id, s, e FROM iv WHERE event_type <> 'error'),
-h AS (SELECT user_id, s, e FROM iv WHERE event_type = 'error'),
+b AS (SELECT user_id, s, e FROM iv WHERE event_type <> 'error' AND e > s),
+h AS (SELECT user_id, s, e FROM iv WHERE event_type = 'error' AND e > s),
 bounds AS (
   SELECT DISTINCT user_id, t FROM (
     SELECT user_id, s AS t FROM b UNION ALL SELECT user_id, e FROM b

@@ -2501,7 +2501,7 @@ WITH e AS (
 ),
 expanded AS (
   SELECT event_type, user_id,
-         to_timestamp((s // 900 - hop.h) * 900) AS win_start
+         CAST(to_timestamp((s // 900 - hop.h) * 900) AS TIMESTAMP) AS win_start
   FROM e, (SELECT unnest(generate_series(0, 3)) AS h) hop
   WHERE (s // 900 - hop.h) * 900 + 3600 > s AND (s // 900 - hop.h) * 900 <= s
 )
@@ -2519,7 +2519,7 @@ WITH e AS (
 ),
 expanded AS (
   SELECT event_type, user_id,
-         to_timestamp((s // 900 - hop.h) * 900) AS win_start
+         CAST(to_timestamp((s // 900 - hop.h) * 900) AS TIMESTAMP) AS win_start
   FROM e, (SELECT unnest(generate_series(0, 3)) AS h) hop
   WHERE (s // 900 - hop.h) * 900 + 3600 > s AND (s // 900 - hop.h) * 900 <= s
 )

@@ -55,6 +55,38 @@ def test_rotation_debt_cannot_drift():
     )
 
 
+def test_no_gate_evidence_older_than_five_rounds():
+    """Max-staleness guard for the rotation (r8 verdict #5): with 203
+    registered gates and a 50-row driver window the revisit period is
+    ~4 rounds; this pins it — for every registered gate, its NEWEST
+    driver CORRECTNESS row must be no older than 5 rounds by the time
+    the upcoming round's report lands. Gates sitting in the current
+    window count as refreshed this round (the driver will row them)."""
+    import glob
+    import json
+    import re
+
+    newest: dict[str, int] = {}
+    rounds: list[int] = []
+    for f in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        rounds.append(rnd)
+        with open(f) as fh:
+            for q in json.load(fh):
+                newest[q] = max(newest.get(q, 0), rnd)
+    current_round = max(rounds) + 1
+    stale = [
+        q
+        for q in entrymod.queries()
+        if q not in entrymod._CHECK_FIRST
+        and newest.get(q, current_round) < current_round - 5
+    ]
+    assert not stale, (
+        f"gates whose newest driver evidence predates round "
+        f"{current_round - 5} and are not in this round's window: {stale}"
+    )
+
+
 def test_oracle_position_bound_exceeds_longest_document():
     """Several oracles enumerate token positions with a fixed
     generate_series bound; if a regenerated fixture ever carries a doc

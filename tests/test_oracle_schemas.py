@@ -21,7 +21,17 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-BANNED = {"HUGEINT", "UHUGEINT"}
+BANNED = {
+    "HUGEINT",
+    "UHUGEINT",
+    # Round-8 second instance of the class: DuckDB to_timestamp() returns
+    # TIMESTAMPTZ while Spark window().start is naive TIMESTAMP; the
+    # driver's Arrow dtype compare sees datetime64[ns, UTC] vs
+    # datetime64[ns] -> schema+hash red with rows green
+    # (sliding_unique_users / sliding_unique_approx). Cast to TIMESTAMP.
+    "TIMESTAMP WITH TIME ZONE",
+    "TIME WITH TIME ZONE",
+}
 
 
 @pytest.fixture(scope="module")

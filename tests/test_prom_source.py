@@ -217,14 +217,16 @@ def test_promtext_malformed_label_segment_counts_as_malformed():
             f.write('m{l=v} 2\n')                 # unquoted value: malformed
             f.write('m{l="v",} 3\n')              # trailing comma: LEGAL
             f.write('m{l="v" , k="w"} 4\n')       # spaces around comma: LEGAL
+            f.write('m{ l="v"} 6\n')              # space after '{': LEGAL
             f.write('ok{a="b"} 5\n')
         got = list(rdr.read(_FilePartition(f"{tmp}/x.prom")))
     by_name = {}
     for r in got:
         by_name.setdefault(r[0], []).append(r)
-    assert [r[2] for r in by_name["m"]] == [3.0, 4.0]
+    assert [r[2] for r in by_name["m"]] == [3.0, 4.0, 6.0]
     assert by_name["m"][0][1] == {"l": "v"}
     assert by_name["m"][1][1] == {"l": "v", "k": "w"}
+    assert by_name["m"][2][1] == {"l": "v"}
     assert by_name["ok"][0][1] == {"a": "b"}
     assert by_name["_malformed"][0][2] == 2.0
 

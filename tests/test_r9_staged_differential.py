@@ -44,11 +44,19 @@ def test_staged_sets_are_one_to_one():
     assert set(workloads_r9.QUERIES_R9) == set(workloads_r9.ORACLES_R9)
 
 
-def test_staged_oracles_have_no_int128_columns(con):
+BANNED = {
+    "HUGEINT",
+    "UHUGEINT",
+    "TIMESTAMP WITH TIME ZONE",
+    "TIME WITH TIME ZONE",
+}
+
+
+def test_staged_oracles_have_no_arrow_unportable_columns(con):
     for name, sql in workloads_r9.ORACLES_R9.items():
         rel = con.sql(f"SELECT * FROM ({sql}) q LIMIT 0")
         for col, typ in zip(rel.columns, map(str, rel.types)):
-            assert "HUGEINT" not in typ.upper(), f"{name}.{col} is {typ}"
+            assert typ.upper() not in BANNED, f"{name}.{col} is {typ}"
 
 
 @pytest.mark.parametrize("name", sorted(workloads_r9.QUERIES_R9))

@@ -660,6 +660,29 @@ def test_scene_changes_flags_brightness_cuts(spark):
     assert got[3]["is_cut"] is False and got[3]["delta_milli"] == 3000
 
 
+def test_scene_changes_cut_after_quarantined_frame(spark):
+    # frame 1 has null stats (simulating a quarantined decode); frame 2
+    # must be flagged like a first frame — a shot boundary must not hide
+    # behind one corrupt frame (round-8 ADVICE)
+    stats = spark.createDataFrame(
+        [
+            Row(doc_id=1, frame_idx=0, w=4, h=4, sum_r=480, sum_g=480, sum_b=480),
+            Row(doc_id=1, frame_idx=1, w=None, h=None, sum_r=None, sum_g=None, sum_b=None),
+            Row(doc_id=1, frame_idx=2, w=4, h=4, sum_r=3200, sum_g=3200, sum_b=3200),
+            Row(doc_id=1, frame_idx=3, w=4, h=4, sum_r=3216, sum_g=3216, sum_b=3216),
+        ],
+        "doc_id int, frame_idx int, w int, h int, sum_r long, sum_g long, sum_b long",
+    )
+    got = {
+        r["frame_idx"]: r
+        for r in multimodal.scene_changes(stats, threshold_milli=60_000).collect()
+    }
+    assert got[0]["is_cut"] is True
+    assert got[1]["is_cut"] is False and got[1]["delta_milli"] is None
+    assert got[2]["is_cut"] is True and got[2]["delta_milli"] is None
+    assert got[3]["is_cut"] is False
+
+
 def test_jl_project_random_property(spark):
     import random
 

@@ -41,7 +41,12 @@ def canon_value(v) -> str:
     if isinstance(v, decimal.Decimal):
         return repr(float(v))
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # Do NOT strip tzinfo: the driver's Arrow dtype compare treats
+        # tz-aware (DuckDB TIMESTAMPTZ) vs naive (Spark TIMESTAMP) as a
+        # schema+hash mismatch, and this harness must see what the driver
+        # sees (masking it hid the sliding_unique_* red rows through two
+        # full three-SF sweeps in round 8).
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
