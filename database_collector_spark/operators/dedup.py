@@ -1003,3 +1003,52 @@ def boundary_overlap_pairs(
         )
         .select("doc_a", "doc_b", F.col("overlap_a").alias("overlap"))
     )
+
+
+def incremental_signature_pairs(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """``incremental_minhash_pairs`` with a PERSISTED corpus signature
+    table: the corpus side's signatures arrive precomputed (read back
+    from the parquet store the previous build wrote) instead of being
+    recomputed from text — the steady-state nightly shape, where
+    signature cost is O(|new|) and the lake's signature table is an
+    immutable content-addressed artifact. ``corpus_docs`` supplies the
+    corpus-side TEXT only for the exact-Jaccard verify of colliding
+    candidates (production stores sh_arr alongside the signatures to
+    skip even that; the fixture-scale gate recomputes it to keep the
+    stored artifact minimal). Band join is new x store only; output is
+    (new_doc, corpus_doc, jaccard >= threshold)."""
+    new_b = band_values(
+        minhash_signatures(new_docs, n=n, num_hashes=num_hashes),
+        num_hashes=num_hashes, bands=bands,
+    )
+    old_b = band_values(corpus_sigs, num_hashes=num_hashes, bands=bands)
+    cands = (
+        new_b.alias("a")
+        .join(
+            old_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = jaccard_verify(
+        shingle_sets(new_docs, n=n),
+        cands,
+        threshold=threshold,
+        sets_b=shingle_sets(corpus_docs, n=n),
+    )
+    return verified.select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("corpus_doc"),
+        "jaccard",
+    )

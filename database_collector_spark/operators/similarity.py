@@ -1001,3 +1001,53 @@ def embedding_outliers(
         .limit(top_n)
         .select("vec_id", F.round("_d2", 6).alias("d2_from_mean"))
     )
+
+
+def ivf_index_save(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    k: int = 8,
+    iters: int = 3,
+) -> None:
+    """Train the IVF coarse quantizer and PERSIST the index artifacts —
+    index build is a nightly batch job; index use is every query after.
+
+    Layout (all plain parquet, engine-portable):
+      ``{path}/centroids`` — (cid INT, c ARRAY<BIGINT>): the trained
+        integer centroids (k rows; the whole quantizer state).
+      ``{path}/cells``     — (vec_id, qe, qnorm2, cid): the quantized
+        corpus keyed by its cell, written PARTITIONED BY cid so one
+        probe reads one cell directory — the at-rest layout that makes
+        a single probe touch |cell| rows instead of the corpus.
+
+    Quantized vectors and norms are exact integers, so the parquet
+    round-trip is lossless by construction; reload + probe is
+    bit-identical to probing the in-memory build (the
+    ann_index_roundtrip gate hashes that claim against the no-persist
+    closed form)."""
+    spark = embeddings.sparkSession
+    cents = kmeans_centroids(embeddings, k=k, iters=iters)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cells = assign_centroids(
+        with_quantized(embeddings).select("vec_id", "qe", "qnorm2"), cents
+    )
+    cells.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+
+
+def ivf_index_load(
+    spark, path: str
+) -> tuple[list[list[int]], DataFrame]:
+    """Reload a persisted IVF index: (centroids list, cells DataFrame).
+
+    The centroid collect is k rows by contract (the quantizer is tiny;
+    that is what makes assignment a broadcast projection); the cells
+    frame stays distributed and cid-partition-pruned — a probe that
+    filters on cid reads only that cell's files."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cents = [list(r["c"]) for r in cent_rows]
+    cells = spark.read.parquet(f"{path}/cells")
+    return cents, cells

@@ -336,9 +336,9 @@ def hll_finalize(
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.groupBy(*group_cols).agg(
         F.count("*").cast("int").alias("n_regs"),
-        F.sum(F.shiftleft(F.lit(1).cast("long"), 33 - F.col("rho"))).alias(
-            "hit_sum"
-        ),
+        # shiftleft's numBits arg must be a literal int in the Python API;
+        # the SQL form takes the column expression
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 33 - rho)")).alias("hit_sum"),
     )
     v_zero = (F.lit(m) - F.col("n_regs")).cast("int")
     reg_sum = (F.col("hit_sum") + v_zero.cast("long") * F.lit(_HLL_POW33)).alias(

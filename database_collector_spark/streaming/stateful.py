@@ -354,3 +354,115 @@ def streaming_near_dup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sliding-window distinct users via deterministic HLL registers
+# ---------------------------------------------------------------------------
+
+HLL_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.IntegerType()), True)]
+)
+
+HLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("win_s", T.LongType(), True),
+        T.StructField("n_regs", T.IntegerType(), True),
+        T.StructField("v_zero", T.IntegerType(), True),
+        T.StructField("reg_sum", T.LongType(), True),
+    ]
+)
+
+
+def _make_sliding_hll_fn(m: int, salt: str):
+    import hashlib
+
+    def _update(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        event_type, win_s = key
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for b in batches:
+            for uid in b["user_id"]:
+                h = hashlib.md5(f"{int(uid)}:{salt}".encode()).hexdigest()
+                reg = int(h[:8], 16) % m
+                h2 = int(h[8:16], 16)
+                rho = 33 if h2 == 0 else 33 - h2.bit_length()
+                if rho > regs[reg]:
+                    regs[reg] = rho
+        state.update((regs,))
+        n_regs = sum(1 for r in regs if r > 0)
+        v_zero = m - n_regs
+        reg_sum = sum(1 << (33 - r) for r in regs if r > 0) + v_zero * (1 << 33)
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "win_s": [win_s],
+                "n_regs": [n_regs],
+                "v_zero": [v_zero],
+                "reg_sum": [reg_sum],
+            }
+        )
+
+    return _update
+
+
+def sliding_hll_unique(
+    events: DataFrame,
+    *,
+    window_s: int = 3600,
+    hop_s: int = 900,
+    m: int = 256,
+    salt: str = "shll",
+) -> DataFrame:
+    """Streaming sliding-window distinct-user estimation — the stateful
+    twin of the batch hll_sliding_windows gate (workloads_r10.py),
+    closing the batch/streaming asymmetry in the sketch tier: same
+    md5-derived registers (operators/sketches.py contract), same
+    max-merge, so the streaming state is REGISTER-FOR-REGISTER identical
+    to the batch computation over the same events regardless of
+    micro-batch boundaries or replay (max is idempotent, commutative,
+    associative — the crash-replay-safe property; pinned by
+    tests/test_streaming_hll.py against the batch pipeline).
+
+    Events are hop-expanded (window_s/hop_s copies) BEFORE keying, so
+    state is one fixed m-int register array per (event_type, win_s) —
+    bounded per key, merge-free across keys. Each micro-batch emits the
+    updated windows' current register summary (update mode); the latest
+    emission per key is the current answer, and reg_sum is the exact
+    integer harmonic denominator the batch finalizer turns into the
+    estimate. No per-window user sets anywhere: state per key is m ints
+    whether the window saw ten users or ten million — the property that
+    lets the same operator run at 100 TB/day event volume."""
+    nhops = window_s // hop_s
+    s = F.col("ts").cast("timestamp_ltz").cast("long")
+    expanded = (
+        events.select("event_type", "user_id", s.alias("s"))
+        .select(
+            "event_type",
+            "user_id",
+            "s",
+            F.explode(F.expr(f"sequence(0, {nhops - 1})")).alias("h"),
+        )
+        .select(
+            "event_type",
+            "user_id",
+            ((F.col("s") - F.col("s") % hop_s) - F.col("h") * hop_s).alias("win_s"),
+            "s",
+        )
+        .where(
+            (F.col("win_s") + window_s > F.col("s"))
+            & (F.col("win_s") <= F.col("s"))
+        )
+        .select("event_type", "user_id", "win_s")
+    )
+    return expanded.groupBy("event_type", "win_s").applyInPandasWithState(
+        _make_sliding_hll_fn(m, salt),
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

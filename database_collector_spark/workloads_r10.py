@@ -1,0 +1,750 @@
+"""Round-10 STAGED gates (not yet imported by ``__spark_entry__``).
+
+The r8-proven staging pattern: each gate here ships with its DuckDB
+oracle twin and runs through the driver-identical differential in
+``tests/test_r10_staged_differential.py`` at sf0.001 (plus the LIMIT-0
+Arrow-portability sweep) the round BEFORE registration, so window
+registration next round is a two-line import.
+
+Cohort (the r8 verdict's item-3 candidates plus the pipeline-tier ops
+the corpus shape supports):
+
+- ``hll_sliding_windows`` / ``hll_mergeable_rollup`` — the deterministic
+  register HLL tier (operators/sketches.py): cross-engine-reproducible
+  sketch STATE, so the differential hashes registers, not just an error
+  band. The sliding gate is the batch twin of the new stateful streaming
+  op (streaming/stateful.py::sliding_hll_unique); the rollup gate is the
+  persist-daily-partials-then-merge shape.
+- ``ann_index_roundtrip`` — train IVF, PERSIST the index artifacts to
+  parquet, reload, and serve a probe query from the loaded index (index
+  build != index use; the production workflow).
+- ``minhash_persist_incremental`` — nightly-ingest dedup that REUSES a
+  persisted signature table for unchanged documents and computes
+  signatures only for changed/new ones.
+- ``pack_sequences`` — GPT-style concat-then-chunk sequence packing map
+  (per-source packing domains keep the window partitioned).
+- ``vocab_drift_kl`` — unigram KL drift + churn between two corpus
+  snapshots (the release gate for tokenizer/vocab stability).
+- ``ngram_novelty`` — per-document duplicated-shingle fraction against
+  the rest of the corpus (the RefinedWeb-style duplication signal).
+- ``source_quota_sample`` — deterministic per-domain quota cap by md5
+  rank (the "no domain dominates the mix" curation rule).
+
+Reference parity: the reference (truemark/database-collector) has no
+analytics engine of its own — collector/internal/collector.go:1-200
+delegates queries to pinned exporters; this tier is the
+beyond-reference LLM-pipeline surface the build brief mandates.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_collector_spark.operators import dedup, sketches, similarity
+from database_collector_spark.workloads import _t
+
+
+def _hex32_sql(expr: str, start: int) -> str:
+    """32-bit BIGINT from md5 hex chars [start, start+7] of ``expr`` —
+    the DuckDB mirror of Spark's conv(substring(md5(x), start, 8), 16, 10)
+    (DuckDB has no conv; sum nibble strpos values instead)."""
+    return (
+        f"(SELECT SUM(CAST(strpos('0123456789abcdef',"
+        f" substr(md5({expr}), {start} + i - 1, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (8 - i))))"
+        " FROM (SELECT unnest(generate_series(1, 8)) AS i))"
+    )
+
+
+# ------------------------------------------------------------ HLL gates
+#
+# Tolerance bounds follow the protocol: measured max error at sf0.1 and
+# sf0.01 with >= 2x margin (see tests/test_r10_staged_differential.py's
+# measurement notes and SCALE.md). m = 256 -> rsd ~ 6.5%; linear
+# counting covers the small-window regime.
+
+_HLL_SALT_SLIDE = "shll"
+_HLL_SALT_ROLL = "rhll"
+_HLL_M = sketches.HLL_M
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# repr() so the SQL literal parses to the bit-identical double Spark uses
+_HLL_SCALE = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 33))
+
+
+def _hll_verdict(frac: float, floor: float) -> F.Column:
+    exact = F.col("exact_users").cast("double")
+    tol = F.greatest(F.lit(frac) * exact, F.lit(floor))
+    return (F.abs(F.col("est_users") - exact) <= tol).alias("within_tol")
+
+
+def q_hll_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users from DETERMINISTIC HLL registers
+    (operators/sketches.py::hll_partial_registers) — same 1 h / 15 min
+    hop windows as sliding_unique_users, but the sketch state itself is
+    engine-reproducible, so the gate hashes (n_regs, v_zero, reg_sum):
+    any register divergence fails the hash outright, and the estimate
+    verdict documents accuracy on top. Batch twin of the stateful
+    streaming op streaming/stateful.py::sliding_hll_unique (parity
+    pinned register-for-register in tests/test_streaming_hll.py).
+
+    Windows keyed by epoch-second BIGINT win_s — the r8 lesson: naive
+    vs tz-aware TIMESTAMP is an oracle-portability trap; integer window
+    keys cannot have it. Plan: hop explode (4x), one distinct-free
+    register partial-agg (max is insensitive to duplicates), one
+    finalize agg + one exact-twin agg joined on the window key.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("timestamp_ltz").cast("long")
+    expanded = (
+        ev.select("event_type", "user_id", s.alias("s"))
+        .select(
+            "event_type",
+            "user_id",
+            "s",
+            F.explode(F.expr("sequence(0, 3)")).alias("h"),
+        )
+        .select(
+            "event_type",
+            "user_id",
+            ((F.col("s") - F.col("s") % 900) - F.col("h") * 900).alias("win_s"),
+            "s",
+        )
+        .where((F.col("win_s") + 3600 > F.col("s")) & (F.col("win_s") <= F.col("s")))
+        .select("event_type", "user_id", "win_s")
+    )
+    regs = sketches.hll_partial_registers(
+        expanded, ["event_type", "win_s"], "user_id", salt=_HLL_SALT_SLIDE
+    )
+    fin = sketches.hll_finalize(regs, ["event_type", "win_s"])
+    exact = expanded.groupBy("event_type", "win_s").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        fin.join(exact, ["event_type", "win_s"])
+        .select(
+            "event_type",
+            "win_s",
+            "exact_users",
+            "n_regs",
+            "v_zero",
+            "reg_sum",
+            _hll_verdict(0.20, 15.0),
+        )
+    )
+
+
+def _sql_hll_core(distinct_items_cte: str, keys: str, salt: str) -> str:
+    """Shared oracle chain: ``items`` CTE (keys..., item VARCHAR) ->
+    registers -> finalize columns, mirroring sketches.hll_* exactly."""
+    h1 = _hex32_sql("item || ':" + salt + "'", 1)
+    h2 = _hex32_sql("item || ':" + salt + "'", 9)
+    return f"""{distinct_items_cte},
+hashed AS (
+  SELECT {keys}, {h1} % {_HLL_M} AS reg, {h2} AS h2
+  FROM items
+),
+regs AS (
+  SELECT {keys}, reg,
+         MAX(CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END) AS rho
+  FROM hashed GROUP BY {keys}, reg
+),
+fin AS (
+  SELECT {keys},
+         CAST(COUNT(*) AS INT) AS n_regs,
+         CAST({_HLL_M} - COUNT(*) AS INT) AS v_zero,
+         CAST(SUM(CAST(1 AS BIGINT) << (33 - rho))
+              + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 33) AS BIGINT)
+           AS reg_sum
+  FROM regs GROUP BY {keys}
+),
+est AS (
+  SELECT *,
+         CASE WHEN ({_HLL_SCALE} / CAST(reg_sum AS DOUBLE)) <= {2.5 * _HLL_M}
+                   AND v_zero > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(v_zero AS DOUBLE))
+              ELSE {_HLL_SCALE} / CAST(reg_sum AS DOUBLE) END AS est_users
+  FROM fin
+)"""
+
+
+SQL_HLL_SLIDING_WINDOWS = f"""
+WITH e AS (
+  SELECT event_type, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+expanded AS (
+  SELECT event_type, user_id, (s // 900 - hop.h) * 900 AS win_s
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS h) hop
+  WHERE (s // 900 - hop.h) * 900 + 3600 > s AND (s // 900 - hop.h) * 900 <= s
+),
+{_sql_hll_core(
+    "items AS (SELECT DISTINCT event_type, win_s,"
+    " CAST(user_id AS VARCHAR) AS item FROM expanded)",
+    "event_type, win_s",
+    _HLL_SALT_SLIDE,
+)},
+exact AS (
+  SELECT event_type, win_s, COUNT(DISTINCT user_id) AS exact_users
+  FROM expanded GROUP BY 1, 2
+)
+SELECT x.event_type, x.win_s, x.exact_users,
+       est.n_regs, est.v_zero, est.reg_sum,
+       abs(est.est_users - CAST(x.exact_users AS DOUBLE))
+         <= greatest(0.20 * CAST(x.exact_users AS DOUBLE), 15.0) AS within_tol
+FROM exact x JOIN est USING (event_type, win_s)
+"""
+
+
+def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persist-then-merge sketch rollup: DAILY register partials per
+    (event_type, day) — the bounded table a 100 TB pipeline writes to
+    parquet each night (O(types x days x 256) rows, independent of event
+    count) — ACTUALLY written to and read back from parquet (the nightly
+    artifact), then merged register-by-register (max) up to event_type
+    and finalized, with an exact twin verdict. Merging partials equals
+    sketching the whole range directly BY CONSTRUCTION (max is
+    associative), which is the property that lets month-level questions
+    be answered without rescanning any day's raw events. The gate hashes
+    the merged register state (n_regs, v_zero, reg_sum) + n_days +
+    per-day partial row count, so a wrong partial anywhere — or a lossy
+    round-trip — flips it."""
+    ev = _t(spark, sf_dir, "events")
+    day = (F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)).cast(
+        "long"
+    )
+    base = ev.select("event_type", day.alias("day"), "user_id")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_hll_"), "daily_registers"
+    )
+    sketches.hll_partial_registers(
+        base, ["event_type", "day"], "user_id", salt=_HLL_SALT_ROLL
+    ).write.mode("overwrite").parquet(path)
+    daily = spark.read.parquet(path)
+    merged = sketches.merge_hll_registers(daily, ["event_type"])
+    fin = sketches.hll_finalize(merged, ["event_type"])
+    meta = daily.groupBy("event_type").agg(
+        F.countDistinct("day").cast("int").alias("n_days"),
+        F.count("*").alias("partial_rows"),
+    )
+    exact = base.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        fin.join(meta, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "partial_rows",
+            "exact_users",
+            "n_regs",
+            "v_zero",
+            "reg_sum",
+            _hll_verdict(0.15, 10.0),
+        )
+    )
+
+
+SQL_HLL_MERGEABLE_ROLLUP = f"""
+WITH base AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+  FROM events
+),
+-- the daily partial table (merge then equals direct sketch; the oracle
+-- recomputes the partial ROW COUNT to pin the persisted-table shape)
+{_sql_hll_core(
+    "items AS (SELECT DISTINCT event_type, day,"
+    " CAST(user_id AS VARCHAR) AS item FROM base)",
+    "event_type, day",
+    _HLL_SALT_ROLL,
+)},
+daily_regs AS (SELECT event_type, day, reg, rho FROM regs),
+merged AS (
+  SELECT event_type, reg, MAX(rho) AS rho FROM daily_regs GROUP BY 1, 2
+),
+mfin AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS INT) AS n_regs,
+         CAST({_HLL_M} - COUNT(*) AS INT) AS v_zero,
+         CAST(SUM(CAST(1 AS BIGINT) << (33 - rho))
+              + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 33) AS BIGINT)
+           AS reg_sum
+  FROM merged GROUP BY 1
+),
+mest AS (
+  SELECT *,
+         CASE WHEN ({_HLL_SCALE} / CAST(reg_sum AS DOUBLE)) <= {2.5 * _HLL_M}
+                   AND v_zero > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(v_zero AS DOUBLE))
+              ELSE {_HLL_SCALE} / CAST(reg_sum AS DOUBLE) END AS est_users
+  FROM mfin
+),
+meta AS (
+  SELECT event_type, CAST(COUNT(DISTINCT day) AS INT) AS n_days,
+         COUNT(*) AS partial_rows
+  FROM daily_regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM base GROUP BY 1
+)
+SELECT x.event_type, m.n_days, m.partial_rows, x.exact_users,
+       e.n_regs, e.v_zero, e.reg_sum,
+       abs(e.est_users - CAST(x.exact_users AS DOUBLE))
+         <= greatest(0.15 * CAST(x.exact_users AS DOUBLE), 10.0) AS within_tol
+FROM exact x JOIN mest e USING (event_type) JOIN meta m USING (event_type)
+"""
+
+
+# ------------------------------------------------- ANN index round-trip
+
+
+def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index build != index use: train the IVF quantizer, PERSIST the
+    index artifacts (centroid table + cid-keyed cell lists) to parquet
+    via operators/similarity.py::ivf_index_save, RELOAD them with
+    ivf_index_load, and serve the probe query (vec_id < 10, exact cosine
+    top-3 within the query's own trained cell) entirely from the LOADED
+    artifacts — the production workflow every similarity system runs
+    (build nightly, serve all day). Output and oracle are identical to
+    ann_ivf_kmeans_probe's closed form: if any component survives the
+    parquet round-trip changed (quantized vectors, norms, assignments,
+    centroids), at least one rank or cosine flips the hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_ivf_"), "index"
+    )
+    similarity.ivf_index_save(emb, path, k=8, iters=3)
+    cents, cells = similarity.ivf_index_load(spark, path)
+    q = (
+        similarity.incremental_assign(emb.filter(F.col("vec_id") < 10), cents)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("qe").alias("q_qe"),
+            F.col("qnorm2").alias("q_n2"),
+            F.col("cid").alias("q_cid"),
+        )
+    )
+    c = cells.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("qnorm2").alias("c_n2"),
+        F.col("cid").alias("c_cid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_cid") == F.col("c_cid"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                similarity._dot("q_qe", "c_qe").cast("double")
+                / (
+                    F.sqrt(F.col("q_n2").cast("double"))
+                    * F.sqrt(F.col("c_n2").cast("double"))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
+
+
+def _sql_ann_index_roundtrip() -> str:
+    from database_collector_spark.workloads2 import _sql_kmeans_ctes
+
+    # the round-trip is lossless by contract, so the oracle is the
+    # trained-probe closed form (workloads2._sql_kmeans_probe's shape)
+    return f"""{_sql_kmeans_ctes()},
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_dot_product(q.qe, c.qe)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 6) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.qe, c.qe)
+                    / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                    c.vec_id ASC) AS rank
+  FROM afinal q
+  JOIN afinal c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 3
+"""
+
+
+SQL_ANN_INDEX_ROUNDTRIP = _sql_ann_index_roundtrip()
+
+
+# --------------------------------------- incremental dedup with persisted sigs
+
+
+def _v2_snapshot(docs: DataFrame) -> DataFrame:
+    """The closed-form snapshot mutation shared with corpus_diff
+    (workloads_r9.py): drop %17, rewrite %13 (' v2' suffix), add %19
+    under shifted ids."""
+    v = F.col("doc_id")
+    survivors = docs.where(v % 17 != 0).select(
+        "doc_id",
+        F.when(v % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(v % 19 == 0).select(
+        (v + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("added "), F.col("text")).alias("text"),
+    )
+    return survivors.unionByName(added)
+
+
+def q_minhash_persist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup with a PERSISTED signature table: last
+    night's MinHash signatures for the whole corpus are written to
+    parquet; tonight's snapshot (the corpus_diff closed-form mutation)
+    recomputes signatures ONLY for changed/new documents — unchanged
+    documents' signatures are read back from the store (content hash
+    equality decides membership), so steady-state signature cost is
+    O(|changed|), not O(|corpus|). The LSH band join then runs
+    changed x reused-store only (operators/dedup.py::
+    incremental_signature_pairs). Oracle recomputes everything from
+    scratch over the v2 snapshot — equal results iff the parquet
+    round-trip is lossless AND reuse selected exactly the unchanged
+    set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = _v2_snapshot(docs)
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_sigs_"), "signatures"
+    )
+    dedup.minhash_signatures(docs).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    # membership by (doc_id, content hash): changed text or new id fails
+    a_h = docs.select("doc_id", F.md5("text").alias("h"))
+    b_h = v2.select("doc_id", F.md5("text").alias("h"))
+    unchanged_ids = b_h.join(a_h, ["doc_id", "h"], "left_semi").select("doc_id")
+    changed = v2.join(unchanged_ids, "doc_id", "left_anti")
+    corpus_sigs = stored.join(unchanged_ids, "doc_id", "left_semi")
+    corpus_docs = v2.join(unchanged_ids, "doc_id", "left_semi")
+    return dedup.incremental_signature_pairs(
+        changed, corpus_sigs, corpus_docs
+    )
+
+
+def _sql_minhash_persist_incremental() -> str:
+    from database_collector_spark.workloads_ext import sql_minhash_lsh_ctes
+
+    # changed-in-v2: rewritten survivor (%13, id < 10M) or added (>= 10M).
+    # The oracle recomputes EVERY signature from the v2 snapshot — equal
+    # results iff the gate's persisted-signature reuse selected exactly
+    # the unchanged set and the parquet round-trip was lossless.
+    chg_a = "((doc_a % 13 = 0 AND doc_a < 10000000) OR doc_a >= 10000000)"
+    chg_b = "((doc_b % 13 = 0 AND doc_b < 10000000) OR doc_b >= 10000000)"
+    return f"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'added ' || text AS text
+  FROM documents WHERE doc_id % 19 = 0
+),
+{sql_minhash_lsh_ctes("v2").strip()}
+SELECT CASE WHEN {chg_a} THEN doc_a ELSE doc_b END AS new_doc,
+       CASE WHEN {chg_a} THEN doc_b ELSE doc_a END AS corpus_doc,
+       jaccard
+FROM pairs
+WHERE {chg_a} <> {chg_b}
+"""
+
+
+SQL_MINHASH_PERSIST_INCREMENTAL = _sql_minhash_persist_incremental()
+
+
+# ------------------------------------------------------- sequence packing
+
+
+_PACK_SEQ_LEN = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing map: within each
+    source (the packing domain — sources pack independently so the
+    window stays PARTITIONED at any corpus size), documents are laid
+    end-to-end in a deterministic md5-shuffled order and the token
+    stream is cut into {seq}-token training sequences. Output per doc:
+    its token span [start_tok, start_tok + n_toks) in the domain stream
+    and the first/last sequence ids it lands in — the materialized
+    packing plan a trainer's data loader executes. One window cumsum
+    per source, exact integers throughout.""".replace(
+        "{seq}", str(_PACK_SEQ_LEN)
+    )
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pack")))
+    sized = docs.select(
+        "doc_id",
+        "source",
+        key.alias("k"),
+        F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))
+        .cast("long")
+        .alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_tok"),
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "start_tok",
+        (F.col("start_tok") / _PACK_SEQ_LEN).cast("long").alias("seq_first"),
+        ((F.col("start_tok") + F.col("n_toks") - 1) / _PACK_SEQ_LEN)
+        .cast("long")
+        .alias("seq_last"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         md5(CAST(doc_id AS VARCHAR) || ':pack') AS k,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+           AS n_toks
+  FROM documents
+),
+packed AS (
+  -- window SUM over BIGINT types HUGEINT in DuckDB: cast back to BIGINT
+  -- (the map_funcs Arrow-portability class; LIMIT-0 meta-test enforced)
+  SELECT doc_id, source, n_toks,
+         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_toks AS BIGINT) AS start_tok
+  FROM sized WHERE n_toks > 0
+)
+SELECT doc_id, source, n_toks, start_tok,
+       CAST(start_tok // {_PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((start_tok + n_toks - 1) // {_PACK_SEQ_LEN} AS BIGINT) AS seq_last
+FROM packed
+"""
+
+
+# ------------------------------------------------------- vocab drift KL
+
+
+def q_vocab_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution drift between two corpus snapshots (the
+    corpus_diff closed-form v2): add-1-smoothed per-token KL(B||A)
+    contribution over the union vocabulary, reported as the top 25
+    drift-driving tokens — the release gate that catches a vocabulary/
+    domain shift before a tokenizer or mixture is frozen on the new
+    snapshot. Two token-count aggregates + one full-outer hash join on
+    the token + two single-row totals broadcast back; contributions are
+    computed from exact integer counts through one fixed expression
+    shape, so the doubles are cross-engine identical."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = _v2_snapshot(docs)
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.split("text", " ")).alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias(name))
+        )
+
+    ca, cb = counts(docs, "n_a"), counts(v2, "n_b")
+    joined = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        F.count("*").alias("vocab"),
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    p_a = (F.col("n_a") + 1).cast("double") / (F.col("tot_a") + F.col("vocab")).cast(
+        "double"
+    )
+    p_b = (F.col("n_b") + 1).cast("double") / (F.col("tot_b") + F.col("vocab")).cast(
+        "double"
+    )
+    contrib = p_b * F.log(p_b / p_a)
+    return (
+        j.select("token", "n_a", "n_b", contrib.alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(25)
+        .select("token", "n_a", "n_b", F.round("c", 9).alias("kl_contrib"))
+    )
+
+
+SQL_VOCAB_DRIFT_KL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'added ' || text AS text
+  FROM documents WHERE doc_id % 19 = 0
+),
+ta AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+tb AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM v2
+),
+ca AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_a FROM ta GROUP BY 1),
+cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_b FROM tb GROUP BY 1),
+joined AS (
+  SELECT COALESCE(ca.token, cb.token) AS token,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb USING (token)
+),
+tot AS (
+  SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b, COUNT(*) AS vocab FROM joined
+),
+scored AS (
+  SELECT token, n_a, n_b,
+         (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + vocab AS DOUBLE))
+           * ln((CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + vocab AS DOUBLE))
+                / (CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + vocab AS DOUBLE))) AS c
+  FROM joined, tot
+)
+SELECT token, n_a, n_b, round(c, 9) AS kl_contrib
+FROM scored ORDER BY c DESC, token ASC LIMIT 25
+"""
+
+
+# ------------------------------------------------------- n-gram novelty
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-shingle fraction against the rest of the
+    corpus (the RefinedWeb/Gopher-style duplication signal at the
+    fragment level): for each document, what share of its distinct
+    3-gram shingles also appear in at least one OTHER document? High
+    shares flag near-boilerplate; low shares flag novel text worth
+    keeping. One shingle document-frequency aggregate (shuffles distinct
+    (doc, shingle) pairs once), one join back, one per-doc aggregate —
+    never a doc x doc comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_shingles"), 4).alias("dup_frac"),
+        )
+    )
+
+
+def _sql_ngram_novelty() -> str:
+    from database_collector_spark.workloads_ext import _sql_shingles
+
+    return f"""
+WITH {_sql_shingles().strip().lstrip()}
+, dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN dfc.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(SUM(CASE WHEN dfc.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS dup_frac
+FROM sh JOIN dfc USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+SQL_NGRAM_NOVELTY = _sql_ngram_novelty()
+
+
+# --------------------------------------------------- per-source quota cap
+
+
+_QUOTA_CAP = 40
+
+
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain quota cap: every source contributes at
+    most {cap} documents, chosen by md5 rank (a uniform, seedable,
+    engine-reproducible draw) — the "no domain dominates the mixture"
+    curation rule applied as a rank filter. ONE per-source window
+    (partitioned — source is the packing key, never a global sort);
+    emits the kept docs with their rank so downstream mixtures can
+    subsample further without re-ranking.""".replace("{cap}", str(_QUOTA_CAP))
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":quota")))
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        docs.select("doc_id", "source", key.alias("k"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _QUOTA_CAP)
+        .select("doc_id", "source", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_SOURCE_QUOTA_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || ':quota') AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS INT)
+           AS rank
+  FROM keyed
+)
+SELECT doc_id, source, rank FROM ranked WHERE rank <= {_QUOTA_CAP}
+"""
+
+
+QUERIES_R10 = {
+    "hll_sliding_windows": q_hll_sliding_windows,
+    "hll_mergeable_rollup": q_hll_mergeable_rollup,
+    "ann_index_roundtrip": q_ann_index_roundtrip,
+    "minhash_persist_incremental": q_minhash_persist_incremental,
+    "pack_sequences": q_pack_sequences,
+    "vocab_drift_kl": q_vocab_drift_kl,
+    "ngram_novelty": q_ngram_novelty,
+    "source_quota_sample": q_source_quota_sample,
+}
+
+ORACLES_R10 = {
+    "hll_sliding_windows": SQL_HLL_SLIDING_WINDOWS,
+    "hll_mergeable_rollup": SQL_HLL_MERGEABLE_ROLLUP,
+    "ann_index_roundtrip": SQL_ANN_INDEX_ROUNDTRIP,
+    "minhash_persist_incremental": SQL_MINHASH_PERSIST_INCREMENTAL,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "vocab_drift_kl": SQL_VOCAB_DRIFT_KL,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "source_quota_sample": SQL_SOURCE_QUOTA_SAMPLE,
+}

@@ -1,0 +1,118 @@
+"""Unit pins for the r10 persistence tier: IVF index save/load,
+persisted-signature incremental dedup, and the HLL merge property —
+the operator-level claims the staged differentials rely on."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_collector_spark.operators import dedup, similarity, sketches
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_ivf_index_roundtrip_is_lossless(spark):
+    emb = _emb(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/index"
+        similarity.ivf_index_save(emb, path, k=8, iters=3)
+        cents, cells = similarity.ivf_index_load(spark, path)
+        # centroids reload exactly (integers; parquet is lossless)
+        assert cents == similarity.kmeans_centroids(emb, k=8, iters=3)
+        # cells reload exactly: same rows as an in-memory build
+        mem = similarity.assign_centroids(
+            similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"),
+            cents,
+        )
+        got = {
+            r["vec_id"]: (list(r["qe"]), r["qnorm2"], r["cid"])
+            for r in cells.collect()
+        }
+        want = {
+            r["vec_id"]: (list(r["qe"]), r["qnorm2"], r["cid"])
+            for r in mem.collect()
+        }
+        assert got == want
+
+
+def test_ivf_cells_layout_prunes_by_cid(spark):
+    # the at-rest layout claim: a probe filtering one cell must read one
+    # cell's partition directory, not the corpus (PartitionFilters on cid)
+    emb = _emb(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/index"
+        similarity.ivf_index_save(emb, path, k=8, iters=3)
+        _, cells = similarity.ivf_index_load(spark, path)
+        plan = (
+            cells.filter(F.col("cid") == 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [isnotnull(cid" in plan
+        # cid partition directories actually exist on disk
+        assert any(
+            d.startswith("cid=") for d in os.listdir(f"{path}/cells")
+        )
+
+
+def test_incremental_signature_pairs_equals_recompute(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/sigs"
+        dedup.minhash_signatures(corpus).write.parquet(path)
+        stored = spark.read.parquet(path)
+        via_store = {
+            (r["new_doc"], r["corpus_doc"], r["jaccard"])
+            for r in dedup.incremental_signature_pairs(
+                new, stored, corpus
+            ).collect()
+        }
+    recompute = {
+        (r["new_doc"], r["corpus_doc"], r["jaccard"])
+        for r in dedup.incremental_minhash_pairs(new, corpus).collect()
+    }
+    assert via_store == recompute
+    assert len(recompute) > 0
+
+
+def test_hll_merge_of_halves_equals_whole(spark):
+    # the mergeability contract behind hll_mergeable_rollup: partial
+    # registers over any split of the input merge (max) to exactly the
+    # registers of the whole
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("half"), F.col("id").alias("item")
+    )
+    partials = sketches.hll_partial_registers(
+        df, ["half"], "item", salt="t"
+    )
+    merged = sketches.merge_hll_registers(
+        partials.drop("half").withColumn("g", F.lit(1)), ["g"]
+    )
+    whole = sketches.hll_partial_registers(
+        df.withColumn("g", F.lit(1)), ["g"], "item", salt="t"
+    )
+    got = {(r["reg"], r["rho"]) for r in merged.collect()}
+    want = {(r["reg"], r["rho"]) for r in whole.collect()}
+    assert got == want
+
+
+def test_hll_finalize_linear_counting_small_range(spark):
+    # 10 distinct items through 256 registers: raw HLL would sit near
+    # alpha*m ~ 181; linear counting must bring the estimate to ~10
+    df = spark.range(10).select(F.lit(1).alias("g"), F.col("id").alias("item"))
+    fin = sketches.hll_finalize(
+        sketches.hll_partial_registers(df, ["g"], "item", salt="t"), ["g"]
+    ).collect()[0]
+    assert fin["n_regs"] <= 10
+    assert abs(fin["est_users"] - 10) <= 2

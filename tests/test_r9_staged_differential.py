@@ -77,25 +77,32 @@ def test_staged_gate_matches_oracle(spark, con, name):
     )
 
 
-def test_staged_names_do_not_collide_with_registered_gates():
+def test_r9_cohort_is_fully_registered():
+    # the inverse of the pre-registration shadow check: since round 9
+    # every r9 name must resolve in the REGISTERED surface with the
+    # module's own callable/SQL (the _ordered merge must not have
+    # dropped or shadowed any)
     import __spark_entry__ as entry
 
-    registered = set(entry.oracle_sql())
-    overlap = registered & set(workloads_r9.QUERIES_R9)
-    assert not overlap, f"staged names shadow registered gates: {overlap}"
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    for name in workloads_r9.QUERIES_R9:
+        assert qs[name] is workloads_r9.QUERIES_R9[name], name
+        assert os_[name] == workloads_r9.ORACLES_R9[name], name
 
 
 def test_every_staged_gate_is_documented_in_coverage():
+    # the r9 cohort REGISTERED in round 9: every gate must sit in the
+    # live check window (not just the directive comment) and carry a
+    # REGISTERED r9 COVERAGE row naming it; the 1:1 staged-row count
+    # now lives in test_r10_staged_differential.py for the r10 cohort
+    import __spark_entry__ as entrymod
+
     cov = open("/root/repo/COVERAGE.md").read()
-    # every staged gate must appear in the window-head directive AND
-    # have exactly one PRE-VERIFIED COVERAGE row (rows are 1:1 with
-    # staged gates), so adding a gate without a row — or deleting a
-    # row — fails here, not in the r9 registration round
-    entry_src = open("/root/repo/__spark_entry__.py").read()
     for name in workloads_r9.QUERIES_R9:
-        assert name in entry_src, f"{name} missing from the r9 window-head comment"
-    assert cov.count("PRE-VERIFIED") == len(workloads_r9.QUERIES_R9), (
-        "PRE-VERIFIED COVERAGE rows must be 1:1 with staged gates"
+        assert name in entrymod._CHECK_FIRST, f"{name} not in the r9 window"
+        assert f"`{name}`" in cov, f"{name} missing a COVERAGE row"
+    assert cov.count("REGISTERED r9") == len(workloads_r9.QUERIES_R9), (
+        "REGISTERED r9 COVERAGE rows must be 1:1 with the r9 cohort"
     )
 
 

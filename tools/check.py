@@ -94,10 +94,10 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if staged:
-        from database_collector_spark import workloads_r9
+        from database_collector_spark import workloads_r10
 
-        queries = {**queries, **workloads_r9.QUERIES_R9}
-        oracles = {**oracles, **workloads_r9.ORACLES_R9}
+        queries = {**queries, **workloads_r10.QUERIES_R10}
+        oracles = {**oracles, **workloads_r10.ORACLES_R10}
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
