@@ -260,6 +260,42 @@ HLL_M = 256  # registers; rsd ~ 1.04/sqrt(m) = 6.5%
 _HLL_POW33 = 1 << 33
 
 
+def hop_expand(
+    df: DataFrame,
+    *,
+    window_s: int,
+    hop_s: int,
+    s_col: str = "s",
+) -> DataFrame:
+    """Expand each row into every hop-aligned sliding window containing
+    it: input has an epoch-second BIGINT column ``s_col``; output keeps
+    all columns and adds ``win_s`` (the window's start second). The ONE
+    definition shared by the batch sliding-HLL gate, the streaming
+    stateful twin, and their parity test — so the expansion cannot
+    silently drift between them.
+
+    ``window_s`` must be a whole multiple of ``hop_s``: with
+    ``nhops = window_s // hop_s`` copies a non-divisible pair would
+    silently miss each event's oldest covering window (the partial-hop
+    tail), undercounting distinct users — rejected loudly instead.
+    Alignment uses pmod, so negative epochs floor-align exactly like
+    the DuckDB oracles' ``//``."""
+    if window_s % hop_s != 0:
+        raise ValueError(
+            f"hop_expand: window_s={window_s} is not a multiple of "
+            f"hop_s={hop_s}; the last partial hop's window would be "
+            "silently dropped"
+        )
+    nhops = window_s // hop_s
+    s = F.col(s_col)
+    return (
+        df.select("*", F.explode(F.expr(f"sequence(0, {nhops - 1})")).alias("_h"))
+        .withColumn("win_s", (s - F.pmod(s, hop_s)) - F.col("_h") * F.lit(hop_s))
+        .where((F.col("win_s") + window_s > s) & (F.col("win_s") <= s))
+        .drop("_h")
+    )
+
+
 def hll_rho_projection(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -272,11 +308,18 @@ def hll_rho_projection(
 
     Pure per-row column ops (md5 + conv + bin), no shuffle. Feed into
     ``hll_partial_registers`` for the partial-aggregate collapse.
+
+    NULL items are dropped here (matching ``count(DISTINCT x)``'s NULL
+    semantics): without the filter a NULL item would yield a
+    (reg=NULL, rho=NULL) row that ``hll_finalize`` counts in n_regs but
+    skips in the register sum — silently deflating v_zero/reg_sum. A
+    group whose items are ALL NULL therefore produces no registers (as
+    it produces no distinct values).
     """
     h = f"md5(concat(cast({item_col} as string), ':', '{salt}'))"
     h1 = f"cast(conv(substring({h}, 1, 8), 16, 10) as bigint)"
     h2 = f"cast(conv(substring({h}, 9, 8), 16, 10) as bigint)"
-    return df.select(
+    return df.where(F.expr(f"({item_col}) IS NOT NULL")).select(
         *group_cols,
         F.expr(f"cast({h1} % {m} as int)").alias("reg"),
         F.expr(

@@ -375,7 +375,7 @@ HLL_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _make_sliding_hll_fn(m: int, salt: str):
+def _make_sliding_hll_fn(m: int, salt: str, window_s: int, expire: bool):
     import hashlib
 
     def _update(
@@ -384,9 +384,31 @@ def _make_sliding_hll_fn(m: int, salt: str):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         event_type, win_s = key
+        if state.hasTimedOut:
+            # prior update-mode emissions already carried this window's
+            # final registers; just drop the state
+            state.remove()
+            return
+        win_end_ms = (int(win_s) + window_s) * 1000
+        if expire:
+            wm_ms = state.getCurrentWatermarkMs()
+            if win_end_ms <= wm_ms:
+                # event later than the allowed lateness for an already
+                # expired window: updating would resurrect EMPTY state
+                # and emit a registers-of-late-events-only summary that
+                # OVERWRITES the correct final one — drop it instead
+                # (documented watermark semantics)
+                if state.exists:
+                    state.remove()
+                return
         regs = list(state.get[0]) if state.exists else [0] * m
         for b in batches:
             for uid in b["user_id"]:
+                # NULL user_id contributes no distinct value (batch twin
+                # filters it in hll_rho_projection); int(NaN) would kill
+                # the whole streaming query
+                if pd.isna(uid):
+                    continue
                 h = hashlib.md5(f"{int(uid)}:{salt}".encode()).hexdigest()
                 reg = int(h[:8], 16) % m
                 h2 = int(h[8:16], 16)
@@ -394,6 +416,10 @@ def _make_sliding_hll_fn(m: int, salt: str):
                 if rho > regs[reg]:
                     regs[reg] = rho
         state.update((regs,))
+        if expire:
+            # evict once the watermark passes the window's end (the
+            # lateness grace rides in the watermark delay itself)
+            state.setTimeoutTimestamp(max(win_end_ms, state.getCurrentWatermarkMs() + 1))
         n_regs = sum(1 for r in regs if r > 0)
         v_zero = m - n_regs
         reg_sum = sum(1 << (33 - r) for r in regs if r > 0) + v_zero * (1 << 33)
@@ -417,6 +443,7 @@ def sliding_hll_unique(
     hop_s: int = 900,
     m: int = 256,
     salt: str = "shll",
+    lateness: str | None = "2 hours",
 ) -> DataFrame:
     """Streaming sliding-window distinct-user estimation — the stateful
     twin of the batch hll_sliding_windows gate (workloads_r10.py),
@@ -428,41 +455,45 @@ def sliding_hll_unique(
     associative — the crash-replay-safe property; pinned by
     tests/test_streaming_hll.py against the batch pipeline).
 
-    Events are hop-expanded (window_s/hop_s copies) BEFORE keying, so
-    state is one fixed m-int register array per (event_type, win_s) —
-    bounded per key, merge-free across keys. Each micro-batch emits the
-    updated windows' current register summary (update mode); the latest
-    emission per key is the current answer, and reg_sum is the exact
-    integer harmonic denominator the batch finalizer turns into the
-    estimate. No per-window user sets anywhere: state per key is m ints
-    whether the window saw ten users or ten million — the property that
-    lets the same operator run at 100 TB/day event volume."""
-    nhops = window_s // hop_s
+    Events are hop-expanded (window_s/hop_s copies, via the SAME
+    operators/sketches.py::hop_expand the batch gate and the parity test
+    use) BEFORE keying, so state is one fixed m-int register array per
+    (event_type, win_s) — bounded per key, merge-free across keys. Each
+    micro-batch emits the updated windows' current register summary
+    (update mode); the latest emission per key is the current answer,
+    and reg_sum is the exact integer harmonic denominator the batch
+    finalizer turns into the estimate. No per-window user sets anywhere:
+    state per key is m ints whether the window saw ten users or ten
+    million.
+
+    The KEY COUNT is bounded too: with ``lateness`` set (the default),
+    the event timestamps carry a watermark delayed by that grace and
+    every window's state is evicted (EventTimeTimeout) once the
+    watermark passes its end — so live state is O(active windows), not
+    O(stream lifetime), the property that lets the operator run
+    indefinitely at 100 TB/day. Events arriving later than the grace for
+    an already-evicted window are DROPPED (updating would resurrect
+    empty registers and overwrite the correct final summary with a
+    late-events-only one). ``lateness=None`` disables expiry entirely
+    (every window's state lives forever — bounded replay/backfill runs
+    only, e.g. the batch-parity test)."""
+    from database_collector_spark.operators.sketches import hop_expand
+
     s = F.col("ts").cast("timestamp_ltz").cast("long")
-    expanded = (
-        events.select("event_type", "user_id", s.alias("s"))
-        .select(
-            "event_type",
-            "user_id",
-            "s",
-            F.explode(F.expr(f"sequence(0, {nhops - 1})")).alias("h"),
-        )
-        .select(
-            "event_type",
-            "user_id",
-            ((F.col("s") - F.col("s") % hop_s) - F.col("h") * hop_s).alias("win_s"),
-            "s",
-        )
-        .where(
-            (F.col("win_s") + window_s > F.col("s"))
-            & (F.col("win_s") <= F.col("s"))
-        )
-        .select("event_type", "user_id", "win_s")
-    )
+    expanded = hop_expand(
+        events.select("event_type", "user_id", s.alias("s")),
+        window_s=window_s,
+        hop_s=hop_s,
+    ).select("event_type", "user_id", "win_s", F.timestamp_seconds("s").alias("ev_ts"))
+    if lateness is not None:
+        expanded = expanded.withWatermark("ev_ts", lateness)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return expanded.groupBy("event_type", "win_s").applyInPandasWithState(
-        _make_sliding_hll_fn(m, salt),
+        _make_sliding_hll_fn(m, salt, window_s, lateness is not None),
         outputStructType=HLL_OUTPUT_SCHEMA,
         stateStructType=HLL_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -47,17 +47,19 @@ from pyspark.sql.window import Window
 
 from database_collector_spark.operators import dedup, sketches, similarity
 from database_collector_spark.workloads import _t
+from database_collector_spark.workloads_r9 import SQL_V2_CTE, _hv_sql, v2_snapshot
 
 
-def _hex32_sql(expr: str, start: int) -> str:
-    """32-bit BIGINT from md5 hex chars [start, start+7] of ``expr`` —
-    the DuckDB mirror of Spark's conv(substring(md5(x), start, 8), 16, 10)
-    (DuckDB has no conv; sum nibble strpos values instead)."""
-    return (
-        f"(SELECT SUM(CAST(strpos('0123456789abcdef',"
-        f" substr(md5({expr}), {start} + i - 1, 1)) - 1 AS BIGINT)"
-        " * (CAST(1 AS BIGINT) << (4 * (8 - i))))"
-        " FROM (SELECT unnest(generate_series(1, 8)) AS i))"
+def _artifact_dir(name: str, sf_dir: str) -> str:
+    """Deterministic scratch directory for a persistence gate's parquet
+    artifacts, keyed by (gate, SF) and REUSED across invocations — every
+    write below is mode("overwrite"), so repeated differential/bench
+    runs keep exactly one artifact per gate per SF instead of leaking a
+    fresh mkdtemp per call."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_r10_artifacts",
+        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
 
 
@@ -94,29 +96,19 @@ def q_hll_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Windows keyed by epoch-second BIGINT win_s — the r8 lesson: naive
     vs tz-aware TIMESTAMP is an oracle-portability trap; integer window
-    keys cannot have it. Plan: hop explode (4x), one distinct-free
-    register partial-agg (max is insensitive to duplicates), one
-    finalize agg + one exact-twin agg joined on the window key.
+    keys cannot have it. Plan: hop explode (4x, the shared
+    sketches.hop_expand the streaming twin and the parity test also
+    use), one distinct-free register partial-agg (max is insensitive to
+    duplicates), one finalize agg + one exact-twin agg joined on the
+    window key.
     """
     ev = _t(spark, sf_dir, "events")
     s = F.col("ts").cast("timestamp_ltz").cast("long")
-    expanded = (
-        ev.select("event_type", "user_id", s.alias("s"))
-        .select(
-            "event_type",
-            "user_id",
-            "s",
-            F.explode(F.expr("sequence(0, 3)")).alias("h"),
-        )
-        .select(
-            "event_type",
-            "user_id",
-            ((F.col("s") - F.col("s") % 900) - F.col("h") * 900).alias("win_s"),
-            "s",
-        )
-        .where((F.col("win_s") + 3600 > F.col("s")) & (F.col("win_s") <= F.col("s")))
-        .select("event_type", "user_id", "win_s")
-    )
+    expanded = sketches.hop_expand(
+        ev.select("event_type", "user_id", s.alias("s")),
+        window_s=3600,
+        hop_s=900,
+    ).select("event_type", "user_id", "win_s")
     regs = sketches.hll_partial_registers(
         expanded, ["event_type", "win_s"], "user_id", salt=_HLL_SALT_SLIDE
     )
@@ -140,13 +132,14 @@ def q_hll_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_hll_core(distinct_items_cte: str, keys: str, salt: str) -> str:
     """Shared oracle chain: ``items`` CTE (keys..., item VARCHAR) ->
-    registers -> finalize columns, mirroring sketches.hll_* exactly."""
-    h1 = _hex32_sql("item || ':" + salt + "'", 1)
-    h2 = _hex32_sql("item || ':" + salt + "'", 9)
+    registers -> finalize columns, mirroring sketches.hll_* exactly
+    (including the NULL-item drop in hll_rho_projection)."""
+    h1 = _hv_sql("item || ':" + salt + "'", 1)
+    h2 = _hv_sql("item || ':" + salt + "'", 9)
     return f"""{distinct_items_cte},
 hashed AS (
   SELECT {keys}, {h1} % {_HLL_M} AS reg, {h2} AS h2
-  FROM items
+  FROM items WHERE item IS NOT NULL
 ),
 regs AS (
   SELECT {keys}, reg,
@@ -214,13 +207,14 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day partial row count, so a wrong partial anywhere — or a lossy
     round-trip — flips it."""
     ev = _t(spark, sf_dir, "events")
-    day = (F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)).cast(
-        "long"
-    )
+    # integer FLOOR division (s - pmod)/86400, not double-divide + cast
+    # (trunc toward zero): the oracle's // floors, and a pre-1970 epoch
+    # would bucket into different days under trunc — the trunc-vs-floor
+    # engine-divergence class
+    s = F.col("ts").cast("timestamp_ltz").cast("long")
+    day = ((s - F.pmod(s, 86400)) / F.lit(86400)).cast("long")
     base = ev.select("event_type", day.alias("day"), "user_id")
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="spark_graft_hll_"), "daily_registers"
-    )
+    path = os.path.join(_artifact_dir("hll_rollup", sf_dir), "daily_registers")
     sketches.hll_partial_registers(
         base, ["event_type", "day"], "user_id", salt=_HLL_SALT_ROLL
     ).write.mode("overwrite").parquet(path)
@@ -316,9 +310,7 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet round-trip changed (quantized vectors, norms, assignments,
     centroids), at least one rank or cosine flips the hash."""
     emb = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="spark_graft_ivf_"), "index"
-    )
+    path = os.path.join(_artifact_dir("ivf", sf_dir), "index")
     similarity.ivf_index_save(emb, path, k=8, iters=3)
     cents, cells = similarity.ivf_index_load(spark, path)
     q = (
@@ -392,24 +384,6 @@ SQL_ANN_INDEX_ROUNDTRIP = _sql_ann_index_roundtrip()
 # --------------------------------------- incremental dedup with persisted sigs
 
 
-def _v2_snapshot(docs: DataFrame) -> DataFrame:
-    """The closed-form snapshot mutation shared with corpus_diff
-    (workloads_r9.py): drop %17, rewrite %13 (' v2' suffix), add %19
-    under shifted ids."""
-    v = F.col("doc_id")
-    survivors = docs.where(v % 17 != 0).select(
-        "doc_id",
-        F.when(v % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    added = docs.where(v % 19 == 0).select(
-        (v + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("added "), F.col("text")).alias("text"),
-    )
-    return survivors.unionByName(added)
-
-
 def q_minhash_persist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nightly-ingest dedup with a PERSISTED signature table: last
     night's MinHash signatures for the whole corpus are written to
@@ -424,10 +398,8 @@ def q_minhash_persist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     round-trip is lossless AND reuse selected exactly the unchanged
     set."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    v2 = _v2_snapshot(docs)
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="spark_graft_sigs_"), "signatures"
-    )
+    v2 = v2_snapshot(docs)
+    path = os.path.join(_artifact_dir("sigs", sf_dir), "signatures")
     dedup.minhash_signatures(docs).write.mode("overwrite").parquet(path)
     stored = spark.read.parquet(path)
     # membership by (doc_id, content hash): changed text or new id fails
@@ -452,14 +424,7 @@ def _sql_minhash_persist_incremental() -> str:
     chg_a = "((doc_a % 13 = 0 AND doc_a < 10000000) OR doc_a >= 10000000)"
     chg_b = "((doc_b % 13 = 0 AND doc_b < 10000000) OR doc_b >= 10000000)"
     return f"""
-WITH v2 AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
-  FROM documents WHERE doc_id % 17 <> 0
-  UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, 'added ' || text AS text
-  FROM documents WHERE doc_id % 19 = 0
-),
+WITH {SQL_V2_CTE},
 {sql_minhash_lsh_ctes("v2").strip()}
 SELECT CASE WHEN {chg_a} THEN doc_a ELSE doc_b END AS new_doc,
        CASE WHEN {chg_a} THEN doc_b ELSE doc_a END AS corpus_doc,
@@ -483,13 +448,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (the packing domain — sources pack independently so the
     window stays PARTITIONED at any corpus size), documents are laid
     end-to-end in a deterministic md5-shuffled order and the token
-    stream is cut into {seq}-token training sequences. Output per doc:
-    its token span [start_tok, start_tok + n_toks) in the domain stream
-    and the first/last sequence ids it lands in — the materialized
-    packing plan a trainer's data loader executes. One window cumsum
-    per source, exact integers throughout.""".replace(
-        "{seq}", str(_PACK_SEQ_LEN)
-    )
+    stream is cut into _PACK_SEQ_LEN-token (512) training sequences.
+    Output per doc: its token span [start_tok, start_tok + n_toks) in
+    the domain stream and the first/last sequence ids it lands in — the
+    materialized packing plan a trainer's data loader executes. One
+    window cumsum per source, exact integers throughout."""
     docs = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pack")))
     sized = docs.select(
@@ -561,7 +524,7 @@ def q_vocab_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from exact integer counts through one fixed expression
     shape, so the doubles are cross-engine identical."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    v2 = _v2_snapshot(docs)
+    v2 = v2_snapshot(docs)
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         return (
@@ -598,15 +561,8 @@ def q_vocab_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_VOCAB_DRIFT_KL = """
-WITH v2 AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
-  FROM documents WHERE doc_id % 17 <> 0
-  UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, 'added ' || text AS text
-  FROM documents WHERE doc_id % 19 = 0
-),
+SQL_VOCAB_DRIFT_KL = f"""
+WITH {SQL_V2_CTE},
 ta AS (
   SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
   FROM documents
@@ -695,12 +651,12 @@ _QUOTA_CAP = 40
 
 def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-domain quota cap: every source contributes at
-    most {cap} documents, chosen by md5 rank (a uniform, seedable,
-    engine-reproducible draw) — the "no domain dominates the mixture"
-    curation rule applied as a rank filter. ONE per-source window
-    (partitioned — source is the packing key, never a global sort);
-    emits the kept docs with their rank so downstream mixtures can
-    subsample further without re-ranking.""".replace("{cap}", str(_QUOTA_CAP))
+    most _QUOTA_CAP (40) documents, chosen by md5 rank (a uniform,
+    seedable, engine-reproducible draw) — the "no domain dominates the
+    mixture" curation rule applied as a rank filter. ONE per-source
+    window (partitioned — source is the packing key, never a global
+    sort); emits the kept docs with their rank so downstream mixtures
+    can subsample further without re-ranking."""
     docs = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":quota")))
     w = Window.partitionBy("source").orderBy("k", "doc_id")

@@ -34,14 +34,47 @@ from database_collector_spark.operators import (
 )
 from database_collector_spark.workloads import _t
 
-# DuckDB rendering of the repo's md5 hash idiom: first 8 hex digits of
-# md5(expr) as a BIGINT (strpos-sum form, mirrors SQL_WEIGHTED_SAMPLE).
-def _hv_sql(expr: str) -> str:
+# DuckDB rendering of the repo's md5 hash idiom: the 8 hex digits of
+# md5(expr) starting at 1-based ``start`` as a BIGINT (strpos-sum form,
+# mirrors SQL_WEIGHTED_SAMPLE; start=9 renders the second 32-bit word,
+# Spark's conv(substring(md5(x), 9, 8), 16, 10)). The ONE definition of
+# the cross-engine hash idiom — workloads_r10's oracles import it.
+def _hv_sql(expr: str, start: int = 1) -> str:
     return (
-        f"(SELECT SUM(CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1"
+        f"(SELECT SUM(CAST(strpos('0123456789abcdef', substr(md5({expr}), i + {start - 1}, 1)) - 1"
         " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - i))))"
         " FROM (SELECT unnest(generate_series(1, 8)) AS i))"
     )
+
+
+# The closed-form snapshot mutation shared by corpus_diff (this module),
+# minhash_persist_incremental and vocab_drift_kl (workloads_r10.py): drop
+# doc_id % 17, rewrite % 13 (' v2' suffix), add % 19 under +10M ids.
+# ONE Spark definition + ONE SQL CTE so the three gates' differentials
+# cannot desynchronize on the constants.
+def v2_snapshot(docs: DataFrame) -> DataFrame:
+    v = F.col("doc_id")
+    survivors = docs.where(v % 17 != 0).select(
+        "doc_id",
+        F.when(v % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(v % 19 == 0).select(
+        (v + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("added "), F.col("text")).alias("text"),
+    )
+    return survivors.unionByName(added)
+
+
+SQL_V2_CTE = """v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'added ' || text AS text
+  FROM documents WHERE doc_id % 19 = 0
+)"""
 
 
 # ---------------------------------------------------------------- readability
@@ -374,31 +407,16 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-unchanged row (curation.py::corpus_diff: map-side content
     hashes + ONE full-outer equi-join)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    v = F.col("doc_id")
-    survivors = docs.where(v % 17 != 0).select(
-        "doc_id",
-        F.when(v % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    added = docs.where(v % 19 == 0).select(
-        (v + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("added "), F.col("text")).alias("text"),
-    )
-    new = survivors.unionByName(added)
+    new = v2_snapshot(docs)
     return curation.corpus_diff(docs, new).where(F.col("status") != "unchanged")
 
 
-SQL_CORPUS_DIFF = """
-WITH old AS (SELECT doc_id, COALESCE(md5(text), chr(0) || '__null_text__') AS old_h FROM documents),
+SQL_CORPUS_DIFF = f"""
+WITH {SQL_V2_CTE},
+old AS (SELECT doc_id, COALESCE(md5(text), chr(0) || '__null_text__') AS old_h FROM documents),
 new AS (
-  SELECT doc_id,
-         COALESCE(md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END),
-                  chr(0) || '__null_text__') AS new_h
-  FROM documents WHERE doc_id % 17 <> 0
-  UNION ALL
-  SELECT doc_id + 10000000, COALESCE(md5('added ' || text), chr(0) || '__null_text__')
-  FROM documents WHERE doc_id % 19 = 0
+  SELECT doc_id, COALESCE(md5(text), chr(0) || '__null_text__') AS new_h
+  FROM v2
 ),
 j AS (
   SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id, old_h, new_h

@@ -42,11 +42,13 @@ def _run_stream(spark, src, build, ckpt, out_mode="update"):
 
 def _events(n, *, type_mod=3, user_mod=37, t0=1717236000):
     # deterministic synthetic stream: users recur across windows, several
-    # event types, timestamps spanning ~5 hours so hop windows overlap
+    # event types, timestamps spanning ~5 hours so hop windows overlap;
+    # every 97th user_id is NULL (both sides must ignore it — the batch
+    # projection filters NULL items, the streaming update fn skips NaN)
     return [
         {
             "event_type": f"t{i % type_mod}",
-            "user_id": (i * 7919) % user_mod,
+            "user_id": None if i % 97 == 0 else (i * 7919) % user_mod,
             "ts": t0 + (i * 137) % 18000,
         }
         for i in range(n)
@@ -58,21 +60,10 @@ def _batch_summary(spark, records):
         [(r["event_type"], r["user_id"], r["ts"]) for r in records],
         "event_type string, user_id long, s long",
     )
-    expanded = (
-        df.select(
-            "event_type",
-            "user_id",
-            "s",
-            F.explode(F.expr("sequence(0, 3)")).alias("h"),
-        )
-        .select(
-            "event_type",
-            "user_id",
-            ((F.col("s") - F.col("s") % 900) - F.col("h") * 900).alias("win_s"),
-            "s",
-        )
-        .where((F.col("win_s") + 3600 > F.col("s")) & (F.col("win_s") <= F.col("s")))
-        .select("event_type", "user_id", "win_s")
+    # the SAME hop expansion the gate and the streaming op use — a
+    # private copy here would let the advertised parity silently drift
+    expanded = sketches.hop_expand(df, window_s=3600, hop_s=900).select(
+        "event_type", "user_id", "win_s"
     )
     regs = sketches.hll_partial_registers(
         expanded, ["event_type", "win_s"], "user_id", salt="shll"
@@ -105,7 +96,9 @@ def test_streaming_hll_matches_batch_registers_across_batch_splits(spark):
                 .json(path)
                 .withColumn("ts", F.timestamp_seconds("ts"))
             )
-            return sliding_hll_unique(stream)
+            # lateness=None: bounded replay, every window must survive to
+            # the end so the latest emissions equal the batch summary
+            return sliding_hll_unique(stream, lateness=None)
 
         rows = _run_stream(spark, src, build, f"{tmp}/ckpt")
 
@@ -133,12 +126,13 @@ def test_streaming_hll_state_is_register_bounded(spark):
 
     class _FakeState:
         exists = False
+        hasTimedOut = False
 
         def update(self, v):
             self.stored = v
 
     st = _FakeState()
-    fn = _make_sliding_hll_fn(256, "shll")
+    fn = _make_sliding_hll_fn(256, "shll", 3600, False)
     out = list(
         fn(("t0", 1000), [pd.DataFrame({"user_id": range(10_000)})], st)
     )
@@ -148,3 +142,54 @@ def test_streaming_hll_state_is_register_bounded(spark):
     reg_sum = int(out[0]["reg_sum"][0])
     est = (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * float(1 << 33) / reg_sum
     assert abs(est - 10_000) / 10_000 < 0.2
+
+
+def test_streaming_hll_expires_closed_windows(spark):
+    # production path (lateness set): once the watermark passes a
+    # window's end, its state is evicted and later stragglers are
+    # DROPPED — they must neither resurrect empty state nor overwrite
+    # the final summary with a late-events-only one
+    t0 = 1717236000
+    b1 = [
+        {"event_type": "t0", "user_id": u, "ts": t0 + u} for u in range(1, 6)
+    ] + [
+        # far-future event: advances the watermark (0s lateness) ~14h
+        # past t0's windows, expiring them after batch 1
+        {"event_type": "t9", "user_id": 999, "ts": t0 + 50_000}
+    ]
+    b2 = [{"event_type": "t0", "user_id": 77, "ts": t0 + 10}]  # late straggler
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        for fname, chunk in (("b1.json", b1), ("b2.json", b2)):
+            with open(f"{src}/{fname}", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in chunk))
+
+        def build(path):
+            stream = (
+                spark.readStream.schema(
+                    "event_type string, user_id long, ts long"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .json(path)
+                .withColumn("ts", F.timestamp_seconds("ts"))
+            )
+            return sliding_hll_unique(stream, lateness="0 seconds")
+
+        rows = _run_stream(spark, src, build, f"{tmp}/ckpt")
+
+    t0_rows = [r for r in rows if r["event_type"] == "t0"]
+    assert t0_rows, "batch 1 must emit the t0 windows"
+    # batch 2's straggler was late beyond the watermark: every t0
+    # emission must carry exactly the 5 users from batch 1 (a 6th
+    # distinct user would flip n_regs on at least one window; a
+    # resurrection would emit n_regs=1 summaries)
+    expect = _batch_summary(spark, b1)
+    latest = {}
+    for r in rows:
+        latest[(r["event_type"], r["win_s"])] = (
+            r["n_regs"],
+            r["v_zero"],
+            r["reg_sum"],
+        )
+    assert latest == expect
