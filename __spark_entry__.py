@@ -80,10 +80,11 @@ _CHECK_FIRST = [
     "events_sliding", "ann_ivf_multiprobe",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
     # r10 MANDATORY HEAD: any red r9 rows first, then the r10-new gates
-    # — the EIGHT staged in workloads_r10.py with pre-verified oracles
+    # — the ELEVEN staged in workloads_r10.py with pre-verified oracles
     # (hll_sliding_windows, hll_mergeable_rollup, ann_index_roundtrip,
     # minhash_persist_incremental, pack_sequences, vocab_drift_kl,
-    # ngram_novelty, source_quota_sample; registration = import
+    # ngram_novelty, source_quota_sample, ann_ivfpq_adc,
+    # source_percentile_filter, token_budget_alloc; registration = import
     # QUERIES_R10/ORACLES_R10 into the dicts below + list them here),
     # then the rest of the r5-latest cohort (ann_ivf_probe,
     # window_frames, window_running, unpivot_melt, top_supplier,

@@ -302,12 +302,27 @@ def pq_train(
     table fits a fraction of the footprint and ADC search scans codes,
     not vectors. Driver traffic stays k rows per iteration per subspace.
     """
-    sub = dim // m
-    full = (
-        with_quantized(embeddings)
-        .select("vec_id", "qe")
-        .localCheckpoint(eager=True)
+    return pq_train_quantized(
+        with_quantized(embeddings).select("vec_id", "qe"),
+        m=m, k=k, iters=iters, dim=dim,
     )
+
+
+def pq_train_quantized(
+    quantized: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = EMBED_DIM,
+) -> list[list[list[int]]]:
+    """``pq_train`` over an ALREADY-quantized (vec_id, qe) frame — the
+    entry point when the vectors being quantized are themselves derived
+    integers rather than raw embeddings (the IVF-PQ residual path: qe =
+    vector − its coarse centroid, still exact BIGINTs, so the whole
+    residual-codebook chain stays cross-engine replayable)."""
+    sub = dim // m
+    full = quantized.select("vec_id", "qe").localCheckpoint(eager=True)
     books: list[list[list[int]]] = []
     for j in range(m):
         base_j = (
@@ -338,10 +353,18 @@ def pq_encode(
     integer arithmetic, ties to the lowest code. Zero shuffle — a
     broadcast one-row codebook attach plus a nested higher-order-function
     projection, so encoding runs at scan speed on any corpus size."""
+    return pq_encode_quantized(with_quantized(embeddings), books)
+
+
+def pq_encode_quantized(
+    base: DataFrame, books: list[list[list[int]]]
+) -> DataFrame:
+    """``pq_encode`` over a frame already carrying integer ``qe`` (all
+    other columns pass through) — used directly by the IVF-PQ residual
+    path, where qe is the per-cell residual and ``cid`` rides along."""
     m = len(books)
     sub = len(books[0][0])
-    spark = embeddings.sparkSession
-    base = with_quantized(embeddings)
+    spark = base.sparkSession
 
     def _codes():
         def per_subspace(j):
@@ -379,6 +402,7 @@ def pq_adc_topk(
     books: list[list[list[int]]],
     *,
     topk: int = 3,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over PQ codes: the corpus
     side contributes only its codes (the centroids stand in for the
@@ -388,7 +412,12 @@ def pq_adc_topk(
     ``queries`` must carry (q_id, q_qe). Broadcast queries x corpus
     codes, then one per-query window for the top-k — the same
     shuffle-free-scan + tiny-window shape as cosine_topk, but scanning
-    m-byte codes instead of full vectors (the 100 TB win)."""
+    m-byte codes instead of full vectors (the 100 TB win).
+
+    ``cell_col`` set (both frames carrying it) switches the cross join
+    to a broadcast EQUI-join on that column — the IVF-PQ probe shape,
+    where each query scans only its coarse cell's codes, so probe work
+    is Σ|probed cell| instead of |corpus| x |queries|."""
     m = len(books)
     sub = len(books[0][0])
     spark = encoded.sparkSession
@@ -414,11 +443,14 @@ def pq_adc_topk(
 
     from pyspark.sql.window import Window
 
-    scored = (
-        encoded.select("vec_id", "codes")
-        .crossJoin(F.broadcast(queries))
-        .crossJoin(F.broadcast(_books_frame(spark, books)))
-        .withColumn("adc_dist", adc())
+    if cell_col is not None:
+        paired = encoded.select(cell_col, "vec_id", "codes").join(
+            F.broadcast(queries), cell_col
+        )
+    else:
+        paired = encoded.select("vec_id", "codes").crossJoin(F.broadcast(queries))
+    scored = paired.crossJoin(F.broadcast(_books_frame(spark, books))).withColumn(
+        "adc_dist", adc()
     )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (

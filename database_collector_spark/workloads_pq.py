@@ -74,10 +74,19 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(enc, queries, books, topk=3)
 
 
-def _sql_pq_ctes(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+def _sql_pq_ctes(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    src: str = "qe",
+    standalone: bool = True,
+) -> str:
     """Per-subspace deterministic Lloyd chains (the ann_ivf_kmeans CTE
     pattern, prefixed p{j}_) ending in codes(vec_id, c0..c{m-1}) and the
-    final codebooks p{j}_c{iters}(cid, c)."""
+    final codebooks p{j}_c{iters}(cid, c). ``src`` names the
+    (vec_id, qe) CTE the subspaces slice (the IVF-PQ gate points it at
+    the residual table); ``standalone=False`` emits only the CTE body so
+    a caller can append it to an existing WITH chain."""
     parts = [f"sidx AS (SELECT unnest(generate_series(1, {SUB})) AS i)"]
     dist = (
         "list_dot_product(q.sq, q.sq) - 2 * list_dot_product(q.sq, c.c)"
@@ -97,7 +106,7 @@ def _sql_pq_ctes(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
 
         parts.append(
             f"""{p}qe AS (
-  SELECT vec_id, list_slice(qe, {lo}, {hi}) AS sq FROM qe
+  SELECT vec_id, list_slice(qe, {lo}, {hi}) AS sq FROM {src}
 )"""
         )
         parts.append(
@@ -133,6 +142,8 @@ def _sql_pq_ctes(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
 )"""
     )
     body = ",\n".join(parts)
+    if not standalone:
+        return body
     return f"""
 WITH {_SQL_QUANT},
 {body}"""

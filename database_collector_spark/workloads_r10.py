@@ -29,6 +29,13 @@ the corpus shape supports):
   the rest of the corpus (the RefinedWeb-style duplication signal).
 - ``source_quota_sample`` — deterministic per-domain quota cap by md5
   rank (the "no domain dominates the mix" curation rule).
+- ``ann_ivfpq_adc`` — the production composite index: IVF coarse
+  quantizer + PQ codes over per-cell residuals (Jegou et al.'s IVFADC),
+  probe = ADC against the query's own cell only.
+- ``source_percentile_filter`` — per-source relative quality cut (keep
+  each source's top share by score, not one global threshold).
+- ``token_budget_alloc`` — largest-remainder integer apportionment of a
+  global token budget across sources (quotas sum EXACTLY to budget).
 
 Reference parity: the reference (truemark/database-collector) has no
 analytics engine of its own — collector/internal/collector.go:1-200
@@ -683,6 +690,230 @@ SELECT doc_id, source, rank FROM ranked WHERE rank <= {_QUOTA_CAP}
 """
 
 
+# ------------------------------------------------------ IVF-PQ (IVFADC)
+
+
+def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composite ANN index — IVF coarse quantizer + PQ
+    codes over the per-cell RESIDUALS (Jegou et al.'s IVFADC, the shape
+    FAISS serves at scale): train the k=8 coarse quantizer
+    (similarity.kmeans_centroids), subtract each vector's centroid
+    (exact BIGINT residuals via one broadcast join + zip_with), train
+    m=4 subspace codebooks on the residuals
+    (similarity.pq_train_quantized), encode
+    (similarity.pq_encode_quantized), then ADC-search queries
+    (vec_id < 10) against ONLY their own coarse cell's codes
+    (similarity.pq_adc_topk with cell_col='cid' — a broadcast equi-join,
+    so probe work is sum(|probed cell|) codes, never |corpus| x
+    |queries|). Every artifact is exact-integer, so the DuckDB oracle
+    replays coarse Lloyd -> residuals -> subspace Lloyd -> ADC
+    bit-for-bit. Closes the tier gap where IVF and PQ existed only as
+    separate gates (ann_ivf_kmeans_probe, ann_pq_adc): at 100 TB the
+    index you actually deploy is this composite — cells bound the scan,
+    codes bound the memory."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=3)
+    assigned = similarity.assign_centroids(
+        similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"), cents
+    )
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
+    )
+    resid = assigned.join(F.broadcast(cent_df), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("qe", "c", lambda x, y: x - y).alias("qe"),
+    )
+    books = similarity.pq_train_quantized(
+        resid.select("vec_id", "qe"), m=4, k=4, iters=2
+    )
+    enc = similarity.pq_encode_quantized(resid, books)
+    queries = resid.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "cid", F.col("qe").alias("q_qe")
+    )
+    return similarity.pq_adc_topk(enc, queries, books, topk=3, cell_col="cid")
+
+
+def _sql_ann_ivfpq_adc() -> str:
+    from database_collector_spark.workloads2 import _sql_kmeans_ctes
+    from database_collector_spark.workloads_pq import SUB, _sql_pq_ctes
+
+    m = 4
+    terms = " + ".join(
+        f"(list_dot_product(list_slice(qq.q_qe, {j * SUB + 1}, {(j + 1) * SUB}),"
+        f" list_slice(qq.q_qe, {j * SUB + 1}, {(j + 1) * SUB}))"
+        f" - 2 * list_dot_product(list_slice(qq.q_qe, {j * SUB + 1}, {(j + 1) * SUB}), b{j}.c)"
+        f" + list_dot_product(b{j}.c, b{j}.c))"
+        for j in range(m)
+    )
+    book_joins = " ".join(f"JOIN p{j}_c2 b{j} ON b{j}.cid = x.c{j}" for j in range(m))
+    # resid is MATERIALIZED: four subspace chains each reference it
+    # several times, and inlining would re-expand the whole coarse
+    # Lloyd chain per reference (the BPE/k-core CTE-explosion class)
+    return f"""{_sql_kmeans_ctes(8, 3)},
+resid AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, list(a.qe[i] - ct.c[i] ORDER BY i) AS qe
+  FROM afinal a, c3 ct, idx
+  WHERE a.cid = ct.cid
+  GROUP BY a.vec_id, a.cid
+),
+{_sql_pq_ctes(4, 4, 2, src="resid", standalone=False)},
+cellcodes AS (
+  SELECT r.cid, x.* FROM codes x JOIN resid r ON r.vec_id = x.vec_id
+),
+q AS (SELECT vec_id AS q_id, cid, qe AS q_qe FROM resid WHERE vec_id < 10),
+scored AS (
+  SELECT qq.q_id, x.vec_id, CAST({terms} AS BIGINT) AS adc_dist
+  FROM cellcodes x {book_joins} JOIN q qq ON qq.cid = x.cid
+)
+SELECT q_id, rank, vec_id, adc_dist FROM (
+  SELECT q_id, vec_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
+SQL_ANN_IVFPQ_ADC = _sql_ann_ivfpq_adc()
+
+
+# -------------------------------------------- per-source relative filter
+
+
+_FILTER_CUT = 0.40
+
+
+def q_source_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source RELATIVE quality filter: keep each source's top share
+    of documents by score instead of one global threshold — the
+    published curation rule (FineWeb/DCLM-style) that stops a verbose
+    domain from drowning a terse one when both are filtered by the same
+    absolute cutoff. Score here is the exact integer token count;
+    cume_dist over (score, doc_id) is tie-free and engine-identical
+    (both engines compute rows<=current / n on the same integers), and
+    the cut keeps documents above the source's 40th percentile. ONE
+    per-source window — partitioned, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    score = F.coalesce(
+        F.size(F.expr("filter(split(text, ' '), t -> t <> '')")), F.lit(0)
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    return (
+        docs.select("doc_id", "source", score.alias("score"))
+        .withColumn("cd", F.cume_dist().over(w))
+        .where(F.col("cd") > _FILTER_CUT)
+        .select("doc_id", "source", "score", F.round("cd", 9).alias("pct"))
+    )
+
+
+SQL_SOURCE_PERCENTILE_FILTER = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(len(list_filter(string_split(text, ' '), t -> t <> '')), 0)
+              AS BIGINT) AS score
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, score,
+         cume_dist() OVER (PARTITION BY source ORDER BY score, doc_id) AS cd
+  FROM scored
+)
+SELECT doc_id, source, score, round(cd, 9) AS pct
+FROM r WHERE cd > {_FILTER_CUT}
+"""
+
+
+# -------------------------------------------- token budget apportionment
+
+
+_TOKEN_BUDGET = 1_000_000
+
+
+def q_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn mixture weights into INTEGER token quotas: apportion a
+    global training-token budget (1M here) across sources by
+    temperature-flattened weight w_i = floor(sqrt(n_toks_i)) (T=2 in
+    the temperature_mixture sense — sqrt is IEEE correctly-rounded, so
+    the weights are engine-exact integers) using largest-remainder
+    (Hamilton) rounding: base_i = floor(B*w_i / W), then the leftover
+    B - sum(base) units go to the largest remainders (source-name
+    tie-break). All integer arithmetic end to end — quotas sum to B
+    EXACTLY, the property trainer data loaders require and
+    floating-point shares don't give. One |sources|-row aggregate, two
+    1-row broadcasts, one bounded |sources|-row window."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(F.expr("filter(split(text, ' '), t -> t <> '')")).cast("long")
+    per = docs.select("source", n.alias("n")).groupBy("source").agg(
+        F.sum("n").alias("n_toks")
+    )
+    w = per.select(
+        "source",
+        "n_toks",
+        F.coalesce(
+            F.floor(F.sqrt(F.col("n_toks").cast("double"))).cast("long"), F.lit(0)
+        ).alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").alias("tot_w"))
+    b = (
+        w.crossJoin(F.broadcast(tot))
+        .where(F.col("tot_w") > 0)  # ANSI: div/0 throws; empty corpus -> empty
+        .select(
+            "source",
+            "n_toks",
+            "wt",
+            F.expr(f"({_TOKEN_BUDGET} * wt) div tot_w").alias("base_q"),
+            F.expr(f"({_TOKEN_BUDGET} * wt) % tot_w").alias("rem"),
+        )
+    )
+    spent = b.agg(F.sum("base_q").alias("spent"))
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        b.crossJoin(F.broadcast(spent))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "source",
+            "n_toks",
+            "wt",
+            (
+                F.col("base_q")
+                + F.when(F.col("rk") <= _TOKEN_BUDGET - F.col("spent"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+
+
+SQL_TOKEN_BUDGET_ALLOC = f"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+           AS n_toks
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_toks,
+         CAST(COALESCE(floor(sqrt(CAST(n_toks AS DOUBLE))), 0) AS BIGINT) AS wt
+  FROM per
+),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot_w FROM w),
+b AS (
+  SELECT source, n_toks, wt,
+         ({_TOKEN_BUDGET} * wt) // tot_w AS base_q,
+         ({_TOKEN_BUDGET} * wt) % tot_w AS rem
+  FROM w, tot WHERE tot_w > 0
+),
+spent AS (SELECT CAST(SUM(base_q) AS BIGINT) AS spent FROM b),
+r AS (
+  SELECT b.*, spent.spent,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM b, spent
+)
+SELECT source, n_toks, wt,
+       CAST(base_q + CASE WHEN rk <= {_TOKEN_BUDGET} - spent THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r
+"""
+
+
 QUERIES_R10 = {
     "hll_sliding_windows": q_hll_sliding_windows,
     "hll_mergeable_rollup": q_hll_mergeable_rollup,
@@ -692,6 +923,9 @@ QUERIES_R10 = {
     "vocab_drift_kl": q_vocab_drift_kl,
     "ngram_novelty": q_ngram_novelty,
     "source_quota_sample": q_source_quota_sample,
+    "ann_ivfpq_adc": q_ann_ivfpq_adc,
+    "source_percentile_filter": q_source_percentile_filter,
+    "token_budget_alloc": q_token_budget_alloc,
 }
 
 ORACLES_R10 = {
@@ -703,4 +937,7 @@ ORACLES_R10 = {
     "vocab_drift_kl": SQL_VOCAB_DRIFT_KL,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "source_quota_sample": SQL_SOURCE_QUOTA_SAMPLE,
+    "ann_ivfpq_adc": SQL_ANN_IVFPQ_ADC,
+    "source_percentile_filter": SQL_SOURCE_PERCENTILE_FILTER,
+    "token_budget_alloc": SQL_TOKEN_BUDGET_ALLOC,
 }
