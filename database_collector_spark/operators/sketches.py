@@ -288,10 +288,14 @@ def hop_expand(
         )
     nhops = window_s // hop_s
     s = F.col(s_col)
+    # no containment filter needed: with window_s = nhops * hop_s, every
+    # generated win_s provably satisfies win_s <= s (pmod >= 0, h >= 0)
+    # and win_s + window_s > s ((nhops - h) * hop_s > pmod for
+    # h <= nhops - 1) — the divisibility guard above is what makes the
+    # expansion exact
     return (
         df.select("*", F.explode(F.expr(f"sequence(0, {nhops - 1})")).alias("_h"))
         .withColumn("win_s", (s - F.pmod(s, hop_s)) - F.col("_h") * F.lit(hop_s))
-        .where((F.col("win_s") + window_s > s) & (F.col("win_s") <= s))
         .drop("_h")
     )
 

@@ -404,9 +404,10 @@ def _make_sliding_hll_fn(m: int, salt: str, window_s: int, expire: bool):
         regs = list(state.get[0]) if state.exists else [0] * m
         for b in batches:
             for uid in b["user_id"]:
-                # NULL user_id contributes no distinct value (batch twin
-                # filters it in hll_rho_projection); int(NaN) would kill
-                # the whole streaming query
+                # defensive only: sliding_hll_unique filters NULL
+                # user_ids before keying (keeping chunks int64 — a NaN
+                # would coerce the column to float64 and corrupt ids
+                # >= 2^53), but a direct caller shouldn't crash either
                 if pd.isna(uid):
                     continue
                 h = hashlib.md5(f"{int(uid)}:{salt}".encode()).hexdigest()
@@ -480,8 +481,16 @@ def sliding_hll_unique(
     from database_collector_spark.operators.sketches import hop_expand
 
     s = F.col("ts").cast("timestamp_ltz").cast("long")
+    # NULL user_ids are dropped HERE, pre-keying — the same placement as
+    # the batch pipeline's hll_rho_projection filter, so an all-NULL
+    # micro-batch cannot create a state key (and emit an empty-register
+    # summary) the batch twin never produces. It also keeps the Arrow
+    # chunks' user_id column int64: a null in a chunk would coerce it to
+    # float64 and int(uid) would silently round ids >= 2^53
     expanded = hop_expand(
-        events.select("event_type", "user_id", s.alias("s")),
+        events.where(F.col("user_id").isNotNull()).select(
+            "event_type", "user_id", s.alias("s")
+        ),
         window_s=window_s,
         hop_s=hop_s,
     ).select("event_type", "user_id", "win_s", F.timestamp_seconds("s").alias("ev_ts"))

@@ -87,14 +87,18 @@ def _sql_pq_ctes(
     (vec_id, qe) CTE the subspaces slice (the IVF-PQ gate points it at
     the residual table); ``standalone=False`` emits only the CTE body so
     a caller can append it to an existing WITH chain."""
-    parts = [f"sidx AS (SELECT unnest(generate_series(1, {SUB})) AS i)"]
+    # slice width derives from THIS call's m (as pq_train_quantized's
+    # dim // m does) — using the module constant would silently train on
+    # a prefix of the vector for any m != PQ_M
+    sub = DIM // m
+    parts = [f"sidx AS (SELECT unnest(generate_series(1, {sub})) AS i)"]
     dist = (
         "list_dot_product(q.sq, q.sq) - 2 * list_dot_product(q.sq, c.c)"
         " + list_dot_product(c.c, c.c)"
     )
     for j in range(m):
         p = f"p{j}_"
-        lo, hi = j * SUB + 1, (j + 1) * SUB
+        lo, hi = j * sub + 1, (j + 1) * sub
 
         def assign(name: str, cent: str, p: str = p) -> str:
             return f"""{name} AS (
