@@ -116,3 +116,67 @@ def test_hll_finalize_linear_counting_small_range(spark):
     ).collect()[0]
     assert fin["n_regs"] <= 10
     assert abs(fin["est_users"] - 10) <= 2
+
+
+def test_ivfpq_probe_is_broadcast_celljoined(spark):
+    # the IVFADC probe's scan bound is the whole point: the query side
+    # must reach the codes through a BROADCAST equi-join on cid (work =
+    # sum over probed cells), never a sort-merge shuffle of the corpus
+    # or a cartesian against every query
+    from database_collector_spark.workloads_r10 import q_ann_ivfpq_adc
+
+    plan = (
+        q_ann_ivfpq_adc(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_quotas_sum_exactly_to_budget(spark):
+    # the largest-remainder contract on the real fixture: integer quotas,
+    # sum EXACTLY equals the budget (floating shares can't give this)
+    from database_collector_spark.workloads_r10 import (
+        _TOKEN_BUDGET,
+        q_token_budget_alloc,
+    )
+
+    rows = q_token_budget_alloc(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "empty allocation"
+    assert sum(r["quota"] for r in rows) == _TOKEN_BUDGET
+    # monotone: a strictly larger weight never receives a smaller quota
+    by_wt = sorted(rows, key=lambda r: r["wt"])
+    for a, b in zip(by_wt, by_wt[1:]):
+        if b["wt"] > a["wt"]:
+            assert b["quota"] >= a["quota"], (a, b)
+
+
+def test_source_percentile_filter_keeps_top_share_per_source(spark):
+    from database_collector_spark.workloads_r10 import (
+        _FILTER_CUT,
+        q_source_percentile_filter,
+    )
+    from database_collector_spark.workloads import _t
+
+    kept = q_source_percentile_filter(spark, "/root/testdata/sf0.001")
+    per_kept = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    per_all = {
+        r["source"]: r["n"]
+        for r in _t(spark, "/root/testdata/sf0.001", "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_kept) == set(per_all)
+    for src, n in per_all.items():
+        # cume_dist > CUT with a tie-free order keeps exactly
+        # n - floor(CUT * n) documents
+        import math
+
+        assert per_kept[src] == n - math.floor(_FILTER_CUT * n), src

@@ -48,16 +48,22 @@ PICKS = [
     ("entity_resolution", "multi-key blocking joins + CC fixpoint"),
     ("rrf_fusion", "bounded top-k rank fusion (no corpus-wide window)"),
     ("dedup_containment", "directional containment over blocked pair counts"),
-]
-
-# staged r9 gates (workloads_r9.py) — not yet registered with the driver
-STAGED_PICKS = [
+    # the r9 cohort, registered in round 9
     ("quality_classifier", "zero-shuffle hashed-model fold (fastText shape)"),
     ("jl_projection", "map-only JL projection (Exchange-free)"),
     ("embedding_outliers", "single-row stats broadcast + TakeOrdered top-n"),
     ("interval_outages", "join-free interval difference (window sweep)"),
     ("corpus_diff", "full-outer hash diff (texts never join)"),
     ("auc_scores", "value-domain-compressed Mann-Whitney U (exact AUC)"),
+]
+
+# staged r10 gates (workloads_r10.py) — not yet registered with the driver
+STAGED_PICKS = [
+    ("hll_sliding_windows", "hop-expand + mergeable register partial agg"),
+    ("ann_ivfpq_adc", "IVFADC composite: broadcast cell equi-join ADC"),
+    ("minhash_persist_incremental", "persisted-signature reuse band join"),
+    ("token_budget_alloc", "all-integer largest-remainder apportionment"),
+    ("pack_sequences", "per-source packing cumsum (partitioned window)"),
 ]
 
 
@@ -75,13 +81,13 @@ def main() -> None:
         "`tests/test_plan_quality.py`; this file is the human-readable half.",
         "",
     ]
-    from database_collector_spark import workloads_r9
+    from database_collector_spark import workloads_r10
 
-    staged = {n: (workloads_r9.QUERIES_R9[n], True) for n, _ in STAGED_PICKS}
+    staged = {n: (workloads_r10.QUERIES_R10[n], True) for n, _ in STAGED_PICKS}
     for name, why in PICKS + STAGED_PICKS:
         if name in staged:
             df = staged[name][0](spark, SF)
-            why = f"{why} [staged r9]"
+            why = f"{why} [staged r10]"
         else:
             df = qs[name](spark, SF)
         buf = io.StringIO()
