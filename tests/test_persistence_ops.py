@@ -180,3 +180,38 @@ def test_source_percentile_filter_keeps_top_share_per_source(spark):
         import math
 
         assert per_kept[src] == n - math.floor(_FILTER_CUT * n), src
+
+
+def test_hop_expand_equals_bruteforce_containment(spark):
+    # for divisible (window, hop) pairs, hop_expand must generate EXACTLY
+    # the hop-aligned windows containing each event — including negative
+    # epochs, where floor alignment (pmod) differs from trunc
+    import random
+
+    rng = random.Random(910)
+    ss = [rng.randint(-100_000, 100_000) for _ in range(200)] + [0, -1, 1]
+    for window_s, hop_s in ((3600, 900), (600, 600), (900, 300)):
+        df = spark.createDataFrame([(s,) for s in ss], "s long")
+        got = {
+            (r["s"], r["win_s"])
+            for r in sketches.hop_expand(
+                df, window_s=window_s, hop_s=hop_s
+            ).collect()
+        }
+        want = {
+            (s, w)
+            for s in ss
+            for w in range(
+                ((s - window_s) // hop_s + 1) * hop_s, s + 1, hop_s
+            )
+            if w <= s < w + window_s
+        }
+        assert got == want, (window_s, hop_s)
+
+
+def test_hop_expand_rejects_nondivisible_pairs(spark):
+    import pytest as _pytest
+
+    df = spark.range(1).select(F.col("id").alias("s"))
+    with _pytest.raises(ValueError, match="not a multiple"):
+        sketches.hop_expand(df, window_s=3600, hop_s=1000)

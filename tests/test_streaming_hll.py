@@ -193,3 +193,48 @@ def test_streaming_hll_expires_closed_windows(spark):
             r["reg_sum"],
         )
     assert latest == expect
+
+
+def test_streaming_hll_recovers_from_checkpoint_restart(spark):
+    # crash-replay: run one micro-batch, STOP the query (simulated
+    # crash), start a NEW query from the same checkpoint over the full
+    # source — restored register state must carry across the restart and
+    # the final per-key summaries must equal the batch pipeline exactly
+    # (max-merge idempotence is what makes any replay overlap harmless)
+    recs = _events(300)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        with open(f"{src}/b1.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in recs[:120]))
+
+        def build(path):
+            stream = (
+                spark.readStream.schema(
+                    "event_type string, user_id long, ts long"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .json(path)
+                .withColumn("ts", F.timestamp_seconds("ts"))
+            )
+            return sliding_hll_unique(stream, lateness=None)
+
+        # pass 1: only the first file exists; the query drains it and is
+        # stopped — state for its windows lives only in the checkpoint
+        rows1 = _run_stream(spark, src, build, f"{tmp}/ckpt")
+        assert rows1, "first pass must emit summaries"
+
+        # "crash" happened; second file arrives, new query resumes from
+        # the SAME checkpoint and must merge on top of restored state
+        with open(f"{src}/b2.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in recs[120:]))
+        rows2 = _run_stream(spark, src, build, f"{tmp}/ckpt")
+
+    latest = {}
+    for r in rows1 + rows2:
+        latest[(r["event_type"], r["win_s"])] = (
+            r["n_regs"],
+            r["v_zero"],
+            r["reg_sum"],
+        )
+    assert latest == _batch_summary(spark, recs)
