@@ -7,7 +7,7 @@ hash — the same shape of check the driver records in CORRECTNESS_r{N}.json.
 
 Usage:  python tools/check.py [--staged] [sf_dir] [query_name ...]
 
-``--staged`` additionally includes the workloads_r9 STAGED gates (not
+``--staged`` additionally includes the workloads_r10 STAGED gates (not
 yet registered with the driver) so they run through the exact same
 harness.
 """
