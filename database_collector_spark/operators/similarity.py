@@ -1083,3 +1083,82 @@ def ivf_index_load(
     cents = [list(r["c"]) for r in cent_rows]
     cells = spark.read.parquet(f"{path}/cells")
     return cents, cells
+
+
+def ivfpq_index_save(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    m: int = 4,
+    codes_k: int = 4,
+    pq_iters: int = 2,
+) -> None:
+    """Persist the full IVFADC composite index (the artifact FAISS's
+    IVF+PQ writes): coarse centroids, per-subspace residual codebooks,
+    and the coded corpus keyed by coarse cell.
+
+    Layout (plain parquet, engine-portable):
+      ``{path}/centroids`` — (cid INT, c ARRAY<BIGINT>): k coarse rows.
+      ``{path}/codebooks`` — (j INT, code INT, c ARRAY<BIGINT>):
+        m x codes_k residual-codebook rows (the whole PQ state).
+      ``{path}/codes``     — (vec_id, codes ARRAY<INT>, cid), written
+        PARTITIONED BY cid: a probe's cell filter prunes to one
+        directory, and each row is m small ints — at rest the index is
+        ~dim/m smaller than the vectors it stands in for, the artifact
+        that makes 100 TB of embeddings servable.
+
+    Centroids, codebooks, and codes are all exact integers, so the
+    round-trip is lossless by construction; reload + ADC probe is
+    bit-identical to probing the in-memory build (pinned by
+    tests/test_persistence_ops.py::test_ivfpq_index_roundtrip_serves_
+    identical_probe)."""
+    spark = embeddings.sparkSession
+    cents = kmeans_centroids(embeddings, k=k, iters=iters)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
+    )
+    resid = (
+        assign_centroids(
+            with_quantized(embeddings).select("vec_id", "qe", "qnorm2"), cents
+        )
+        .join(F.broadcast(cent_df), "cid")
+        .select(
+            "vec_id", "cid", F.zip_with("qe", "c", lambda x, y: x - y).alias("qe")
+        )
+    )
+    books = pq_train_quantized(
+        resid.select("vec_id", "qe"), m=m, k=codes_k, iters=pq_iters
+    )
+    spark.createDataFrame(
+        [(j, ci, c) for j, b in enumerate(books) for ci, c in enumerate(b)],
+        "j int, code int, c array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    pq_encode_quantized(resid, books).select(
+        "vec_id", "codes", "cid"
+    ).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
+
+
+def ivfpq_index_load(
+    spark, path: str
+) -> tuple[list[list[int]], list[list[list[int]]], DataFrame]:
+    """Reload a persisted IVFADC index: (coarse centroids, PQ books,
+    coded-corpus DataFrame). Centroid/codebook collects are k and
+    m x codes_k rows by contract (the quantizer state is tiny — that is
+    what makes probe-side assignment and ADC broadcast projections);
+    the codes frame stays distributed and cid-partition-pruned."""
+    cents = [
+        list(r["c"])
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    ]
+    book_rows = spark.read.parquet(f"{path}/codebooks").orderBy("j", "code").collect()
+    m = max(r["j"] for r in book_rows) + 1
+    books: list[list[list[int]]] = [[] for _ in range(m)]
+    for r in book_rows:
+        books[r["j"]].append(list(r["c"]))
+    codes = spark.read.parquet(f"{path}/codes")
+    return cents, books, codes

@@ -215,3 +215,53 @@ def test_hop_expand_rejects_nondivisible_pairs(spark):
     df = spark.range(1).select(F.col("id").alias("s"))
     with _pytest.raises(ValueError, match="not a multiple"):
         sketches.hop_expand(df, window_s=3600, hop_s=1000)
+
+
+def test_ivfpq_index_roundtrip_serves_identical_probe(spark, tmp_path):
+    # persist the FULL IVFADC composite (centroids + residual codebooks
+    # + coded cells), reload, and serve the probe entirely from the
+    # loaded artifacts: results must be bit-identical to the in-memory
+    # chain (everything is exact integers, so any lossy round-trip or
+    # artifact skew flips a rank or distance)
+    from database_collector_spark.workloads import _t
+    from database_collector_spark.workloads_r10 import q_ann_ivfpq_adc
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "ivfpq")
+    emb = _t(spark, sf, "embeddings")
+    similarity.ivfpq_index_save(emb, path)
+    cents, books, codes = similarity.ivfpq_index_load(spark, path)
+
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
+    )
+    queries = (
+        similarity.incremental_assign(emb.filter(F.col("vec_id") < 10), cents)
+        .join(F.broadcast(cent_df), "cid")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "cid",
+            F.zip_with("qe", "c", lambda x, y: x - y).alias("q_qe"),
+        )
+    )
+    served = similarity.pq_adc_topk(codes, queries, books, topk=3, cell_col="cid")
+    want = {tuple(r) for r in q_ann_ivfpq_adc(spark, sf).collect()}
+    got = {tuple(r) for r in served.collect()}
+    assert got == want
+
+
+def test_ivfpq_codes_layout_prunes_by_cid(spark, tmp_path):
+    from database_collector_spark.workloads import _t
+
+    path = str(tmp_path / "ivfpq")
+    similarity.ivfpq_index_save(
+        _t(spark, "/root/testdata/sf0.001", "embeddings"), path
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    plan = (
+        codes.filter(F.col("cid") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(cid" in plan, plan[:800]
