@@ -1085,6 +1085,35 @@ def ivf_index_load(
     return cents, cells
 
 
+def _centroid_frame(spark, cents: list[list[int]]) -> DataFrame:
+    """k-row (cid, c) frame from a trained centroid list — the single
+    schema used for persisting coarse centroids and for the broadcast
+    residual join."""
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
+    )
+
+
+def residualize(embeddings: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, cid, qe = quantized vector − its coarse centroid): the
+    ONE definition of IVFADC residualization — index build, probe-side
+    query prep, and the round-trip tests all call this, because the
+    'reload + probe is bit-identical' contract only holds if every
+    consumer computes residuals identically. Zero shuffle: quantize is
+    in-row, assignment is a broadcast projection, the centroid join is
+    a broadcast of k rows, the subtraction is one zip_with."""
+    cent_df = _centroid_frame(embeddings.sparkSession, cents)
+    return (
+        assign_centroids(
+            with_quantized(embeddings).select("vec_id", "qe", "qnorm2"), cents
+        )
+        .join(F.broadcast(cent_df), "cid")
+        .select(
+            "vec_id", "cid", F.zip_with("qe", "c", lambda x, y: x - y).alias("qe")
+        )
+    )
+
+
 def ivfpq_index_save(
     embeddings: DataFrame,
     path: str,
@@ -1116,21 +1145,13 @@ def ivfpq_index_save(
     identical_probe)."""
     spark = embeddings.sparkSession
     cents = kmeans_centroids(embeddings, k=k, iters=iters)
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
+    _centroid_frame(spark, cents).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
     )
-    resid = (
-        assign_centroids(
-            with_quantized(embeddings).select("vec_id", "qe", "qnorm2"), cents
-        )
-        .join(F.broadcast(cent_df), "cid")
-        .select(
-            "vec_id", "cid", F.zip_with("qe", "c", lambda x, y: x - y).alias("qe")
-        )
-    )
+    # checkpoint: both PQ training and the encode-write below consume the
+    # residuals — without it the full quantize+assign+join lineage (the
+    # expensive corpus pass of the build job) would execute twice
+    resid = residualize(embeddings, cents).localCheckpoint(eager=True)
     books = pq_train_quantized(
         resid.select("vec_id", "qe"), m=m, k=codes_k, iters=pq_iters
     )
@@ -1156,6 +1177,15 @@ def ivfpq_index_load(
         for r in spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     ]
     book_rows = spark.read.parquet(f"{path}/codebooks").orderBy("j", "code").collect()
+    # loud integrity check: save writes centroids first and codebooks
+    # only after the long PQ training, so a job killed mid-save leaves a
+    # partial index — fail with the diagnosis, not max() on an empty seq
+    if not cents or not book_rows:
+        raise ValueError(
+            f"incomplete IVFPQ index at {path}: "
+            f"{len(cents)} centroids, {len(book_rows)} codebook rows "
+            "(save interrupted before all artifacts were written?)"
+        )
     m = max(r["j"] for r in book_rows) + 1
     books: list[list[list[int]]] = [[] for _ in range(m)]
     for r in book_rows:

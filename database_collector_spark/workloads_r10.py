@@ -709,15 +709,7 @@ def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
     if sf_dir not in _IVFPQ_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
         cents = similarity.kmeans_centroids(emb, k=8, iters=3)
-        assigned = similarity.assign_centroids(
-            similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"), cents
-        )
-        cent_df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
-        )
-        resid = assigned.join(F.broadcast(cent_df), "cid").select(
-            "vec_id", F.zip_with("qe", "c", lambda x, y: x - y).alias("qe")
-        )
+        resid = similarity.residualize(emb, cents).select("vec_id", "qe")
         books = similarity.pq_train_quantized(resid, m=4, k=4, iters=2)
         _IVFPQ_CACHE[sf_dir] = (cents, books)
     return _IVFPQ_CACHE[sf_dir]
@@ -743,17 +735,7 @@ def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes bound the memory."""
     emb = _t(spark, sf_dir, "embeddings")
     cents, books = _ivfpq_artifacts(spark, sf_dir)
-    assigned = similarity.assign_centroids(
-        similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"), cents
-    )
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
-    )
-    resid = assigned.join(F.broadcast(cent_df), "cid").select(
-        "vec_id",
-        "cid",
-        F.zip_with("qe", "c", lambda x, y: x - y).alias("qe"),
-    )
+    resid = similarity.residualize(emb, cents)
     enc = similarity.pq_encode_quantized(resid, books)
     queries = resid.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "cid", F.col("qe").alias("q_qe")

@@ -217,32 +217,34 @@ def test_hop_expand_rejects_nondivisible_pairs(spark):
         sketches.hop_expand(df, window_s=3600, hop_s=1000)
 
 
-def test_ivfpq_index_roundtrip_serves_identical_probe(spark, tmp_path):
-    # persist the FULL IVFADC composite (centroids + residual codebooks
-    # + coded cells), reload, and serve the probe entirely from the
-    # loaded artifacts: results must be bit-identical to the in-memory
-    # chain (everything is exact integers, so any lossy round-trip or
-    # artifact skew flips a rank or distance)
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, tmp_path_factory):
+    # built ONCE for the module: ivfpq_index_save is the most expensive
+    # call in this file (coarse Lloyd + four subspace trainings), and
+    # both the round-trip and the pruning test only READ the artifacts
+    from database_collector_spark.workloads import _t
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    similarity.ivfpq_index_save(
+        _t(spark, "/root/testdata/sf0.001", "embeddings"), path
+    )
+    return path
+
+
+def test_ivfpq_index_roundtrip_serves_identical_probe(spark, ivfpq_index):
+    # reload the persisted IVFADC composite and serve the probe entirely
+    # from the loaded artifacts: results must be bit-identical to the
+    # in-memory chain (everything is exact integers, so any lossy
+    # round-trip or artifact skew flips a rank or distance)
     from database_collector_spark.workloads import _t
     from database_collector_spark.workloads_r10 import q_ann_ivfpq_adc
 
     sf = "/root/testdata/sf0.001"
-    path = str(tmp_path / "ivfpq")
     emb = _t(spark, sf, "embeddings")
-    similarity.ivfpq_index_save(emb, path)
-    cents, books, codes = similarity.ivfpq_index_load(spark, path)
+    cents, books, codes = similarity.ivfpq_index_load(spark, ivfpq_index)
 
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
-    )
-    queries = (
-        similarity.incremental_assign(emb.filter(F.col("vec_id") < 10), cents)
-        .join(F.broadcast(cent_df), "cid")
-        .select(
-            F.col("vec_id").alias("q_id"),
-            "cid",
-            F.zip_with("qe", "c", lambda x, y: x - y).alias("q_qe"),
-        )
+    queries = similarity.residualize(emb.filter(F.col("vec_id") < 10), cents).select(
+        F.col("vec_id").alias("q_id"), "cid", F.col("qe").alias("q_qe")
     )
     served = similarity.pq_adc_topk(codes, queries, books, topk=3, cell_col="cid")
     want = {tuple(r) for r in q_ann_ivfpq_adc(spark, sf).collect()}
@@ -250,14 +252,8 @@ def test_ivfpq_index_roundtrip_serves_identical_probe(spark, tmp_path):
     assert got == want
 
 
-def test_ivfpq_codes_layout_prunes_by_cid(spark, tmp_path):
-    from database_collector_spark.workloads import _t
-
-    path = str(tmp_path / "ivfpq")
-    similarity.ivfpq_index_save(
-        _t(spark, "/root/testdata/sf0.001", "embeddings"), path
-    )
-    codes = spark.read.parquet(f"{path}/codes")
+def test_ivfpq_codes_layout_prunes_by_cid(spark, ivfpq_index):
+    codes = spark.read.parquet(f"{ivfpq_index}/codes")
     plan = (
         codes.filter(F.col("cid") == 3)
         ._jdf.queryExecution()
@@ -265,3 +261,16 @@ def test_ivfpq_codes_layout_prunes_by_cid(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(cid" in plan, plan[:800]
+
+
+def test_ivfpq_index_load_rejects_partial_index(spark, tmp_path):
+    # a save killed between the centroid write and the codebook write
+    # leaves a partial index; the loader must say so, not crash on
+    # max() of an empty sequence
+    path = str(tmp_path / "partial")
+    similarity._centroid_frame(spark, [[1] * 64]).write.parquet(f"{path}/centroids")
+    spark.createDataFrame([], "j int, code int, c array<bigint>").write.parquet(
+        f"{path}/codebooks"
+    )
+    with pytest.raises(ValueError, match="incomplete IVFPQ index"):
+        similarity.ivfpq_index_load(spark, path)
