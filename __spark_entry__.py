@@ -86,10 +86,22 @@ _CHECK_FIRST = [
     # ngram_novelty, source_quota_sample, ann_ivfpq_adc,
     # source_percentile_filter, token_budget_alloc; registration = import
     # QUERIES_R10/ORACLES_R10 into the dicts below + list them here),
-    # then the rest of the r5-latest cohort (ann_ivf_probe,
-    # window_frames, window_running, unpivot_melt, top_supplier,
-    # market_share, decile_stats, exact_percentiles), then the r6-latest
-    # cohort oldest-first — subject to the max-staleness meta-test in
+    # then the r5-latest cohort (ann_ivf_probe, decile_stats,
+    # exact_percentiles, market_share, top_supplier, unpivot_melt,
+    # window_frames, window_running), then these 31 r6-latest gates
+    # (precomputed from CORRECTNESS_r01..r08 + the r9 window; the
+    # remaining 17 r6 gates MUST take r11's backfill before the
+    # staleness bound binds): ann_lsh_buckets, cdc_apply,
+    # conditional_agg, crossmodal_join, curation_full,
+    # curation_pipeline, decontaminate, dedup_clusters, dedup_embedding,
+    # dedup_embedding_lsh, dedup_exact, dedup_incremental,
+    # dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
+    # dedup_simhash_pairs, doc_fingerprint, engine_rejects,
+    # events_hourly, hash_split, histogram_metrics, incremental_agg,
+    # interval_join_events, json_struct_parse, kv_numeric_parse,
+    # kv_pivot_wide, lang_id, length_trim, lexical_diversity,
+    # mixture_sample, multimodal_decode. That is 11+8+31 = exactly 50 —
+    # subject to the max-staleness meta-test in
     # tests/test_docs_consistency.py (no registered gate's newest driver
     # row older than 5 rounds).
 ]
