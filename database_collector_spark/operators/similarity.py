@@ -1081,6 +1081,14 @@ def ivf_index_load(
     filters on cid reads only that cell's files."""
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     cents = [list(r["c"]) for r in cent_rows]
+    if not cents:
+        # same integrity contract as ivfpq_index_load: an interrupted
+        # save must surface as a diagnosis, not as empty-quantizer
+        # probes that silently return nothing
+        raise ValueError(
+            f"incomplete IVF index at {path}: 0 centroids "
+            "(save interrupted before all artifacts were written?)"
+        )
     cells = spark.read.parquet(f"{path}/cells")
     return cents, cells
 

@@ -274,3 +274,12 @@ def test_ivfpq_index_load_rejects_partial_index(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="incomplete IVFPQ index"):
         similarity.ivfpq_index_load(spark, path)
+
+
+def test_ivf_index_load_rejects_partial_index(spark, tmp_path):
+    path = str(tmp_path / "partial_ivf")
+    spark.createDataFrame([], "cid int, c array<bigint>").write.parquet(
+        f"{path}/centroids"
+    )
+    with pytest.raises(ValueError, match="incomplete IVF index"):
+        similarity.ivf_index_load(spark, path)
