@@ -360,3 +360,57 @@ def corpus_diff_summary(diff: DataFrame) -> DataFrame:
     """Status counts from :func:`corpus_diff` — the release-gate
     numbers (4 rows max; churn thresholds alert on these)."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def token_budget_allocation(per_source: DataFrame, budget: int) -> DataFrame:
+    """Largest-remainder (Hamilton) integer apportionment of a global
+    training-token ``budget`` across sources — the step that turns
+    mixture weights into the integer quotas a trainer's loader actually
+    consumes. Input: (source, n_toks). Weight is the sqrt-flattened
+    w_i = floor(sqrt(n_toks_i)) (temperature T=2 in the
+    ``temperature_mixture`` sense; sqrt is IEEE correctly-rounded, so
+    the weights are engine-exact integers). base_i = floor(B*w_i / W),
+    then the B - sum(base) leftover units go to the largest remainders
+    (B*w_i mod W), source-name tie-break. ALL integer arithmetic, so
+    quotas sum to B exactly on any engine — the contract float shares
+    cannot give. One |sources|-row aggregate, two 1-row broadcasts, one
+    bounded |sources|-row window; never touches row-level data.
+
+    Output: (source, n_toks, wt, quota). Empty result if every source
+    has zero weight (nothing to apportion; ANSI-safe, no div/0)."""
+    from pyspark.sql.window import Window
+
+    w = per_source.select(
+        "source",
+        "n_toks",
+        F.coalesce(
+            F.floor(F.sqrt(F.col("n_toks").cast("double"))).cast("long"), F.lit(0)
+        ).alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").alias("tot_w"))
+    b = (
+        w.crossJoin(F.broadcast(tot))
+        .where(F.col("tot_w") > 0)
+        .select(
+            "source",
+            "n_toks",
+            "wt",
+            F.expr(f"({budget} * wt) div tot_w").alias("base_q"),
+            F.expr(f"({budget} * wt) % tot_w").alias("rem"),
+        )
+    )
+    spent = b.agg(F.sum("base_q").alias("spent"))
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        b.crossJoin(F.broadcast(spent))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "source",
+            "n_toks",
+            "wt",
+            (
+                F.col("base_q")
+                + F.when(F.col("rk") <= budget - F.col("spent"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )

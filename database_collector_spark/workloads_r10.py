@@ -849,46 +849,18 @@ def q_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break). All integer arithmetic end to end — quotas sum to B
     EXACTLY, the property trainer data loaders require and
     floating-point shares don't give. One |sources|-row aggregate, two
-    1-row broadcasts, one bounded |sources|-row window."""
+    1-row broadcasts, one bounded |sources|-row window. The allocator
+    itself is the reusable curation.token_budget_allocation operator
+    (property-tested against a plain-Python reference on arbitrary
+    weight tables); this gate feeds it the fixture's per-source counts."""
+    from database_collector_spark.curation import token_budget_allocation
+
     docs = _t(spark, sf_dir, "documents")
     n = F.size(F.expr("filter(split(text, ' '), t -> t <> '')")).cast("long")
     per = docs.select("source", n.alias("n")).groupBy("source").agg(
         F.sum("n").alias("n_toks")
     )
-    w = per.select(
-        "source",
-        "n_toks",
-        F.coalesce(
-            F.floor(F.sqrt(F.col("n_toks").cast("double"))).cast("long"), F.lit(0)
-        ).alias("wt"),
-    )
-    tot = w.agg(F.sum("wt").alias("tot_w"))
-    b = (
-        w.crossJoin(F.broadcast(tot))
-        .where(F.col("tot_w") > 0)  # ANSI: div/0 throws; empty corpus -> empty
-        .select(
-            "source",
-            "n_toks",
-            "wt",
-            F.expr(f"({_TOKEN_BUDGET} * wt) div tot_w").alias("base_q"),
-            F.expr(f"({_TOKEN_BUDGET} * wt) % tot_w").alias("rem"),
-        )
-    )
-    spent = b.agg(F.sum("base_q").alias("spent"))
-    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
-    return (
-        b.crossJoin(F.broadcast(spent))
-        .withColumn("rk", F.row_number().over(wr))
-        .select(
-            "source",
-            "n_toks",
-            "wt",
-            (
-                F.col("base_q")
-                + F.when(F.col("rk") <= _TOKEN_BUDGET - F.col("spent"), 1).otherwise(0)
-            ).alias("quota"),
-        )
-    )
+    return token_budget_allocation(per, _TOKEN_BUDGET)
 
 
 SQL_TOKEN_BUDGET_ALLOC = f"""
