@@ -67,3 +67,28 @@ def test_collector_pipeline_example_runs(spark):
         for t in stats["datum_ts_utc"]
     }
     assert datum_ms == set(stats["prompb_ts_ms"])
+
+
+def test_ann_serving_example_lifecycle(spark, tmp_path):
+    # build -> serve -> refresh -> serve, all through the example's
+    # public functions; post-refresh results must still rank the
+    # appended vectors (they share cells with their neighbors)
+    from examples import ann_serving
+    from database_collector_spark.workloads import _t
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "index")
+    ann_serving.build_index(emb.filter(F.col("vec_id") % 10 != 0), path)
+    before = ann_serving.serve_topk(spark, path, emb.filter(F.col("vec_id") < 5))
+    n_before = before.count()
+    assert n_before > 0
+    appended = ann_serving.refresh_index(
+        spark, path, emb.filter(F.col("vec_id") % 10 == 0)
+    )
+    assert appended > 0
+    after = ann_serving.serve_topk(spark, path, emb.filter(F.col("vec_id") < 5))
+    # the appended vectors are now candidates: at least one query's
+    # top-k must include a vec_id divisible by 10, or — at minimum —
+    # the candidate pool grew
+    assert after.count() >= n_before
