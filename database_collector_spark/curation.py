@@ -414,3 +414,31 @@ def token_budget_allocation(per_source: DataFrame, budget: int) -> DataFrame:
             ).alias("quota"),
         )
     )
+
+
+def relative_percentile_filter(
+    scored: DataFrame,
+    *,
+    cut: float = 0.40,
+    score_col: str = "score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group RELATIVE quality cut: keep each group's top share of
+    rows by score instead of one global threshold — the curation rule
+    that stops a verbose domain from drowning a terse one when both
+    face the same absolute cutoff. cume_dist over the tie-free
+    (score, id) order is engine-identical (rows<=current / n on the
+    same integers), and ``cd > cut`` keeps exactly
+    n - floor(cut * n) rows per group. ONE group-partitioned window —
+    never a global sort. Output: input columns + ``pct`` (the kept
+    row's cume_dist, rounded)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return (
+        scored.withColumn("_cd", F.cume_dist().over(w))
+        .where(F.col("_cd") > cut)
+        .withColumn("pct", F.round("_cd", 9))
+        .drop("_cd")
+    )

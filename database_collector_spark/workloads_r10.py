@@ -801,18 +801,19 @@ def q_source_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist over (score, doc_id) is tie-free and engine-identical
     (both engines compute rows<=current / n on the same integers), and
     the cut keeps documents above the source's 40th percentile. ONE
-    per-source window — partitioned, never a global sort."""
+    per-source window — partitioned, never a global sort. The filter
+    itself is the reusable curation.relative_percentile_filter operator
+    (property-tested for the exact per-group keep count); this gate
+    feeds it the fixture's integer token-count score."""
+    from database_collector_spark.curation import relative_percentile_filter
+
     docs = _t(spark, sf_dir, "documents")
     score = F.coalesce(
         F.size(F.expr("filter(split(text, ' '), t -> t <> '')")), F.lit(0)
     ).cast("long")
-    w = Window.partitionBy("source").orderBy("score", "doc_id")
-    return (
-        docs.select("doc_id", "source", score.alias("score"))
-        .withColumn("cd", F.cume_dist().over(w))
-        .where(F.col("cd") > _FILTER_CUT)
-        .select("doc_id", "source", "score", F.round("cd", 9).alias("pct"))
-    )
+    return relative_percentile_filter(
+        docs.select("doc_id", "source", score.alias("score")), cut=_FILTER_CUT
+    ).select("doc_id", "source", "score", "pct")
 
 
 SQL_SOURCE_PERCENTILE_FILTER = f"""

@@ -52,3 +52,39 @@ def test_allocation_matches_python_reference(spark, ns, budget):
     assert got == want
     if want:
         assert sum(q for _, _, q in got.values()) == budget
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=5),
+    cut_pct=st.sampled_from([10, 25, 40, 50, 90]),
+    seed=st.integers(0, 2**31),
+)
+def test_percentile_filter_keep_counts_on_arbitrary_groups(
+    spark, sizes, cut_pct, seed
+):
+    # per-group keep count must be exactly n - floor(cut * n) on
+    # ARBITRARY group sizes and scores (ties included — the (score, id)
+    # order is what makes cume_dist tie-free)
+    import math
+    import random
+
+    from database_collector_spark.curation import relative_percentile_filter
+
+    rng = random.Random(seed)
+    rows, idc = [], 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((idc, f"g{g}", rng.randint(0, 5)))  # heavy ties
+            idc += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    cut = cut_pct / 100.0
+    kept = relative_percentile_filter(df, cut=cut).groupBy("source").count()
+    got = {r["source"]: r["count"] for r in kept.collect()}
+    want = {f"g{g}": n - math.floor(cut * n) for g, n in enumerate(sizes)}
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got == want
