@@ -376,11 +376,26 @@ def token_budget_allocation(per_source: DataFrame, budget: int) -> DataFrame:
     cannot give. One |sources|-row aggregate, two 1-row broadcasts, one
     bounded |sources|-row window; never touches row-level data.
 
+    Duplicate source rows are summed before weighting (so the operator
+    is safe on un-aggregated input AND the leftover ranking's
+    (remainder, source) tie-break stays deterministic — duplicate
+    source keys would make row_number assignment physical-order
+    dependent). ``budget`` must be a non-negative int: a float would
+    silently turn the div/mod chain into double arithmetic and break
+    the exact-sum contract.
+
     Output: (source, n_toks, wt, quota). Empty result if every source
     has zero weight (nothing to apportion; ANSI-safe, no div/0)."""
     from pyspark.sql.window import Window
 
-    w = per_source.select(
+    if not isinstance(budget, int) or isinstance(budget, bool) or budget < 0:
+        raise ValueError(
+            f"budget must be a non-negative int, got {budget!r} "
+            "(a float would break the exact-integer quota contract)"
+        )
+    w = per_source.groupBy("source").agg(
+        F.sum("n_toks").alias("n_toks")
+    ).select(
         "source",
         "n_toks",
         F.coalesce(
@@ -432,9 +447,18 @@ def relative_percentile_filter(
     same integers), and ``cd > cut`` keeps exactly
     n - floor(cut * n) rows per group. ONE group-partitioned window —
     never a global sort. Output: input columns + ``pct`` (the kept
-    row's cume_dist, rounded)."""
+    row's cume_dist, rounded). Rejects inputs already carrying a
+    ``pct`` or ``_cd`` column — withColumn would silently clobber them
+    (e.g. when re-filtering the output of a previous pass; alias the
+    old column first)."""
     from pyspark.sql.window import Window
 
+    clash = {"pct", "_cd"} & set(scored.columns)
+    if clash:
+        raise ValueError(
+            f"relative_percentile_filter: input column(s) {sorted(clash)} "
+            "would be overwritten; rename them before filtering"
+        )
     w = Window.partitionBy(group_col).orderBy(score_col, id_col)
     return (
         scored.withColumn("_cd", F.cume_dist().over(w))

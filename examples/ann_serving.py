@@ -12,9 +12,12 @@
          query batch against the loaded quantizer, ADC top-k against
          ONLY each query's coarse cell (pq_adc_topk cell_col='cid' —
          a broadcast equi-join, so probe work is sum(|probed cell|))
-      -> REFRESH: assign a new vector batch to the FROZEN quantizer
-         (similarity.incremental_assign — O(|new|), the corpus is never
-         re-read) and append to the coded cells.
+      -> REFRESH: residualize a new vector batch against the FROZEN
+         quantizer and encode it with the FROZEN codebooks — O(|new|),
+         the corpus is never re-read or retrained — then append to the
+         coded cells. (similarity.incremental_assign is the plain-IVF
+         sibling of this path; the composite index appends CODES, so
+         the new rows go through residualize + pq_encode_quantized.)
 
 Run:  python examples/ann_serving.py [sf_dir]
 Everything is exact-integer, so serve-from-disk results are
@@ -54,10 +57,16 @@ def refresh_index(spark, path: str, new_vectors) -> int:
     """The incremental ingest path: new vectors join the index without
     retraining — residualize against the frozen quantizer, encode with
     the frozen codebooks, append to the coded cells."""
-    cents, books, codes = similarity.ivfpq_index_load(spark, path)
-    new_codes = similarity.pq_encode_quantized(
-        similarity.residualize(new_vectors, cents), books
-    ).select("vec_id", "codes", "cid")
+    cents, books, _codes = similarity.ivfpq_index_load(spark, path)
+    # checkpoint: the write and the returned count both consume the
+    # encode lineage — without it the O(|new|) ingest pass runs twice
+    new_codes = (
+        similarity.pq_encode_quantized(
+            similarity.residualize(new_vectors, cents), books
+        )
+        .select("vec_id", "codes", "cid")
+        .localCheckpoint(eager=True)
+    )
     new_codes.write.mode("append").partitionBy("cid").parquet(f"{path}/codes")
     return new_codes.count()
 

@@ -88,3 +88,31 @@ def test_percentile_filter_keep_counts_on_arbitrary_groups(
     want = {f"g{g}": n - math.floor(cut * n) for g, n in enumerate(sizes)}
     want = {k: v for k, v in want.items() if v > 0}
     assert got == want
+
+
+def test_allocation_rejects_float_budget_and_sums_duplicate_sources(spark):
+    import pytest as _pytest
+
+    per = spark.createDataFrame(
+        [("a", 100), ("a", 44), ("b", 400)], "source string, n_toks long"
+    )
+    with _pytest.raises(ValueError, match="non-negative int"):
+        token_budget_allocation(per, 1e6)
+    # duplicate source rows are summed BEFORE weighting: wt(a) =
+    # floor(sqrt(144)) = 12, not sqrt(100)+sqrt(44)
+    rows = {r["source"]: r for r in token_budget_allocation(per, 100).collect()}
+    assert rows["a"]["n_toks"] == 144 and rows["a"]["wt"] == 12
+    assert rows["b"]["wt"] == 20
+    assert rows["a"]["quota"] + rows["b"]["quota"] == 100
+
+
+def test_percentile_filter_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    from database_collector_spark.curation import relative_percentile_filter
+
+    df = spark.createDataFrame(
+        [(1, "g", 5, 0.5)], "doc_id long, source string, score long, pct double"
+    )
+    with _pytest.raises(ValueError, match="would be overwritten"):
+        relative_percentile_filter(df)

@@ -87,8 +87,21 @@ def test_ann_serving_example_lifecycle(spark, tmp_path):
         spark, path, emb.filter(F.col("vec_id") % 10 == 0)
     )
     assert appended > 0
+    # the appended codes are actually IN the persisted index...
+    stored_ids = {
+        r["vec_id"] for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    new_ids = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    }
+    assert new_ids <= stored_ids
+    # ...and they change serving: query 0 (vec_id 0, held out of the
+    # build) now finds candidates that include appended vectors — the
+    # top-k row set must differ from the pre-refresh one (topk caps the
+    # COUNT, so count equality would be vacuous)
     after = ann_serving.serve_topk(spark, path, emb.filter(F.col("vec_id") < 5))
-    # the appended vectors are now candidates: at least one query's
-    # top-k must include a vec_id divisible by 10, or — at minimum —
-    # the candidate pool grew
-    assert after.count() >= n_before
+    before_rows = {tuple(r) for r in before.collect()}
+    after_rows = {tuple(r) for r in after.collect()}
+    assert after_rows != before_rows
+    assert any(vid % 10 == 0 for (_q, _rk, vid, _d) in after_rows)
