@@ -1060,9 +1060,7 @@ def ivf_index_save(
     closed form)."""
     spark = embeddings.sparkSession
     cents = kmeans_centroids(embeddings, k=k, iters=iters)
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, c array<bigint>"
-    )
+    cent_df = _centroid_frame(spark, cents)
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     cells = assign_centroids(
         with_quantized(embeddings).select("vec_id", "qe", "qnorm2"), cents
@@ -1091,6 +1089,56 @@ def ivf_index_load(
         )
     cells = spark.read.parquet(f"{path}/cells")
     return cents, cells
+
+
+def cell_cosine_probe(
+    queries: DataFrame, cells: DataFrame, *, topk: int = 3
+) -> DataFrame:
+    """Exact-cosine top-k of each query against ONLY its own coarse
+    cell — the IVF probe step shared by the trained-probe gate
+    (workloads2.q_ann_ivf_kmeans_probe) and the persisted-index
+    round-trip gate (workloads_r10.q_ann_index_roundtrip): ONE
+    definition, because the round-trip's bit-identity claim only holds
+    if both compute the same ranks and rounding. Both inputs carry
+    (vec_id, qe, qnorm2, cid); queries are broadcast into a cid
+    equi-join, so probe work is Σ|probed cell| rows at any corpus
+    size. Output: (q_id, c_id, cos, rank), self-matches excluded."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("qnorm2").alias("q_n2"),
+        F.col("cid").alias("q_cid"),
+    )
+    c = cells.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("qnorm2").alias("c_n2"),
+        F.col("cid").alias("c_cid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_cid") == F.col("c_cid"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                _dot("q_qe", "c_qe").cast("double")
+                / (
+                    F.sqrt(F.col("q_n2").cast("double"))
+                    * F.sqrt(F.col("c_n2").cast("double"))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos"), "rank")
+    )
 
 
 def _centroid_frame(spark, cents: list[list[int]]) -> DataFrame:

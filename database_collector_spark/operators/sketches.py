@@ -278,8 +278,20 @@ def hop_expand(
     ``nhops = window_s // hop_s`` copies a non-divisible pair would
     silently miss each event's oldest covering window (the partial-hop
     tail), undercounting distinct users — rejected loudly instead.
-    Alignment uses pmod, so negative epochs floor-align exactly like
-    the DuckDB oracles' ``//``."""
+    Alignment uses pmod, so negative epochs FLOOR-align; NB DuckDB's
+    ``//`` TRUNCATES toward zero, so oracle twins must floor-align with
+    the same pmod idiom (``s - ((s % h) + h) % h``), never bare ``//``
+    (pinned cross-engine by the negative-epoch parity test).
+
+    Rejects inputs already carrying ``win_s`` or ``_h`` columns — the
+    projection would silently clobber them (e.g. when re-expanding an
+    already-expanded frame with a second hop size)."""
+    clash = {"win_s", "_h"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"hop_expand: input column(s) {sorted(clash)} would be "
+            "overwritten; rename them before expanding"
+        )
     if window_s % hop_s != 0:
         raise ValueError(
             f"hop_expand: window_s={window_s} is not a multiple of "

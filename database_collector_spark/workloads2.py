@@ -675,40 +675,9 @@ def q_ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = similarity.assign_centroids(
         similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"), cents
     )
-    q = base.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("qe").alias("q_qe"),
-        F.col("qnorm2").alias("q_n2"),
-        F.col("cid").alias("q_cid"),
-    )
-    c = base.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("qe").alias("c_qe"),
-        F.col("qnorm2").alias("c_n2"),
-        F.col("cid").alias("c_cid"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("q_cid") == F.col("c_cid"))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            (
-                similarity._dot("q_qe", "c_qe").cast("double")
-                / (
-                    F.sqrt(F.col("q_n2").cast("double"))
-                    * F.sqrt(F.col("c_n2").cast("double"))
-                )
-            ).alias("cos_raw"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos"), "rank")
-    )
+    # probe body shared with the persisted-index round-trip gate — ONE
+    # definition (similarity.cell_cosine_probe), so the two cannot drift
+    return similarity.cell_cosine_probe(base.filter(F.col("vec_id") < 10), base)
 
 
 def _sql_kmeans_probe(k: int = 8, iters: int = 3) -> str:

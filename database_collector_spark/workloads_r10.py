@@ -182,9 +182,14 @@ WITH e AS (
   FROM events
 ),
 expanded AS (
-  SELECT event_type, user_id, (s // 900 - hop.h) * 900 AS win_s
+  -- floor-aligned window start via the pmod idiom: DuckDB // TRUNCATES
+  -- toward zero (-7 // 2 = -3), so s // 900 * 900 would mis-align
+  -- pre-1970 epochs relative to Spark's pmod floor alignment; the
+  -- containment predicate is provably always-true for floor-aligned
+  -- hops (see sketches.hop_expand), so none is needed
+  SELECT event_type, user_id,
+         (s - ((s % 900) + 900) % 900) - hop.h * 900 AS win_s
   FROM e, (SELECT unnest(generate_series(0, 3)) AS h) hop
-  WHERE (s // 900 - hop.h) * 900 + 3600 > s AND (s // 900 - hop.h) * 900 <= s
 ),
 {_sql_hll_core(
     "items AS (SELECT DISTINCT event_type, win_s,"
@@ -219,9 +224,10 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip — flips it."""
     ev = _t(spark, sf_dir, "events")
     # integer FLOOR division (s - pmod)/86400, not double-divide + cast
-    # (trunc toward zero): the oracle's // floors, and a pre-1970 epoch
-    # would bucket into different days under trunc — the trunc-vs-floor
-    # engine-divergence class
+    # (which truncates toward zero): a pre-1970 epoch would bucket into
+    # a different day under trunc. NB DuckDB's // ALSO truncates, so the
+    # oracle floor-aligns the same way (pmod idiom) rather than using
+    # bare // — the trunc-vs-floor engine-divergence class, both sides
     s = F.col("ts").cast("timestamp_ltz").cast("long")
     day = ((s - F.pmod(s, 86400)) / F.lit(86400)).cast("long")
     base = ev.select("event_type", day.alias("day"), "user_id")
@@ -256,9 +262,17 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_HLL_MERGEABLE_ROLLUP = f"""
-WITH base AS (
-  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
-  FROM events
+WITH e0 AS (
+  SELECT event_type, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+base AS (
+  -- (es - pmod) is an exact multiple of 86400, so trunc-div == floor-div
+  -- (DuckDB // truncates; bare es // 86400 would diverge from Spark's
+  -- floor day key on pre-1970 epochs)
+  SELECT event_type,
+         (es - ((es % 86400) + 86400) % 86400) // 86400 AS day,
+         user_id
+  FROM e0
 ),
 -- the daily partial table (merge then equals direct sketch; the oracle
 -- recomputes the partial ROW COUNT to pin the persisted-table shape)
@@ -324,42 +338,12 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_artifact_dir("ivf", sf_dir), "index")
     similarity.ivf_index_save(emb, path, k=8, iters=3)
     cents, cells = similarity.ivf_index_load(spark, path)
-    q = (
-        similarity.incremental_assign(emb.filter(F.col("vec_id") < 10), cents)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("qe").alias("q_qe"),
-            F.col("qnorm2").alias("q_n2"),
-            F.col("cid").alias("q_cid"),
-        )
-    )
-    c = cells.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("qe").alias("c_qe"),
-        F.col("qnorm2").alias("c_n2"),
-        F.col("cid").alias("c_cid"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("q_cid") == F.col("c_cid"))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            (
-                similarity._dot("q_qe", "c_qe").cast("double")
-                / (
-                    F.sqrt(F.col("q_n2").cast("double"))
-                    * F.sqrt(F.col("c_n2").cast("double"))
-                )
-            ).alias("cos_raw"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos"), "rank")
+    # probe body shared with q_ann_ivf_kmeans_probe — ONE definition
+    # (similarity.cell_cosine_probe); the queries are assigned against
+    # the LOADED centroids and scored against the LOADED cells
+    return similarity.cell_cosine_probe(
+        similarity.incremental_assign(emb.filter(F.col("vec_id") < 10), cents),
+        cells,
     )
 
 

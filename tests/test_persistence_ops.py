@@ -283,3 +283,39 @@ def test_ivf_index_load_rejects_partial_index(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="incomplete IVF index"):
         similarity.ivf_index_load(spark, path)
+
+
+def test_hop_and_day_alignment_matches_duckdb_on_negative_epochs(spark):
+    # DuckDB // TRUNCATES toward zero (-7 // 2 = -3) while the Spark
+    # side floor-aligns via pmod; the r10 HLL oracles therefore
+    # floor-align with the pmod idiom instead of bare //. Pin the
+    # cross-engine agreement on epochs the fixtures never carry
+    # (pre-1970), where trunc and floor diverge.
+    import duckdb
+
+    ss = [-129600, -100, -1, 0, 1, 899, 900, -900, -901, 1717236000]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT unnest(?) AS s", [ss])
+    oracle_wins = set(
+        con.execute(
+            "SELECT s, (s - ((s % 900) + 900) % 900) - hop.h * 900"
+            " FROM e, (SELECT unnest(generate_series(0, 3)) AS h) hop"
+        ).fetchall()
+    )
+    df = spark.createDataFrame([(s,) for s in ss], "s long")
+    spark_wins = {
+        (r["s"], r["win_s"])
+        for r in sketches.hop_expand(df, window_s=3600, hop_s=900).collect()
+    }
+    assert spark_wins == oracle_wins
+
+    oracle_days = set(
+        con.execute(
+            "SELECT s, (s - ((s % 86400) + 86400) % 86400) // 86400 FROM e"
+        ).fetchall()
+    )
+    day = ((F.col("s") - F.pmod(F.col("s"), 86400)) / F.lit(86400)).cast("long")
+    spark_days = {
+        (r["s"], r["day"]) for r in df.select("s", day.alias("day")).collect()
+    }
+    assert spark_days == oracle_days
