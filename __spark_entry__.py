@@ -29,6 +29,7 @@ from database_collector_spark import (
     workloads_ir,
     workloads_pq,
     workloads_r9,
+    workloads_r10,
     workloads_ts,
 )
 
@@ -46,64 +47,58 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # Round-9 rotation, part 1 — RED-ROW RETEST: the r8 report's only
-    # two red rows (rows green at 13,528, schema+hash red). Root cause
-    # was oracle-side: DuckDB to_timestamp() returns TIMESTAMP WITH
-    # TIME ZONE while Spark's window().start is naive TIMESTAMP, so the
-    # driver's Arrow dtype compare red-flagged tz-aware vs naive. Both
-    # oracles now CAST(... AS TIMESTAMP) (judge-verified exact match at
-    # 13,528 rows), tests/test_oracle_schemas.py's BANNED set now
-    # includes the TZ types, and tools/check.py no longer strips tzinfo
-    # (the masking that hid this through two full three-SF sweeps).
-    "sliding_unique_users", "sliding_unique_approx",
-    # part 2 — the THIRTEEN r9 gates staged in workloads_r9.py since
-    # round 8 (oracles pre-verified by the driver-identical staged
-    # differential, judge-re-run green; registered this round).
-    "readability_scores", "temperature_mixture", "quality_classifier",
-    "weighted_sample_by", "jl_projection", "embedding_outliers",
-    "corpus_diff", "bpe_fertility", "auc_scores", "lang_confusion",
-    "interval_outages", "bfs_hops", "shard_overlap",
-    # part 3 — backfill per the r8 verdict's rotation directive: the
-    # semantic flagships displaced from the r8 backfill by that round's
-    # 13 new gates...
-    "asof_join", "sessionization", "skew_salted_join", "dedup_spans",
-    "label_enrich", "grouping_sets", "range_join_buckets",
-    # ...then the remaining r5-latest cohort, oldest evidence first.
-    "ann_pq_adc", "ann_pq_codes", "approx_distinct", "approx_quantiles",
-    "argmax_customer", "correlated_avg_filter", "cube_counts",
-    "cust_order_distribution", "date_rollup",
-    "dedup_embedding_lsh_multi", "gap_detect", "grouped_counter",
-    "semi_anti_orders", "shipping_priority", "stats_moments",
-    "text_token_stats", "array_funcs", "case_having", "date_funcs",
-    "string_funcs", "set_ops", "limit_cap", "engine_dispatch",
-    "sample_stratified", "tfidf_top_terms", "ttl_expiry_counts",
-    "events_sliding", "ann_ivf_multiprobe",
+    # Round-10 rotation, part 1 — RED-ROW RETEST: r9's only red row.
+    # jl_projection died in the driver's pandas canonicalization
+    # ("unhashable type: 'list'") because its final `proj` column was
+    # array<bigint> — the third masked oracle-portability class after
+    # HUGEINT (r7) and TIMESTAMPTZ (r8). Values were judge-verified
+    # exact; only the shape was driver-hostile. The gate now emits
+    # scalar y_0..y_7 on BOTH sides (operators/similarity.py::jl_project
+    # flat=True keeps the array API for composition), all three oracle
+    # meta-tests ban any nested final type ([], STRUCT, MAP, UNION),
+    # and tools/check.py::canon_value now RAISES on list/dict values
+    # instead of stringifying them (the masking).
+    "jl_projection",
+    # part 2 — the ELEVEN r10 gates staged in workloads_r10.py since
+    # round 9 (oracles pre-verified by the driver-identical staged
+    # differential at sf0.001/0.01/0.1 + local[7], judge-re-run green;
+    # registered this round).
+    "hll_sliding_windows", "hll_mergeable_rollup", "ann_index_roundtrip",
+    "minhash_persist_incremental", "pack_sequences", "vocab_drift_kl",
+    "ngram_novelty", "source_quota_sample", "ann_ivfpq_adc",
+    "source_percentile_filter", "token_budget_alloc",
+    # part 3 — oldest-evidence backfill: the full r5-latest cohort
+    # (newest driver row = round 5; staleness bound binds this round)...
+    "ann_ivf_probe", "decile_stats", "exact_percentiles", "market_share",
+    "top_supplier", "unpivot_melt", "window_frames", "window_running",
+    # ...then the first 30 (alphabetical) of the 48 r6-latest gates.
+    "ann_lsh_buckets", "cdc_apply", "conditional_agg", "crossmodal_join",
+    "curation_full", "curation_pipeline", "decontaminate",
+    "dedup_clusters", "dedup_embedding", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "doc_fingerprint", "engine_rejects", "events_hourly", "hash_split",
+    "histogram_metrics", "incremental_agg", "interval_join_events",
+    "json_struct_parse", "kv_numeric_parse", "kv_pivot_wide", "lang_id",
+    "length_trim", "lexical_diversity", "mixture_sample",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r10 MANDATORY HEAD: any red r9 rows first, then the r10-new gates
-    # — the ELEVEN staged in workloads_r10.py with pre-verified oracles
-    # (hll_sliding_windows, hll_mergeable_rollup, ann_index_roundtrip,
-    # minhash_persist_incremental, pack_sequences, vocab_drift_kl,
-    # ngram_novelty, source_quota_sample, ann_ivfpq_adc,
-    # source_percentile_filter, token_budget_alloc; registration = import
-    # QUERIES_R10/ORACLES_R10 into the dicts below + list them here),
-    # then the r5-latest cohort (ann_ivf_probe, decile_stats,
-    # exact_percentiles, market_share, top_supplier, unpivot_melt,
-    # window_frames, window_running), then these 31 r6-latest gates
-    # (precomputed from CORRECTNESS_r01..r08 + the r9 window; the
-    # remaining 17 r6 gates MUST take r11's backfill before the
-    # staleness bound binds): ann_lsh_buckets, cdc_apply,
-    # conditional_agg, crossmodal_join, curation_full,
-    # curation_pipeline, decontaminate, dedup_clusters, dedup_embedding,
-    # dedup_embedding_lsh, dedup_exact, dedup_incremental,
-    # dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
-    # dedup_simhash_pairs, doc_fingerprint, engine_rejects,
-    # events_hourly, hash_split, histogram_metrics, incremental_agg,
-    # interval_join_events, json_struct_parse, kv_numeric_parse,
-    # kv_pivot_wide, lang_id, length_trim, lexical_diversity,
-    # mixture_sample, multimodal_decode. That is 11+8+31 = exactly 50 —
-    # subject to the max-staleness meta-test in
+    # r11 MANDATORY HEAD: any red r10 rows first, then the r11 staged
+    # cohort — the FOUR gates staged in workloads_r11.py with
+    # pre-verified oracles (substring_dedup, semdedup_prune,
+    # dsir_weights, upsert_compaction; registration = import
+    # QUERIES_R11/ORACLES_R11 into the dicts below + list them here),
+    # then the EIGHTEEN displaced r6-latest
+    # gates whose staleness bound binds in r11 (newest row r6,
+    # 11 - 6 = 5): multimodal_decode, multimodal_features,
+    # multimodal_frames, pricing_summary, quality_score, registry_diff,
+    # repetition_stats, rollup_counts, scd1_upsert, scd2_history,
+    # sequence_pack, similarity_topk, snapshot_diff, sorted_list_agg,
+    # summary_quantiles, text_normalize, token_estimate, topk_per_group.
+    # That is red + 4 + 18 = 22+red, leaving ~28 slots for r7-latest
+    # backfill (49 r7-latest gates; the rest go to r12 inside the bound)
+    # — subject to the max-staleness meta-test in
     # tests/test_docs_consistency.py (no registered gate's newest driver
-    # row older than 5 rounds).
+    # row older than 5 rounds; missing gates count as round 0).
 ]
 assert len(_CHECK_FIRST) == 50, f"check window holds {len(_CHECK_FIRST)}, not 50"
 
@@ -125,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads_ir.QUERIES_IR,
         **workloads_pq.QUERIES_PQ,
         **workloads_r9.QUERIES_R9,
+        **workloads_r10.QUERIES_R10,
         **workloads_ts.QUERIES_TS,
     })
 
@@ -141,5 +137,6 @@ def oracle_sql() -> dict[str, str]:
         **workloads_ir.ORACLES_IR,
         **workloads_pq.ORACLES_PQ,
         **workloads_r9.ORACLES_R9,
+        **workloads_r10.ORACLES_R10,
         **workloads_ts.ORACLES_TS,
     })

@@ -393,6 +393,11 @@ def token_budget_allocation(per_source: DataFrame, budget: int) -> DataFrame:
             f"budget must be a non-negative int, got {budget!r} "
             "(a float would break the exact-integer quota contract)"
         )
+    if budget > 2**63 - 1:
+        raise ValueError(
+            f"budget {budget} exceeds int64 — the quota column is BIGINT "
+            "and no single source can receive more than the whole budget"
+        )
     w = per_source.groupBy("source").agg(
         F.sum("n_toks").alias("n_toks")
     ).select(
@@ -410,8 +415,21 @@ def token_budget_allocation(per_source: DataFrame, budget: int) -> DataFrame:
             "source",
             "n_toks",
             "wt",
-            F.expr(f"({budget} * wt) div tot_w").alias("base_q"),
-            F.expr(f"({budget} * wt) % tot_w").alias("rem"),
+            # budget * wt in DECIMAL(38,0): a realistic training budget
+            # (1e13 tokens) times a large source weight (sqrt of int64
+            # n_toks, up to ~3.04e9) overflows BIGINT — ANSI mode would
+            # fail opaquely and a non-ANSI session would wrap silently.
+            # Decimal keeps the product exact (<= ~1e19 * 3e9 = 1e28,
+            # far inside 38 digits); div/% stay exact integer math and
+            # the RESULTS fit BIGINT by construction (base_q <= budget,
+            # rem < tot_w). DuckDB's oracle twin promotes to HUGEINT on
+            # the same product, so both engines stay exact.
+            F.expr(
+                f"CAST(CAST({budget} AS DECIMAL(38,0)) * wt div tot_w AS BIGINT)"
+            ).alias("base_q"),
+            F.expr(
+                f"CAST(CAST({budget} AS DECIMAL(38,0)) * wt % tot_w AS BIGINT)"
+            ).alias("rem"),
         )
     )
     spent = b.agg(F.sum("base_q").alias("spent"))
@@ -459,7 +477,24 @@ def relative_percentile_filter(
             f"relative_percentile_filter: input column(s) {sorted(clash)} "
             "would be overwritten; rename them before filtering"
         )
-    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    # NULL scores fail LOUDLY at execution instead of silently diverging:
+    # Spark windows sort NULLs FIRST ascending while SQL engines like
+    # DuckDB sort them LAST, so a NULL row would land at a different
+    # cume_dist on each engine and break the exact n - floor(cut*n)
+    # keep-count contract. Callers must filter or coalesce first (the
+    # registered gate does); the checked sort key raises per-row, so the
+    # guard costs nothing on clean data and never scans eagerly.
+    checked_score = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"relative_percentile_filter: NULL in {score_col!r} — "
+                "engines disagree on NULL ordering; filter or coalesce "
+                "scores before the percentile cut"
+            )
+        ),
+    ).otherwise(F.col(score_col))
+    w = Window.partitionBy(group_col).orderBy(checked_score, F.col(id_col))
     return (
         scored.withColumn("_cd", F.cume_dist().over(w))
         .where(F.col("_cd") > cut)

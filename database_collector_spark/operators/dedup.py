@@ -1052,3 +1052,103 @@ def incremental_signature_pairs(
         F.col("doc_b").alias("corpus_doc"),
         "jaccard",
     )
+
+
+def cross_doc_duplicate_spans(
+    docs: DataFrame, *, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact substring deduplication ACROSS documents (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    shape): find every maximal token span that appears VERBATIM, at
+    least ``k`` tokens long, in two or more distinct documents, and emit
+    the cut list (doc_id, span_start, span_end, span_tokens; positions
+    1-based, inclusive) a downstream pass would excise — the cross-doc
+    complement of ``span_dedup`` (which cuts fixed intra-corpus
+    segments, C4-style).
+
+    The reference has no text surface (its rows are metric samples,
+    collector/cmd/collector/database-collector.go); this extends the
+    training-data-pipeline tier.
+
+    Distributed formulation — a sorted-shingle-chain approximation of
+    the paper's suffix array, exact for the emitted contract: a verbatim
+    overlap of length L >= k between two documents produces L - k + 1
+    consecutive duplicated-k-shingle positions in each, and merging
+    positions whose k-token windows overlap or touch (gap <= k)
+    reconstructs exactly the maximal [p, p + L - 1] span. Conversely
+    every emitted span is covered end-to-end by k-shingles that each
+    occur in >= 2 distinct documents. (A merged span may chain overlaps
+    against DIFFERENT partners — the same union-of-duplicated-bytes
+    semantics the paper's ExactSubstr cut list has.)
+
+    Plan shape, and why it holds at 100 TB:
+    * positioned shingling is a zero-shuffle projection (split +
+      transform + explode, all codegen; md5 collapses arbitrary-width
+      span text to a 32-byte shuffle key);
+    * the duplicated-shingle vocabulary is ONE (doc, shingle)-distinct
+      aggregate keyed by the hash — never doc x doc;
+    * the join-back is a broadcast-or-shuffle hash join on the same key;
+    * span merge is the classic gaps-and-islands: one doc-keyed window
+      (lag + running sum) — partitions are single documents.
+    """
+    _exclude_infer_filters_from_generate(docs)
+    toks = docs.select("doc_id", F.split(F.col(text_col), " ").alias("t"))
+    span_txt = ", ' ', ".join(f"t[i + {j} - 1]" for j in range(k))
+    # 1-based positions: shingle at pos i covers tokens [i, i+k-1],
+    # matching DuckDB's 1-based list indexing so the emitted span
+    # coordinates are engine-identical. Same when()-guard totality
+    # pattern as shingle_sets (ANSI sequence() on short docs).
+    pos_sh = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("t") >= k,
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {k} + 1), "
+                        f"i -> struct(i AS pos, md5(concat({span_txt})) AS sh))"
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<pos:int,sh:string>>")
+                )
+            ).alias("ps"),
+        )
+        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.sh").alias("sh"))
+    )
+    dup_sh = (
+        pos_sh.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("sh")
+    )
+    marked = pos_sh.join(dup_sh, "sh")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -19,7 +19,8 @@ fixpoint is O(diameter) rounds and entity clusters are clique-shaped
 scale.
 
 The reference has no entity surface (its rows are metric samples;
-collector/internal/collector.go:1 processes numeric K/V only) — this
+collector/cmd/collector/database-collector.go processes numeric K/V
+only) — this
 extends the training-data-pipeline tier (SURVEY §2 extensions), where
 cross-source author/record linkage is a standard curation step.
 """

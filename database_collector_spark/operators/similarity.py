@@ -149,7 +149,12 @@ def lsh_buckets(
     return base.select("vec_id", _bucket_col(planes).alias("bucket"), "label")
 
 
-def assign_centroids(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
+def assign_centroids(
+    base: DataFrame,
+    centroids: list[list[int]],
+    *,
+    keep_dist: str | None = None,
+) -> DataFrame:
     """Attach ``cid`` = nearest centroid (exact integer squared distance,
     ties to the lowest cid). Centroids ride along as ONE nested-array
     literal and the argmin is a data-driven transform + array_position —
@@ -186,13 +191,18 @@ def assign_centroids(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
         + F.element_at(F.col("cnorms"), i + 1),
     )
     # array_position returns the FIRST index of the minimum -> lowest cid
-    return (
+    out = (
         base.crossJoin(F.broadcast(cent_row))
         .withColumn(
             "cid", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-        .drop("cents", "cnorms")
     )
+    if keep_dist is not None:
+        # exact-integer squared distance to the OWN centroid — consumers
+        # like semdedup_prune rank members by it (farthest-from-centroid
+        # keep rule) without recomputing the distance array
+        out = out.withColumn(keep_dist, F.array_min(dists))
+    return out.drop("cents", "cnorms")
 
 
 def kmeans_centroids(
@@ -902,7 +912,12 @@ def jl_matrix(k: int = 8, dim: int = EMBED_DIM, seed: int = 7) -> list[list[int]
 
 
 def jl_project(
-    embeddings: DataFrame, *, k: int = 8, seed: int = 7, dim: int = EMBED_DIM
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    seed: int = 7,
+    dim: int = EMBED_DIM,
+    flat: bool = False,
 ) -> DataFrame:
     """Johnson–Lindenstrauss random projection of the embedding column
     into k dimensions, with per-vector norm-distortion audit — the
@@ -920,7 +935,13 @@ def jl_project(
     Plan: zero shuffle — k integer fold expressions per row (sparse:
     ~dim/3 terms each survive constant folding), no explode, no join.
 
-    Output: (vec_id, proj: array<bigint>, x_norm2, y_norm2, distortion).
+    Output: (vec_id, proj: array<bigint>, x_norm2, y_norm2, distortion) —
+    or, with ``flat=True``, the projected components as SCALAR columns
+    ``y_0..y_{k-1}`` instead of the ``proj`` array. The array form is
+    the composition API (feed the k-dim vectors to an ANN/clustering
+    stage); the flat form is the gate/export shape — nested final
+    columns are banned at the oracle boundary because engine-portable
+    canonicalizers (Arrow→pandas) cannot hash list cells.
     """
     mat = jl_matrix(k, dim, seed)
     base = with_quantized(embeddings)
@@ -933,29 +954,28 @@ def jl_project(
         )
         comps.append(F.expr(f"CAST({terms or '0'} AS BIGINT)").alias(f"y_{j}"))
     proj = base.select("vec_id", F.col("qnorm2").alias("x_norm2"), *comps)
-    y = F.array(*[F.col(f"y_{j}") for j in range(k)])
-    y_norm2 = F.expr(
-        "aggregate(_y, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
-    )
-    return (
-        proj.withColumn("_y", y)
-        .select(
-            "vec_id",
-            F.col("_y").alias("proj"),
-            "x_norm2",
-            y_norm2.alias("y_norm2"),
-        )
-        .withColumn(
-            "distortion",
-            F.when(
-                F.col("x_norm2") > 0,
-                F.round(
-                    F.sqrt(F.col("y_norm2") * (3.0 / k)) / F.sqrt(F.col("x_norm2")),
-                    6,
-                ),
-            ),
-        )
-    )
+    y_cols = [F.col(f"y_{j}") for j in range(k)]
+    # Exact int64 Σ y_j² as a fold over the scalar components — no array
+    # construction needed on the flat path, and codegen flattens the sum.
+    y_norm2 = sum(
+        (c * c for c in y_cols), F.lit(0).cast("bigint")
+    ).alias("y_norm2")
+    distortion = F.when(
+        F.col("x_norm2") > 0,
+        F.round(
+            F.sqrt(F.col("y_norm2") * (3.0 / k)) / F.sqrt(F.col("x_norm2")), 6
+        ),
+    ).alias("distortion")
+    if flat:
+        return proj.select(
+            "vec_id", *[f"y_{j}" for j in range(k)], "x_norm2", y_norm2
+        ).withColumn("distortion", distortion)
+    return proj.select(
+        "vec_id",
+        F.array(*y_cols).alias("proj"),
+        "x_norm2",
+        y_norm2,
+    ).withColumn("distortion", distortion)
 
 
 def jl_distortion_report(
@@ -1248,3 +1268,83 @@ def ivfpq_index_load(
         books[r["j"]].append(list(r["c"]))
     codes = spark.read.parquet(f"{path}/codes")
     return cents, books, codes
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.45,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public):
+    cluster the corpus with the deterministic integer k-means
+    (``kmeans_centroids``), then WITHIN each cluster drop any vector
+    that has cosine similarity >= ``threshold`` with another member that
+    dominates it — the paper's keep-the-extreme rule, here "keep the
+    member FARTHEST from its centroid" (exact integer squared distance;
+    ties broken to the lower vec_id). The rule is a pure pairwise
+    EXISTS, evaluated one-shot over the cluster's similarity relation —
+    the same non-iterative formulation as the published implementation's
+    masked similarity matrix, so no connected-components fixpoint is
+    needed.
+
+    Exactness: cluster assignment and d2c are exact int64; the cosine
+    enters as ONE division over identical integer dot/norm operands, so
+    the >= threshold comparison is engine-identical (the established
+    cross-engine double idiom).
+
+    Plan shape at 100 TB: assignment is a zero-shuffle projection;
+    the candidate relation is a self-equi-join ON cid — work is
+    sum(|cell|^2) like every blocked dedup tier here, bounded by the
+    quantizer's cell sizes (SemDeDup's published cost; cap cells by
+    raising k). The dominance test folds into the join condition, and
+    the final drop-flag is one aggregated semi-join — never a global
+    all-pairs.
+
+    Output: (vec_id, cid, d2c, dropped) — one row per input vector,
+    ``dropped = true`` for the semantic near-duplicates a curation pass
+    would remove.
+    """
+    cents = kmeans_centroids(embeddings, k=k, iters=iters, dim=dim)
+    assigned = assign_centroids(
+        with_quantized(embeddings).select("vec_id", "qe", "qnorm2"),
+        cents,
+        keep_dist="d2c",
+    ).select("vec_id", "cid", "qe", "qnorm2", "d2c")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (
+        F.sqrt(F.col("a.qnorm2").cast("double"))
+        * F.sqrt(F.col("b.qnorm2").cast("double"))
+    )
+    dominated = (F.col("b.d2c") > F.col("a.d2c")) | (
+        (F.col("b.d2c") == F.col("a.d2c"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    dropped_ids = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .where(dominated & (cos >= threshold))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped_ids.withColumn("dropped", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cid",
+            "d2c",
+            F.coalesce("dropped", F.lit(False)).alias("dropped"),
+        )
+    )

@@ -691,3 +691,89 @@ def lang_id_confusion(docs: DataFrame) -> DataFrame:
             "frac_of_actual"
         ),
     )
+
+
+def dsir_logratio_weights(
+    docs: DataFrame,
+    *,
+    target_filter: str = "lang = 'en'",
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every
+    document by the log-likelihood ratio of a hashed-unigram model of a
+    TARGET slice vs the model of the RAW corpus — the standard
+    select-pretraining-data-that-looks-like-the-target signal. Tokens
+    hash into ``n_buckets`` features (the same md5 bucket idiom as
+    hashed_classifier); both models are add-1-smoothed bucket unigram
+    distributions; weight(doc) = sum over tokens of
+    ln(p_target(b)/p_raw(b)).
+
+    Factored for cross-engine exactness: with ct/cr the bucket counts
+    and Nt/Nr the totals, each token contributes
+    [ln(ct+1) - ln(cr+1)] + [ln(Nr + B) - ln(Nt + B)] — every ln is
+    over an exact integer (the unigram_logppl class), the constant term
+    rides once per token, and the per-doc reduction aggregates the
+    (doc, bucket) COUNTS first so the float sum has at most
+    ``n_buckets`` terms per doc, rounded to 4.
+
+    Plan shape at 100 TB: one token-keyed partial-agg shuffle bounded by
+    |docs| x |distinct buckets per doc| rows, a BROADCAST of the
+    n_buckets-row model table (n_buckets is a constant, never corpus-
+    sized), one doc-keyed re-aggregate. The target model reuses the same
+    scan via a conditional aggregate — the target slice is never
+    re-scanned.
+
+    Output: (doc_id, n_toks, is_target, log_w).
+    """
+    _check_clf_params(n_buckets, salt)
+    bucket = (
+        f"(CAST(conv(substring(md5(concat(term, ':', '{salt}')), 1, 8), 16, 10)"
+        f" AS BIGINT) % {n_buckets})"
+    )
+    toks = (
+        docs.withColumn("is_target", F.expr(f"({target_filter})"))
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .select("doc_id", "is_target", F.expr(bucket).alias("b"))
+    )
+    model = toks.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = model.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    per_bucket = toks.groupBy("doc_id", "is_target", "b").agg(
+        F.count("*").alias("n_b")
+    )
+    scored = (
+        per_bucket.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.sum("n_b").cast("long").alias("n_toks"),
+            F.sum(
+                F.col("n_b")
+                * (F.log(F.col("ct") + 1) - F.log(F.col("cr") + 1))
+            ).alias("s_cnt"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_toks",
+        "is_target",
+        F.round(
+            F.col("s_cnt")
+            + F.col("n_toks")
+            * (
+                F.log(F.col("nr") + F.lit(n_buckets))
+                - F.log(F.col("nt") + F.lit(n_buckets))
+            ),
+            4,
+        ).alias("log_w"),
+    )

@@ -405,12 +405,16 @@ def _make_sliding_hll_fn(m: int, salt: str, window_s: int, expire: bool):
         for b in batches:
             for uid in b["user_id"]:
                 # defensive only: sliding_hll_unique filters NULL
-                # user_ids before keying (keeping chunks int64 — a NaN
-                # would coerce the column to float64 and corrupt ids
-                # >= 2^53), but a direct caller shouldn't crash either
-                if pd.isna(uid):
+                # user_ids before keying, but a direct caller shouldn't
+                # crash either
+                if uid is None or (isinstance(uid, float) and pd.isna(uid)):
                     continue
-                h = hashlib.md5(f"{int(uid)}:{salt}".encode()).hexdigest()
+                # uid arrives as the STRING Spark's cast(user_id as
+                # string) produced (sliding_hll_unique normalizes in the
+                # projection), hashed verbatim — byte-identical to the
+                # batch twin's md5(concat(cast(item as string), ...))
+                # for EVERY input id type, not just integers
+                h = hashlib.md5(f"{uid}:{salt}".encode()).hexdigest()
                 reg = int(h[:8], 16) % m
                 h2 = int(h[8:16], 16)
                 rho = 33 if h2 == 0 else 33 - h2.bit_length()
@@ -484,12 +488,15 @@ def sliding_hll_unique(
     # NULL user_ids are dropped HERE, pre-keying — the same placement as
     # the batch pipeline's hll_rho_projection filter, so an all-NULL
     # micro-batch cannot create a state key (and emit an empty-register
-    # summary) the batch twin never produces. It also keeps the Arrow
-    # chunks' user_id column int64: a null in a chunk would coerce it to
-    # float64 and int(uid) would silently round ids >= 2^53
+    # summary) the batch twin never produces. user_id is normalized to
+    # STRING by the same cast the batch twin hashes
+    # (md5(concat(cast(item as string), ':', salt))), so the Python
+    # state fn hashes Spark-rendered bytes verbatim and the
+    # register-parity contract holds for string/float ids too — int(uid)
+    # on a float-coerced chunk used to corrupt ids >= 2^53
     expanded = hop_expand(
         events.where(F.col("user_id").isNotNull()).select(
-            "event_type", "user_id", s.alias("s")
+            "event_type", F.col("user_id").cast("string").alias("user_id"), s.alias("s")
         ),
         window_s=window_s,
         hop_s=hop_s,

@@ -38,14 +38,17 @@ the corpus shape supports):
   global token budget across sources (quotas sum EXACTLY to budget).
 
 Reference parity: the reference (truemark/database-collector) has no
-analytics engine of its own — collector/internal/collector.go:1-200
-delegates queries to pinned exporters; this tier is the
-beyond-reference LLM-pipeline surface the build brief mandates.
+analytics engine of its own — its main loop
+(collector/cmd/collector/database-collector.go) delegates queries to
+pinned exporters; this tier is the beyond-reference LLM-pipeline
+surface the build brief mandates.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,21 +60,47 @@ from database_collector_spark.workloads import _t
 from database_collector_spark.workloads_r9 import SQL_V2_CTE, _hv_sql, v2_snapshot
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
 def _artifact_dir(name: str, sf_dir: str) -> str:
     """Deterministic scratch directory for a persistence gate's parquet
     artifacts, keyed by (gate, SF) and REUSED across invocations — every
     write below is mode("overwrite"), so repeated differential/bench
     runs keep exactly one artifact per gate per SF instead of leaking a
     fresh mkdtemp per call."""
-    return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_r10_artifacts",
-        # pid suffix: a fixed shared path would let two concurrent runs
-        # (pytest alongside tools/check.py, or another user) race one
-        # overwrite against the other's read; per-process dirs keep the
-        # reuse-within-a-run property without the race
-        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_r10_artifacts")
+    tag = f"{name}_{os.path.basename(os.path.normpath(sf_dir))}"
+    # pid suffix: a fixed shared path would let two concurrent runs
+    # (pytest alongside tools/check.py, or another user) race one
+    # overwrite against the other's read; per-process dirs keep the
+    # reuse-within-a-run property without the race. To stop per-process
+    # dirs accumulating across invocations (every pytest/bench/check run
+    # would otherwise leave one forever), prune sibling dirs for this
+    # (gate, SF) whose owning pid is dead, and remove our own at exit.
+    mine = os.path.join(root, f"{tag}_{os.getpid()}")
+    try:
+        for d in os.listdir(root):
+            if d.startswith(tag + "_") and d != os.path.basename(mine):
+                pid = d.rsplit("_", 1)[-1]
+                if pid.isdigit() and not _pid_alive(int(pid)):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    if mine not in _ARTIFACT_DIRS:
+        _ARTIFACT_DIRS.add(mine)
+        atexit.register(shutil.rmtree, mine, ignore_errors=True)
+    return mine
+
+
+_ARTIFACT_DIRS: set[str] = set()
 
 
 # ------------------------------------------------------------ HLL gates

@@ -1,0 +1,286 @@
+"""Round-11 STAGED gate cohort (not yet registered with the driver).
+
+Staging pattern (r8-proven): QUERIES_R11/ORACLES_R11 are NOT imported by
+``__spark_entry__`` this round; ``tests/test_r11_staged_differential.py``
+runs the driver-identical differential at sf0.001 (plus the widened
+LIMIT-0 portability sweep) and ``tools/check.py --staged`` runs the
+whole cohort through the standard harness. Registration next round is a
+two-line import + window-head listing.
+
+The cohort — the r9-verdict r11 shortlist plus the DSIR selection tier:
+
+- ``substring_dedup`` — exact cross-document substring dedup (Lee et
+  al. 2022): maximal >= k-token verbatim overlaps ACROSS documents as a
+  cut-span list (operators/dedup.py::cross_doc_duplicate_spans).
+- ``semdedup_prune`` — SemDeDup semantic pruning (Abbas et al. 2023):
+  within trained k-means cells, drop members with cosine >= tau to a
+  farther-from-centroid member (operators/similarity.py::semdedup_prune).
+- ``dsir_weights`` — DSIR importance weights (Xie et al. 2023): hashed
+  unigram log-likelihood-ratio of a target slice vs the raw corpus
+  (operators/text.py::dsir_logratio_weights).
+- ``upsert_compaction`` — the streaming upsert sink's generation-fold
+  REPLAYED in batch over persisted parquet generations: iterated
+  scd1_merge with tombstone retention, final state read back through
+  streaming/upsert.py::read_state, vs the oracle's one-shot latest-wins
+  — the oracle-paired batch twin the CDC path lacked.
+
+Reference parity: the reference (truemark/database-collector) has no
+analytics engine of its own — its main loop
+(collector/cmd/collector/database-collector.go) delegates queries to
+pinned exporters; this tier extends the beyond-reference LLM-pipeline
+surface the build brief mandates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_collector_spark.operators import dedup, similarity, text
+from database_collector_spark.operators.merge import scd1_merge
+from database_collector_spark.workloads import _t
+from database_collector_spark.workloads_ext import _SHINGLE_POS_BOUND
+from database_collector_spark.workloads_r9 import _hv_sql
+from database_collector_spark.workloads_r10 import _artifact_dir
+
+
+# ----------------------------------------------- cross-doc substring dedup
+
+_SUBSTR_K = 8
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup across documents: every maximal >= 8-token
+    verbatim cross-doc overlap as a cut span
+    (operators/dedup.py::cross_doc_duplicate_spans — positioned
+    shingles, ONE hash-keyed doc-frequency aggregate, gaps-and-islands
+    merge; never doc x doc)."""
+    return dedup.cross_doc_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=_SUBSTR_K
+    )
+
+
+def _sql_substring_dedup(k: int = _SUBSTR_K) -> str:
+    span_txt = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+ps AS (
+  SELECT doc_id, i AS pos, md5({span_txt}) AS sh
+  FROM toks, (SELECT unnest(generate_series(1, {_SHINGLE_POS_BOUND})) AS i) ii
+  WHERE i <= len(t) - {k} + 1
+),
+dup AS (
+  SELECT sh FROM (
+    SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM ps GROUP BY sh
+  ) WHERE nd >= 2
+),
+m AS (SELECT doc_id, pos FROM ps JOIN dup USING (sh)),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {k} THEN 0 ELSE 1 END AS brk
+  FROM m
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM g
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {k} - 1 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, isl
+"""
+
+
+SQL_SUBSTRING_DEDUP = _sql_substring_dedup()
+
+
+# --------------------------------------------------------- SemDeDup prune
+
+_SEMDEDUP_TAU = 0.45
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning over the trained k-means cells
+    (operators/similarity.py::semdedup_prune — keep-farthest-from-
+    centroid dominance, work = sum(|cell|^2), exact-integer d2c and
+    single-division cosines)."""
+    return similarity.semdedup_prune(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=8,
+        iters=3,
+        threshold=_SEMDEDUP_TAU,
+    ).withColumn("cid", F.col("cid").cast("long"))
+
+
+def _sql_semdedup_prune(tau: float = _SEMDEDUP_TAU) -> str:
+    from database_collector_spark.workloads2 import _sql_kmeans_ctes
+
+    cos = (
+        "list_dot_product(a.qe, b.qe)"
+        " / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))"
+    )
+    # d2 is referenced twice (self-pair sides a and b) — MATERIALIZED,
+    # or DuckDB re-expands the whole unrolled Lloyd chain per reference
+    # (the BPE/k-core oracle failure class)
+    return f"""{_sql_kmeans_ctes()},
+d2 AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, a.qe,
+         CAST(n.n2 - 2 * list_dot_product(a.qe, c.c)
+              + list_dot_product(c.c, c.c) AS BIGINT) AS d2c
+  FROM afinal a
+  JOIN c3 c ON c.cid = a.cid
+  JOIN norms n ON n.vec_id = a.vec_id
+)
+SELECT a.vec_id, a.cid, a.d2c,
+       EXISTS (
+         SELECT 1 FROM d2 b
+         JOIN norms na ON na.vec_id = a.vec_id
+         JOIN norms nb ON nb.vec_id = b.vec_id
+         WHERE b.cid = a.cid AND b.vec_id <> a.vec_id
+           AND (b.d2c > a.d2c OR (b.d2c = a.d2c AND b.vec_id < a.vec_id))
+           AND {cos} >= {tau}
+       ) AS dropped
+FROM d2 a
+"""
+
+
+SQL_SEMDEDUP_PRUNE = _sql_semdedup_prune()
+
+
+# ------------------------------------------------------------ DSIR weights
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights, target = lang='en'
+    (operators/text.py::dsir_logratio_weights — one bounded model
+    shuffle, broadcast model table, doc-keyed re-aggregate)."""
+    return text.dsir_logratio_weights(
+        _t(spark, sf_dir, "documents"), target_filter="lang = 'en'"
+    )
+
+
+_DSIR_B = 1024
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+ft AS (SELECT doc_id, is_target, term FROM toks WHERE term <> ''),
+bk AS (
+  SELECT doc_id, is_target,
+         {_hv_sql("term || ':' || 'dsir'")} % {_DSIR_B} AS b
+  FROM ft
+),
+model AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+  FROM bk GROUP BY b
+),
+totals AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+per_bucket AS (
+  SELECT doc_id, is_target, b, COUNT(*) AS n_b FROM bk GROUP BY doc_id, is_target, b
+),
+scored AS (
+  SELECT p.doc_id, p.is_target,
+         CAST(SUM(p.n_b) AS BIGINT) AS n_toks,
+         SUM(p.n_b * (ln(m.ct + 1) - ln(m.cr + 1))) AS s_cnt
+  FROM per_bucket p JOIN model m USING (b)
+  GROUP BY p.doc_id, p.is_target
+)
+SELECT doc_id, n_toks, is_target,
+       round(s_cnt + n_toks * (ln(nr + {_DSIR_B}) - ln(nt + {_DSIR_B})), 4) AS log_w
+FROM scored, totals
+"""
+
+
+# ------------------------------------------------------ upsert compaction
+
+_UPSERT_GENS = 4
+
+
+def q_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming upsert sink's generation fold, replayed in batch
+    with REAL parquet generations: the event stream becomes a keyed
+    change feed (key=user_id, version=event_id, op='D' for 'error'
+    events — tombstones RETAINED through intermediate generations, the
+    log-compaction rule that makes the fold order-independent), split
+    into 4 batches; each generation g = scd1_merge(previous generation
+    read from disk, batch g) written to gen=g parquet; the final state
+    is read back through streaming/upsert.py::read_state (largest
+    _SUCCESS-marked generation) and tombstones filtered once at the
+    end. The oracle computes the one-shot latest-wins answer directly —
+    equality proves the iterated merge, the tombstone retention rule
+    AND the generation round-trip all compose to the same state, the
+    parity the streaming sink's foreachBatch path relies on
+    (streaming/upsert.py's idempotent-replay argument).
+
+    Plan/scale: each fold is ONE keyed window shuffle (scd1_merge);
+    generations are immutable directories exactly like the streaming
+    sink writes them. Versions (event_id) are unique, so every fold is
+    deterministic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    from database_collector_spark.streaming.upsert import read_state
+
+    path = os.path.join(_artifact_dir("upsert", sf_dir), "state")
+    state: DataFrame | None = None
+    for g in range(_UPSERT_GENS):
+        batch = ev.filter(F.col("version") % _UPSERT_GENS == g)
+        state = (
+            batch
+            if state is None
+            else scd1_merge(state, batch, key="user_id", version_col="version")
+        )
+        state.write.mode("overwrite").parquet(f"{path}/gen={g}")
+        # next fold reads the PERSISTED generation, like foreachBatch
+        state = spark.read.parquet(f"{path}/gen={g}")
+    final = read_state(spark, path)
+    assert final is not None
+    return final.filter(F.col("op") != "D").select(
+        "user_id", "version", "event_type", "cents"
+    )
+
+
+SQL_UPSERT_COMPACTION = """
+WITH ev AS (
+  SELECT user_id, event_id AS version, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY version DESC) AS rn
+  FROM ev
+)
+SELECT user_id, version, event_type, cents
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+QUERIES_R11 = {
+    "substring_dedup": q_substring_dedup,
+    "semdedup_prune": q_semdedup_prune,
+    "dsir_weights": q_dsir_weights,
+    "upsert_compaction": q_upsert_compaction,
+}
+
+ORACLES_R11 = {
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "semdedup_prune": SQL_SEMDEDUP_PRUNE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "upsert_compaction": SQL_UPSERT_COMPACTION,
+}

@@ -228,9 +228,14 @@ FROM r WHERE rn <= 5
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=8 Johnson–Lindenstrauss projection of every embedding with the
     per-vector norm-distortion audit (operators/similarity.py::
-    jl_project — exact-integer components, zero shuffle)."""
+    jl_project — exact-integer components, zero shuffle). The gate uses
+    ``flat=True`` so the projected components land as SCALAR columns
+    y_0..y_7 — nested final columns (array/struct/map) are banned at the
+    oracle boundary (the driver's pandas canonicalizer cannot hash list
+    cells; r9's only red row). The array-output form stays available for
+    composition via ``jl_project(..., flat=False)``."""
     return similarity.jl_project(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, seed=7
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, seed=7, flat=True
     )
 
 
@@ -253,12 +258,12 @@ WITH q AS (
 ),
 p AS (SELECT vec_id, qe, {', '.join(comps)} FROM q),
 f AS (
-  SELECT vec_id, [{ys}] AS proj,
+  SELECT vec_id, {ys},
          CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS x_norm2,
          CAST({y2} AS BIGINT) AS y_norm2
   FROM p
 )
-SELECT vec_id, proj, x_norm2, y_norm2,
+SELECT vec_id, {ys}, x_norm2, y_norm2,
        CASE WHEN x_norm2 > 0 THEN
          round(sqrt(y_norm2 * (3.0 / {k})) / sqrt(CAST(x_norm2 AS DOUBLE)), 6)
        END AS distortion

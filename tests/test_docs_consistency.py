@@ -75,11 +75,14 @@ def test_no_gate_evidence_older_than_five_rounds():
             for q in json.load(fh):
                 newest[q] = max(newest.get(q, 0), rnd)
     current_round = max(rounds) + 1
+    # Missing gates default to round 0 (never evidenced = maximally
+    # stale), NOT current_round — defaulting to current_round exempted
+    # exactly the gates most in need of the bound (r9 ADVICE).
     stale = [
         q
         for q in entrymod.queries()
         if q not in entrymod._CHECK_FIRST
-        and newest.get(q, current_round) < current_round - 5
+        and newest.get(q, 0) < current_round - 5
     ]
     assert not stale, (
         f"gates whose newest driver evidence predates round "

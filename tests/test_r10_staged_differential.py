@@ -50,19 +50,15 @@ def test_staged_sets_are_one_to_one():
     assert set(workloads_r10.QUERIES_R10) == set(workloads_r10.ORACLES_R10)
 
 
-BANNED = {
-    "HUGEINT",
-    "UHUGEINT",
-    "TIMESTAMP WITH TIME ZONE",
-    "TIME WITH TIME ZONE",
-}
-
-
 def test_staged_oracles_have_no_arrow_unportable_columns(con):
+    # Shared predicate (tools/check.py::unportable_type) bans the exact
+    # scalar names (HUGEINT/TIMESTAMPTZ classes) AND any nested type
+    # ([], STRUCT, MAP, UNION — the r9 jl_projection class).
     for name, sql in workloads_r10.ORACLES_R10.items():
         rel = con.sql(f"SELECT * FROM ({sql}) q LIMIT 0")
         for col, typ in zip(rel.columns, map(str, rel.types)):
-            assert typ.upper() not in BANNED, f"{name}.{col} is {typ}"
+            reason = check.unportable_type(typ)
+            assert reason is None, f"{name}.{col}: {reason}"
 
 
 @pytest.mark.parametrize("name", sorted(workloads_r10.QUERIES_R10))
@@ -95,24 +91,31 @@ def test_staged_plans_have_no_python_udfs_or_cartesians(spark):
 
 
 def test_every_staged_gate_is_documented_and_window_headed():
-    # staged-gate bookkeeping (the r8-proven pattern): every r10 gate
-    # appears in the r10 window-head directive comment and has exactly
-    # one "queued r10" COVERAGE row mentioning it by name
+    # the r10 cohort REGISTERED in round 10: every gate must sit in the
+    # live check window (not just a directive comment) and carry a
+    # REGISTERED r10 COVERAGE row naming it
+    import __spark_entry__ as entrymod
+
     cov = open("/root/repo/COVERAGE.md").read()
-    entry_src = open("/root/repo/__spark_entry__.py").read()
     for name in workloads_r10.QUERIES_R10:
-        assert name in entry_src, f"{name} missing from the r10 window-head comment"
+        assert name in entrymod._CHECK_FIRST, f"{name} not in the r10 window"
         assert f"`{name}`" in cov, f"{name} missing a COVERAGE row"
-    assert cov.count("queued r10") == len(workloads_r10.QUERIES_R10), (
-        "queued-r10 COVERAGE rows must be 1:1 with the r10 staged cohort"
+    assert cov.count("REGISTERED r10") == len(workloads_r10.QUERIES_R10), (
+        "REGISTERED r10 COVERAGE rows must be 1:1 with the r10 cohort"
     )
 
 
-def test_staged_names_do_not_shadow_registered_gates():
+def test_r10_cohort_is_fully_registered():
+    # the inverse of the pre-registration shadow check: since round 10
+    # every r10 name must resolve in the REGISTERED surface with the
+    # module's own callable/SQL (the _ordered merge must not have
+    # dropped or shadowed any)
     import __spark_entry__ as entrymod
 
-    overlap = set(workloads_r10.QUERIES_R10) & set(entrymod.queries())
-    assert not overlap, f"staged names shadow registered gates: {overlap}"
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    for name in workloads_r10.QUERIES_R10:
+        assert qs[name] is workloads_r10.QUERIES_R10[name], name
+        assert os_[name] == workloads_r10.ORACLES_R10[name], name
 
 
 def test_r10_registration_dry_run_composes(spark):

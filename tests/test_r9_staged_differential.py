@@ -44,19 +44,15 @@ def test_staged_sets_are_one_to_one():
     assert set(workloads_r9.QUERIES_R9) == set(workloads_r9.ORACLES_R9)
 
 
-BANNED = {
-    "HUGEINT",
-    "UHUGEINT",
-    "TIMESTAMP WITH TIME ZONE",
-    "TIME WITH TIME ZONE",
-}
-
-
 def test_staged_oracles_have_no_arrow_unportable_columns(con):
+    # Shared predicate (tools/check.py::unportable_type) bans the exact
+    # scalar names (HUGEINT/TIMESTAMPTZ classes) AND any nested type
+    # ([], STRUCT, MAP, UNION — the r9 jl_projection class).
     for name, sql in workloads_r9.ORACLES_R9.items():
         rel = con.sql(f"SELECT * FROM ({sql}) q LIMIT 0")
         for col, typ in zip(rel.columns, map(str, rel.types)):
-            assert typ.upper() not in BANNED, f"{name}.{col} is {typ}"
+            reason = check.unportable_type(typ)
+            assert reason is None, f"{name}.{col}: {reason}"
 
 
 @pytest.mark.parametrize("name", sorted(workloads_r9.QUERIES_R9))
@@ -91,15 +87,24 @@ def test_r9_cohort_is_fully_registered():
 
 
 def test_every_staged_gate_is_documented_in_coverage():
-    # the r9 cohort REGISTERED in round 9: every gate must sit in the
-    # live check window (not just the directive comment) and carry a
-    # REGISTERED r9 COVERAGE row naming it; the 1:1 staged-row count
-    # now lives in test_r10_staged_differential.py for the r10 cohort
+    # the r9 cohort REGISTERED in round 9 and rotated OUT in round 10:
+    # every gate must carry a driver CORRECTNESS row from some past
+    # round (or sit in the current window awaiting one — jl_projection's
+    # r10 red-row retest) and a REGISTERED r9 COVERAGE row naming it
+    import glob
+    import json
+
     import __spark_entry__ as entrymod
 
+    seen: set[str] = set()
+    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        with open(f) as fh:
+            seen |= set(json.load(fh))
     cov = open("/root/repo/COVERAGE.md").read()
     for name in workloads_r9.QUERIES_R9:
-        assert name in entrymod._CHECK_FIRST, f"{name} not in the r9 window"
+        assert name in seen or name in entrymod._CHECK_FIRST, (
+            f"{name}: no driver row and not in the current window"
+        )
         assert f"`{name}`" in cov, f"{name} missing a COVERAGE row"
     assert cov.count("REGISTERED r9") == len(workloads_r9.QUERIES_R9), (
         "REGISTERED r9 COVERAGE rows must be 1:1 with the r9 cohort"

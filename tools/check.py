@@ -7,9 +7,9 @@ hash — the same shape of check the driver records in CORRECTNESS_r{N}.json.
 
 Usage:  python tools/check.py [--staged] [sf_dir] [query_name ...]
 
-``--staged`` additionally includes the workloads_r10 STAGED gates (not
-yet registered with the driver) so they run through the exact same
-harness.
+``--staged`` additionally includes the CURRENT staged cohort
+(workloads_r11 — not yet registered with the driver) so it runs through
+the exact same harness.
 """
 
 from __future__ import annotations
@@ -30,6 +30,38 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Final-column DuckDB types the driver's Arrow->pandas canonicalization
+# cannot represent faithfully. Scalar names match exactly; the nested
+# markers match by substring (BIGINT[], STRUCT(...), MAP(...), UNION(...)).
+# One shared predicate for the local harness and all three oracle
+# meta-tests so a new ban lands everywhere at once — three rounds running,
+# a type class green locally but red on the driver (r7 HUGEINT, r8
+# TIMESTAMPTZ, r9 LIST) slipped through because the local canonicalizer
+# was more tolerant than the driver's.
+BANNED_TYPES = {
+    "HUGEINT",
+    "UHUGEINT",
+    "TIMESTAMP WITH TIME ZONE",
+    "TIME WITH TIME ZONE",
+}
+NESTED_MARKERS = ("[]", "STRUCT", "MAP", "UNION")
+
+
+def unportable_type(typ: str) -> str | None:
+    """Reason a DuckDB final-column type string would fail the driver's
+    Arrow/pandas canonicalization, or None if it is portable."""
+    t = str(typ).upper()
+    if t in BANNED_TYPES:
+        return f"driver-unportable scalar type {typ}"
+    for m in NESTED_MARKERS:
+        if m in t:
+            return (
+                f"nested final type {typ} — the driver's pandas "
+                "canonicalization cannot hash list/struct/map cells "
+                "(r9 jl_projection); flatten to scalar columns"
+            )
+    return None
+
 
 def canon_value(v) -> str:
     if v is None:
@@ -49,10 +81,17 @@ def canon_value(v) -> str:
         return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon_value(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (list, tuple, dict)):
+        # Refuse rather than stringify: the driver's pandas canonicalizer
+        # crashes on list cells ("unhashable type: 'list'", r9
+        # jl_projection red row), so a local harness that quietly
+        # stringifies them masks a guaranteed driver failure — the third
+        # masked portability class (HUGEINT, TIMESTAMPTZ, LIST).
+        raise TypeError(
+            f"nested value in a final column ({type(v).__name__}): the "
+            "driver's canonicalization cannot hash list/struct/map cells; "
+            "flatten the gate output to scalar columns"
+        )
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
@@ -94,10 +133,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if staged:
-        from database_collector_spark import workloads_r10
+        # the CURRENT staged cohort (r10's registered in round 10)
+        from database_collector_spark import workloads_r11
 
-        queries = {**queries, **workloads_r10.QUERIES_R10}
-        oracles = {**oracles, **workloads_r10.ORACLES_R10}
+        queries = {**queries, **workloads_r11.QUERIES_R11}
+        oracles = {**oracles, **workloads_r11.ORACLES_R11}
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
