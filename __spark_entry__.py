@@ -83,9 +83,10 @@ _CHECK_FIRST = [
     "length_trim", "lexical_diversity", "mixture_sample",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
     # r11 MANDATORY HEAD: any red r10 rows first, then the r11 staged
-    # cohort — the FOUR gates staged in workloads_r11.py with
+    # cohort — the FIVE gates staged in workloads_r11.py with
     # pre-verified oracles (substring_dedup, semdedup_prune,
-    # dsir_weights, upsert_compaction; registration = import
+    # dsir_weights, upsert_compaction, bloom_decontaminate;
+    # registration = import
     # QUERIES_R11/ORACLES_R11 into the dicts below + list them here),
     # then the EIGHTEEN displaced r6-latest
     # gates whose staleness bound binds in r11 (newest row r6,
@@ -94,7 +95,7 @@ _CHECK_FIRST = [
     # repetition_stats, rollup_counts, scd1_upsert, scd2_history,
     # sequence_pack, similarity_topk, snapshot_diff, sorted_list_agg,
     # summary_quantiles, text_normalize, token_estimate, topk_per_group.
-    # That is red + 4 + 18 = 22+red, leaving ~28 slots for r7-latest
+    # That is red + 5 + 18 = 23+red, leaving ~27 slots for r7-latest
     # backfill (49 r7-latest gates; the rest go to r12 inside the bound)
     # — subject to the max-staleness meta-test in
     # tests/test_docs_consistency.py (no registered gate's newest driver

@@ -412,3 +412,100 @@ def hll_finalize(
         agg.select(*group_cols, "n_regs", v_zero.alias("v_zero"), reg_sum)
         .withColumn("est_users", est)
     )
+
+
+# --------------------------------------------------------------- Bloom
+#
+# Deterministic Bloom filter (Bloom 1970, public) with the same
+# cross-engine register discipline as the HLL tier: positions come from
+# the md5 idiom, the bitmap lives as (word, bits) BIGINT rows, and the
+# build aggregate is bit_or — algebraic, so partitions fold map-side and
+# the shuffle moves O(m/63) words regardless of item count, and two
+# filters over disjoint corpora MERGE by bit_or of their word tables
+# (the property that lets 1000 executors build one filter, or nightly
+# filters roll up). 63 bits per word, not 64: both engines' BIGINT
+# 1 << 63 is an overflow (DuckDB raises), and staying under the sign
+# bit keeps every word value positive and portable.
+
+BLOOM_WORD_BITS = 63
+
+
+def bloom_positions(
+    item: str, *, m_bits: int, k_hashes: int, salt: str
+) -> F.Column:
+    """array<struct<word,bit>> of the item's ``k_hashes`` positions —
+    h_j = md5(item:salt:j) first 8 hex digits as a 32-bit int mod
+    m_bits. Pure per-row projection; shared by build and probe so the
+    two sides cannot disagree on the hashing scheme."""
+    structs = []
+    for j in range(k_hashes):
+        h = (
+            f"CAST(conv(substring(md5(concat({item}, ':', '{salt}', ':', '{j}')),"
+            f" 1, 8), 16, 10) AS BIGINT) % {m_bits}"
+        )
+        structs.append(
+            f"struct(CAST(({h}) div {BLOOM_WORD_BITS} AS BIGINT) AS word,"
+            f" CAST(({h}) % {BLOOM_WORD_BITS} AS INT) AS bit)"
+        )
+    return F.expr(f"array({', '.join(structs)})")
+
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str,
+    *,
+    m_bits: int = 16128,
+    k_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """(word, bits) BIGINT word table of the Bloom filter over the
+    item column. ONE explode + ONE bit_or aggregate; output is at most
+    ceil(m_bits / 63) rows independent of input size (words with no set
+    bit are absent — probe treats missing as 0)."""
+    pos = df.select(
+        F.explode(
+            bloom_positions(item_col, m_bits=m_bits, k_hashes=k_hashes, salt=salt)
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.col("p.word").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), p.bit)").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    *,
+    m_bits: int = 16128,
+    k_hashes: int = 4,
+    salt: str = "bloom",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Membership test: ``id_cols`` + ``bloom_hit`` (true iff ALL k bits
+    are set — possibly a false positive, never a false negative, the
+    Bloom contract). The word table is broadcast (<= ceil(m/63) rows by
+    construction); the probe is one explode + broadcast join + one
+    keyed bool_and — never a shuffle of the filter itself."""
+    pos = probes.select(
+        *id_cols,
+        F.explode(
+            bloom_positions(item_col, m_bits=m_bits, k_hashes=k_hashes, salt=salt)
+        ).alias("p"),
+    ).select(*id_cols, F.col("p.word").alias("word"), F.col("p.bit").alias("bit"))
+    joined = pos.join(F.broadcast(bloom), "word", "left")
+    set_bit = (
+        F.coalesce(F.col("bits"), F.lit(0))
+        .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        != 0
+    )
+    return (
+        joined.select(*id_cols, set_bit.alias("s"))
+        .groupBy(*id_cols)
+        .agg(F.expr("bool_and(s)").alias("bloom_hit"))
+    )

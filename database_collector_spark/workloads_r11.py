@@ -23,6 +23,10 @@ The cohort — the r9-verdict r11 shortlist plus the DSIR selection tier:
   scd1_merge with tombstone retention, final state read back through
   streaming/upsert.py::read_state, vs the oracle's one-shot latest-wins
   — the oracle-paired batch twin the CDC path lacked.
+- ``bloom_decontaminate`` — deterministic Bloom-filter membership
+  screen (operators/sketches.py::bloom_build/bloom_probe): the sketch
+  tier's missing primitive, with the no-false-negative contract
+  hash-checked against the exact answer.
 
 Reference parity: the reference (truemark/database-collector) has no
 analytics engine of its own — its main loop
@@ -40,6 +44,7 @@ from pyspark.sql import functions as F
 
 from database_collector_spark.operators import dedup, similarity, text
 from database_collector_spark.operators.merge import scd1_merge
+from database_collector_spark.operators.sketches import bloom_build, bloom_probe
 from database_collector_spark.workloads import _t
 from database_collector_spark.workloads_ext import _SHINGLE_POS_BOUND
 from database_collector_spark.workloads_r9 import _hv_sql
@@ -271,8 +276,83 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+# ------------------------------------------------------ Bloom membership
+
+_BLOOM_M = 16128  # 256 words x 63 usable bits
+_BLOOM_K = 4
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen: build a deterministic Bloom
+    filter over a benchmark set's content hashes (docs with
+    doc_id % 7 = 0), probe EVERY document, and emit the membership
+    verdict next to the exact answer — false_positive marks the Bloom
+    overcount, and a false NEGATIVE is impossible by construction (any
+    one would flip exact_member > bloom_hit and fail the hash).
+    operators/sketches.py::bloom_build/bloom_probe: the word table is
+    <= 256 rows at ANY corpus size (algebraic bit_or — partials fold
+    map-side and filters over disjoint shards merge by bit_or), the
+    probe is one explode + broadcast join + keyed bool_and. The
+    production decontamination shape: the benchmark filter is built
+    once, broadcast everywhere, and 100 TB of candidate documents
+    stream past it at scan speed."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("item")
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    bloom = bloom_build(bench, "item", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    probed = bloom_probe(
+        bloom, docs, "item", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    return (
+        probed.join(docs.select("doc_id"), "doc_id")
+        .withColumn("exact_member", F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            "exact_member",
+            "bloom_hit",
+            (F.col("bloom_hit") & ~F.col("exact_member")).alias("false_positive"),
+        )
+    )
+
+
+def _sql_bloom_decontaminate(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    hv = _hv_sql("d.item || ':' || 'bloom' || ':' || CAST(j AS VARCHAR)")
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS item FROM documents),
+js AS (SELECT unnest(generate_series(0, {k - 1})) AS j),
+pos AS (
+  SELECT d.doc_id, ({hv} % {m}) AS pos
+  FROM d, js WHERE d.doc_id % 7 = 0
+),
+bloom AS (
+  SELECT pos // 63 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT d.doc_id, ({hv} % {m}) // 63 AS word,
+         CAST(({hv} % {m}) % 63 AS INT) AS bit
+  FROM d, js
+),
+hits AS (
+  SELECT p.doc_id,
+         bool_and((COALESCE(b.bits, 0) & (CAST(1 AS BIGINT) << p.bit)) <> 0)
+           AS bloom_hit
+  FROM probe p LEFT JOIN bloom b USING (word)
+  GROUP BY p.doc_id
+)
+SELECT h.doc_id, (h.doc_id % 7 = 0) AS exact_member, h.bloom_hit,
+       (h.bloom_hit AND NOT (h.doc_id % 7 = 0)) AS false_positive
+FROM hits h
+"""
+
+
+SQL_BLOOM_DECONTAMINATE = _sql_bloom_decontaminate()
+
+
 QUERIES_R11 = {
     "substring_dedup": q_substring_dedup,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "semdedup_prune": q_semdedup_prune,
     "dsir_weights": q_dsir_weights,
     "upsert_compaction": q_upsert_compaction,
@@ -280,6 +360,7 @@ QUERIES_R11 = {
 
 ORACLES_R11 = {
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
     "semdedup_prune": SQL_SEMDEDUP_PRUNE,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "upsert_compaction": SQL_UPSERT_COMPACTION,

@@ -612,3 +612,53 @@ def test_lang_confusion_never_explodes_the_token_stream(spark):
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+# ------------------------------------------------- r11 staged tier pins
+
+def test_substring_dedup_duplicated_vocab_is_broadcast(spark):
+    from database_collector_spark import workloads_r11
+
+    plan = _plan(workloads_r11.q_substring_dedup(spark, SF))
+    # the duplicated-shingle vocabulary joins back by BROADCAST hash
+    # join on the md5 key, and the span machinery never degenerates to
+    # a nested-loop text comparison
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_candidates_are_cell_equi_join(spark):
+    from database_collector_spark import workloads_r11
+
+    plan = _plan(workloads_r11.q_semdedup_prune(spark, SF))
+    # pair candidates MUST come from the cid equi-join (work =
+    # sum(|cell|^2)); the only nested-loop joins are the broadcast
+    # one-row centroid-frame attaches from assign_centroids
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "Inner" in m.group(0) or "Cross" in m.group(0)
+
+
+def test_dsir_model_table_is_broadcast(spark):
+    from database_collector_spark import workloads_r11
+
+    plan = _plan(workloads_r11.q_dsir_weights(spark, SF))
+    # the n_buckets-row model joins back by broadcast — the corpus-side
+    # token stream must never shuffle against it
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_broadcasts_the_word_table(spark):
+    from database_collector_spark import workloads_r11
+
+    plan = _plan(workloads_r11.q_bloom_decontaminate(spark, SF))
+    # the <=256-row word table is broadcast to the probe; the probe side
+    # (100 TB of candidates) must never shuffle for the membership test
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

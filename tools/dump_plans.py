@@ -55,15 +55,23 @@ PICKS = [
     ("interval_outages", "join-free interval difference (window sweep)"),
     ("corpus_diff", "full-outer hash diff (texts never join)"),
     ("auc_scores", "value-domain-compressed Mann-Whitney U (exact AUC)"),
-]
-
-# staged r10 gates (workloads_r10.py) — not yet registered with the driver
-STAGED_PICKS = [
+    # the r10 cohort, registered in round 10
     ("hll_sliding_windows", "hop-expand + mergeable register partial agg"),
     ("ann_ivfpq_adc", "IVFADC composite: broadcast cell equi-join ADC"),
     ("minhash_persist_incremental", "persisted-signature reuse band join"),
     ("token_budget_alloc", "all-integer largest-remainder apportionment"),
     ("pack_sequences", "per-source packing cumsum (partitioned window)"),
+]
+
+# staged r11 gates (workloads_r11.py) — not yet registered with the
+# driver. upsert_compaction is omitted: its plan is the final scd1_merge
+# read (the scd2_history family above); constructing it writes parquet
+# generations as a side effect, which a plan dump should not do.
+STAGED_PICKS = [
+    ("substring_dedup", "positioned-shingle DF join + islands window"),
+    ("semdedup_prune", "trained-cell self-join + dominance semi-join"),
+    ("dsir_weights", "bounded hashed-model shuffle + broadcast join-back"),
+    ("bloom_decontaminate", "bit_or word build + broadcast probe bool_and"),
 ]
 
 
@@ -81,13 +89,13 @@ def main() -> None:
         "`tests/test_plan_quality.py`; this file is the human-readable half.",
         "",
     ]
-    from database_collector_spark import workloads_r10
+    from database_collector_spark import workloads_r11
 
-    staged = {n: (workloads_r10.QUERIES_R10[n], True) for n, _ in STAGED_PICKS}
+    staged = {n: (workloads_r11.QUERIES_R11[n], True) for n, _ in STAGED_PICKS}
     for name, why in PICKS + STAGED_PICKS:
         if name in staged:
             df = staged[name][0](spark, SF)
-            why = f"{why} [staged r10]"
+            why = f"{why} [staged r11]"
         else:
             df = qs[name](spark, SF)
         buf = io.StringIO()
