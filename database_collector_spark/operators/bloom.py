@@ -31,6 +31,13 @@ expressions (no JVM BloomFilter object crosses the Py4J boundary):
 False-positive rate ~ (1 - e^{-kn/m})^k; with the default k=5 the
 filter stays useful up to n ≈ m/8 keys. Saturation degrades pruning,
 never correctness.
+
+Sibling tier: operators/sketches.py's bloom_build/bloom_probe is the
+PORTABLE ARTIFACT form of the same structure — md5 positions replayable
+in any engine, the word table kept as a persistable/mergeable DataFrame,
+and the membership verdict itself oracle-checkable. Use THIS module to
+cheapen a join; use the sketches tier when the filter (or its verdict)
+is the product.
 """
 
 from __future__ import annotations

@@ -201,6 +201,15 @@ def assign_centroids(
         # exact-integer squared distance to the OWN centroid — consumers
         # like semdedup_prune rank members by it (farthest-from-centroid
         # keep rule) without recomputing the distance array
+        if keep_dist in base.columns or keep_dist in ("cid", "cents", "cnorms"):
+            # withColumn silently REPLACES an existing column (the
+            # scd1_merge clash-guard convention): keep_dist='cid'/'qe'
+            # would corrupt the assignment or the vector itself, and
+            # 'cents'/'cnorms' would be eaten by the trailing drop of
+            # the broadcast centroid-frame columns
+            raise ValueError(
+                f"keep_dist {keep_dist!r} collides with an existing column"
+            )
         out = out.withColumn(keep_dist, F.array_min(dists))
     return out.drop("cents", "cnorms")
 
@@ -1331,7 +1340,14 @@ def semdedup_prune(
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            # zero-norm guard: an all-zero quantized vector has no cosine
+            # to anything — without this, sqrt(0) in the denominator is a
+            # DIVIDE_BY_ZERO crash under ANSI, and a NULL-vs-NaN
+            # cross-engine divergence without it (DuckDB NaN >= tau is
+            # TRUE). Zero-norm members are simply never dup candidates.
+            & (F.col("a.qnorm2") > 0)
+            & (F.col("b.qnorm2") > 0),
         )
         .where(dominated & (cos >= threshold))
         .select(F.col("a.vec_id").alias("vec_id"))

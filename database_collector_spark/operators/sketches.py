@@ -426,8 +426,39 @@ def hll_finalize(
 # filters roll up). 63 bits per word, not 64: both engines' BIGINT
 # 1 << 63 is an overflow (DuckDB raises), and staying under the sign
 # bit keeps every word value positive and portable.
+#
+# Complementary to operators/bloom.py, NOT a duplicate: that module is
+# the JOIN PRE-REDUCTION form — xxhash64 positions (Spark-only), filter
+# collected to an array literal so the probe is a pure projection ahead
+# of an exact join that resolves false positives. This tier is the
+# PORTABLE ARTIFACT form — md5 positions replayable in any engine, the
+# word TABLE stays a DataFrame (persistable/mergeable/broadcastable),
+# and the membership verdict itself (FPs included) is the deterministic
+# oracle-checkable output.
 
 BLOOM_WORD_BITS = 63
+
+
+def check_identifier_salt(salt: str) -> None:
+    """Shared guard for EVERY operator that interpolates a salt into a
+    SQL expression string (this module's Bloom tier and text.py's hashed
+    classifier): identifier-safe salts can never alter the expression,
+    and one definition keeps the accepted salt domain identical across
+    operators."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]*", salt):
+        raise ValueError(f"salt must be identifier-safe, got {salt!r}")
+
+
+def _check_bloom_params(m_bits: int, k_hashes: int, salt: str) -> None:
+    """Build and probe accept the same parameter domain so a filter
+    always round-trips."""
+    if m_bits < BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be >= {BLOOM_WORD_BITS}, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    check_identifier_salt(salt)
 
 
 def bloom_positions(
@@ -437,6 +468,7 @@ def bloom_positions(
     h_j = md5(item:salt:j) first 8 hex digits as a 32-bit int mod
     m_bits. Pure per-row projection; shared by build and probe so the
     two sides cannot disagree on the hashing scheme."""
+    _check_bloom_params(m_bits, k_hashes, salt)
     structs = []
     for j in range(k_hashes):
         h = (

@@ -468,16 +468,18 @@ def _feature_col(text_col: str, bigrams: bool) -> F.Column:
 
 def _check_clf_params(n_buckets: int, salt: str) -> None:
     """Shared guard for EVERY function that interpolates the salt into
-    a SQL expression string (hashed_classifier and hash_weight_table):
-    identifier-safe salts can never alter the expression, and the two
-    entry points accept exactly the same salt domain so a weight table
-    always round-trips through the classifier."""
-    import re as _re
+    a SQL expression string (hashed_classifier, hash_weight_table and
+    dsir_logratio_weights): identifier-safe salts can never alter the
+    expression, and the entry points accept exactly the same salt
+    domain so a weight table always round-trips through the classifier.
+    The salt-domain regex itself lives in ONE place
+    (sketches.check_identifier_salt) so the Bloom tier and this module
+    cannot drift apart."""
+    from database_collector_spark.operators.sketches import check_identifier_salt
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    if not _re.fullmatch(r"[A-Za-z0-9_.-]*", salt):
-        raise ValueError(f"salt must be identifier-safe, got {salt!r}")
+    check_identifier_salt(salt)
 
 
 def _hash_weight_sql(feat: str, n_buckets: int, salt: str) -> str:
@@ -716,7 +718,12 @@ def dsir_logratio_weights(
     over an exact integer (the unigram_logppl class), the constant term
     rides once per token, and the per-doc reduction aggregates the
     (doc, bucket) COUNTS first so the float sum has at most
-    ``n_buckets`` terms per doc, rounded to 4.
+    ``n_buckets`` terms per doc, rounded to 4. The residual
+    engine-order float-sum exposure (SUM over doubles is association-
+    order sensitive) is the same accepted class as unigram_logppl /
+    char_entropy's SUM(ln(integer)) — rounded to 4, green across three
+    SFs for multiple rounds; a rounding-boundary flip would surface as
+    a one-row hash diff, never silent corruption.
 
     Plan shape at 100 TB: one token-keyed partial-agg shuffle bounded by
     |docs| x |distinct buckets per doc| rows, a BROADCAST of the

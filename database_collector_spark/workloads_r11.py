@@ -149,6 +149,7 @@ SELECT a.vec_id, a.cid, a.d2c,
          JOIN norms na ON na.vec_id = a.vec_id
          JOIN norms nb ON nb.vec_id = b.vec_id
          WHERE b.cid = a.cid AND b.vec_id <> a.vec_id
+           AND na.n2 > 0 AND nb.n2 > 0
            AND (b.d2c > a.d2c OR (b.d2c = a.d2c AND b.vec_id < a.vec_id))
            AND {cos} >= {tau}
        ) AS dropped
@@ -304,15 +305,13 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = bloom_probe(
         bloom, docs, "item", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
     )
-    return (
-        probed.join(docs.select("doc_id"), "doc_id")
-        .withColumn("exact_member", F.col("doc_id") % 7 == 0)
-        .select(
-            "doc_id",
-            "exact_member",
-            "bloom_hit",
-            (F.col("bloom_hit") & ~F.col("exact_member")).alias("false_positive"),
-        )
+    # probed already carries exactly one row per doc_id (every doc's
+    # item yields k probe rows that re-aggregate to one) — no join back
+    return probed.withColumn("exact_member", F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        "exact_member",
+        "bloom_hit",
+        (F.col("bloom_hit") & ~F.col("exact_member")).alias("false_positive"),
     )
 
 

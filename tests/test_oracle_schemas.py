@@ -82,6 +82,7 @@ def test_unportable_type_predicate_covers_all_three_classes():
     assert _check.unportable_type("HUGEINT") is not None          # r7
     assert _check.unportable_type("TIMESTAMP WITH TIME ZONE") is not None  # r8
     assert _check.unportable_type("BIGINT[]") is not None         # r9
+    assert _check.unportable_type("BIGINT[3]") is not None        # fixed-size
     assert _check.unportable_type("STRUCT(a BIGINT)") is not None
     assert _check.unportable_type("MAP(VARCHAR, BIGINT)") is not None
     assert _check.unportable_type("UNION(i BIGINT, s VARCHAR)") is not None

@@ -18,6 +18,7 @@ import datetime as dt
 import decimal
 import hashlib
 import math
+import re
 import sys
 import time
 import traceback
@@ -44,7 +45,11 @@ BANNED_TYPES = {
     "TIMESTAMP WITH TIME ZONE",
     "TIME WITH TIME ZONE",
 }
-NESTED_MARKERS = ("[]", "STRUCT", "MAP", "UNION")
+NESTED_MARKERS = ("STRUCT", "MAP", "UNION")
+# DuckDB renders list types as T[] and FIXED-SIZE arrays as T[3] — the
+# bracket match must cover both (a bare "[]" substring misses the sized
+# form, e.g. array_value() output).
+_NESTED_BRACKETS = re.compile(r"\[\d*\]")
 
 
 def unportable_type(typ: str) -> str | None:
@@ -53,13 +58,12 @@ def unportable_type(typ: str) -> str | None:
     t = str(typ).upper()
     if t in BANNED_TYPES:
         return f"driver-unportable scalar type {typ}"
-    for m in NESTED_MARKERS:
-        if m in t:
-            return (
-                f"nested final type {typ} — the driver's pandas "
-                "canonicalization cannot hash list/struct/map cells "
-                "(r9 jl_projection); flatten to scalar columns"
-            )
+    if _NESTED_BRACKETS.search(t) or any(m in t for m in NESTED_MARKERS):
+        return (
+            f"nested final type {typ} — the driver's pandas "
+            "canonicalization cannot hash list/struct/map cells "
+            "(r9 jl_projection); flatten to scalar columns"
+        )
     return None
 
 
