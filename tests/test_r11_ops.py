@@ -271,3 +271,34 @@ def test_bloom_filters_merge_by_bit_or(spark):
         .collect()
     }
     assert merged == whole
+
+
+# ------------------------------------------------- hypothesis properties
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_token = st.text(alphabet="abxy", min_size=1, max_size=2)
+_doc = st.lists(_token, min_size=1, max_size=24)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_doc, min_size=2, max_size=5), k=st.integers(2, 4))
+def test_cross_doc_spans_property(spark, docs, k):
+    """Random small corpora with a tiny alphabet (duplicated shingles
+    arise naturally) agree with the brute-force reference for every k —
+    island boundaries, within-doc-only repeats, and short docs
+    included."""
+    texts = {i: " ".join(toks) for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.cross_doc_duplicate_spans(df, k=k).collect()
+    }
+    assert got == _py_spans(texts, k)

@@ -820,3 +820,53 @@ def test_near_dup_state_fn_is_chunk_order_invariant():
     # semantic spot-check: doc 1 first (1010 fresh), doc 2 (1011, 1 bit) dup,
     # doc 3 (0101, 4 bits) fresh, doc 5 (1010 exact) dup
     assert a == [(1, False), (2, True), (3, False), (5, True)]
+
+
+def test_streaming_bloom_build_matches_batch(spark):
+    """The Bloom word table is an algebraic bit_or aggregate, so a
+    Structured Streaming build (complete mode over micro-batches) must
+    equal the batch build word-for-word however the items are split —
+    the batch/streaming symmetry the sketch tier promises
+    (operators/sketches.py::bloom_build's merge property, driven through
+    a real stream here)."""
+    from database_collector_spark.operators.sketches import (
+        bloom_build,
+        bloom_positions,
+    )
+    from pyspark.sql import functions as F
+
+    m, k, salt = 630, 3, "sb"
+    items = [f"item-{i}" for i in range(60)]
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        os.makedirs(src)
+        # three files -> availableNow splits into micro-batches
+        for fi in range(3):
+            _write(src, f"f{fi}.json", [{"it": it} for it in items[fi::3]])
+
+        def build(s):
+            pos = s.select(
+                F.explode(
+                    bloom_positions("it", m_bits=m, k_hashes=k, salt=salt)
+                ).alias("p")
+            )
+            return (
+                pos.select(
+                    F.col("p.word").alias("word"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), p.bit)").alias("b"),
+                )
+                .groupBy("word")
+                .agg(F.expr("bit_or(b)").alias("bits"))
+            )
+
+        stream = spark.readStream.schema("it string").json(src)
+        rows = _run_stream(spark, stream, build, ckpt, out_mode="complete")
+    # complete mode re-emits the whole aggregate each batch; the LAST
+    # emission per word is the final filter
+    streamed = {r["word"]: r["bits"] for r in rows}
+    batch_df = spark.createDataFrame([(it,) for it in items], "it string")
+    expected = {
+        r["word"]: r["bits"]
+        for r in bloom_build(batch_df, "it", m_bits=m, k_hashes=k, salt=salt).collect()
+    }
+    assert streamed == expected
