@@ -11,8 +11,8 @@ two layers:
   streams are concatenated, and ALL five scanline filter types (None/
   Sub/Up/Average/Paeth) are reconstructed per the PNG specification
   (RFC 2083 §6). The reference never decodes media at all (its payloads
-  are numeric metric samples end-to-end; collector/internal/collector
-  only ships floats) — this tier exists for the training-data-pipeline
+  are numeric metric samples end-to-end; the collector loop in
+  collector/cmd/collector/database-collector.go only ships floats) — this tier exists for the training-data-pipeline
   extension surface.
 * **Optional-dependency: JPEG via Pillow, FLAC/OGG via soundfile.**
   Gated exactly like the botocore SigV4 path in ``sinks/remote_write``:
