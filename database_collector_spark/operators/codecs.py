@@ -12,8 +12,8 @@ two layers:
   Sub/Up/Average/Paeth) are reconstructed per the PNG specification
   (RFC 2083 §6). The reference never decodes media at all (its payloads
   are numeric metric samples end-to-end; the collector loop in
-  collector/cmd/collector/database-collector.go only ships floats) — this tier exists for the training-data-pipeline
-  extension surface.
+  collector/cmd/collector/database-collector.go only ships floats) —
+  this tier exists for the training-data-pipeline extension surface.
 * **Optional-dependency: JPEG via Pillow, FLAC/OGG via soundfile.**
   Gated exactly like the botocore SigV4 path in ``sinks/remote_write``:
   importable → real decode; absent → the caller chooses null-stats

@@ -829,37 +829,30 @@ def test_streaming_bloom_build_matches_batch(spark):
     the batch/streaming symmetry the sketch tier promises
     (operators/sketches.py::bloom_build's merge property, driven through
     a real stream here)."""
-    from database_collector_spark.operators.sketches import (
-        bloom_build,
-        bloom_positions,
-    )
-    from pyspark.sql import functions as F
+    from database_collector_spark.operators.sketches import bloom_build
 
     m, k, salt = 630, 3, "sb"
     items = [f"item-{i}" for i in range(60)]
     with tempfile.TemporaryDirectory() as d:
         src, ckpt = f"{d}/src", f"{d}/ckpt"
         os.makedirs(src)
-        # three files -> availableNow splits into micro-batches
+        # three files + maxFilesPerTrigger=1 -> availableNow delivers
+        # three SEPARATE micro-batches, so the bit_or state actually
+        # merges across batches (one batch over all 60 items would be
+        # trivially identical to the batch build and pin nothing)
         for fi in range(3):
             _write(src, f"f{fi}.json", [{"it": it} for it in items[fi::3]])
 
         def build(s):
-            pos = s.select(
-                F.explode(
-                    bloom_positions("it", m_bits=m, k_hashes=k, salt=salt)
-                ).alias("p")
-            )
-            return (
-                pos.select(
-                    F.col("p.word").alias("word"),
-                    F.expr("shiftleft(CAST(1 AS BIGINT), p.bit)").alias("b"),
-                )
-                .groupBy("word")
-                .agg(F.expr("bit_or(b)").alias("bits"))
-            )
+            # the REAL operator on the streaming DataFrame — pure
+            # explode + bit_or aggregate, so it must be streamable as-is
+            return bloom_build(s, "it", m_bits=m, k_hashes=k, salt=salt)
 
-        stream = spark.readStream.schema("it string").json(src)
+        stream = (
+            spark.readStream.schema("it string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
         rows = _run_stream(spark, stream, build, ckpt, out_mode="complete")
     # complete mode re-emits the whole aggregate each batch; the LAST
     # emission per word is the final filter
