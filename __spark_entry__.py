@@ -95,9 +95,23 @@ _CHECK_FIRST = [
     # repetition_stats, rollup_counts, scd1_upsert, scd2_history,
     # sequence_pack, similarity_topk, snapshot_diff, sorted_list_agg,
     # summary_quantiles, text_normalize, token_estimate, topk_per_group.
-    # That is red + 5 + 18 = 23+red, leaving ~27 slots for r7-latest
-    # backfill (49 r7-latest gates; the rest go to r12 inside the bound)
-    # — subject to the max-staleness meta-test in
+    # That is red + 5 + 18 = 23+red, leaving 27 slots (assuming 0 reds)
+    # for r7-latest backfill. The 49 r7-latest gates, alphabetical; the
+    # FIRST 27 take r11's remaining slots:
+    #   ann_ivf_incremental, ann_ivf_kmeans, attribution_first_touch,
+    #   bitmap_distinct, bm25_scores, bpe_encode, bpe_merges,
+    #   char_entropy, cluster_representatives, cms_estimates,
+    #   corpus_overlap, counter_rate, cusum_changepoints, dedup_fuzzy,
+    #   dense_timeseries, embedding_normalize, event_transitions,
+    #   ewma_smooth, fk_bloom, fk_integrity, funnel_steps,
+    #   heavy_hitters, heavy_hitters_by_lang, histogram_quantile,
+    #   image_dhash_dedup, key_skew_profile, leakage_safe_split.
+    # The remaining 22 (lsh_recall_report .. zorder_layout) have newest
+    # row r7 and bind EXACTLY at r12 (12 - 7 = 5): they MUST take r12's
+    # backfill slots, which also leaves room there for the r8-latest
+    # cohort's r13 bound. Any red r10 row displaces from the END of the
+    # 27 (each displaced name moves to r12's head with the 22).
+    # All subject to the max-staleness meta-test in
     # tests/test_docs_consistency.py (no registered gate's newest driver
     # row older than 5 rounds; missing gates count as round 0).
 ]
