@@ -83,9 +83,10 @@ _CHECK_FIRST = [
     "length_trim", "lexical_diversity", "mixture_sample",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
     # r11 MANDATORY HEAD: any red r10 rows first, then the r11 staged
-    # cohort — the FIVE gates staged in workloads_r11.py with
+    # cohort — the SEVEN gates staged in workloads_r11.py with
     # pre-verified oracles (substring_dedup, semdedup_prune,
-    # dsir_weights, upsert_compaction, bloom_decontaminate;
+    # dsir_weights, upsert_compaction, bloom_decontaminate,
+    # spearman_corr, cross_source_dup_matrix;
     # registration = import
     # QUERIES_R11/ORACLES_R11 into the dicts below + list them here),
     # then the EIGHTEEN displaced r6-latest
@@ -95,9 +96,9 @@ _CHECK_FIRST = [
     # repetition_stats, rollup_counts, scd1_upsert, scd2_history,
     # sequence_pack, similarity_topk, snapshot_diff, sorted_list_agg,
     # summary_quantiles, text_normalize, token_estimate, topk_per_group.
-    # That is red + 5 + 18 = 23+red, leaving 27 slots (assuming 0 reds)
+    # That is red + 7 + 18 = 25+red, leaving 25 slots (assuming 0 reds)
     # for r7-latest backfill. The 49 r7-latest gates, alphabetical; the
-    # FIRST 27 take r11's remaining slots:
+    # FIRST 25 take r11's remaining slots:
     #   ann_ivf_incremental, ann_ivf_kmeans, attribution_first_touch,
     #   bitmap_distinct, bm25_scores, bpe_encode, bpe_merges,
     #   char_entropy, cluster_representatives, cms_estimates,
@@ -105,12 +106,12 @@ _CHECK_FIRST = [
     #   dense_timeseries, embedding_normalize, event_transitions,
     #   ewma_smooth, fk_bloom, fk_integrity, funnel_steps,
     #   heavy_hitters, heavy_hitters_by_lang, histogram_quantile,
-    #   image_dhash_dedup, key_skew_profile, leakage_safe_split.
-    # The remaining 22 (lsh_recall_report .. zorder_layout) have newest
+    #   image_dhash_dedup.
+    # The remaining 24 (key_skew_profile .. zorder_layout) have newest
     # row r7 and bind EXACTLY at r12 (12 - 7 = 5): they MUST take r12's
     # backfill slots, which also leaves room there for the r8-latest
     # cohort's r13 bound. Any red r10 row displaces from the END of the
-    # 27 (each displaced name moves to r12's head with the 22).
+    # 25 (each displaced name moves to r12's head with the 24).
     # All subject to the max-staleness meta-test in
     # tests/test_docs_consistency.py (no registered gate's newest driver
     # row older than 5 rounds; missing gates count as round 0).

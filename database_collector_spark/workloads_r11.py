@@ -27,6 +27,12 @@ The cohort — the r9-verdict r11 shortlist plus the DSIR selection tier:
   screen (operators/sketches.py::bloom_build/bloom_probe): the sketch
   tier's missing primitive, with the no-false-negative contract
   hash-checked against the exact answer.
+- ``spearman_corr`` — tie-corrected Spearman rank correlation per
+  group (Pearson over average ranks via exact integer doubled-rank
+  moment sums; extends the stats tier from linear to rank correlation).
+- ``cross_source_dup_matrix`` — per-source-pair near-duplication
+  matrix over verified MinHash-LSH pairs (the is-X-a-mirror-of-Y
+  ingest report; all-integer counts).
 
 Reference parity: the reference (truemark/database-collector) has no
 analytics engine of its own — its main loop
@@ -349,12 +355,197 @@ FROM hits h
 SQL_BLOOM_DECONTAMINATE = _sql_bloom_decontaminate()
 
 
+# ------------------------------------------ tie-corrected Spearman rank corr
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation per group — Pearson over
+    AVERAGE ranks, the textbook tie treatment (equivalent to the
+    6*sum(d^2) formula only when tie-free; l_quantity has ~50 distinct
+    values over ~200k rows per flag at sf0.1, so ties are the norm and
+    the naive formula would be wrong).
+
+    Exactness: doubled average rank 2*avgrank = rank_asc - rank_desc
+    + n + 1 is an INTEGER for every tie pattern (rank_asc = 1+|<v|,
+    rank_desc = 1+|>v|, so the sum telescopes the tie block), and
+    Pearson is scale-invariant, so the whole correlation reduces to
+    integer moment sums — the stats_moments idiom: DECIMAL(38,0) sums
+    (sum of squared doubled ranks reaches ~4n^3, past int64 once a
+    group passes ~1.3e6 rows), exact DECIMAL numerators, ONE double
+    division over identical exact operands, round 6.
+
+    Scale shape: the rank windows are three sorts under ONE hash
+    partitioning by group; the aggregate ships 6 numbers per group
+    regardless of row count (pure partial-agg). The reference's Go
+    pipeline has no correlation surface at all
+    (collector/cmd/collector/database-collector.go delegates to the
+    pinned exporters); this extends the stats tier (workloads3.py
+    stats_moments) from linear to rank correlation."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_quantity", "l_extendedprice"
+    )
+    by_g = Window.partitionBy("g")
+
+    def dbl_rank(col: str) -> F.Column:
+        # 2 * average rank, exact in int64 (<= 2n)
+        return (
+            F.rank().over(by_g.orderBy(F.col(col).asc()))
+            - F.rank().over(by_g.orderBy(F.col(col).desc()))
+            + F.count("*").over(by_g)
+            + F.lit(1)
+        ).cast("long")
+
+    dec = "decimal(38,0)"
+    ranked = li.select(
+        "g",
+        dbl_rank("l_quantity").alias("rx"),
+        dbl_rank("l_extendedprice").alias("ry"),
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rx").cast(dec)).alias("sx"),
+        F.sum(F.col("ry").cast(dec)).alias("sy"),
+        F.sum(F.col("rx").cast(dec) * F.col("rx").cast(dec)).alias("sxx"),
+        F.sum(F.col("ry").cast(dec) * F.col("ry").cast(dec)).alias("syy"),
+        F.sum(F.col("rx").cast(dec) * F.col("ry").cast(dec)).alias("sxy"),
+    )
+    dec_n = F.col("n").cast(dec)
+    num = (dec_n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (dec_n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (dec_n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.when(
+            (den_x > 0) & (den_y > 0),
+            F.round(num / (F.sqrt(den_x) * F.sqrt(den_y)), 6),
+        ).alias("spearman_qp"),
+    ).orderBy("l_returnflag")
+
+
+# Oracle: identical doubled-rank projection; sums stay exact through
+# DuckDB's HUGEINT SUM (final columns are BIGINT/DOUBLE — the int128
+# stays internal, per the portability contract).
+SQL_SPEARMAN_CORR = """
+WITH r AS (
+  SELECT l_returnflag AS g,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
+           - RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+           + COUNT(*) OVER (PARTITION BY l_returnflag) + 1 AS rx,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC)
+           - RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC)
+           + COUNT(*) OVER (PARTITION BY l_returnflag) + 1 AS ry
+  FROM lineitem
+),
+s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM r GROUP BY g
+)
+SELECT g AS l_returnflag, n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS spearman_qp
+FROM s ORDER BY l_returnflag
+"""
+
+
+# ------------------------------------------- cross-source duplication matrix
+
+
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation report: how much does each source near-duplicate
+    each other source? Verified MinHash-LSH pairs (the dedup_minhash_lsh
+    machinery, jaccard >= 0.8) attached to their sources, rolled up to
+    an unordered source-pair matrix: verified pair count + distinct
+    docs involved per cell. The standard question before dropping or
+    down-weighting a source at ingest ('is source X mostly a mirror of
+    Y?'), asked of 100 TB corpora as a matter of course.
+
+    Scale shape: pairs are LSH-candidate-bounded (never doc x doc); the
+    source attach is two hash joins keyed by doc id against a 2-column
+    projection of the corpus; both rollups partial-aggregate map-side
+    and the output is <= |sources|^2 rows. All-integer counts ->
+    hash-exact cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs)
+    src = docs.select("doc_id", "source")
+    attached = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    pair_counts = attached.groupBy("src_lo", "src_hi").agg(
+        F.count("*").alias("pair_count")
+    )
+    docs_involved = (
+        attached.select(
+            "src_lo", "src_hi", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.countDistinct("d").alias("docs_involved"))
+    )
+    return pair_counts.join(docs_involved, ["src_lo", "src_hi"]).orderBy(
+        "src_lo", "src_hi"
+    )
+
+
+def _sql_cross_source_dup_matrix() -> str:
+    from database_collector_spark.workloads_ext import sql_minhash_lsh_ctes
+
+    return f"""
+WITH {sql_minhash_lsh_ctes()},
+ps AS (
+  SELECT LEAST(da.source, db.source) AS src_lo,
+         GREATEST(da.source, db.source) AS src_hi,
+         p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+),
+pc AS (
+  SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM ps GROUP BY src_lo, src_hi
+),
+di AS (
+  SELECT src_lo, src_hi, CAST(COUNT(DISTINCT d) AS BIGINT) AS docs_involved
+  FROM (SELECT src_lo, src_hi, unnest([doc_a, doc_b]) AS d FROM ps)
+  GROUP BY src_lo, src_hi
+)
+SELECT pc.src_lo, pc.src_hi, pc.pair_count, di.docs_involved
+FROM pc JOIN di USING (src_lo, src_hi)
+ORDER BY src_lo, src_hi
+"""
+
+
+SQL_CROSS_SOURCE_DUP_MATRIX = _sql_cross_source_dup_matrix()
+
+
 QUERIES_R11 = {
     "substring_dedup": q_substring_dedup,
     "bloom_decontaminate": q_bloom_decontaminate,
     "semdedup_prune": q_semdedup_prune,
     "dsir_weights": q_dsir_weights,
     "upsert_compaction": q_upsert_compaction,
+    "spearman_corr": q_spearman_corr,
+    "cross_source_dup_matrix": q_cross_source_dup_matrix,
 }
 
 ORACLES_R11 = {
@@ -363,4 +554,6 @@ ORACLES_R11 = {
     "semdedup_prune": SQL_SEMDEDUP_PRUNE,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "upsert_compaction": SQL_UPSERT_COMPACTION,
+    "spearman_corr": SQL_SPEARMAN_CORR,
+    "cross_source_dup_matrix": SQL_CROSS_SOURCE_DUP_MATRIX,
 }

@@ -657,6 +657,32 @@ def test_dsir_model_table_is_broadcast(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_spearman_windows_share_one_group_exchange(spark):
+    from database_collector_spark import workloads_r11
+
+    plan = _plan(workloads_r11.q_spearman_corr(spark, SF))
+    # all rank/count windows AND the moment aggregate run under a
+    # SINGLE hash partitioning by group; the only other exchange is the
+    # bounded (|groups| rows) output-order range partitioning
+    import re
+
+    hash_ex = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_ex) == 1, f"{len(hash_ex)} hash exchanges (expected 1)"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_matrix_pairs_are_candidate_bounded(spark):
+    from database_collector_spark import workloads_r11
+
+    plan = _plan(workloads_r11.q_cross_source_dup_matrix(spark, SF))
+    # the source attach and rollups must stay equi-joins over the
+    # LSH-bounded pair set — never a nested-loop doc x doc comparison
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_bloom_probe_broadcasts_the_word_table(spark):
     from database_collector_spark import workloads_r11
 

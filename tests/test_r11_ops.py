@@ -302,3 +302,116 @@ def test_cross_doc_spans_property(spark, docs, k):
         for r in dedup.cross_doc_duplicate_spans(df, k=k).collect()
     }
     assert got == _py_spans(texts, k)
+
+
+# ------------------------------------------------------- spearman_corr
+
+def _py_spearman(xs: list[float], ys: list[float]):
+    """Exact tie-corrected Spearman via Fractions over doubled average
+    ranks (Pearson on average ranks), None when either side is
+    constant — the reference the DECIMAL-sum gate must reproduce."""
+    from fractions import Fraction
+
+    def dbl_ranks(vs):
+        # 2 * average rank = |<v|*2 + |=v| + 1, exact in int
+        return [
+            2 * sum(1 for o in vs if o < v) + sum(1 for o in vs if o == v) + 1
+            for v in vs
+        ]
+
+    rx, ry = dbl_ranks(xs), dbl_ranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    den_x, den_y = n * sxx - sx * sx, n * syy - sy * sy
+    if den_x <= 0 or den_y <= 0:
+        return None
+    num = Fraction(n * sxy - sx * sy)
+    import math
+
+    return float(num) / (math.sqrt(den_x) * math.sqrt(den_y))
+
+
+def test_spearman_matches_fraction_reference_with_heavy_ties(spark):
+    """Synthetic tie-heavy groups (few distinct values over many rows —
+    the l_quantity shape) plus a constant column: the gate's
+    doubled-rank DECIMAL pipeline must match the Fraction reference to
+    double precision, and the zero-variance guard must emit NULL."""
+    import math
+
+    from database_collector_spark import workloads_r11
+
+    rows = []
+    # group "t": heavy ties, deterministic pseudo-random but hardcoded
+    xs = [1, 2, 2, 3, 1, 2, 3, 3, 1, 2, 2, 1]
+    ys = [5, 5, 7, 9, 5, 7, 9, 5, 9, 7, 5, 7]
+    rows += [("t", float(x), float(y)) for x, y in zip(xs, ys)]
+    # group "c": constant x -> zero variance -> NULL
+    rows += [("c", 4.0, float(y)) for y in (1, 2, 3, 4)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # the gate reads lineitem from the sf dir; write our frame there
+        df.write.parquet(f"{d}/lineitem.parquet")
+        out = {
+            r["l_returnflag"]: (r["n"], r["spearman_qp"])
+            for r in workloads_r11.q_spearman_corr(spark, d).collect()
+        }
+    ref = _py_spearman([float(x) for x in xs], [float(y) for y in ys])
+    n_t, rho_t = out["t"]
+    assert n_t == len(xs)
+    assert math.isclose(rho_t, ref, rel_tol=0, abs_tol=5e-7)  # round(.,6)
+    n_c, rho_c = out["c"]
+    assert n_c == 4 and rho_c is None
+
+
+def test_spearman_perfect_monotone_is_exactly_one(spark):
+    """A strictly increasing pair (no ties) must give rho = 1.0 EXACTLY
+    — the integer pipeline leaves nothing to rounding."""
+    from database_collector_spark import workloads_r11
+
+    rows = [("m", float(i), float(i * i)) for i in range(1, 30)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        [r] = workloads_r11.q_spearman_corr(spark, d).collect()
+    assert r["spearman_qp"] == 1.0
+
+
+# --------------------------------------------- cross_source_dup_matrix
+
+def test_cross_source_matrix_is_consistent_with_pair_list(spark):
+    """The matrix is a lossless rollup of the verified pair list:
+    normalized cells (src_lo <= src_hi), pair_count sums to the total
+    verified pair count, and each cell's docs_involved matches a direct
+    recount."""
+    from database_collector_spark import workloads_r11
+    from database_collector_spark.workloads import _t
+
+    sf = "/root/testdata/sf0.001"
+    cells = workloads_r11.q_cross_source_dup_matrix(spark, sf).collect()
+    assert all(r["src_lo"] <= r["src_hi"] for r in cells)
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs).collect()
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    assert sum(r["pair_count"] for r in cells) == len(pairs)
+    by_cell: dict[tuple[str, str], set[int]] = {}
+    cnt: dict[tuple[str, str], int] = {}
+    for p in pairs:
+        a, b = src[p["doc_a"]], src[p["doc_b"]]
+        cell = (min(a, b), max(a, b))
+        cnt[cell] = cnt.get(cell, 0) + 1
+        by_cell.setdefault(cell, set()).update((p["doc_a"], p["doc_b"]))
+    got = {(r["src_lo"], r["src_hi"]): (r["pair_count"], r["docs_involved"]) for r in cells}
+    assert got == {c: (cnt[c], len(ds)) for c, ds in by_cell.items()}
