@@ -268,3 +268,145 @@ def auc_exact(
             ),
         ).alias("auc"),
     )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    coarse_buckets: int = 1024,
+) -> DataFrame:
+    """Tie-corrected Spearman rank correlation of two columns within
+    each group — Pearson over AVERAGE ranks, the textbook tie
+    treatment — at corpus scale even when there are only a handful of
+    groups.
+
+    Scale shape (the auc_exact discipline applied per group): ONE
+    groupBy collapses the corpus to per-(group, x, y) joint counts
+    (value-domain compression); each column's doubled average rank
+    2*avgrank = 2*|<v| + |=v| + 1 depends only on the per-(group,
+    value) marginal counts, and the running |<v| comes from a
+    TWO-LEVEL distributed prefix sum — values are range-bucketed into
+    <= ``coarse_buckets`` monotone buckets per group, the within-
+    bucket windows run partitioned by (group, bucket) (parallel), and
+    the only coarser window runs over the <= groups x buckets bucket-
+    total table. A naive Window.partitionBy(group) rank would funnel
+    each group through ONE task — with few groups (this gate's
+    l_returnflag has 3) that is a single-node sort of a third of the
+    corpus, not a distributed plan. Bucket boundaries only affect
+    partitioning, never the result: floor((v-lo)/width) is monotone in
+    v even under float roundoff, and the prefix sums are exact
+    regardless of where the cuts land.
+
+    Exactness: doubled average ranks are INTEGERS for every tie
+    pattern, and their row-weighted sum per group is identically
+    n*(n+1), so the CENTERED deviations dx = r - (n+1) sum to exactly
+    zero and Pearson reduces to three moment sums sum(cnt*dx*dy),
+    sum(cnt*dx^2), sum(cnt*dy^2) — each bounded by n^3, kept in
+    DECIMAL(38,0) (exact past 4e12 rows per group; the UNcentered
+    n*sxx - sx*sx form overflows 38 digits at ~2e9 rows, the ANSI
+    overflow class). One double division over identical exact
+    operands, round 6. NULL x/y rows are EXCLUDED (engines disagree
+    on NULL rank placement); zero-variance groups emit NULL, fail-soft.
+
+    Output: one row per group (group_col, n, spearman). The reference
+    has no correlation surface at all (its Go loop in
+    collector/cmd/collector/database-collector.go ships exporter rows
+    verbatim); this extends the engine's stats tier (stats_moments'
+    linear corr) to rank correlation.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    # three downstream branches (two marginals + the final join) reuse
+    # the compressed joint table; without the checkpoint each branch
+    # re-derives it from a full corpus scan
+    joint = (
+        base.groupBy("g", "x", "y")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _dbl_ranks(val: str, rank_name: str) -> DataFrame:
+        # (g, val, doubled average rank) from marginal counts alone
+        m = joint.groupBy("g", val).agg(F.sum("cnt").alias("c"))
+        rng = m.groupBy("g").agg(
+            F.min(val).cast("double").alias("_lo"),
+            F.max(val).cast("double").alias("_hi"),
+        )
+        span = F.col("_hi") - F.col("_lo")
+        b = (
+            F.when(
+                span > 0,
+                F.least(
+                    F.lit(coarse_buckets - 1),
+                    F.floor(
+                        (F.col(val).cast("double") - F.col("_lo"))
+                        / (span / coarse_buckets)
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        bucketed = m.join(F.broadcast(rng), "g").select("g", val, "c", b.alias("b"))
+        # level 1: rows in strictly earlier buckets — window over the
+        # <= groups x coarse_buckets bucket-total table (bounded)
+        wb = (
+            Window.partitionBy("g")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        before_bucket = (
+            bucketed.groupBy("g", "b")
+            .agg(F.sum("c").alias("bc"))
+            .select(
+                "g", "b", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("before_b")
+            )
+        )
+        # level 2: within-bucket prefix, partitioned -> parallel
+        ww = (
+            Window.partitionBy("g", "b")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        below = F.col("before_b") + F.coalesce(F.sum("c").over(ww), F.lit(0))
+        return bucketed.join(F.broadcast(before_bucket), ["g", "b"]).select(
+            "g", val, (2 * below + F.col("c") + 1).cast("long").alias(rank_name)
+        )
+
+    rx = _dbl_ranks("x", "rx")
+    ry = _dbl_ranks("y", "ry")
+    nn = joint.groupBy("g").agg(F.sum("cnt").cast("long").alias("n"))
+    dec = "decimal(19,0)"
+    centered = (
+        joint.join(rx, ["g", "x"])
+        .join(ry, ["g", "y"])
+        .join(F.broadcast(nn), "g")
+        .select(
+            "g",
+            "cnt",
+            (F.col("rx") - F.col("n") - 1).cast(dec).alias("dx"),
+            (F.col("ry") - F.col("n") - 1).cast(dec).alias("dy"),
+        )
+    )
+    s = centered.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("cnt") * F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("cnt") * F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    sxx_d = F.col("sxx").cast("double")
+    syy_d = F.col("syy").cast("double")
+    return s.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.when(
+            (sxx_d > 0) & (syy_d > 0),
+            F.round(
+                F.col("sxy").cast("double") / (F.sqrt(sxx_d) * F.sqrt(syy_d)), 6
+            ),
+        ).alias("spearman"),
+    )

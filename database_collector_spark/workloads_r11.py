@@ -359,78 +359,39 @@ SQL_BLOOM_DECONTAMINATE = _sql_bloom_decontaminate()
 
 
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tie-corrected Spearman rank correlation per group — Pearson over
-    AVERAGE ranks, the textbook tie treatment (equivalent to the
-    6*sum(d^2) formula only when tie-free; l_quantity has ~50 distinct
-    values over ~200k rows per flag at sf0.1, so ties are the norm and
-    the naive formula would be wrong).
-
-    Exactness: doubled average rank 2*avgrank = rank_asc - rank_desc
-    + n + 1 is an INTEGER for every tie pattern (rank_asc = 1+|<v|,
-    rank_desc = 1+|>v|, so the sum telescopes the tie block), and
-    Pearson is scale-invariant, so the whole correlation reduces to
-    integer moment sums — the stats_moments idiom: DECIMAL(38,0) sums
-    (sum of squared doubled ranks reaches ~4n^3, past int64 once a
-    group passes ~1.3e6 rows), exact DECIMAL numerators, ONE double
-    division over identical exact operands, round 6.
-
-    Scale shape: the rank windows are three sorts under ONE hash
-    partitioning by group; the aggregate ships 6 numbers per group
-    regardless of row count (pure partial-agg). The reference's Go
-    pipeline has no correlation surface at all
-    (collector/cmd/collector/database-collector.go delegates to the
-    pinned exporters); this extends the stats tier (workloads3.py
-    stats_moments) from linear to rank correlation."""
-    from pyspark.sql.window import Window
+    """Tie-corrected Spearman rank correlation per return flag between
+    quantity and price — `ranking.spearman_by_group`, the two-level
+    distributed prefix-sum rank (no per-group single-partition corpus
+    window; l_returnflag has only 3 values, exactly the few-groups
+    shape where a naive Window.partitionBy(group) rank funnels a third
+    of the corpus through one task). l_quantity has ~50 distinct values
+    over ~200k rows per flag at sf0.1, so ties are the norm and the
+    naive tie-free 6*sum(d^2) formula would be wrong; average ranks
+    (Pearson-on-ranks) handle them exactly. See the operator docstring
+    for the centered integer-moment exactness argument."""
+    from database_collector_spark.operators.ranking import spearman_by_group
 
     li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"), "l_quantity", "l_extendedprice"
+        "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    by_g = Window.partitionBy("g")
-
-    def dbl_rank(col: str) -> F.Column:
-        # 2 * average rank, exact in int64 (<= 2n)
-        return (
-            F.rank().over(by_g.orderBy(F.col(col).asc()))
-            - F.rank().over(by_g.orderBy(F.col(col).desc()))
-            + F.count("*").over(by_g)
-            + F.lit(1)
-        ).cast("long")
-
-    dec = "decimal(38,0)"
-    ranked = li.select(
-        "g",
-        dbl_rank("l_quantity").alias("rx"),
-        dbl_rank("l_extendedprice").alias("ry"),
-    )
-    agg = ranked.groupBy("g").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("rx").cast(dec)).alias("sx"),
-        F.sum(F.col("ry").cast(dec)).alias("sy"),
-        F.sum(F.col("rx").cast(dec) * F.col("rx").cast(dec)).alias("sxx"),
-        F.sum(F.col("ry").cast(dec) * F.col("ry").cast(dec)).alias("syy"),
-        F.sum(F.col("rx").cast(dec) * F.col("ry").cast(dec)).alias("sxy"),
-    )
-    dec_n = F.col("n").cast(dec)
-    num = (dec_n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den_x = (dec_n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    den_y = (dec_n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return agg.select(
-        F.col("g").alias("l_returnflag"),
-        "n",
-        F.when(
-            (den_x > 0) & (den_y > 0),
-            F.round(num / (F.sqrt(den_x) * F.sqrt(den_y)), 6),
-        ).alias("spearman_qp"),
+    out = spearman_by_group(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    return out.select(
+        "l_returnflag", "n", F.col("spearman").alias("spearman_qp")
     ).orderBy("l_returnflag")
 
 
-# Oracle: identical doubled-rank projection; sums stay exact through
-# DuckDB's HUGEINT SUM (final columns are BIGINT/DOUBLE — the int128
-# stays internal, per the portability contract).
+# Oracle: same doubled average ranks (rank_asc - rank_desc + n + 1 =
+# 2*avgrank, an integer for every tie pattern), CENTERED by their exact
+# per-group mean n+1 so the moment sums match the operator's centered
+# sums term-for-term (both engines then run the IDENTICAL double
+# expression num/(sqrt*sqrt) over identical exact integers — the
+# uncentered n*sxx - sx*sx form would scale num/den by n and round
+# differently at the last ulp). Sums stay exact through DuckDB's
+# HUGEINT; final columns are BIGINT/DOUBLE per the portability contract.
 SQL_SPEARMAN_CORR = """
 WITH r AS (
   SELECT l_returnflag AS g,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n,
          RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
            - RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
            + COUNT(*) OVER (PARTITION BY l_returnflag) + 1 AS rx,
@@ -439,18 +400,16 @@ WITH r AS (
            + COUNT(*) OVER (PARTITION BY l_returnflag) + 1 AS ry
   FROM lineitem
 ),
+d AS (SELECT g, rx - n - 1 AS dx, ry - n - 1 AS dy FROM r),
 s AS (
   SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(rx) AS sx, SUM(ry) AS sy,
-         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
-  FROM r GROUP BY g
+         SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+  FROM d GROUP BY g
 )
 SELECT g AS l_returnflag, n,
-       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
-             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
-            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
-                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       CASE WHEN CAST(sxx AS DOUBLE) > 0 AND CAST(syy AS DOUBLE) > 0
+            THEN round(CAST(sxy AS DOUBLE)
+                       / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6)
        END AS spearman_qp
 FROM s ORDER BY l_returnflag
 """
@@ -492,18 +451,20 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
     )
-    pair_counts = attached.groupBy("src_lo", "src_hi").agg(
-        F.count("*").alias("pair_count")
+    # ONE aggregation over the exploded frame yields both columns —
+    # each pair contributes exactly 2 exploded rows to its cell, so
+    # pair_count = count(*) div 2 (always even; exact) and the LSH
+    # pipeline is planned once instead of once per rollup branch
+    exploded = attached.select(
+        "src_lo", "src_hi", F.explode(F.array("doc_a", "doc_b")).alias("d")
     )
-    docs_involved = (
-        attached.select(
-            "src_lo", "src_hi", F.explode(F.array("doc_a", "doc_b")).alias("d")
+    return (
+        exploded.groupBy("src_lo", "src_hi")
+        .agg(
+            F.expr("count(*) div 2").alias("pair_count"),
+            F.countDistinct("d").alias("docs_involved"),
         )
-        .groupBy("src_lo", "src_hi")
-        .agg(F.countDistinct("d").alias("docs_involved"))
-    )
-    return pair_counts.join(docs_involved, ["src_lo", "src_hi"]).orderBy(
-        "src_lo", "src_hi"
+        .orderBy("src_lo", "src_hi")
     )
 
 
@@ -520,17 +481,11 @@ ps AS (
   JOIN documents da ON da.doc_id = p.doc_a
   JOIN documents db ON db.doc_id = p.doc_b
 ),
-pc AS (
-  SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS pair_count
-  FROM ps GROUP BY src_lo, src_hi
-),
-di AS (
-  SELECT src_lo, src_hi, CAST(COUNT(DISTINCT d) AS BIGINT) AS docs_involved
-  FROM (SELECT src_lo, src_hi, unnest([doc_a, doc_b]) AS d FROM ps)
-  GROUP BY src_lo, src_hi
-)
-SELECT pc.src_lo, pc.src_hi, pc.pair_count, di.docs_involved
-FROM pc JOIN di USING (src_lo, src_hi)
+ex AS (SELECT src_lo, src_hi, unnest([doc_a, doc_b]) AS d FROM ps)
+SELECT src_lo, src_hi,
+       CAST(COUNT(*) // 2 AS BIGINT) AS pair_count,
+       CAST(COUNT(DISTINCT d) AS BIGINT) AS docs_involved
+FROM ex GROUP BY src_lo, src_hi
 ORDER BY src_lo, src_hi
 """
 

@@ -657,17 +657,21 @@ def test_dsir_model_table_is_broadcast(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_spearman_windows_share_one_group_exchange(spark):
+def test_spearman_has_no_single_partition_rank_funnel(spark):
     from database_collector_spark import workloads_r11
 
     plan = _plan(workloads_r11.q_spearman_corr(spark, SF))
-    # all rank/count windows AND the moment aggregate run under a
-    # SINGLE hash partitioning by group; the only other exchange is the
-    # bounded (|groups| rows) output-order range partitioning
+    # the two-level prefix-sum contract: NO SinglePartition exchange
+    # anywhere (a naive per-group rank window would funnel a third of
+    # the corpus through one task — l_returnflag has 3 values), and
+    # every window is partitioned (group first; the within-bucket
+    # level-2 windows additionally by bucket). Windows partitioned by
+    # group ALONE are allowed only over the bounded bucket-total table.
     import re
 
-    hash_ex = re.findall(r"Exchange hashpartitioning", plan)
-    assert len(hash_ex) == 1, f"{len(hash_ex)} hash exchanges (expected 1)"
+    assert plan.count("Exchange SinglePartition") == 0
+    for first_arg in re.findall(r"windowspecdefinition\((\w+)#", plan):
+        assert first_arg == "g", f"window not partitioned by group: {first_arg}"
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 

@@ -398,7 +398,7 @@ def test_cross_source_matrix_is_consistent_with_pair_list(spark):
     from database_collector_spark import workloads_r11
     from database_collector_spark.workloads import _t
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     cells = workloads_r11.q_cross_source_dup_matrix(spark, sf).collect()
     assert all(r["src_lo"] <= r["src_hi"] for r in cells)
 
