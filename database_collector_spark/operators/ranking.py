@@ -156,6 +156,99 @@ def rrf_fuse(
     )
 
 
+def prefix_count_below(
+    counts: DataFrame,
+    keys: list[str],
+    val_col: str,
+    cnt_col: str,
+    *,
+    coarse_buckets: int = 1024,
+    out_col: str = "below",
+) -> DataFrame:
+    """Add ``out_col`` = total ``cnt_col`` over rows of the same
+    ``keys`` with STRICTLY smaller ``val_col`` — the running-count
+    primitive behind distributed ranking (auc_exact's U statistic,
+    spearman_by_group's average ranks) as ONE shared two-level prefix
+    sum with no corpus-sized single-partition window. All other columns
+    of ``counts`` are preserved.
+
+    ``counts`` must hold one row per (keys, val) — value-domain
+    compressed — and must not use column names starting with ``_``
+    (``_b``/``_lo``/``_hi``/``_bc``/``_before_b`` are internal).
+
+    Values are range-bucketed into <= ``coarse_buckets`` monotone
+    buckets; the within-bucket windows run partitioned by
+    (keys, bucket) — parallel — and the only coarser window runs over
+    the bounded (|keys-domain| x buckets)-row bucket-total table
+    (unpartitioned when ``keys`` is empty; bounded by construction
+    either way). Bucket edges come from the 0.1%/99.9% approximate
+    quantiles with out-of-range values CLAMPED into the edge buckets,
+    so a single extreme outlier cannot stretch the range and collapse
+    the bulk of the domain into one bucket (the equi-width-from-min/max
+    failure mode). Mass concentrated on very few values can still
+    leave one populous bucket — but then the compressed table is small
+    by the same token. Bucket boundaries only affect PARTITIONING,
+    never the result: the clamped floor((v-lo)/width) is monotone
+    non-decreasing in v even under float roundoff (approx_percentile's
+    run-to-run merge order can move the cuts; the prefix sums are
+    exact wherever they land).
+    """
+    vd = F.col(val_col).cast("double")
+    q = F.expr(f"approx_percentile(CAST({val_col} AS DOUBLE), array(0.001, 0.999))")
+    rng = (
+        counts.groupBy(*keys).agg(q.alias("_q"))
+        if keys
+        else counts.agg(q.alias("_q"))
+    ).select(*keys, F.col("_q")[0].alias("_lo"), F.col("_q")[1].alias("_hi"))
+    span = F.col("_hi") - F.col("_lo")
+    b = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(coarse_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((vd - F.col("_lo")) / (span / coarse_buckets)),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    with_rng = (
+        counts.join(F.broadcast(rng), keys)
+        if keys
+        else counts.crossJoin(F.broadcast(rng))
+    )
+    cols = counts.columns
+    bucketed = with_rng.select(*cols, b.alias("_b"))
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before_bucket = (
+        bucketed.groupBy(*keys, "_b")
+        .agg(F.sum(cnt_col).alias("_bc"))
+        .select(
+            *keys,
+            "_b",
+            F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_before_b"),
+        )
+    )
+    ww = (
+        Window.partitionBy(*keys, "_b")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return bucketed.join(F.broadcast(before_bucket), [*keys, "_b"]).select(
+        *cols,
+        (F.col("_before_b") + F.coalesce(F.sum(cnt_col).over(ww), F.lit(0))).alias(
+            out_col
+        ),
+    )
+
+
 def auc_exact(
     scored: DataFrame,
     *,
@@ -215,46 +308,20 @@ def auc_exact(
         # must not itself run a job), then every branch reuses it
         .localCheckpoint(eager=False)
     )
-    # range bucketing from a 1-row broadcast min/max — monotone in s
-    rng = per_score.agg(
-        F.min("s").cast("double").alias("_lo"), F.max("s").cast("double").alias("_hi")
+    # running negatives strictly below each score: the shared two-level
+    # prefix sum (quantile-clamped buckets; the only unpartitioned
+    # window is over the <= coarse_buckets-row bucket-total table)
+    below = prefix_count_below(
+        per_score, [], "s", "neg", coarse_buckets=coarse_buckets, out_col="neg_below"
     )
-    span = F.col("_hi") - F.col("_lo")
-    b = F.when(
-        span > 0,
-        F.least(
-            F.lit(coarse_buckets - 1),
-            F.floor(
-                (F.col("s").cast("double") - F.col("_lo")) / (span / coarse_buckets)
-            ),
-        ),
-    ).otherwise(F.lit(0)).cast("long")
-    bucketed = per_score.join(F.broadcast(rng)).select("s", "pos", "neg", b.alias("b"))
-    # level 1: negatives strictly below each bucket — window over the
-    # <= coarse_buckets-row bucket-total table (the ONLY unpartitioned
-    # window, bounded by construction)
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    bucket_neg = (
-        bucketed.groupBy("b")
-        .agg(F.sum("neg").alias("bn"))
-        .select("b", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("neg_before_b"))
-    )
-    # level 2: within-bucket prefix, partitioned -> parallel
-    ww = Window.partitionBy("b").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     dec = "decimal(38,0)"
-    u2 = (
-        bucketed.join(F.broadcast(bucket_neg), "b")
-        .select(
-            "pos",
-            "neg",
-            (
-                F.col("pos").cast(dec)
-                * (
-                    2 * (F.col("neg_before_b") + F.coalesce(F.sum("neg").over(ww), F.lit(0)))
-                    + F.col("neg")
-                ).cast(dec)
-            ).alias("u2_term"),
-        )
+    u2 = below.select(
+        "pos",
+        "neg",
+        (
+            F.col("pos").cast(dec)
+            * (2 * F.col("neg_below") + F.col("neg")).cast(dec)
+        ).alias("u2_term"),
     )
     return u2.agg(
         F.sum("pos").cast("long").alias("n_pos"),
@@ -308,8 +375,12 @@ def spearman_by_group(
     DECIMAL(38,0) (exact past 4e12 rows per group; the UNcentered
     n*sxx - sx*sx form overflows 38 digits at ~2e9 rows, the ANSI
     overflow class). One double division over identical exact
-    operands, round 6. NULL x/y rows are EXCLUDED (engines disagree
-    on NULL rank placement); zero-variance groups emit NULL, fail-soft.
+    operands, round 6. NULL x/y rows AND NULL-group rows are EXCLUDED
+    (engines disagree on NULL rank placement, and the rank join-backs
+    are equi-joins, which never match NULL keys — the exclusion is
+    explicit so it cannot silently depend on join semantics; coalesce
+    the group key to a sentinel upstream to rank a NULL cohort);
+    zero-variance groups emit NULL, fail-soft.
 
     Output: one row per group (group_col, n, spearman). The reference
     has no correlation surface at all (its Go loop in
@@ -319,7 +390,11 @@ def spearman_by_group(
     """
     base = df.select(
         F.col(group_col).alias("g"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
-    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
     # three downstream branches (two marginals + the final join) reuse
     # the compressed joint table; without the checkpoint each branch
     # re-derives it from a full corpus scan
@@ -330,51 +405,16 @@ def spearman_by_group(
     )
 
     def _dbl_ranks(val: str, rank_name: str) -> DataFrame:
-        # (g, val, doubled average rank) from marginal counts alone
+        # (g, val, doubled average rank) from marginal counts alone,
+        # ranked by the shared two-level prefix sum
         m = joint.groupBy("g", val).agg(F.sum("cnt").alias("c"))
-        rng = m.groupBy("g").agg(
-            F.min(val).cast("double").alias("_lo"),
-            F.max(val).cast("double").alias("_hi"),
+        below = prefix_count_below(
+            m, ["g"], val, "c", coarse_buckets=coarse_buckets, out_col="_below"
         )
-        span = F.col("_hi") - F.col("_lo")
-        b = (
-            F.when(
-                span > 0,
-                F.least(
-                    F.lit(coarse_buckets - 1),
-                    F.floor(
-                        (F.col(val).cast("double") - F.col("_lo"))
-                        / (span / coarse_buckets)
-                    ),
-                ),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        bucketed = m.join(F.broadcast(rng), "g").select("g", val, "c", b.alias("b"))
-        # level 1: rows in strictly earlier buckets — window over the
-        # <= groups x coarse_buckets bucket-total table (bounded)
-        wb = (
-            Window.partitionBy("g")
-            .orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        before_bucket = (
-            bucketed.groupBy("g", "b")
-            .agg(F.sum("c").alias("bc"))
-            .select(
-                "g", "b", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("before_b")
-            )
-        )
-        # level 2: within-bucket prefix, partitioned -> parallel
-        ww = (
-            Window.partitionBy("g", "b")
-            .orderBy(val)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        below = F.col("before_b") + F.coalesce(F.sum("c").over(ww), F.lit(0))
-        return bucketed.join(F.broadcast(before_bucket), ["g", "b"]).select(
-            "g", val, (2 * below + F.col("c") + 1).cast("long").alias(rank_name)
+        return below.select(
+            "g",
+            val,
+            (2 * F.col("_below") + F.col("c") + 1).cast("long").alias(rank_name),
         )
 
     rx = _dbl_ranks("x", "rx")

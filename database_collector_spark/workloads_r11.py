@@ -386,8 +386,11 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sums term-for-term (both engines then run the IDENTICAL double
 # expression num/(sqrt*sqrt) over identical exact integers — the
 # uncentered n*sxx - sx*sx form would scale num/den by n and round
-# differently at the last ulp). Sums stay exact through DuckDB's
-# HUGEINT; final columns are BIGINT/DOUBLE per the portability contract.
+# differently at the last ulp). The products are cast to HUGEINT
+# BEFORE multiplying: a bare BIGINT dx*dy overflows (and DuckDB raises)
+# past ~3e9 rows per group, well inside the operator's DECIMAL(38,0)
+# envelope — the HUGEINT stays internal; final columns are
+# BIGINT/DOUBLE per the portability contract.
 SQL_SPEARMAN_CORR = """
 WITH r AS (
   SELECT l_returnflag AS g,
@@ -400,7 +403,8 @@ WITH r AS (
            + COUNT(*) OVER (PARTITION BY l_returnflag) + 1 AS ry
   FROM lineitem
 ),
-d AS (SELECT g, rx - n - 1 AS dx, ry - n - 1 AS dy FROM r),
+d AS (SELECT g, CAST(rx - n - 1 AS HUGEINT) AS dx,
+             CAST(ry - n - 1 AS HUGEINT) AS dy FROM r),
 s AS (
   SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
          SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy

@@ -594,9 +594,9 @@ def test_auc_exact_has_no_corpus_sized_single_partition_window(spark):
     plan = _plan(workloads_r9.q_auc_scores(spark, SF))
     # the per-score running-negatives window MUST be partitioned by the
     # coarse bucket; SinglePartition exchanges are allowed only for the
-    # bounded pieces (1-row min/max + final aggregates, <=1024-row
-    # bucket-total window)
-    assert "windowspecdefinition(b" in plan
+    # bounded pieces (1-row quantile cuts + final aggregates,
+    # <=1024-row bucket-total window)
+    assert "windowspecdefinition(_b" in plan
     assert plan.count("Exchange SinglePartition") <= 4
     assert "BatchEvalPython" not in plan
     # the corpus is scanned once: branches reuse the checkpointed
@@ -664,14 +664,22 @@ def test_spearman_has_no_single_partition_rank_funnel(spark):
     # the two-level prefix-sum contract: NO SinglePartition exchange
     # anywhere (a naive per-group rank window would funnel a third of
     # the corpus through one task — l_returnflag has 3 values), and
-    # every window is partitioned (group first; the within-bucket
-    # level-2 windows additionally by bucket). Windows partitioned by
-    # group ALONE are allowed only over the bounded bucket-total table.
+    # EVERY window's first two spec args are (group, bucket): the
+    # level-1 windows are (partition g, ORDER BY _b) over the bounded
+    # bucket-total table, the level-2 windows (partition g,_b, order
+    # value). A reverted per-group corpus rank would instead show
+    # windowspecdefinition(g#, <value col># ...) — caught here.
     import re
 
     assert plan.count("Exchange SinglePartition") == 0
-    for first_arg in re.findall(r"windowspecdefinition\((\w+)#", plan):
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", plan)
+    assert specs, "no windows found — pin is vacuous"
+    for first_arg, second_arg in specs:
         assert first_arg == "g", f"window not partitioned by group: {first_arg}"
+        assert second_arg == "_b", (
+            f"window's second spec arg is {second_arg}, not the coarse "
+            "bucket — a per-group corpus-sized rank window has returned"
+        )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 

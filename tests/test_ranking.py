@@ -135,3 +135,46 @@ def test_auc_exact_all_distinct_scores_property(spark):
     df = spark.createDataFrame([Row(score=s, label=y) for s, y in pairs])
     row = auc_exact(df, coarse_buckets=16).collect()[0]
     assert abs(row["auc"] - round(_auc_ref(pairs), 6)) < 1e-9
+
+
+def test_prefix_count_below_matches_brute_force_with_outliers(spark):
+    """The shared two-level prefix-sum helper: exact strictly-below
+    counts on keyed and unkeyed inputs, including a 1e300 outlier per
+    group (the equi-width-from-min/max collapse case the quantile-
+    clamped buckets exist for) and duplicate-heavy value domains."""
+    import random
+
+    from database_collector_spark.operators.ranking import prefix_count_below
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b"):
+        vals = [float(rng.randint(0, 30)) for _ in range(120)] + [1e300]
+        for v in vals:
+            rows.append((g, v))
+    counts = {}
+    for g, v in rows:
+        counts[(g, v)] = counts.get((g, v), 0) + 1
+    df = spark.createDataFrame(
+        [(g, v, c) for (g, v), c in counts.items()], "g string, v double, c long"
+    )
+    # keyed: strictly-below within each group, a tiny bucket count so
+    # several buckets are actually populated and spliced
+    got = {
+        (r["g"], r["v"]): r["below"]
+        for r in prefix_count_below(df, ["g"], "v", "c", coarse_buckets=8).collect()
+    }
+    for (g, v), _ in counts.items():
+        want = sum(c for (g2, v2), c in counts.items() if g2 == g and v2 < v)
+        assert got[(g, v)] == want, (g, v)
+    # unkeyed (the auc_exact shape): one global domain
+    flat = {}
+    for (_, v), c in counts.items():
+        flat[v] = flat.get(v, 0) + c
+    fdf = spark.createDataFrame(list(flat.items()), "v double, c long")
+    got_flat = {
+        r["v"]: r["below"]
+        for r in prefix_count_below(fdf, [], "v", "c", coarse_buckets=8).collect()
+    }
+    for v in flat:
+        assert got_flat[v] == sum(c for v2, c in flat.items() if v2 < v)
