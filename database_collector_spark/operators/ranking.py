@@ -175,6 +175,9 @@ def prefix_count_below(
     ``counts`` must hold one row per (keys, val) — value-domain
     compressed — and must not use column names starting with ``_``
     (``_b``/``_lo``/``_hi``/``_bc``/``_before_b`` are internal).
+    Rows with NULL keys or a NULL value are the CALLER's contract to
+    exclude (both gates' bases filter them): the internal equi-joins
+    would silently drop them, never mis-count them.
 
     Values are range-bucketed into <= ``coarse_buckets`` monotone
     buckets; the within-bucket windows run partitioned by
@@ -189,20 +192,35 @@ def prefix_count_below(
     leave one populous bucket — but then the compressed table is small
     by the same token. Bucket boundaries only affect PARTITIONING,
     never the result: the clamped floor((v-lo)/width) is monotone
-    non-decreasing in v even under float roundoff (approx_percentile's
-    run-to-run merge order can move the cuts; the prefix sums are
-    exact wherever they land).
+    non-decreasing in v even under float roundoff, and NaN — which
+    Spark orders ABOVE every double — is pinned to the top bucket
+    (approx_percentile's run-to-run merge order can move the cuts; the
+    checkpointed 1-row cut table guarantees every branch sees the SAME
+    cuts, and the prefix sums are exact wherever they land).
     """
     vd = F.col(val_col).cast("double")
-    q = F.expr(f"approx_percentile(CAST({val_col} AS DOUBLE), array(0.001, 0.999))")
+    q = F.percentile_approx(F.col(val_col).cast("double"), [0.001, 0.999])
     rng = (
-        counts.groupBy(*keys).agg(q.alias("_q"))
-        if keys
-        else counts.agg(q.alias("_q"))
-    ).select(*keys, F.col("_q")[0].alias("_lo"), F.col("_q")[1].alias("_hi"))
+        (
+            counts.groupBy(*keys).agg(q.alias("_q"))
+            if keys
+            else counts.agg(q.alias("_q"))
+        )
+        .select(*keys, F.col("_q")[0].alias("_lo"), F.col("_q")[1].alias("_hi"))
+        # approx_percentile's partial-merge order is NOT deterministic
+        # across evaluations; two plan branches consume the cuts (the
+        # bucket totals and the final join), so the cuts MUST be
+        # materialized once — correctness may not rest on Spark's
+        # exchange-reuse rule collapsing two non-deterministic subtrees
+        .localCheckpoint(eager=False)
+    )
     span = F.col("_hi") - F.col("_lo")
     b = (
-        F.when(
+        # Spark orders NaN ABOVE every double: NaN must take the TOP
+        # bucket explicitly ((NaN-lo)/width is NaN and floor(NaN) would
+        # clamp it into bucket 0, under-counting everything above it)
+        F.when(F.isnan(vd), F.lit(coarse_buckets - 1))
+        .when(
             span > 0,
             F.least(
                 F.lit(coarse_buckets - 1),

@@ -137,11 +137,26 @@ def test_auc_exact_all_distinct_scores_property(spark):
     assert abs(row["auc"] - round(_auc_ref(pairs), 6)) < 1e-9
 
 
+def _below_ref(items: dict[float, int], v: float) -> int:
+    """Strictly-below count under SPARK's double ordering: NaN is the
+    greatest value (above +inf), NaN == NaN."""
+    import math
+
+    if math.isnan(v):
+        return sum(c for v2, c in items.items() if not math.isnan(v2))
+    return sum(c for v2, c in items.items() if not math.isnan(v2) and v2 < v)
+
+
 def test_prefix_count_below_matches_brute_force_with_outliers(spark):
     """The shared two-level prefix-sum helper: exact strictly-below
-    counts on keyed and unkeyed inputs, including a 1e300 outlier per
-    group (the equi-width-from-min/max collapse case the quantile-
-    clamped buckets exist for) and duplicate-heavy value domains."""
+    counts on keyed and unkeyed inputs. The value domain has >1000
+    distinct values so the 0.1%/99.9% quantile cuts genuinely EXCLUDE
+    the 1e300 outlier (with few distinct values the 99.9th percentile
+    IS the outlier and the clamp never fires) — the outlier and the
+    below-lo probe both exercise the greatest/least edge-bucket clamp
+    — plus NaN, which Spark orders above every double and the
+    bucketing must pin to the TOP bucket (the mis-bucket-to-0
+    regression caught in review)."""
     import random
 
     from database_collector_spark.operators.ranking import prefix_count_below
@@ -149,32 +164,43 @@ def test_prefix_count_below_matches_brute_force_with_outliers(spark):
     rng = random.Random(7)
     rows = []
     for g in ("a", "b"):
-        vals = [float(rng.randint(0, 30)) for _ in range(120)] + [1e300]
+        # ~1500 distinct values, duplicate-heavy head, one huge outlier,
+        # one below-range probe, and a NaN
+        vals = [float(rng.randint(0, 1500)) for _ in range(2500)]
+        vals += [1e300, -1e300, float("nan")]
         for v in vals:
             rows.append((g, v))
-    counts = {}
+    counts: dict[tuple[str, float], int] = {}
     for g, v in rows:
         counts[(g, v)] = counts.get((g, v), 0) + 1
     df = spark.createDataFrame(
         [(g, v, c) for (g, v), c in counts.items()], "g string, v double, c long"
     )
-    # keyed: strictly-below within each group, a tiny bucket count so
-    # several buckets are actually populated and spliced
+    per_group: dict[str, dict[float, int]] = {}
+    for (g, v), c in counts.items():
+        per_group.setdefault(g, {})[v] = c
     got = {
         (r["g"], r["v"]): r["below"]
-        for r in prefix_count_below(df, ["g"], "v", "c", coarse_buckets=8).collect()
+        for r in prefix_count_below(df, ["g"], "v", "c", coarse_buckets=16).collect()
     }
+    import math
+
     for (g, v), _ in counts.items():
-        want = sum(c for (g2, v2), c in counts.items() if g2 == g and v2 < v)
-        assert got[(g, v)] == want, (g, v)
+        key = (g, v)
+        # collect() maps Spark NaN to float('nan'), which never equals
+        # itself as a dict key probe — find it explicitly
+        if math.isnan(v):
+            key = next(k for k in got if k[0] == g and math.isnan(k[1]))
+        assert got[key] == _below_ref(per_group[g], v), (g, v)
     # unkeyed (the auc_exact shape): one global domain
-    flat = {}
+    flat: dict[float, int] = {}
     for (_, v), c in counts.items():
-        flat[v] = flat.get(v, 0) + c
+        nv = next((k for k in flat if math.isnan(k)), v) if math.isnan(v) else v
+        flat[nv] = flat.get(nv, 0) + c
     fdf = spark.createDataFrame(list(flat.items()), "v double, c long")
-    got_flat = {
-        r["v"]: r["below"]
-        for r in prefix_count_below(fdf, [], "v", "c", coarse_buckets=8).collect()
-    }
-    for v in flat:
-        assert got_flat[v] == sum(c for v2, c in flat.items() if v2 < v)
+    got_flat = [
+        (r["v"], r["below"])
+        for r in prefix_count_below(fdf, [], "v", "c", coarse_buckets=16).collect()
+    ]
+    for v, below in got_flat:
+        assert below == _below_ref(flat, v), v
