@@ -175,44 +175,49 @@ def prefix_count_below(
     ``counts`` must hold one row per (keys, val) — value-domain
     compressed — and must not use column names starting with ``_``
     (``_b``/``_lo``/``_hi``/``_bc``/``_before_b`` are internal).
-    Rows with NULL keys or a NULL value are the CALLER's contract to
-    exclude (both gates' bases filter them): the internal equi-joins
-    would silently drop them, never mis-count them.
+    Rows with NULL keys or a NULL value are EXCLUDED here, actively:
+    a NULL value would otherwise land in bucket 0 (isnan(NULL) is
+    false and greatest() skips NULLs), sort NULLS FIRST, and inflate
+    every bucket-0 below-count — enforced by filter, not by docstring.
 
     Values are range-bucketed into <= ``coarse_buckets`` monotone
     buckets; the within-bucket windows run partitioned by
     (keys, bucket) — parallel — and the only coarser window runs over
     the bounded (|keys-domain| x buckets)-row bucket-total table
     (unpartitioned when ``keys`` is empty; bounded by construction
-    either way). Bucket edges come from the 0.1%/99.9% approximate
-    quantiles with out-of-range values CLAMPED into the edge buckets,
-    so a single extreme outlier cannot stretch the range and collapse
-    the bulk of the domain into one bucket (the equi-width-from-min/max
+    either way). Bucketing is equi-width in MAGNITUDE-LOG space,
+    u = sign(v)·log1p(|v|), from the exact per-key min/max of u:
+    min/max are merge-order-independent aggregates, so the cuts are
+    DETERMINISTIC however Spark schedules the partials (a quantile
+    sketch is not — its merge order varies run to run, and two plan
+    branches consume the cuts), and log compression makes the cuts
+    outlier-robust: a 1e300 outlier sits at u≈691, so it stretches the
+    bulk's share of the range by a bounded factor instead of collapsing
+    the whole domain into one bucket (the equi-width-on-raw-values
     failure mode). Mass concentrated on very few values can still
     leave one populous bucket — but then the compressed table is small
     by the same token. Bucket boundaries only affect PARTITIONING,
-    never the result: the clamped floor((v-lo)/width) is monotone
-    non-decreasing in v even under float roundoff, and NaN — which
-    Spark orders ABOVE every double — is pinned to the top bucket
-    (approx_percentile's run-to-run merge order can move the cuts; the
-    checkpointed 1-row cut table guarantees every branch sees the SAME
-    cuts, and the prefix sums are exact wherever they land).
+    never the result: u is strictly increasing in v, the clamped
+    floor((u-lo)/width) is monotone non-decreasing even under float
+    roundoff, NaN — which Spark orders ABOVE every double — is pinned
+    to the top bucket, and a ±Infinity value degrades to one correct
+    (if unbalanced) bucket. The prefix sums are exact wherever the
+    cuts land.
     """
+    for k in keys:
+        counts = counts.where(F.col(k).isNotNull())
+    counts = counts.where(F.col(val_col).isNotNull())
     vd = F.col(val_col).cast("double")
-    q = F.percentile_approx(F.col(val_col).cast("double"), [0.001, 0.999])
+    u = F.signum(vd) * F.log1p(F.abs(vd))
+    # NaN excluded from the range so its presence cannot poison the
+    # min/max into NaN and collapse every bucket
+    finite_u = F.when(~F.isnan(vd), u)
     rng = (
-        (
-            counts.groupBy(*keys).agg(q.alias("_q"))
-            if keys
-            else counts.agg(q.alias("_q"))
+        counts.groupBy(*keys).agg(
+            F.min(finite_u).alias("_lo"), F.max(finite_u).alias("_hi")
         )
-        .select(*keys, F.col("_q")[0].alias("_lo"), F.col("_q")[1].alias("_hi"))
-        # approx_percentile's partial-merge order is NOT deterministic
-        # across evaluations; two plan branches consume the cuts (the
-        # bucket totals and the final join), so the cuts MUST be
-        # materialized once — correctness may not rest on Spark's
-        # exchange-reuse rule collapsing two non-deterministic subtrees
-        .localCheckpoint(eager=False)
+        if keys
+        else counts.agg(F.min(finite_u).alias("_lo"), F.max(finite_u).alias("_hi"))
     )
     span = F.col("_hi") - F.col("_lo")
     b = (
@@ -226,7 +231,7 @@ def prefix_count_below(
                 F.lit(coarse_buckets - 1),
                 F.greatest(
                     F.lit(0),
-                    F.floor((vd - F.col("_lo")) / (span / coarse_buckets)),
+                    F.floor((u - F.col("_lo")) / (span / coarse_buckets)),
                 ),
             ),
         )
@@ -327,8 +332,9 @@ def auc_exact(
         .localCheckpoint(eager=False)
     )
     # running negatives strictly below each score: the shared two-level
-    # prefix sum (quantile-clamped buckets; the only unpartitioned
-    # window is over the <= coarse_buckets-row bucket-total table)
+    # prefix sum (deterministic magnitude-log buckets; the only
+    # unpartitioned window is over the <= coarse_buckets-row
+    # bucket-total table)
     below = prefix_count_below(
         per_score, [], "s", "neg", coarse_buckets=coarse_buckets, out_col="neg_below"
     )

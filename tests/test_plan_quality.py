@@ -594,7 +594,7 @@ def test_auc_exact_has_no_corpus_sized_single_partition_window(spark):
     plan = _plan(workloads_r9.q_auc_scores(spark, SF))
     # the per-score running-negatives window MUST be partitioned by the
     # coarse bucket; SinglePartition exchanges are allowed only for the
-    # bounded pieces (1-row quantile cuts + final aggregates,
+    # bounded pieces (1-row min/max cut aggregate + final aggregates,
     # <=1024-row bucket-total window)
     assert "windowspecdefinition(_b" in plan
     assert plan.count("Exchange SinglePartition") <= 4

@@ -149,14 +149,14 @@ def _below_ref(items: dict[float, int], v: float) -> int:
 
 def test_prefix_count_below_matches_brute_force_with_outliers(spark):
     """The shared two-level prefix-sum helper: exact strictly-below
-    counts on keyed and unkeyed inputs. The value domain has >1000
-    distinct values so the 0.1%/99.9% quantile cuts genuinely EXCLUDE
-    the 1e300 outlier (with few distinct values the 99.9th percentile
-    IS the outlier and the clamp never fires) — the outlier and the
-    below-lo probe both exercise the greatest/least edge-bucket clamp
-    — plus NaN, which Spark orders above every double and the
-    bucketing must pin to the TOP bucket (the mis-bucket-to-0
-    regression caught in review)."""
+    counts on keyed and unkeyed inputs. With ±1e300 outliers the
+    magnitude-log bucketing keeps the bulk spread over MULTIPLE
+    interior buckets at the production bucket count (u-space span
+    ~1382, bulk [0, 7.31] → ~6 populated interior buckets at 1024 —
+    raw-value equi-width would collapse everything into one), plus
+    NaN, which Spark orders above every double and the bucketing must
+    pin to the TOP bucket (the mis-bucket-to-0 regression caught in
+    review)."""
     import random
 
     from database_collector_spark.operators.ranking import prefix_count_below
@@ -164,8 +164,7 @@ def test_prefix_count_below_matches_brute_force_with_outliers(spark):
     rng = random.Random(7)
     rows = []
     for g in ("a", "b"):
-        # ~1500 distinct values, duplicate-heavy head, one huge outlier,
-        # one below-range probe, and a NaN
+        # duplicate-heavy bulk, huge outliers both sides, and a NaN
         vals = [float(rng.randint(0, 1500)) for _ in range(2500)]
         vals += [1e300, -1e300, float("nan")]
         for v in vals:
@@ -181,7 +180,7 @@ def test_prefix_count_below_matches_brute_force_with_outliers(spark):
         per_group.setdefault(g, {})[v] = c
     got = {
         (r["g"], r["v"]): r["below"]
-        for r in prefix_count_below(df, ["g"], "v", "c", coarse_buckets=16).collect()
+        for r in prefix_count_below(df, ["g"], "v", "c", coarse_buckets=1024).collect()
     }
     import math
 
@@ -204,3 +203,21 @@ def test_prefix_count_below_matches_brute_force_with_outliers(spark):
     ]
     for v, below in got_flat:
         assert below == _below_ref(flat, v), v
+
+
+def test_prefix_count_below_excludes_null_rows_actively(spark):
+    """NULL keys and NULL values are FILTERED by the helper (a NULL
+    value would land in bucket 0 via isnan(NULL)=false + greatest's
+    NULL-skipping and inflate every bucket-0 below-count — the
+    mis-count caught in review); remaining counts are unaffected."""
+    from database_collector_spark.operators.ranking import prefix_count_below
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 5), ("a", 2.0, 7), ("a", None, 100), (None, 1.5, 50)],
+        "g string, v double, c long",
+    )
+    got = {
+        (r["g"], r["v"]): r["below"]
+        for r in prefix_count_below(df, ["g"], "v", "c", coarse_buckets=4).collect()
+    }
+    assert got == {("a", 1.0): 0, ("a", 2.0): 5}
