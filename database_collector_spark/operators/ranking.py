@@ -174,43 +174,61 @@ def prefix_count_below(
 
     ``counts`` must hold one row per (keys, val) — value-domain
     compressed — and must not use column names starting with ``_``
-    (``_b``/``_lo``/``_hi``/``_bc``/``_before_b`` are internal).
+    (``_cell``/``_hc``/``_cum_before``/``_tot``/``_b``/``_lo``/``_hi``/
+    ``_before_b`` are internal).
     Rows with NULL keys or a NULL value are EXCLUDED here, actively:
     a NULL value would otherwise land in bucket 0 (isnan(NULL) is
     false and greatest() skips NULLs), sort NULLS FIRST, and inflate
     every bucket-0 below-count — enforced by filter, not by docstring.
 
-    Values are range-bucketed into <= ``coarse_buckets`` monotone
-    buckets; the within-bucket windows run partitioned by
-    (keys, bucket) — parallel — and the only coarser window runs over
-    the bounded (|keys-domain| x buckets)-row bucket-total table
-    (unpartitioned when ``keys`` is empty; bounded by construction
-    either way). Bucketing is equi-width in MAGNITUDE-LOG space,
-    u = sign(v)·log1p(|v|), from the exact per-key min/max of u:
-    min/max are merge-order-independent aggregates, so the cuts are
-    DETERMINISTIC however Spark schedules the partials (a quantile
-    sketch is not — its merge order varies run to run, and two plan
-    branches consume the cuts), and log compression makes the cuts
-    outlier-robust: a 1e300 outlier sits at u≈691, so it stretches the
-    bulk's share of the range by a bounded factor instead of collapsing
-    the whole domain into one bucket (the equi-width-on-raw-values
-    failure mode). Mass concentrated on very few values can still
-    leave one populous bucket — but then the compressed table is small
-    by the same token. Bucket boundaries only affect PARTITIONING,
-    never the result: u is strictly increasing in v, the clamped
-    floor((u-lo)/width) is monotone non-decreasing even under float
-    roundoff, NaN — which Spark orders ABOVE every double — is pinned
-    to the top bucket, and a ±Infinity value degrades to one correct
-    (if unbalanced) bucket. The prefix sums are exact wherever the
-    cuts land.
+    Bucket construction is DETERMINISTIC and COUNT-EQUALIZED, in two
+    bounded steps. (1) Values map to one of 65536 fixed CELLS,
+    equi-width in magnitude-log space u = sign(v)·log1p(|v|) over the
+    exact per-key min/max of u — min/max are merge-order-independent
+    aggregates, so the cell cuts are identical however Spark schedules
+    the partials (a quantile sketch is not: its merge order varies run
+    to run, and two plan branches consume the cuts). (2) The per-cell
+    count histogram (integer sums — also order-independent) assigns
+    cells to <= ``coarse_buckets`` buckets by CUMULATIVE COMPRESSED-ROW
+    count: bucket(cell) = (distinct values in earlier cells) *
+    coarse_buckets div total_distinct — the within-bucket window sorts
+    COMPRESSED rows, so distinct values (not weights) are the load to
+    balance. Every bucket therefore sorts at most total_distinct /
+    coarse_buckets values PLUS one cell's worth — density skew cannot
+    concentrate more than one log-cell's extra values, and a 1e300
+    outlier (u≈691) cannot stretch the cell grid enough to fuse a
+    [0,1]-style bulk into one cell (the bulk still spans many cells
+    and is then spread over ~coarse_buckets buckets by the
+    equalization; raw-value equi-width would collapse it into one).
+    The residual worst case is real and documented: a value domain
+    narrower than ONE cell (~1/65536 of the log-range) degenerates to
+    a single populous bucket.
+
+    The within-bucket windows run partitioned by (keys, bucket) —
+    parallel; the histogram/assignment windows run over the bounded
+    <= |keys-domain| x 65536-row cell table (unpartitioned when
+    ``keys`` is empty). The cell and bucket maps are BROADCAST: the
+    helper is built for LOW-cardinality key domains (auc_exact: none;
+    spearman_by_group: a handful of groups) — for high-cardinality
+    grouped ranking use a plain per-group window instead, where the
+    groups themselves supply the parallelism.
+
+    Bucket boundaries only affect PARTITIONING, never the result:
+    u is strictly increasing in v, the clamped floor is monotone
+    non-decreasing even under float roundoff, cumulative counts are
+    monotone in the cell index, NaN — which Spark orders ABOVE every
+    double — is pinned to the top cell, and a ±Infinity value degrades
+    to one correct (if unbalanced) cell. The prefix sums are exact
+    wherever the cuts land.
     """
+    n_cells = 65536
     for k in keys:
         counts = counts.where(F.col(k).isNotNull())
     counts = counts.where(F.col(val_col).isNotNull())
     vd = F.col(val_col).cast("double")
     u = F.signum(vd) * F.log1p(F.abs(vd))
     # NaN excluded from the range so its presence cannot poison the
-    # min/max into NaN and collapse every bucket
+    # min/max into NaN and collapse every cell
     finite_u = F.when(~F.isnan(vd), u)
     rng = (
         counts.groupBy(*keys).agg(
@@ -220,18 +238,18 @@ def prefix_count_below(
         else counts.agg(F.min(finite_u).alias("_lo"), F.max(finite_u).alias("_hi"))
     )
     span = F.col("_hi") - F.col("_lo")
-    b = (
+    cell = (
         # Spark orders NaN ABOVE every double: NaN must take the TOP
-        # bucket explicitly ((NaN-lo)/width is NaN and floor(NaN) would
-        # clamp it into bucket 0, under-counting everything above it)
-        F.when(F.isnan(vd), F.lit(coarse_buckets - 1))
+        # cell explicitly ((NaN-lo)/width is NaN and floor(NaN) would
+        # clamp it into cell 0, under-counting everything above it)
+        F.when(F.isnan(vd), F.lit(n_cells - 1))
         .when(
             span > 0,
             F.least(
-                F.lit(coarse_buckets - 1),
+                F.lit(n_cells - 1),
                 F.greatest(
                     F.lit(0),
-                    F.floor((u - F.col("_lo")) / (span / coarse_buckets)),
+                    F.floor((u - F.col("_lo")) / (span / n_cells)),
                 ),
             ),
         )
@@ -244,20 +262,46 @@ def prefix_count_below(
         else counts.crossJoin(F.broadcast(rng))
     )
     cols = counts.columns
-    bucketed = with_rng.select(*cols, b.alias("_b"))
-    wb = (
+    celled = with_rng.select(*cols, cell.alias("_cell"))
+    # cell histogram -> count-equalized bucket id + exact rows-before-
+    # bucket, all on the bounded cell table (integer arithmetic only)
+    w_cell = (
         Window.partitionBy(*keys)
-        .orderBy("_b")
+        .orderBy("_cell")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before_bucket = (
-        bucketed.groupBy(*keys, "_b")
-        .agg(F.sum(cnt_col).alias("_bc"))
+    w_tot = Window.partitionBy(*keys)
+    cellmap = (
+        celled.groupBy(*keys, "_cell")
+        .agg(F.sum(cnt_col).alias("_hc"), F.count("*").alias("_hn"))
         .select(
             *keys,
-            "_b",
-            F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_before_b"),
+            "_cell",
+            # weight-cumulative: feeds the below-count semantics
+            F.coalesce(F.sum("_hc").over(w_cell), F.lit(0)).alias("_cum_before"),
+            # ROW-cumulative: feeds the balance — the within-bucket
+            # window sorts COMPRESSED rows, so buckets must equalize
+            # distinct-value counts, not weights (and _tot_n >= 1
+            # whenever a cell row exists, so the division is total;
+            # an all-zero-weight input — auc's single-class case —
+            # would make a weight total of 0)
+            F.coalesce(F.sum("_hn").over(w_cell), F.lit(0)).alias("_cum_n"),
+            F.sum("_hn").over(w_tot).alias("_tot_n"),
         )
+        .select(
+            *keys,
+            "_cell",
+            "_cum_before",
+            F.expr(f"(_cum_n * {coarse_buckets}) div _tot_n").alias("_b"),
+        )
+    )
+    # rows in strictly earlier buckets = cumulative count at the
+    # bucket's FIRST cell — no second corpus-wide aggregate needed
+    before_bucket = cellmap.groupBy(*keys, "_b").agg(
+        F.min("_cum_before").alias("_before_b")
+    )
+    bucketed = celled.join(
+        F.broadcast(cellmap.select(*keys, "_cell", "_b")), [*keys, "_cell"]
     )
     ww = (
         Window.partitionBy(*keys, "_b")

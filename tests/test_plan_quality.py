@@ -594,10 +594,10 @@ def test_auc_exact_has_no_corpus_sized_single_partition_window(spark):
     plan = _plan(workloads_r9.q_auc_scores(spark, SF))
     # the per-score running-negatives window MUST be partitioned by the
     # coarse bucket; SinglePartition exchanges are allowed only for the
-    # bounded pieces (1-row min/max cut aggregate + final aggregates,
-    # <=1024-row bucket-total window)
+    # bounded pieces (1-row min/max cut aggregate + final aggregates +
+    # the <=65536-row cell-histogram windows that equalize the buckets)
     assert "windowspecdefinition(_b" in plan
-    assert plan.count("Exchange SinglePartition") <= 4
+    assert plan.count("Exchange SinglePartition") <= 6
     assert "BatchEvalPython" not in plan
     # the corpus is scanned once: branches reuse the checkpointed
     # per-score table instead of re-deriving it
@@ -664,9 +664,9 @@ def test_spearman_has_no_single_partition_rank_funnel(spark):
     # the two-level prefix-sum contract: NO SinglePartition exchange
     # anywhere (a naive per-group rank window would funnel a third of
     # the corpus through one task — l_returnflag has 3 values), and
-    # EVERY window's first two spec args are (group, bucket): the
-    # level-1 windows are (partition g, ORDER BY _b) over the bounded
-    # bucket-total table, the level-2 windows (partition g,_b, order
+    # EVERY window's first two spec args are (group, cell-or-bucket):
+    # the histogram windows are (partition g, ORDER BY _cell) over the
+    # bounded cell table, the level-2 windows (partition g,_b, order
     # value). A reverted per-group corpus rank would instead show
     # windowspecdefinition(g#, <value col># ...) — caught here.
     import re
@@ -676,9 +676,10 @@ def test_spearman_has_no_single_partition_rank_funnel(spark):
     assert specs, "no windows found — pin is vacuous"
     for first_arg, second_arg in specs:
         assert first_arg == "g", f"window not partitioned by group: {first_arg}"
-        assert second_arg == "_b", (
-            f"window's second spec arg is {second_arg}, not the coarse "
-            "bucket — a per-group corpus-sized rank window has returned"
+        assert second_arg in ("_b", "_cell"), (
+            f"window's second spec arg is {second_arg}, not a bounded "
+            "cell/bucket key — a per-group corpus-sized rank window has "
+            "returned"
         )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
