@@ -174,8 +174,8 @@ def prefix_count_below(
 
     ``counts`` must hold one row per (keys, val) — value-domain
     compressed — and must not use column names starting with ``_``
-    (``_cell``/``_hc``/``_cum_before``/``_tot``/``_b``/``_lo``/``_hi``/
-    ``_before_b`` are internal).
+    (``_cell``/``_hc``/``_hn``/``_cum_before``/``_cum_n``/``_tot_n``/
+    ``_b``/``_lo``/``_hi``/``_before_b`` are internal).
     Rows with NULL keys or a NULL value are EXCLUDED here, actively:
     a NULL value would otherwise land in bucket 0 (isnan(NULL) is
     false and greatest() skips NULLs), sort NULLS FIRST, and inflate
@@ -216,10 +216,12 @@ def prefix_count_below(
     Bucket boundaries only affect PARTITIONING, never the result:
     u is strictly increasing in v, the clamped floor is monotone
     non-decreasing even under float roundoff, cumulative counts are
-    monotone in the cell index, NaN — which Spark orders ABOVE every
-    double — is pinned to the top cell, and a ±Infinity value degrades
-    to one correct (if unbalanced) cell. The prefix sums are exact
-    wherever the cuts land.
+    monotone in the cell index, and the non-finite values get explicit
+    edge cells in Spark's double order (-Inf → cell 0; +Inf and NaN →
+    the top cell, where the within-cell sort orders them) — they are
+    also EXCLUDED from the min/max so one Inf cannot make the span
+    infinite and collapse every finite value into cell 0. The prefix
+    sums are exact wherever the cuts land.
     """
     n_cells = 65536
     for k in keys:
@@ -227,9 +229,13 @@ def prefix_count_below(
     counts = counts.where(F.col(val_col).isNotNull())
     vd = F.col(val_col).cast("double")
     u = F.signum(vd) * F.log1p(F.abs(vd))
-    # NaN excluded from the range so its presence cannot poison the
-    # min/max into NaN and collapse every cell
-    finite_u = F.when(~F.isnan(vd), u)
+    # NaN AND +/-Infinity excluded from the range: a NaN would poison
+    # the min/max into NaN, and an Infinity would make span infinite —
+    # every finite value then maps to cell 0 and the whole grid
+    # collapses into one bucket (confirmed in review); both get
+    # explicit edge cells below instead
+    inf = float("inf")
+    finite_u = F.when(~F.isnan(vd) & (vd > -inf) & (vd < inf), u)
     rng = (
         counts.groupBy(*keys).agg(
             F.min(finite_u).alias("_lo"), F.max(finite_u).alias("_hi")
@@ -239,10 +245,14 @@ def prefix_count_below(
     )
     span = F.col("_hi") - F.col("_lo")
     cell = (
-        # Spark orders NaN ABOVE every double: NaN must take the TOP
-        # cell explicitly ((NaN-lo)/width is NaN and floor(NaN) would
-        # clamp it into cell 0, under-counting everything above it)
-        F.when(F.isnan(vd), F.lit(n_cells - 1))
+        # explicit edge cells, ordered like Spark orders doubles
+        # (-inf < finite < +inf < NaN): floor() must never see a
+        # non-finite argument — (NaN-lo)/width is NaN (would land in
+        # cell 0, under-counting everything above it) and floor(inf)
+        # overflows the LONG cast under ANSI. +inf and NaN share the
+        # top cell; the within-cell window orders them correctly.
+        F.when(F.isnan(vd) | (vd == inf), F.lit(n_cells - 1))
+        .when(vd == -inf, F.lit(0))
         .when(
             span > 0,
             F.least(
@@ -332,18 +342,17 @@ def auc_exact(
     Scale shape: ONE groupBy collapses the corpus to per-distinct-score
     (n_pos, n_neg) counts (value-domain compression, same trick as the
     exact weighted median); the running negative-count below each score
-    then comes from a TWO-LEVEL distributed prefix sum — scores are
-    range-bucketed into <= ``coarse_buckets`` monotone buckets, the
-    within-bucket windows run partitioned (parallel), and the only
-    unpartitioned window runs over the <= ``coarse_buckets``-row bucket
-    totals. No corpus-sized single-partition sort exists for ANY score
-    cardinality (an all-distinct score column — the common case for
-    real-valued model scores — compresses nothing, so a plain global
-    window would funnel the corpus through one task). Bucket boundaries
-    only affect partitioning, never the result: floor((s-lo)/width) is
-    monotone in s even under float roundoff, and the prefix sums are
-    exact regardless of where the cuts land. Never a pos x neg pair
-    join.
+    then comes from ``prefix_count_below``'s two-level distributed
+    prefix sum — scores map to deterministic count-equalized monotone
+    buckets (see that docstring for the cell-histogram construction and
+    its balance bound), the within-bucket windows run partitioned
+    (parallel), and the only unpartitioned windows run over the bounded
+    <= 65536-row cell-histogram table. No corpus-sized single-partition
+    sort exists for ANY score cardinality (an all-distinct score column
+    — the common case for real-valued model scores — compresses
+    nothing, so a plain global window would funnel the corpus through
+    one task). Bucket boundaries only affect partitioning, never the
+    result. Never a pos x neg pair join.
 
     Exactness: counts are integers; the 2U accumulation runs in
     DECIMAL(38,0) (2U <= 2*n_pos*n_neg overflows int64 past ~3e9
@@ -422,18 +431,17 @@ def spearman_by_group(
     groupBy collapses the corpus to per-(group, x, y) joint counts
     (value-domain compression); each column's doubled average rank
     2*avgrank = 2*|<v| + |=v| + 1 depends only on the per-(group,
-    value) marginal counts, and the running |<v| comes from a
-    TWO-LEVEL distributed prefix sum — values are range-bucketed into
-    <= ``coarse_buckets`` monotone buckets per group, the within-
-    bucket windows run partitioned by (group, bucket) (parallel), and
-    the only coarser window runs over the <= groups x buckets bucket-
-    total table. A naive Window.partitionBy(group) rank would funnel
-    each group through ONE task — with few groups (this gate's
-    l_returnflag has 3) that is a single-node sort of a third of the
-    corpus, not a distributed plan. Bucket boundaries only affect
-    partitioning, never the result: floor((v-lo)/width) is monotone in
-    v even under float roundoff, and the prefix sums are exact
-    regardless of where the cuts land.
+    value) marginal counts, and the running |<v| comes from
+    ``prefix_count_below``'s two-level distributed prefix sum — values
+    map to deterministic count-equalized monotone buckets per group
+    (see that docstring for the cell-histogram construction and its
+    balance bound), the within-bucket windows run partitioned by
+    (group, bucket) (parallel), and the coarser windows run over the
+    bounded per-group cell-histogram table. A naive
+    Window.partitionBy(group) rank would funnel each group through ONE
+    task — with few groups (this gate's l_returnflag has 3) that is a
+    single-node sort of a third of the corpus, not a distributed plan.
+    Bucket boundaries only affect partitioning, never the result.
 
     Exactness: doubled average ranks are INTEGERS for every tie
     pattern, and their row-weighted sum per group is identically

@@ -681,6 +681,17 @@ def test_spearman_has_no_single_partition_rank_funnel(spark):
             "cell/bucket key — a per-group corpus-sized rank window has "
             "returned"
         )
+    # the order-less whole-partition windows (no attribute after the
+    # partition key, so the regex above skips them) are allowed only
+    # for the two marginal histograms' per-group totals over the
+    # BOUNDED cell table — a corpus-sized partition-only window would
+    # bump this count with every other assertion still green
+    no_order = re.findall(r"windowspecdefinition\(g#\d+L?, specifiedwindowframe", plan)
+    assert len(no_order) <= 4, (
+        f"{len(no_order)} order-less per-group windows (expected <=4: "
+        "one bounded cell-table total per marginal, each appearing in "
+        "both consumers of its cellmap subtree)"
+    )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
