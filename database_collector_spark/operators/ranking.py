@@ -254,7 +254,11 @@ def prefix_count_below(
         F.when(F.isnan(vd) | (vd == inf), F.lit(n_cells - 1))
         .when(vd == -inf, F.lit(0))
         .when(
-            span > 0,
+            # guard the WIDTH, not the span: a denormal-scale span can
+            # satisfy span > 0 while span/n_cells underflows to 0.0,
+            # and (u-lo)/0.0 would put Inf (or 0/0 NaN) back inside
+            # floor — the degenerate one-cell fallback is exact anyway
+            span / n_cells > 0,
             F.least(
                 F.lit(n_cells - 1),
                 F.greatest(
@@ -385,9 +389,9 @@ def auc_exact(
         .localCheckpoint(eager=False)
     )
     # running negatives strictly below each score: the shared two-level
-    # prefix sum (deterministic magnitude-log buckets; the only
-    # unpartitioned window is over the <= coarse_buckets-row
-    # bucket-total table)
+    # prefix sum (deterministic count-equalized buckets; the only
+    # unpartitioned windows run over the bounded <= 65536-row
+    # cell-histogram table)
     below = prefix_count_below(
         per_score, [], "s", "neg", coarse_buckets=coarse_buckets, out_col="neg_below"
     )

@@ -164,9 +164,10 @@ def test_prefix_count_below_matches_brute_force_with_outliers(spark):
     rng = random.Random(7)
     rows = []
     for g in ("a", "b"):
-        # duplicate-heavy bulk, huge outliers both sides, and a NaN
+        # duplicate-heavy bulk, huge outliers both sides, the full
+        # non-finite set (the explicit edge-cell branches), and NaN
         vals = [float(rng.randint(0, 1500)) for _ in range(2500)]
-        vals += [1e300, -1e300, float("nan")]
+        vals += [1e300, -1e300, float("inf"), float("-inf"), float("nan")]
         for v in vals:
             rows.append((g, v))
     counts: dict[tuple[str, float], int] = {}
