@@ -243,7 +243,12 @@ def prefix_count_below(
         if keys
         else counts.agg(F.min(finite_u).alias("_lo"), F.max(finite_u).alias("_hi"))
     )
-    span = F.col("_hi") - F.col("_lo")
+    # ONE width binding shared by guard and divisor — the guard's
+    # soundness is that it tests the IDENTICAL expression floor divides
+    # by: a denormal-scale span can satisfy span > 0 while the width
+    # underflows to 0.0, and (u-lo)/0.0 would put Inf (or 0/0 NaN)
+    # inside floor — the degenerate one-cell fallback is exact anyway
+    width = (F.col("_hi") - F.col("_lo")) / n_cells
     cell = (
         # explicit edge cells, ordered like Spark orders doubles
         # (-inf < finite < +inf < NaN): floor() must never see a
@@ -254,16 +259,12 @@ def prefix_count_below(
         F.when(F.isnan(vd) | (vd == inf), F.lit(n_cells - 1))
         .when(vd == -inf, F.lit(0))
         .when(
-            # guard the WIDTH, not the span: a denormal-scale span can
-            # satisfy span > 0 while span/n_cells underflows to 0.0,
-            # and (u-lo)/0.0 would put Inf (or 0/0 NaN) back inside
-            # floor — the degenerate one-cell fallback is exact anyway
-            span / n_cells > 0,
+            width > 0,
             F.least(
                 F.lit(n_cells - 1),
                 F.greatest(
                     F.lit(0),
-                    F.floor((u - F.col("_lo")) / (span / n_cells)),
+                    F.floor((u - F.col("_lo")) / width),
                 ),
             ),
         )

@@ -222,3 +222,19 @@ def test_prefix_count_below_excludes_null_rows_actively(spark):
         for r in prefix_count_below(df, ["g"], "v", "c", coarse_buckets=4).collect()
     }
     assert got == {("a", 1.0): 0, ("a", 2.0): 5}
+
+
+def test_prefix_count_below_denormal_span_degenerates_exactly(spark):
+    """A value domain whose u-space span underflows the cell width
+    (span/65536 -> 0.0 for denormal-scale spans) must fall back to the
+    exact one-cell degenerate instead of feeding Inf/NaN into floor
+    (an ANSI long-cast overflow) — the width-guard fix."""
+    from database_collector_spark.operators.ranking import prefix_count_below
+
+    vals = {0.0: 3, 5e-324: 2, 1e-320: 4}
+    df = spark.createDataFrame(list(vals.items()), "v double, c long")
+    got = {
+        r["v"]: r["below"]
+        for r in prefix_count_below(df, [], "v", "c", coarse_buckets=8).collect()
+    }
+    assert got == {0.0: 0, 5e-324: 3, 1e-320: 5}
