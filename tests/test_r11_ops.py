@@ -415,3 +415,53 @@ def test_cross_source_matrix_is_consistent_with_pair_list(spark):
         by_cell.setdefault(cell, set()).update((p["doc_a"], p["doc_b"]))
     got = {(r["src_lo"], r["src_hi"]): (r["pair_count"], r["docs_involved"]) for r in cells}
     assert got == {c: (cnt[c], len(ds)) for c, ds in by_cell.items()}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+            st.integers(-50, 50),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_spearman_by_group_property(spark, data):
+    """Random multi-group frames — negatives (the signum/log1p path),
+    duplicate-heavy integer y (ties), uneven group sizes — must match
+    the exact Fraction-arithmetic reference per group; groups with a
+    constant column yield NULL."""
+    import math
+
+    from database_collector_spark.operators.ranking import spearman_by_group
+
+    df = spark.createDataFrame(
+        [(g, x, float(y)) for g, x, y in data], "g string, x double, y double"
+    )
+    got = {
+        r["g"]: (r["n"], r["spearman"])
+        for r in spearman_by_group(df, "g", "x", "y").collect()
+    }
+    by_g: dict[str, list[tuple[float, float]]] = {}
+    for g, x, y in data:
+        by_g.setdefault(g, []).append((x, float(y)))
+    assert set(got) == set(by_g)
+    for g, pts in by_g.items():
+        n, rho = got[g]
+        assert n == len(pts)
+        ref = _py_spearman([p[0] for p in pts], [p[1] for p in pts])
+        if ref is None:
+            assert rho is None, (g, rho)
+        else:
+            assert rho is not None and math.isclose(
+                rho, ref, rel_tol=0, abs_tol=5e-7
+            ), (g, rho, ref)
