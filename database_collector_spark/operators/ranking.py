@@ -531,3 +531,75 @@ def spearman_by_group(
             ),
         ).alias("spearman"),
     )
+
+
+def auc_by_group(
+    scored: DataFrame,
+    group_col: str,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    coarse_buckets: int = 1024,
+) -> DataFrame:
+    """Exact ROC AUC per group — the evaluation every per-language /
+    per-source classifier audit actually asks for ("is the quality
+    model as good on 'fr' as on 'en'?"), at corpus scale even when the
+    group count is tiny. The keyed twin of ``auc_exact``, riding the
+    same shared machinery: value-domain compression to per-(group,
+    score) counts, the running negatives-below from
+    ``prefix_count_below(keys=[group])`` (deterministic count-equalized
+    buckets; no per-group single-partition sort), DECIMAL(38,0) 2U
+    accumulation, one double division rounded to 6.
+
+    NULL group/score/label rows are EXCLUDED (the auc_exact contract
+    plus the helper's key contract); single-class groups emit NULL auc,
+    fail-soft. Output: one row per group (group_col, n_pos, n_neg,
+    auc). The low-cardinality-keys broadcast contract of
+    ``prefix_count_below`` applies: for thousands of groups use a
+    plain per-group window instead — the groups themselves then supply
+    the parallelism.
+    """
+    lab = F.col(label_col).cast("int")
+    base = scored.select(
+        F.col(group_col).alias("g"),
+        F.col(score_col).alias("s"),
+        lab.alias("y"),
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
+    per_score = (
+        base.groupBy("g", "s")
+        .agg(
+            F.count(F.when(F.col("y") == 1, 1)).alias("pos"),
+            F.count(F.when(F.col("y") == 0, 1)).alias("neg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    below = prefix_count_below(
+        per_score, ["g"], "s", "neg", coarse_buckets=coarse_buckets,
+        out_col="neg_below",
+    )
+    dec = "decimal(38,0)"
+    u2 = below.select(
+        "g",
+        "pos",
+        "neg",
+        (
+            F.col("pos").cast(dec)
+            * (2 * F.col("neg_below") + F.col("neg")).cast(dec)
+        ).alias("u2_term"),
+    )
+    return u2.groupBy("g").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.when(
+            (F.sum("pos") > 0) & (F.sum("neg") > 0),
+            F.round(
+                F.sum("u2_term").cast("double")
+                / (2.0 * F.sum("pos") * F.sum("neg")),
+                6,
+            ),
+        ).alias("auc"),
+    ).withColumnRenamed("g", group_col)

@@ -716,3 +716,23 @@ def test_bloom_probe_broadcasts_the_word_table(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_auc_by_group_stays_keyed_and_jvm_side(spark):
+    from database_collector_spark.operators.ranking import auc_by_group
+    from database_collector_spark.workloads import _t
+
+    docs = _t(spark, SF, "documents")
+    from pyspark.sql import functions as F
+
+    scored = docs.select(
+        "lang",
+        (F.length("text") % 100).alias("score"),
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    plan = _plan(auc_by_group(scored, "lang"))
+    # the keyed twin of auc_exact: no single-partition funnel (every
+    # window keyed by group), no Python, no cartesian
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

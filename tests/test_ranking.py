@@ -238,3 +238,39 @@ def test_prefix_count_below_denormal_span_degenerates_exactly(spark):
         for r in prefix_count_below(df, [], "v", "c", coarse_buckets=8).collect()
     }
     assert got == {0.0: 0, 5e-324: 3, 1e-320: 5}
+
+
+def test_auc_by_group_matches_per_group_reference(spark):
+    """Grouped exact AUC (the per-language classifier audit): each
+    group's value must equal the pair-loop reference on that group
+    alone; a single-class group yields NULL; NULL group rows are
+    excluded."""
+    import random
+
+    from database_collector_spark.operators.ranking import auc_by_group
+
+    rng = random.Random(13)
+    rows = []
+    per_g: dict[str, list[tuple[int, int]]] = {}
+    for g in ("en", "fr", "de"):
+        pairs = [(rng.randint(0, 15), rng.randint(0, 1)) for _ in range(150)]
+        per_g[g] = pairs
+        rows += [(g, s, y) for s, y in pairs]
+    per_g["zz"] = [(5, 1), (7, 1)]  # single-class -> NULL
+    rows += [("zz", s, y) for s, y in per_g["zz"]]
+    rows += [(None, 3, 0)]  # NULL group -> excluded
+    df = spark.createDataFrame(rows, "lang string, score int, label int")
+    got = {
+        r["lang"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in auc_by_group(df, "lang").collect()
+    }
+    assert set(got) == set(per_g)
+    for g, pairs in per_g.items():
+        n_pos = sum(1 for _, y in pairs if y == 1)
+        n_neg = len(pairs) - n_pos
+        ref = _auc_ref(pairs)
+        assert got[g][:2] == (n_pos, n_neg)
+        if ref is None:
+            assert got[g][2] is None
+        else:
+            assert abs(got[g][2] - round(ref, 6)) < 1e-9, g
