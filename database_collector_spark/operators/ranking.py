@@ -374,30 +374,38 @@ def auc_exact(
     base = scored.select(F.col(score_col).alias("s"), lab.alias("y")).where(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     )
-    # localCheckpoint: three downstream branches (min/max range, bucket
-    # totals, the U accumulation) reference this table — without the
+    return _auc_core(base, [], coarse_buckets)
+
+
+def _auc_core(base, keys: list[str], coarse_buckets: int) -> DataFrame:
+    """The ONE Mann-Whitney pipeline behind ``auc_exact`` (keys=[]) and
+    ``auc_by_group`` (keys=[group]) — the overflow/exactness discipline
+    lives here exactly once. ``base`` is (keys..., s, y) with NULLs
+    already excluded by the caller's documented contract."""
+    # localCheckpoint: three downstream branches (cut range, cell
+    # histogram, the U accumulation) reference this table — without the
     # checkpoint each branch re-derives it from a full corpus scan
     # (4 scans at 100 TB); the materialized form is the narrow
-    # compressed table (3 columns, |distinct scores| rows)
+    # compressed table (|distinct (keys, score)| rows). Lazy: building
+    # the plan must not itself run a job.
     per_score = (
-        base.groupBy("s")
+        base.groupBy(*keys, "s")
         .agg(
             F.count(F.when(F.col("y") == 1, 1)).alias("pos"),
             F.count(F.when(F.col("y") == 0, 1)).alias("neg"),
         )
-        # lazy: materializes on the first action (building the plan
-        # must not itself run a job), then every branch reuses it
         .localCheckpoint(eager=False)
     )
     # running negatives strictly below each score: the shared two-level
-    # prefix sum (deterministic count-equalized buckets; the only
-    # unpartitioned windows run over the bounded <= 65536-row
-    # cell-histogram table)
+    # prefix sum (deterministic count-equalized buckets; the coarser
+    # windows run over the bounded cell-histogram table)
     below = prefix_count_below(
-        per_score, [], "s", "neg", coarse_buckets=coarse_buckets, out_col="neg_below"
+        per_score, keys, "s", "neg", coarse_buckets=coarse_buckets,
+        out_col="neg_below",
     )
     dec = "decimal(38,0)"
     u2 = below.select(
+        *keys,
         "pos",
         "neg",
         (
@@ -405,7 +413,7 @@ def auc_exact(
             * (2 * F.col("neg_below") + F.col("neg")).cast(dec)
         ).alias("u2_term"),
     )
-    return u2.agg(
+    return u2.groupBy(*keys).agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
         F.when(
@@ -569,37 +577,4 @@ def auc_by_group(
         & F.col(score_col).isNotNull()
         & F.col(label_col).isNotNull()
     )
-    per_score = (
-        base.groupBy("g", "s")
-        .agg(
-            F.count(F.when(F.col("y") == 1, 1)).alias("pos"),
-            F.count(F.when(F.col("y") == 0, 1)).alias("neg"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    below = prefix_count_below(
-        per_score, ["g"], "s", "neg", coarse_buckets=coarse_buckets,
-        out_col="neg_below",
-    )
-    dec = "decimal(38,0)"
-    u2 = below.select(
-        "g",
-        "pos",
-        "neg",
-        (
-            F.col("pos").cast(dec)
-            * (2 * F.col("neg_below") + F.col("neg")).cast(dec)
-        ).alias("u2_term"),
-    )
-    return u2.groupBy("g").agg(
-        F.sum("pos").cast("long").alias("n_pos"),
-        F.sum("neg").cast("long").alias("n_neg"),
-        F.when(
-            (F.sum("pos") > 0) & (F.sum("neg") > 0),
-            F.round(
-                F.sum("u2_term").cast("double")
-                / (2.0 * F.sum("pos") * F.sum("neg")),
-                6,
-            ),
-        ).alias("auc"),
-    ).withColumnRenamed("g", group_col)
+    return _auc_core(base, ["g"], coarse_buckets).withColumnRenamed("g", group_col)

@@ -259,6 +259,7 @@ def test_auc_by_group_matches_per_group_reference(spark):
     per_g["zz"] = [(5, 1), (7, 1)]  # single-class -> NULL
     rows += [("zz", s, y) for s, y in per_g["zz"]]
     rows += [(None, 3, 0)]  # NULL group -> excluded
+    rows += [("en", None, 1), ("fr", 3, None)]  # NULL score/label -> excluded
     df = spark.createDataFrame(rows, "lang string, score int, label int")
     got = {
         r["lang"]: (r["n_pos"], r["n_neg"], r["auc"])
@@ -274,3 +275,23 @@ def test_auc_by_group_matches_per_group_reference(spark):
             assert got[g][2] is None
         else:
             assert abs(got[g][2] - round(ref, 6)) < 1e-9, g
+
+
+def test_auc_by_group_all_distinct_scores(spark):
+    """The real-valued-model case per group: zero value-domain
+    compression in every group — the keyed prefix sum must still be
+    exact (the grouped twin of the auc_exact all-distinct property)."""
+    import random
+
+    from database_collector_spark.operators.ranking import auc_by_group
+
+    rng = random.Random(17)
+    per_g = {
+        g: [(rng.random(), rng.randint(0, 1)) for _ in range(120)]
+        for g in ("p", "q")
+    }
+    rows = [(g, s, y) for g, pairs in per_g.items() for s, y in pairs]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    got = {r["g"]: r["auc"] for r in auc_by_group(df, "g", coarse_buckets=16).collect()}
+    for g, pairs in per_g.items():
+        assert abs(got[g] - round(_auc_ref(pairs), 6)) < 1e-9, g
