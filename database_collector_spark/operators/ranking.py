@@ -164,6 +164,7 @@ def prefix_count_below(
     *,
     coarse_buckets: int = 1024,
     out_col: str = "below",
+    max_key_groups: int = 256,
 ) -> DataFrame:
     """Add ``out_col`` = total ``cnt_col`` over rows of the same
     ``keys`` with STRICTLY smaller ``val_col`` — the running-count
@@ -211,7 +212,14 @@ def prefix_count_below(
     helper is built for LOW-cardinality key domains (auc_exact: none;
     spearman_by_group: a handful of groups) — for high-cardinality
     grouped ranking use a plain per-group window instead, where the
-    groups themselves supply the parallelism.
+    groups themselves supply the parallelism. The contract is ENFORCED,
+    not docstring-only (r10 ADVICE): when ``keys`` is non-empty the key
+    domain is counted (early-stopped at ``max_key_groups`` + 1) before
+    anything is broadcast, and a domain above ``max_key_groups``
+    (default 256 — 256 keys x 65536 cells bounds the broadcast cell
+    map at ~16.8M rows) raises ValueError naming the per-group-window
+    alternative rather than silently building a driver-breaking
+    broadcast from a user-supplied group column.
 
     Bucket boundaries only affect PARTITIONING, never the result:
     u is strictly increasing in v, the clamped floor is monotone
@@ -243,6 +251,20 @@ def prefix_count_below(
         if keys
         else counts.agg(F.min(finite_u).alias("_lo"), F.max(finite_u).alias("_hi"))
     )
+    if keys:
+        # one aggregate job over the COMPRESSED frame, limit-bounded so
+        # a runaway domain stops scanning at the ceiling + 1
+        n_groups = rng.select(*keys).limit(max_key_groups + 1).count()
+        if n_groups > max_key_groups:
+            raise ValueError(
+                f"prefix_count_below: key domain exceeds {max_key_groups} "
+                f"groups — the broadcast cell map would hold up to "
+                f"|domain| x 65536 rows. Use a plain per-group window "
+                f"(Window.partitionBy(*keys).orderBy(val)) instead: with "
+                f"this many groups the groups themselves supply the "
+                f"parallelism. Raise max_key_groups only if the domain "
+                f"is genuinely bounded and the driver can hold the map."
+            )
     # ONE width binding shared by guard and divisor — the guard's
     # soundness is that it tests the IDENTICAL expression floor divides
     # by: a denormal-scale span can satisfy span > 0 while the width

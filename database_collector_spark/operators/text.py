@@ -12,7 +12,7 @@ rounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Per-language stopword lists for the n-gram/voting language heuristic.
@@ -698,7 +698,7 @@ def lang_id_confusion(docs: DataFrame) -> DataFrame:
 def dsir_logratio_weights(
     docs: DataFrame,
     *,
-    target_filter: str = "lang = 'en'",
+    target_filter: Column | str = "lang = 'en'",
     n_buckets: int = 1024,
     salt: str = "dsir",
 ) -> DataFrame:
@@ -733,14 +733,28 @@ def dsir_logratio_weights(
     re-scanned.
 
     Output: (doc_id, n_toks, is_target, log_w).
+
+    ``target_filter`` may be a ``Column`` predicate (preferred — no SQL
+    parsing) or a SQL expression string. The string form is TRUSTED
+    INPUT: it is parsed verbatim by ``F.expr`` and so executes whatever
+    expression the caller supplies, same contract as ``DataFrame.
+    filter(str)`` itself. Never interpolate user-controlled text into
+    it; pass a ``Column`` built from ``F.col``/literals instead (the
+    salt, by contrast, is identifier-checked because it is embedded in
+    a generated hash expression).
     """
     _check_clf_params(n_buckets, salt)
     bucket = (
         f"(CAST(conv(substring(md5(concat(term, ':', '{salt}')), 1, 8), 16, 10)"
         f" AS BIGINT) % {n_buckets})"
     )
+    is_target = (
+        target_filter
+        if isinstance(target_filter, Column)
+        else F.expr(f"({target_filter})")
+    )
     toks = (
-        docs.withColumn("is_target", F.expr(f"({target_filter})"))
+        docs.withColumn("is_target", is_target)
         .select(
             "doc_id",
             "is_target",

@@ -52,7 +52,6 @@ from database_collector_spark.operators import dedup, similarity, text
 from database_collector_spark.operators.merge import scd1_merge
 from database_collector_spark.operators.sketches import bloom_build, bloom_probe
 from database_collector_spark.workloads import _t
-from database_collector_spark.workloads_ext import _SHINGLE_POS_BOUND
 from database_collector_spark.workloads_r9 import _hv_sql
 from database_collector_spark.workloads_r10 import _artifact_dir
 
@@ -74,15 +73,22 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_substring_dedup(k: int = _SUBSTR_K) -> str:
-    span_txt = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    # Positions derive from each doc's own token count (r10 ADVICE: a
+    # fixed generate_series bound would silently truncate shingle sets
+    # for docs longer than the bound while the Spark side stays
+    # complete — the bound-free form matches the Spark semantics at any
+    # document length).
+    span_txt = " || ' ' || ".join(f"t[pos + {j}]" for j in range(k))
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
+ps0 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {k} + 1)) AS pos
+  FROM toks WHERE len(t) >= {k}
+),
 ps AS (
-  SELECT doc_id, i AS pos, md5({span_txt}) AS sh
-  FROM toks, (SELECT unnest(generate_series(1, {_SHINGLE_POS_BOUND})) AS i) ii
-  WHERE i <= len(t) - {k} + 1
+  SELECT doc_id, pos, md5({span_txt}) AS sh FROM ps0
 ),
 dup AS (
   SELECT sh FROM (

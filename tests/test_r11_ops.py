@@ -465,3 +465,27 @@ def test_spearman_by_group_property(spark, data):
             assert rho is not None and math.isclose(
                 rho, ref, rel_tol=0, abs_tol=5e-7
             ), (g, rho, ref)
+
+
+def test_dsir_accepts_column_predicate_as_target_filter(spark):
+    """target_filter takes a Column predicate (preferred, no SQL
+    parsing — r10 ADVICE trusted-input contract); Column and string
+    forms of the same predicate score identically."""
+    docs = [
+        (1, "hello world hello", "en"),
+        (2, "bonjour le monde monde", "fr"),
+        (3, "hello again world", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    via_str = {
+        r["doc_id"]: (r["is_target"], r["log_w"])
+        for r in text.dsir_logratio_weights(df, target_filter="lang = 'en'").collect()
+    }
+    via_col = {
+        r["doc_id"]: (r["is_target"], r["log_w"])
+        for r in text.dsir_logratio_weights(
+            df, target_filter=F.col("lang") == "en"
+        ).collect()
+    }
+    assert via_str == via_col
+    assert via_col[1][0] is True and via_col[2][0] is False

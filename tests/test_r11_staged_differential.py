@@ -95,11 +95,17 @@ def test_every_staged_gate_is_documented_and_window_headed():
     )
 
 
-def test_staged_names_do_not_shadow_registered_gates():
+def test_r11_cohort_is_fully_registered():
+    # the inverse of the pre-registration shadow check: since round 11
+    # every r11 name must resolve in the REGISTERED surface with the
+    # module's own callable/SQL (the _ordered merge must not have
+    # dropped or shadowed any)
     import __spark_entry__ as entrymod
 
-    overlap = set(workloads_r11.QUERIES_R11) & set(entrymod.queries())
-    assert not overlap, f"staged names shadow registered gates: {overlap}"
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    for name in workloads_r11.QUERIES_R11:
+        assert qs[name] is workloads_r11.QUERIES_R11[name], name
+        assert os_[name] == workloads_r11.ORACLES_R11[name], name
 
 
 def test_r11_registration_dry_run_composes(spark):

@@ -295,3 +295,23 @@ def test_auc_by_group_all_distinct_scores(spark):
     got = {r["g"]: r["auc"] for r in auc_by_group(df, "g", coarse_buckets=16).collect()}
     for g, pairs in per_g.items():
         assert abs(got[g] - round(_auc_ref(pairs), 6)) < 1e-9, g
+
+
+def test_prefix_count_below_rejects_high_cardinality_keys(spark):
+    """The low-cardinality-keys contract is enforced at runtime (r10
+    ADVICE): a user group column with more distinct keys than
+    max_key_groups must raise BEFORE any broadcast is built, with the
+    per-group-window alternative named — not blow the driver with a
+    |domain| x 65536-row broadcast map."""
+    import pytest
+
+    from database_collector_spark.operators.ranking import prefix_count_below
+
+    df = spark.range(40).selectExpr(
+        "cast(id as string) as g", "cast(id as double) as v", "1 as c"
+    )
+    with pytest.raises(ValueError, match="per-group window"):
+        prefix_count_below(df, ["g"], "v", "c", max_key_groups=8).collect()
+    # at exactly the ceiling it builds fine
+    ok = prefix_count_below(df, ["g"], "v", "c", max_key_groups=40).collect()
+    assert len(ok) == 40 and all(r["below"] == 0 for r in ok)
