@@ -600,3 +600,151 @@ def auc_by_group(
         & F.col(label_col).isNotNull()
     )
     return _auc_core(base, ["g"], coarse_buckets).withColumnRenamed("g", group_col)
+
+
+def calibration_curve(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    coarse_buckets: int = 1024,
+) -> DataFrame:
+    """Reliability / calibration curve of a binary scorer: percentile-
+    binned observed-positive rates — next to AUC, the evaluation a
+    quality classifier actually needs before its scores gate a corpus
+    ("when the model says 0.8, is it right 80% of the time?").
+
+    Bins are PERCENTILE bins with tie classes kept whole: every row
+    with the same score lands in the same bin via
+    bin = (rows with strictly smaller score) * n_bins div n_total —
+    integer arithmetic over exact counts, so the binning is engine-
+    deterministic with no per-row rank (a row_number percentile would
+    split ties by physical order). The strictly-below counts ride
+    ``prefix_count_below`` over the value-domain-COMPRESSED per-score
+    table — no corpus-sized single-partition window; the per-bin stats
+    are integer sums, one division over identical integers (exact in
+    any engine), and min/max of scores both engines computed
+    identically (order-independent aggregates).
+
+    NULL score/label rows are EXCLUDED (the auc_exact contract).
+    Output: one row per non-empty bin (bin, n_docs, n_pos, pos_rate,
+    lo_score, hi_score) — trailing bins can be empty when one tie
+    class spans several percentile widths.
+    """
+    base = scored.select(
+        F.col(score_col).alias("s"), F.col(label_col).cast("int").alias("y")
+    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    per = base.groupBy("s").agg(
+        F.count("*").alias("cnt"), F.sum("y").cast("long").alias("pos")
+    )
+    below = prefix_count_below(
+        per, [], "s", "cnt", coarse_buckets=coarse_buckets, out_col="below"
+    )
+    tot = per.agg(F.sum("cnt").alias("_n"))
+    binned = below.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "cnt",
+        "pos",
+        F.expr(f"(below * {n_bins}) div _n").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.sum("pos").alias("n_pos"),
+            F.round(F.min("s"), 6).alias("lo_score"),
+            F.round(F.max("s"), 6).alias("hi_score"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n_docs"), 6).alias("pos_rate"),
+            "lo_score",
+            "hi_score",
+        )
+    )
+
+
+def banded_kendall_tau(
+    df: DataFrame,
+    group_col: str,
+    *,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    band: int = 12,
+) -> DataFrame:
+    """Banded Kendall tau-b per group: concordance of (x, y) over pairs
+    limited to each sample and its next ``band`` successors in the
+    tie-free (x, id) order — the scale-honest variant of the same
+    O(n²)-pairs problem banded Theil-Sen solves (full Kendall is all
+    pairs; the band keeps it O(n·band) per group while retaining rank-
+    correlation semantics over the local ordering). Completes the
+    rank-stats tier next to spearman_by_group: Spearman correlates
+    global average ranks, tau-b counts pairwise order agreement with
+    the standard tie correction.
+
+    Over the banded pair set P: C/D = pairs where y strictly agrees/
+    disagrees with the (strict) x order, n1/n2 = pairs tied on x/on y,
+    n0 = |P|; tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)). All counts
+    are exact integers from one lead() expansion sharing ONE per-group
+    sort (x and y must be exact integer columns for cross-engine
+    parity); sqrt is IEEE correctly-rounded over an exact integer
+    product and the one division runs over identical operands, so
+    tau_b is engine-exact. Groups where every banded pair ties on x or
+    on y emit NULL tau_b, fail-soft.
+
+    Output: (group_col, n_pairs, concordant, discordant, tau_b).
+    Scale: one group-partitioned window (the groups supply the
+    parallelism), a band-wide in-row expansion, one keyed aggregate —
+    never a pair join.
+    """
+    w = Window.partitionBy(group_col).orderBy(x_col, id_col)
+    cols = [
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    ]
+    for k in range(1, band + 1):
+        cols.append(F.lead(x_col, k).over(w).alias(f"x{k}"))
+        cols.append(F.lead(y_col, k).over(w).alias(f"y{k}"))
+    led = df.select(*cols)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                (F.col(f"x{k}") - F.col("x")).alias("dx"),
+                (F.col(f"y{k}") - F.col("y")).alias("dy"),
+            )
+            for k in range(1, band + 1)
+        ]
+    )
+    pairs = (
+        led.select("g", F.explode(pair_structs).alias("p"))
+        .where(F.col("p.dx").isNotNull())
+        .select("g", "p.dx", "p.dy")
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    dx, dy = F.col("dx"), F.col("dy")
+    agg = pairs.groupBy("g").agg(
+        F.count("*").cast("long").alias("n0"),
+        cnt((dx > 0) & (dy > 0)).alias("c"),
+        cnt((dx > 0) & (dy < 0)).alias("d"),
+        cnt(dx == 0).alias("n1"),
+        cnt(dy == 0).alias("n2"),
+    )
+    denom_sq = (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            F.when(
+                denom_sq > 0,
+                (F.col("c") - F.col("d")) / F.sqrt(denom_sq.cast("double")),
+            ),
+            6,
+        ).alias("tau_b"),
+    )

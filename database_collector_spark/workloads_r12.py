@@ -1,0 +1,481 @@
+"""Round-12 STAGED gates — NOT imported by __spark_entry__ until the
+r12 registration round (the staging pattern: pre-verified oracles enter
+the driver window as a two-line diff, keeping every new gate inside the
+50-entry correctness window the round it registers).
+
+The cohort — the r10-verdict r12 shortlist, completing the classifier-
+evaluation and rank-stats tiers and hash-checking the governance
+COMPOSITION (not just its stages):
+
+- ``auc_by_group`` — exact per-language ROC AUC of the shared-LCG
+  hyperplane scorer (operators/ranking.py::auc_by_group, the keyed twin
+  of auc_exact riding the same prefix_count_below core; the operator
+  shipped in r10, this adds its oracle-paired gate).
+- ``calibration_curve`` — reliability curve of the hashed quality
+  classifier vs the embedding label: percentile-binned observed
+  positive rates with tie classes kept whole, all-integer bin
+  assignment (operators/ranking.py::calibration_curve).
+- ``kendall_tau_banded`` — banded Kendall tau-b per user over
+  (timestamp, value-cents) events: pairwise order concordance with the
+  standard tie correction, pairs bounded to each sample's next 12
+  successors — the theil_sen banding applied to rank correlation
+  (operators/ranking.py::banded_kendall_tau).
+- ``source_governance`` — the examples/source_governance.py triage
+  chain as ONE gate: verified MinHash-LSH mirror partners + per-source
+  relative percentile floor + DSIR target-likeness + Hamilton token
+  quotas over the SURVIVORS, one row per source — the composition is
+  what a 100 TB ingest actually runs, so the composition is what gets
+  hash-checked.
+
+Reference parity: the reference (truemark/database-collector) has no
+analytics engine of its own — its main loop
+(collector/cmd/collector/database-collector.go) delegates queries to
+pinned exporters; this tier extends the beyond-reference LLM-pipeline
+surface the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_collector_spark import curation
+from database_collector_spark.operators import dedup, ranking, similarity, text
+from database_collector_spark.workloads import _t
+from database_collector_spark.workloads_ext import sql_minhash_lsh_ctes
+from database_collector_spark.workloads_r9 import SQL_QUALITY_CLASSIFIER, _hv_sql
+
+
+# --------------------------------------------------------- grouped exact AUC
+
+
+def q_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC per language of the fixed integer hyperplane
+    scorer (the auc_scores scorer — shared-LCG plane, exact integer dot
+    product over quantized embeddings) against label >= 5, grouped by
+    the document's lang via the 1:1 vec_id = doc_id join
+    (operators/ranking.py::auc_by_group — the shared keyed prefix-sum
+    core, no per-group single-partition sort; 5 language groups is
+    exactly the few-groups shape the core exists for)."""
+    plane = similarity.hyperplanes_int(1, dim=64, seed=5)[0]
+    emb = similarity.with_quantized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    arr = "array(" + ",".join(str(c) for c in plane) + ")"
+    score = F.expr(
+        f"aggregate(zip_with(qe, {arr}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    lang = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    scored = emb.join(lang, "vec_id").select(
+        "lang",
+        score.alias("score"),
+        (F.col("label") >= 5).cast("int").alias("label"),
+    )
+    return ranking.auc_by_group(scored, "lang").orderBy("lang")
+
+
+def _sql_auc_by_group() -> str:
+    plane = similarity.hyperplanes_int(1, dim=64, seed=5)[0]
+    dot = " + ".join(f"({c} * qe[{i + 1}])" for i, c in enumerate(plane))
+    return f"""
+WITH q AS (
+  SELECT d.lang,
+         list_transform(e.embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe,
+         CASE WHEN e.label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE e.label IS NOT NULL AND d.lang IS NOT NULL
+),
+sc AS (SELECT lang, CAST({dot} AS BIGINT) AS s, y FROM q WHERE qe IS NOT NULL),
+per AS (
+  SELECT lang, s, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg
+  FROM sc GROUP BY lang, s
+),
+u AS (
+  SELECT lang, pos, neg,
+         pos * (2 * COALESCE(SUM(neg) OVER (PARTITION BY lang ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + neg)
+           AS u2_term
+  FROM per
+)
+SELECT lang, CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+         round(SUM(u2_term) / (2.0 * SUM(pos) * SUM(neg)), 6) END AS auc
+FROM u GROUP BY lang ORDER BY lang
+"""
+
+
+SQL_AUC_BY_GROUP = _sql_auc_by_group()
+
+
+# -------------------------------------------------------- calibration curve
+
+_CAL_BINS = 10
+
+
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve of the hashed quality classifier
+    (workloads_r9's fastText-shape linear gate) against the embedding
+    label >= 5: percentile bins with tie classes kept whole, observed
+    positive rate per bin (operators/ranking.py::calibration_curve —
+    prefix_count_below over the compressed score domain, all-integer
+    bin assignment, one exact integer division per bin). The score is
+    logit_milli / (1000·n_feats): ONE division over identical exact
+    integers, engine-equal without any decimal detour."""
+    docs = _t(spark, sf_dir, "documents")
+    clf = (
+        text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
+        .where(F.col("n_feats") > 0)
+        # the classifier emits its own keep/drop `label` — project it
+        # away before joining the ground-truth label in
+        .select("doc_id", "n_feats", "logit_milli")
+    )
+    lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    scored = clf.join(lab, "doc_id").select(
+        (F.col("logit_milli") / (F.lit(1000.0) * F.col("n_feats"))).alias("score"),
+        F.col("y").alias("truth"),
+    )
+    return ranking.calibration_curve(
+        scored, label_col="truth", n_bins=_CAL_BINS
+    ).orderBy("bin")
+
+
+SQL_CALIBRATION_CURVE = f"""
+WITH clf AS MATERIALIZED (
+  SELECT doc_id, n_feats, logit_milli
+  FROM ({SQL_QUALITY_CLASSIFIER}) q WHERE n_feats > 0
+),
+sc AS (
+  SELECT c.logit_milli / (1000.0 * c.n_feats) AS s,
+         CASE WHEN e.label >= 5 THEN 1 ELSE 0 END AS y
+  FROM clf c JOIN embeddings e ON e.vec_id = c.doc_id
+  WHERE e.label IS NOT NULL
+),
+per AS (
+  SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM sc GROUP BY s
+),
+tot AS (SELECT SUM(cnt) AS n FROM per),
+wb AS (
+  SELECT s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per
+)
+SELECT CAST((below * {_CAL_BINS}) // n AS BIGINT) AS bin,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       round(CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS pos_rate,
+       round(MIN(s), 6) AS lo_score,
+       round(MAX(s), 6) AS hi_score
+FROM wb, tot GROUP BY 1 ORDER BY bin
+"""
+
+
+# ------------------------------------------------------ banded Kendall tau-b
+
+_KT_BAND = 12
+
+
+def q_kendall_tau_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Kendall tau-b per user over the event stream — does value
+    trend with time, counted as pairwise order concordance with the
+    standard tie correction, pairs bounded to each sample's next 12
+    successors in (ts, event_id) order (operators/ranking.py::
+    banded_kendall_tau — the theil_sen banding applied to rank
+    correlation; one per-user window, an in-row band expansion, one
+    keyed aggregate, never a pair join). Inputs are exact integers
+    (unix seconds, value cents), so every count is exact and tau_b is
+    one division over identical operands."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return ranking.banded_kendall_tau(
+        ev, "user_id", x_col="s", y_col="v", id_col="event_id", band=_KT_BAND
+    ).orderBy("user_id")
+
+
+def _sql_kendall_tau(band: int = _KT_BAND) -> str:
+    leads = ",\n         ".join(
+        f"LEAD(s, {k}) OVER w AS s{k}, LEAD(v, {k}) OVER w AS v{k}"
+        for k in range(1, band + 1)
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT user_id, s{k} - s AS dx, v{k} - v AS dy FROM led"
+        f" WHERE s{k} IS NOT NULL"
+        for k in range(1, band + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+led AS MATERIALIZED (
+  SELECT user_id, s, v,
+         {leads}
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+pairs AS (
+  {unions}
+),
+agg AS (
+  SELECT user_id,
+         COUNT(*) AS n0,
+         SUM(CASE WHEN dx > 0 AND dy > 0 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN dx > 0 AND dy < 0 THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS n2
+  FROM pairs GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n0 AS BIGINT) AS n_pairs,
+       CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       CASE WHEN (n0 - n1) * (n0 - n2) > 0 THEN
+         round((c - d) / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 6)
+       END AS tau_b
+FROM agg ORDER BY user_id
+"""
+
+
+SQL_KENDALL_TAU_BANDED = _sql_kendall_tau()
+
+
+# ------------------------------------------------- source governance report
+
+_GOV_CUT = 0.40
+_GOV_BUDGET = 1_000_000
+_DSIR_B = 1024
+
+
+def q_source_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The examples/source_governance.py triage chain as ONE hash-
+    checked composition — per source: mirror partners from verified
+    MinHash-LSH pairs, survivors of the per-source relative percentile
+    floor (cut 0.40 on the exact integer token count), DSIR target-
+    likeness (mean per-token log-weight, target lang='en'), and the
+    Hamilton integer token quota apportioned over the SURVIVORS' token
+    counts — quotas sum to the budget exactly. Each stage is the same
+    public operator its standalone gate checks
+    (cross_source_dup_matrix, source_percentile_filter, dsir_weights,
+    token_budget_alloc); this gate pins the COMPOSITION, where a
+    column-contract drift between stages would hide from the
+    per-stage gates.
+
+    Exactness: counts, kept-token sums and quotas are all-integer;
+    dsir_like divides each doc's 4-rounded log_w by its exact integer
+    token count (identical operands both engines) and rounds the
+    per-source mean to 3 — the sub-ulp association-order residue of the
+    double sum sits ~6 orders below the rounding step (the dsir_weights
+    accepted class, one round coarser)."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+
+    # mirror partners: verified near-dup pairs attached to sources;
+    # partners = distinct OTHER sources sharing >= 1 verified pair
+    pairs = dedup.minhash_lsh_dedup(docs)
+    attached = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("sa").alias("source"), F.col("sb").alias("partner")),
+                    F.struct(F.col("sb").alias("source"), F.col("sa").alias("partner")),
+                )
+            ).alias("e")
+        )
+        .select("e.source", "e.partner")
+    )
+    partners = attached.groupBy("source").agg(
+        F.countDistinct("partner").alias("dup_partners")
+    )
+
+    # per-source relative floor on the exact integer token count
+    score = F.coalesce(
+        F.size(F.expr("filter(split(text, ' '), t -> t <> '')")), F.lit(0)
+    ).cast("long")
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    kept = curation.relative_percentile_filter(scored, cut=_GOV_CUT)
+    per_src = scored.groupBy("source").agg(F.count("*").alias("n_docs"))
+    kept_src = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("score").alias("kept_tokens")
+    )
+
+    # DSIR target-likeness: mean per-token log-weight by source
+    dsir = text.dsir_logratio_weights(docs).select("doc_id", "n_toks", "log_w")
+    likeness = (
+        src.join(dsir, "doc_id")
+        .where(F.col("n_toks") > 0)
+        .groupBy("source")
+        .agg(F.round(F.avg(F.col("log_w") / F.col("n_toks")), 3).alias("dsir_like"))
+    )
+
+    # Hamilton quotas over the SURVIVORS' token counts
+    quotas = curation.token_budget_allocation(
+        kept_src.select("source", F.col("kept_tokens").alias("n_toks")), _GOV_BUDGET
+    ).select("source", "quota")
+
+    return (
+        per_src.join(kept_src, "source")
+        .join(partners, "source", "left")
+        .join(likeness, "source", "left")
+        .join(quotas, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "kept_tokens",
+            F.coalesce(F.col("dup_partners"), F.lit(0)).cast("long").alias(
+                "dup_partners"
+            ),
+            "dsir_like",
+            F.coalesce(F.col("quota"), F.lit(0)).cast("long").alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
+# The oracle composes the four stage oracles' CTE chains verbatim-in-
+# shape (minhash pairs -> partner rollup; cume_dist floor; DSIR model;
+# Hamilton remainder ranking). MATERIALIZED where a CTE feeds multiple
+# downstream chains (the BPE/k-core CTE-explosion class).
+SQL_SOURCE_GOVERNANCE = f"""
+WITH {sql_minhash_lsh_ctes()},
+srcmap AS MATERIALIZED (SELECT doc_id, source FROM documents),
+partner_edges AS (
+  SELECT sa.source AS source, sb.source AS partner
+  FROM pairs p
+  JOIN srcmap sa ON sa.doc_id = p.doc_a
+  JOIN srcmap sb ON sb.doc_id = p.doc_b
+  WHERE sa.source <> sb.source
+  UNION
+  SELECT sb.source, sa.source
+  FROM pairs p
+  JOIN srcmap sa ON sa.doc_id = p.doc_a
+  JOIN srcmap sb ON sb.doc_id = p.doc_b
+  WHERE sa.source <> sb.source
+),
+partners AS (
+  SELECT source, CAST(COUNT(DISTINCT partner) AS BIGINT) AS dup_partners
+  FROM partner_edges GROUP BY source
+),
+scored AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(COALESCE(len(list_filter(string_split(text, ' '), t -> t <> '')), 0)
+              AS BIGINT) AS score
+  FROM documents
+),
+kept AS MATERIALIZED (
+  SELECT doc_id, source, score FROM (
+    SELECT doc_id, source, score,
+           cume_dist() OVER (PARTITION BY source ORDER BY score, doc_id) AS cd
+    FROM scored
+  ) WHERE cd > {_GOV_CUT}
+),
+per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM scored GROUP BY source),
+kept_src AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(score) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY source
+),
+dtoks AS (
+  SELECT doc_id, (lang = 'en') AS is_target, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+dft AS (SELECT doc_id, is_target, term FROM dtoks WHERE term <> ''),
+bk AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         {_hv_sql("term || ':' || 'dsir'")} % {_DSIR_B} AS b
+  FROM dft
+),
+model AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+  FROM bk GROUP BY b
+),
+totals AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+per_bucket AS (
+  SELECT doc_id, b, COUNT(*) AS n_b FROM bk GROUP BY doc_id, b
+),
+dsir AS MATERIALIZED (
+  SELECT sc.doc_id, sc.n_toks,
+         round(sc.s_cnt + sc.n_toks * (ln(nr + {_DSIR_B}) - ln(nt + {_DSIR_B})), 4)
+           AS log_w
+  FROM (
+    SELECT p.doc_id,
+           CAST(SUM(p.n_b) AS BIGINT) AS n_toks,
+           SUM(p.n_b * (ln(m.ct + 1) - ln(m.cr + 1))) AS s_cnt
+    FROM per_bucket p JOIN model m USING (b)
+    GROUP BY p.doc_id
+  ) sc, totals
+),
+likeness AS (
+  SELECT s.source, round(AVG(d.log_w / d.n_toks), 3) AS dsir_like
+  FROM srcmap s JOIN dsir d USING (doc_id)
+  WHERE d.n_toks > 0 GROUP BY s.source
+),
+w AS (
+  SELECT source, kept_tokens,
+         CAST(COALESCE(floor(sqrt(CAST(kept_tokens AS DOUBLE))), 0) AS BIGINT) AS wt
+  FROM kept_src
+),
+tot_w AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot_w FROM w),
+b0 AS (
+  SELECT source, wt,
+         ({_GOV_BUDGET} * wt) // tot_w AS base_q,
+         ({_GOV_BUDGET} * wt) % tot_w AS rem
+  FROM w, tot_w WHERE tot_w > 0
+),
+spent AS (SELECT CAST(SUM(base_q) AS BIGINT) AS spent FROM b0),
+quota AS (
+  SELECT source,
+         CAST(base_q + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                                 <= {_GOV_BUDGET} - spent THEN 1 ELSE 0 END
+              AS BIGINT) AS quota
+  FROM b0, spent
+)
+SELECT p.source, p.n_docs, k.n_kept, k.kept_tokens,
+       COALESCE(pa.dup_partners, 0) AS dup_partners,
+       l.dsir_like,
+       COALESCE(q.quota, 0) AS quota
+FROM per_src p
+JOIN kept_src k USING (source)
+LEFT JOIN partners pa USING (source)
+LEFT JOIN likeness l USING (source)
+LEFT JOIN quota q USING (source)
+ORDER BY p.source
+"""
+
+
+QUERIES_R12 = {
+    "auc_by_group": q_auc_by_group,
+    "calibration_curve": q_calibration_curve,
+    "kendall_tau_banded": q_kendall_tau_banded,
+    "source_governance": q_source_governance,
+}
+
+ORACLES_R12 = {
+    "auc_by_group": SQL_AUC_BY_GROUP,
+    "calibration_curve": SQL_CALIBRATION_CURVE,
+    "kendall_tau_banded": SQL_KENDALL_TAU_BANDED,
+    "source_governance": SQL_SOURCE_GOVERNANCE,
+}

@@ -736,3 +736,58 @@ def test_auc_by_group_stays_keyed_and_jvm_side(spark):
     assert plan.count("Exchange SinglePartition") == 0
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- r12 staged tier pins
+
+def test_auc_by_group_gate_plan_is_keyed_and_broadcast_attached(spark):
+    from database_collector_spark import workloads_r12
+
+    plan = _plan(workloads_r12.q_auc_by_group(spark, SF))
+    # lang attaches to the scorer via a hash join (broadcast-able at
+    # any embedding-corpus size — the dim table is the documents
+    # projection); the rank core stays keyed with zero SinglePartition
+    # exchanges, exactly like the operator pin above
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_calibration_curve_windows_are_bucket_bounded(spark):
+    from database_collector_spark import workloads_r12
+
+    plan = _plan(workloads_r12.q_calibration_curve(spark, SF))
+    # the classifier fold is in-row (no token-stream shuffle against a
+    # weight table), the binning rides the compressed score domain, and
+    # the only SinglePartition exchanges are the documented bounded
+    # post-aggregate ones (cell histogram / bucket totals / 1-row
+    # count), never a corpus-sized sort
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 6
+
+
+def test_kendall_tau_shares_one_per_group_sort(spark):
+    from database_collector_spark import workloads_r12
+
+    plan = _plan(workloads_r12.q_kendall_tau_banded(spark, SF))
+    # the band expansion is in-row over ONE per-user window sort: no
+    # pair join of any kind, no Python, and no single-partition funnel
+    # (user_id supplies the parallelism)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_source_governance_composition_stays_bounded(spark):
+    from database_collector_spark import workloads_r12
+
+    plan = _plan(workloads_r12.q_source_governance(spark, SF))
+    # the composite may only add |sources|-row joins on top of the
+    # stage plans: no cartesian, no Python, and the Hamilton/percentile
+    # machinery's bounded windows keep the SinglePartition count small
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange SinglePartition") <= 8

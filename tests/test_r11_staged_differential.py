@@ -82,16 +82,17 @@ def test_staged_plans_have_no_python_udfs_or_cartesians(spark):
 
 
 def test_every_staged_gate_is_documented_and_window_headed():
-    # staged-gate bookkeeping (the r8-proven pattern): every r11 gate
-    # appears in the r11 window-head directive comment and has exactly
-    # one "queued r11" COVERAGE row mentioning it by name
+    # the r11 cohort REGISTERED in round 11: every gate must sit in the
+    # live check window (not just a directive comment) and carry a
+    # REGISTERED r11 COVERAGE row naming it
+    import __spark_entry__ as entrymod
+
     cov = open("/root/repo/COVERAGE.md").read()
-    entry_src = open("/root/repo/__spark_entry__.py").read()
     for name in workloads_r11.QUERIES_R11:
-        assert name in entry_src, f"{name} missing from the r11 window-head comment"
+        assert name in entrymod._CHECK_FIRST, f"{name} not in the r11 window"
         assert f"`{name}`" in cov, f"{name} missing a COVERAGE row"
-    assert cov.count("queued r11") == len(workloads_r11.QUERIES_R11), (
-        "queued-r11 COVERAGE rows must be 1:1 with the r11 staged cohort"
+    assert cov.count("REGISTERED r11") == len(workloads_r11.QUERIES_R11), (
+        "REGISTERED r11 COVERAGE rows must be 1:1 with the r11 cohort"
     )
 
 

@@ -8,7 +8,7 @@ hash — the same shape of check the driver records in CORRECTNESS_r{N}.json.
 Usage:  python tools/check.py [--staged] [sf_dir] [query_name ...]
 
 ``--staged`` additionally includes the CURRENT staged cohort
-(workloads_r11 — not yet registered with the driver) so it runs through
+(workloads_r12 — not yet registered with the driver) so it runs through
 the exact same harness.
 """
 
@@ -137,11 +137,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if staged:
-        # the CURRENT staged cohort (r10's registered in round 10)
-        from database_collector_spark import workloads_r11
+        # the CURRENT staged cohort (r11's registered in round 11)
+        from database_collector_spark import workloads_r12
 
-        queries = {**queries, **workloads_r11.QUERIES_R11}
-        oracles = {**oracles, **workloads_r11.ORACLES_R11}
+        queries = {**queries, **workloads_r12.QUERIES_R12}
+        oracles = {**oracles, **workloads_r12.ORACLES_R12}
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
