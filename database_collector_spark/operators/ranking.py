@@ -667,6 +667,60 @@ def calibration_curve(
     )
 
 
+def banded_pair_deltas(
+    df: DataFrame,
+    group_col: str,
+    *,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    band: int = 12,
+) -> DataFrame:
+    """The shared banded-pair core: one row per (sample, sample+k) pair
+    with k <= ``band`` in the tie-free (x, id) order per group —
+    (g, rn, k, dx, dy) where rn is the origin row's 1-based position in
+    that order and (rn, k) is a deterministic pair identity for
+    order-dependent consumers (banded Theil-Sen's median tie-break),
+    dx/dy the x/y deltas from origin to successor. One group-
+    partitioned window feeding a band-wide in-row lead() expansion —
+    never a pair join; work is O(n·band) per group and the groups
+    supply the parallelism.
+
+    Rows with a NULL group, x, y, or id are EXCLUDED actively, not by
+    docstring (the prefix_count_below discipline): a NULL x would sort
+    NULLS FIRST in Spark but NULLS LAST in SQL oracles and change the
+    banded pair SET, and a NULL y would pass the dx-derived pair filter
+    yet match no comparison, silently inflating pair counts."""
+    for c in (group_col, x_col, y_col, id_col):
+        df = df.where(F.col(c).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(x_col, id_col)
+    cols = [
+        F.col(group_col).alias("g"),
+        F.row_number().over(w).alias("rn"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    ]
+    for k in range(1, band + 1):
+        cols.append(F.lead(x_col, k).over(w).alias(f"x{k}"))
+        cols.append(F.lead(y_col, k).over(w).alias(f"y{k}"))
+    led = df.select(*cols)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                (F.col(f"x{k}") - F.col("x")).alias("dx"),
+                (F.col(f"y{k}") - F.col("y")).alias("dy"),
+            )
+            for k in range(1, band + 1)
+        ]
+    )
+    return (
+        led.select("g", "rn", F.explode(pair_structs).alias("p"))
+        .where(F.col("p.dx").isNotNull())
+        .select("g", "rn", "p.k", "p.dx", "p.dy")
+    )
+
+
 def banded_kendall_tau(
     df: DataFrame,
     group_col: str,
@@ -696,34 +750,17 @@ def banded_kendall_tau(
     tau_b is engine-exact. Groups where every banded pair ties on x or
     on y emit NULL tau_b, fail-soft.
 
+    NULL group/x/y/id rows are EXCLUDED by the shared
+    ``banded_pair_deltas`` core (a NULL y would otherwise count in
+    n_pairs yet match no comparison, biasing tau_b toward 0; a NULL x
+    would change the pair set engine-dependently).
     Output: (group_col, n_pairs, concordant, discordant, tau_b).
     Scale: one group-partitioned window (the groups supply the
     parallelism), a band-wide in-row expansion, one keyed aggregate —
     never a pair join.
     """
-    w = Window.partitionBy(group_col).orderBy(x_col, id_col)
-    cols = [
-        F.col(group_col).alias("g"),
-        F.col(x_col).alias("x"),
-        F.col(y_col).alias("y"),
-    ]
-    for k in range(1, band + 1):
-        cols.append(F.lead(x_col, k).over(w).alias(f"x{k}"))
-        cols.append(F.lead(y_col, k).over(w).alias(f"y{k}"))
-    led = df.select(*cols)
-    pair_structs = F.array(
-        *[
-            F.struct(
-                (F.col(f"x{k}") - F.col("x")).alias("dx"),
-                (F.col(f"y{k}") - F.col("y")).alias("dy"),
-            )
-            for k in range(1, band + 1)
-        ]
-    )
-    pairs = (
-        led.select("g", F.explode(pair_structs).alias("p"))
-        .where(F.col("p.dx").isNotNull())
-        .select("g", "p.dx", "p.dy")
+    pairs = banded_pair_deltas(
+        df, group_col, x_col=x_col, y_col=y_col, id_col=id_col, band=band
     )
     cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
     dx, dy = F.col("dx"), F.col("dy")

@@ -192,15 +192,18 @@ def q_kendall_tau_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation; one per-user window, an in-row band expansion, one
     keyed aggregate, never a pair join). Inputs are exact integers
     (unix seconds, value cents), so every count is exact and tau_b is
-    one division over identical operands."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_timestamp("ts").alias("s"),
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("v"),
-    )
+    one division over identical operands. The series projection and the
+    band expansion are the SAME code theil_sen_slope runs
+    (workloads_ts.user_value_series + ranking.banded_pair_deltas)."""
+    from database_collector_spark.workloads_ts import user_value_series
+
     return ranking.banded_kendall_tau(
-        ev, "user_id", x_col="s", y_col="v", id_col="event_id", band=_KT_BAND
+        user_value_series(spark, sf_dir),
+        "user_id",
+        x_col="s",
+        y_col="v",
+        id_col="event_id",
+        band=_KT_BAND,
     ).orderBy("user_id")
 
 

@@ -2008,6 +2008,19 @@ FROM scored GROUP BY event_type
 _TS_BAND = 12  # banded Theil-Sen: pair each sample with its next 12
 
 
+def user_value_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-integer per-user event series (user_id, s = unix
+    seconds, event_id, v = value cents) shared by the banded-pair gates
+    (theil_sen_slope here, kendall_tau_banded in workloads_r12)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+
 def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Theil-Sen robust slope per user series: the median of
     pairwise slopes, with pairs limited to each sample and its next
@@ -2019,41 +2032,27 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     a (slope, rn, k) total order — no averaging, no float ambiguity:
     slopes are identical doubles in any engine since cents/seconds
     inputs are integers and division is correctly rounded)."""
-    ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    base = ev.select(
-        "user_id",
-        F.unix_timestamp("ts").alias("s"),
-        "event_id",
-        cents.alias("v"),
-    )
-    w = Window.partitionBy("user_id").orderBy("s", "event_id")
-    cols = ["user_id", F.row_number().over(w).alias("rn"), "s", "v"]
-    for k in range(1, _TS_BAND + 1):
-        cols.append(F.lead("s", k).over(w).alias(f"s{k}"))
-        cols.append(F.lead("v", k).over(w).alias(f"v{k}"))
-    led = base.select(*cols)
-    # try_divide: pairs with equal timestamps have no defined slope —
-    # classic Theil-Sen skips them (the null is filtered below). A plain
-    # `/` would THROW under ANSI the moment two samples share a second,
-    # which the denser sf0.1 fixture does hit.
-    slope_structs = F.array(
-        *[
-            F.struct(
-                F.try_divide(
-                    F.col(f"v{k}") - F.col("v"),
-                    F.col(f"s{k}") - F.col("s"),
-                ).alias("slope"),
-                F.col("rn").alias("rn"),
-                F.lit(k).alias("k"),
-            )
-            for k in range(1, _TS_BAND + 1)
-        ]
-    )
+    from database_collector_spark.operators.ranking import banded_pair_deltas
+
+    base = user_value_series(spark, sf_dir)
+    # the banded (rn, k)-identified pair deltas ride the SHARED core
+    # under banded_kendall_tau (one per-user sort, in-row expansion).
+    # try_divide: pairs with equal timestamps (dx = 0) have no defined
+    # slope — classic Theil-Sen skips them (the null is filtered). A
+    # plain `/` would THROW under ANSI the moment two samples share a
+    # second, which the denser sf0.1 fixture does hit.
     slopes = (
-        led.select("user_id", F.explode(slope_structs).alias("p"))
-        .where(F.col("p.slope").isNotNull())
-        .select("user_id", "p.slope", "p.rn", "p.k")
+        banded_pair_deltas(
+            base, "user_id", x_col="s", y_col="v", id_col="event_id",
+            band=_TS_BAND,
+        )
+        .select(
+            F.col("g").alias("user_id"),
+            F.try_divide(F.col("dy"), F.col("dx")).alias("slope"),
+            "rn",
+            "k",
+        )
+        .where(F.col("slope").isNotNull())
     )
     wm = Window.partitionBy("user_id").orderBy("slope", "rn", "k")
     wc = Window.partitionBy("user_id")

@@ -182,15 +182,12 @@ def test_calibration_curve_matches_brute_force(spark):
 
     got = {r["bin"]: r for r in calibration_curve(df, n_bins=4).collect()}
 
-    from collections import Counter
-
     n = len(rows)
     per = {}
     for s, y in rows:
         cnt, pos = per.get(s, (0, 0))
         per[s] = (cnt + 1, pos + y)
     below = 0
-    expected = Counter()
     stats = {}
     for s in sorted(per):
         cnt, pos = per[s]
@@ -204,3 +201,57 @@ def test_calibration_curve_matches_brute_force(spark):
         assert (r["n_docs"], r["n_pos"]) == (nd, np_)
         assert r["pos_rate"] == round(np_ / nd, 6)
         assert (r["lo_score"], r["hi_score"]) == (round(lo, 6), round(hi, 6))
+
+
+def test_banded_pair_core_excludes_null_rows_actively(spark):
+    """NULL group/x/y/id rows are FILTERED by the shared band core
+    (a NULL y would count in n_pairs yet match no comparison — tau_b
+    biased toward 0; a NULL x sorts NULLS FIRST in Spark but NULLS
+    LAST in DuckDB and changes the banded pair SET); remaining pairs
+    are unaffected."""
+    from database_collector_spark.operators.ranking import banded_kendall_tau
+
+    clean = [(1, 10, 1, 100), (1, 20, 2, 200), (1, 30, 3, 150)]
+    dirty = clean + [(1, 15, 4, None), (1, None, 5, 300), (None, 25, 6, 50)]
+    out = {}
+    for tag, rows in (("clean", clean), ("dirty", dirty)):
+        df = spark.createDataFrame(rows, "g int, x int, id int, y int")
+        out[tag] = banded_kendall_tau(
+            df, "g", x_col="x", y_col="y", id_col="id", band=3
+        ).collect()
+    assert [tuple(r) for r in out["dirty"]] == [tuple(r) for r in out["clean"]]
+    assert out["clean"][0]["n_pairs"] == 3
+
+
+def test_theil_sen_rides_the_shared_band_core(spark):
+    """theil_sen_slope and kendall_tau_banded consume the SAME series
+    projection and band expansion — the reuse contract: both gates'
+    pair sets come from ranking.banded_pair_deltas over
+    workloads_ts.user_value_series, so a band-semantics fix lands in
+    one place. Checked behaviorally: the theil_sen slope multiset per
+    user equals the dy/dx of the shared core's pairs."""
+    from database_collector_spark.operators.ranking import banded_pair_deltas
+    from database_collector_spark.workloads_ts import (
+        _TS_BAND,
+        q_theil_sen_slope,
+        user_value_series,
+    )
+
+    base = user_value_series(spark, SF)
+    pairs = banded_pair_deltas(
+        base, "user_id", x_col="s", y_col="v", id_col="event_id", band=_TS_BAND
+    ).collect()
+    import collections
+
+    want = collections.defaultdict(list)
+    for r in pairs:
+        if r["dx"] != 0:
+            want[r["g"]].append(r["dy"] / r["dx"])
+    got = q_theil_sen_slope(spark, SF).collect()
+    import math
+
+    for r in got:
+        slopes = sorted(want[r["user_id"]])
+        assert r["n_slopes"] == len(slopes)
+        median = slopes[(len(slopes) + 1) // 2 - 1]
+        assert math.isclose(r["median_slope_per_hour"], round(median * 3600, 6))
