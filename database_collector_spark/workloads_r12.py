@@ -219,9 +219,13 @@ def _sql_kendall_tau(band: int = _KT_BAND) -> str:
     )
     return f"""
 WITH base AS (
+  -- NULL key/x/y/id rows excluded on BOTH sides: the Spark core
+  -- (ranking.banded_pair_deltas) filters them actively
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS v
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL
 ),
 led AS MATERIALIZED (
   SELECT user_id, s, v,
