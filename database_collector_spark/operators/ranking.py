@@ -785,3 +785,52 @@ def banded_kendall_tau(
             6,
         ).alias("tau_b"),
     )
+
+
+def quantiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    *,
+    coarse_buckets: int = 1024,
+) -> DataFrame:
+    """Exact type-1 (lower) quartiles per group WITHOUT a per-group
+    value buffer: Spark's built-in exact ``percentile`` aggregate holds
+    every group value in its agg buffer — a memory cliff when one group
+    spans a large corpus share. This computes the exact lower quartile
+    values from per-(group, value) COUNTS plus the shared
+    ``prefix_count_below`` core instead: memory is bounded by the
+    compressed value domain, never the group size, and there is no
+    per-group single-partition sort.
+
+    Semantics: k_m = ceil(m·n/4) for m in (1, 2, 3) — the classic
+    type-1 quantile rank, all-integer ((m·n + 3) div 4), so the
+    selected values are exact inputs (no interpolation, engine-exact
+    for any value type). The quartile value is the unique compressed
+    row where below < k_m <= below + cnt. NULL group/value rows are
+    excluded (the core's contract). The low-cardinality-keys broadcast
+    contract of ``prefix_count_below`` applies — for thousands of
+    groups use a plain per-group window instead.
+
+    Output: (group_col, n, p25, p50, p75) — n BIGINT, quartiles in the
+    input value's type.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v")
+    ).where(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
+    per = base.groupBy("g", "v").agg(F.count("*").alias("cnt"))
+    below = prefix_count_below(
+        per, ["g"], "v", "cnt", coarse_buckets=coarse_buckets, out_col="below"
+    )
+    totals = per.groupBy("g").agg(F.sum("cnt").alias("n"))
+    joined = below.join(F.broadcast(totals), "g")
+    qcols = []
+    for m, name in ((1, "p25"), (2, "p50"), (3, "p75")):
+        k = F.expr(f"({m} * n + 3) div 4")
+        hit = (F.col("below") < k) & (k <= F.col("below") + F.col("cnt"))
+        qcols.append(F.max(F.when(hit, F.col("v"))).alias(name))
+    return (
+        joined.groupBy("g")
+        .agg(F.max("n").cast("long").alias("n"), *qcols)
+        .select(F.col("g").alias(group_col), "n", "p25", "p50", "p75")
+    )

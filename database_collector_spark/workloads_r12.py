@@ -20,6 +20,11 @@ COMPOSITION (not just its stages):
   standard tie correction, pairs bounded to each sample's next 12
   successors — the theil_sen banding applied to rank correlation
   (operators/ranking.py::banded_kendall_tau).
+- ``quantiles_by_group`` — exact type-1 quartiles per group from
+  per-(group, value) counts + the shared prefix-sum core: the
+  100 TB-honest exact-quantile form whose memory is bounded by the
+  compressed value domain, never the group size
+  (operators/ranking.py::quantiles_by_group).
 - ``source_governance`` — the examples/source_governance.py triage
   chain as ONE gate: verified MinHash-LSH mirror partners + per-source
   relative percentile floor + DSIR target-likeness + Hamilton token
@@ -259,6 +264,56 @@ FROM agg ORDER BY user_id
 SQL_KENDALL_TAU_BANDED = _sql_kendall_tau()
 
 
+# -------------------------------------------------- grouped exact quartiles
+
+
+def q_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 (lower) quartiles of extended price cents per
+    return flag WITHOUT a per-group value buffer
+    (operators/ranking.py::quantiles_by_group — per-(group, value)
+    count compression + the shared prefix_count_below core + all-
+    integer rank selection k_m = (m·n + 3) div 4; Spark's built-in
+    exact percentile holds EVERY group value in its agg buffer, a
+    memory cliff when one group spans a large corpus share — this is
+    the 100 TB-honest exact form, and the registered exact_percentiles
+    gate keeps the interpolated built-in semantics for contrast)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return ranking.quantiles_by_group(li, "l_returnflag", "cents").orderBy(
+        "l_returnflag"
+    )
+
+
+SQL_QUANTILES_BY_GROUP = """
+WITH per AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         COUNT(*) AS cnt
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+),
+wb AS (
+  SELECT g, v, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM per
+)
+SELECT g AS l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN below < (1 * n + 3) // 4
+                 AND (1 * n + 3) // 4 <= below + cnt THEN v END) AS p25,
+       MAX(CASE WHEN below < (2 * n + 3) // 4
+                 AND (2 * n + 3) // 4 <= below + cnt THEN v END) AS p50,
+       MAX(CASE WHEN below < (3 * n + 3) // 4
+                 AND (3 * n + 3) // 4 <= below + cnt THEN v END) AS p75
+FROM wb GROUP BY g ORDER BY g
+"""
+
+
 # ------------------------------------------------- source governance report
 
 _GOV_CUT = 0.40
@@ -477,6 +532,7 @@ QUERIES_R12 = {
     "auc_by_group": q_auc_by_group,
     "calibration_curve": q_calibration_curve,
     "kendall_tau_banded": q_kendall_tau_banded,
+    "quantiles_by_group": q_quantiles_by_group,
     "source_governance": q_source_governance,
 }
 
@@ -484,5 +540,6 @@ ORACLES_R12 = {
     "auc_by_group": SQL_AUC_BY_GROUP,
     "calibration_curve": SQL_CALIBRATION_CURVE,
     "kendall_tau_banded": SQL_KENDALL_TAU_BANDED,
+    "quantiles_by_group": SQL_QUANTILES_BY_GROUP,
     "source_governance": SQL_SOURCE_GOVERNANCE,
 }

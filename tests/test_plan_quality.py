@@ -791,3 +791,16 @@ def test_source_governance_composition_stays_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange SinglePartition") <= 8
+
+
+def test_quantiles_by_group_has_no_per_group_value_buffer(spark):
+    from database_collector_spark import workloads_r12
+
+    plan = _plan(workloads_r12.q_quantiles_by_group(spark, SF))
+    # the exact-quartile contract: NO built-in percentile aggregate
+    # (its agg buffer holds every group value — the memory cliff this
+    # operator exists to avoid), no single-partition funnel, no Python
+    assert "percentile" not in plan.lower()
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -255,3 +255,32 @@ def test_theil_sen_rides_the_shared_band_core(spark):
         assert r["n_slopes"] == len(slopes)
         median = slopes[(len(slopes) + 1) // 2 - 1]
         assert math.isclose(r["median_slope_per_hour"], round(median * 3600, 6))
+
+
+def test_quantiles_by_group_matches_brute_force(spark):
+    """Type-1 quartile rule k_m = ceil(m*n/4) on random tie-heavy data
+    vs a sort-and-index Python reference."""
+    import math
+    import random
+
+    from database_collector_spark.operators.ranking import quantiles_by_group
+
+    rng = random.Random(11)
+    rows = [
+        (g, rng.randint(-20, 20))
+        for g, sz in (("a", 37), ("b", 64), ("c", 1))
+        for _ in range(sz)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in quantiles_by_group(df, "g", "v").collect()}
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, v in rows:
+        byg[g].append(v)
+    for g, vals in byg.items():
+        vals.sort()
+        n = len(vals)
+        exp = [vals[math.ceil(m * n / 4) - 1] for m in (1, 2, 3)]
+        r = got[g]
+        assert (r["n"], r["p25"], r["p50"], r["p75"]) == (n, *exp), g
