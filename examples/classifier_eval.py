@@ -1,0 +1,103 @@
+"""Classifier-evaluation report: everything a quality model must prove
+BEFORE its scores are allowed to gate a 100 TB corpus — composed from
+the engine's classifier-evaluation tier.
+
+    hashed quality classifier over documents
+      -> exact overall AUC           (ranking.auc_exact: can the score
+         rank a kept doc above a dropped one at all?)
+      -> exact per-language AUC      (ranking.auc_by_group: is it as
+         good on 'fr' as on 'en'? — the fairness slice the overall
+         number hides)
+      -> calibration curve           (ranking.calibration_curve: when
+         the model says 0.8, is it right 80% of the time? percentile
+         bins with tie classes kept whole)
+
+Run:  python examples/classifier_eval.py [sf_dir] [n_bins]
+Defaults: /root/testdata/sf0.001 and 10 bins.
+
+Every step is the same public API the driver gates exercise
+(quality_classifier, auc_scores, auc_by_group, calibration_curve);
+this file adds no logic — it shows the composition a model-gating
+review actually runs. Ground truth here is the fixture's embedding
+label (>= 5), the same proxy the gates check against.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from database_collector_spark.operators import ranking, text
+from database_collector_spark.session import get_spark
+from database_collector_spark.workloads import _t
+
+
+def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
+    docs = _t(spark, sf_dir, "documents")
+
+    # the model under review: the engine's hashed linear quality gate.
+    # score = logit_milli / (1000 * n_feats) — the exact-integer form
+    # the calibration gate uses (monotone in the model's p_keep).
+    clf = (
+        text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
+        .where(F.col("n_feats") > 0)
+        .select(
+            "doc_id",
+            (F.col("logit_milli") / (F.lit(1000.0) * F.col("n_feats"))).alias(
+                "score"
+            ),
+        )
+    )
+    truth = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") >= 5).cast("int").alias("label"),
+    )
+    lang = docs.select("doc_id", "lang")
+    scored = clf.join(truth, "doc_id").join(lang, "doc_id")
+
+    overall = ranking.auc_exact(scored.select("score", "label")).collect()[0]
+    by_lang = ranking.auc_by_group(
+        scored.select("lang", "score", "label"), "lang"
+    ).orderBy("lang")
+    curve = ranking.calibration_curve(
+        scored.select("score", "label"), n_bins=n_bins
+    ).orderBy("bin")
+
+    return {
+        "overall": (overall["n_pos"], overall["n_neg"], overall["auc"]),
+        "by_lang": [
+            (r["lang"], r["n_pos"], r["n_neg"], r["auc"]) for r in by_lang.collect()
+        ],
+        "calibration": [
+            (r["bin"], r["n_docs"], r["n_pos"], r["pos_rate"], r["lo_score"],
+             r["hi_score"])
+            for r in curve.collect()
+        ],
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n_bins = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("classifier-eval-example")
+    try:
+        report = run_eval(spark, sf_dir, n_bins)
+        n_pos, n_neg, auc = report["overall"]
+        print("== classifier evaluation report ==")
+        print(f"overall AUC: {auc} ({n_pos} pos / {n_neg} neg)")
+        print("per-language AUC (the fairness slice):")
+        for lang, p, n, a in report["by_lang"]:
+            print(f"  {lang}: {a} ({p} pos / {n} neg)")
+        print("calibration (bin, n, pos, observed rate, score range):")
+        for b, nd, np_, rate, lo, hi in report["calibration"]:
+            print(f"  bin {b}: n={nd} pos={np_} rate={rate} [{lo}, {hi}]")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -105,3 +105,22 @@ def test_ann_serving_example_lifecycle(spark, tmp_path):
     after_rows = {tuple(r) for r in after.collect()}
     assert after_rows != before_rows
     assert any(vid % 10 == 0 for (_q, _rk, vid, _d) in after_rows)
+
+
+def test_classifier_eval_example_composes(spark):
+    """The classifier-evaluation example: the report's three sections
+    are consistent with each other (per-lang pos/neg sums to overall,
+    calibration bin counts sum to the scored corpus) and every number
+    comes from the same public operators the gates check."""
+    from examples.classifier_eval import run_eval
+
+    report = run_eval(spark, "/root/testdata/sf0.001", 10)
+    n_pos, n_neg, auc = report["overall"]
+    assert n_pos > 0 and n_neg > 0 and 0.0 <= auc <= 1.0
+    assert sum(p for _, p, _, _ in report["by_lang"]) == n_pos
+    assert sum(n for _, _, n, _ in report["by_lang"]) == n_neg
+    cal_n = sum(nd for _, nd, _, _, _, _ in report["calibration"])
+    assert cal_n == n_pos + n_neg
+    for _, nd, np_, rate, lo, hi in report["calibration"]:
+        assert 0 <= np_ <= nd and lo <= hi
+        assert rate == round(np_ / nd, 6)
