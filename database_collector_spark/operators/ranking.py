@@ -165,6 +165,8 @@ def prefix_count_below(
     coarse_buckets: int = 1024,
     out_col: str = "below",
     max_key_groups: int = 256,
+    refine_narrow_domains: bool = False,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = total ``cnt_col`` over rows of the same
     ``keys`` with STRICTLY smaller ``val_col`` — the running-count
@@ -230,6 +232,18 @@ def prefix_count_below(
     also EXCLUDED from the min/max so one Inf cannot make the span
     infinite and collapse every finite value into cell 0. The prefix
     sums are exact wherever the cuts land.
+
+    ``refine_narrow_domains=True`` arms the documented degenerate
+    case's escape hatch: any cell holding more than 1/4 of a key's
+    distinct values (at most three can) gets a second-level grid over
+    its own finite-u sub-range — the identical construction one level
+    down — so a domain concentrated inside one cell of the log-range
+    spreads across buckets again (the residual shrinks to domains
+    narrower than ~1/2^32 of the log-range). Opt-in because it costs
+    two extra bounded aggregates + broadcasts per call even when
+    nothing is populous. ``bucket_col`` (audit hook) additionally
+    emits each row's bucket id, so callers can MEASURE bucket skew on
+    their own data before committing a big job to either mode.
     """
     n_cells = 65536
     for k in keys:
@@ -300,6 +314,63 @@ def prefix_count_below(
     )
     cols = counts.columns
     celled = with_rng.select(*cols, cell.alias("_cell"))
+    if refine_narrow_domains:
+        # ESCAPE HATCH for the documented degenerate case (SCALE.md): a
+        # value domain concentrated inside ~1/65536 of its own log-range
+        # collapses into one populous cell -> one populous bucket. Cells
+        # holding > 1/4 of a key's DISTINCT values (there can be at most
+        # THREE such cells per key, so the composite histogram stays
+        # bounded at <= 65536 + 3*65536 rows/key) get a second-level
+        # grid over the cell's own finite-u sub-range — the identical
+        # deterministic construction one level down (min/max aggregates,
+        # same clamped-floor monotonicity, same non-finite edge cells,
+        # same denormal-width guard), so bucket boundaries stay monotone
+        # in the value and the prefix sums stay exact wherever they
+        # land. The decision is IN-PLAN from integer counts — no driver
+        # branching, no run-to-run nondeterminism. Costs two extra
+        # bounded aggregates + broadcasts per call even when nothing is
+        # populous, which is why it is opt-in.
+        sub_cells = n_cells
+        load = celled.groupBy(*keys, "_cell").agg(F.count("*").alias("_dn"))
+        ltot = (
+            load.groupBy(*keys).agg(F.sum("_dn").alias("_ltot"))
+            if keys
+            else load.agg(F.sum("_dn").alias("_ltot"))
+        )
+        lj = load.join(F.broadcast(ltot), keys) if keys else load.crossJoin(
+            F.broadcast(ltot)
+        )
+        pop = lj.where(F.col("_dn") * 4 > F.col("_ltot")).select(*keys, "_cell")
+        sub_rng = (
+            celled.join(F.broadcast(pop), [*keys, "_cell"])
+            .groupBy(*keys, "_cell")
+            .agg(F.min(finite_u).alias("_lo2"), F.max(finite_u).alias("_hi2"))
+        )
+        width2 = (F.col("_hi2") - F.col("_lo2")) / sub_cells
+        sub = (
+            F.when(F.isnan(vd) | (vd == inf), F.lit(sub_cells - 1))
+            .when(vd == -inf, F.lit(0))
+            .when(
+                width2 > 0,
+                F.least(
+                    F.lit(sub_cells - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((u - F.col("_lo2")) / width2),
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        composite = F.when(
+            F.col("_lo2").isNotNull(),
+            F.col("_cell") * sub_cells + sub,
+        ).otherwise(F.col("_cell") * sub_cells)
+        celled = (
+            celled.join(F.broadcast(sub_rng), [*keys, "_cell"], "left")
+            .select(*cols, composite.alias("_cell"))
+        )
     # cell histogram -> count-equalized bucket id + exact rows-before-
     # bucket, all on the bounded cell table (integer arithmetic only)
     w_cell = (
@@ -345,12 +416,15 @@ def prefix_count_below(
         .orderBy(val_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return bucketed.join(F.broadcast(before_bucket), [*keys, "_b"]).select(
+    out = [
         *cols,
         (F.col("_before_b") + F.coalesce(F.sum(cnt_col).over(ww), F.lit(0))).alias(
             out_col
         ),
-    )
+    ]
+    if bucket_col is not None:
+        out.append(F.col("_b").alias(bucket_col))
+    return bucketed.join(F.broadcast(before_bucket), [*keys, "_b"]).select(*out)
 
 
 def auc_exact(

@@ -315,3 +315,99 @@ def test_prefix_count_below_rejects_high_cardinality_keys(spark):
     # at exactly the ceiling it builds fine
     ok = prefix_count_below(df, ["g"], "v", "c", max_key_groups=40).collect()
     assert len(ok) == 40 and all(r["below"] == 0 for r in ok)
+
+
+def test_refine_narrow_domains_spreads_the_degenerate_bucket(spark):
+    """The documented degenerate case: a bulk concentrated inside one
+    log-cell (values in a ~1e-9 band around 1.0) plus one 1e300
+    outlier stretching the grid. Default mode collapses the bulk into
+    ONE populous bucket (honest, documented); refine_narrow_domains
+    re-grids the populous cell and spreads it — with below-counts
+    EXACT and identical in both modes."""
+    from database_collector_spark.operators.ranking import prefix_count_below
+
+    vals = [1.0 + i * 1e-9 for i in range(600)] + [1e300]
+    rows = [(v, 2) for v in vals]
+    df = spark.createDataFrame(rows, "v double, c long")
+
+    def run(refine):
+        out = prefix_count_below(
+            df, [], "v", "c", coarse_buckets=64,
+            refine_narrow_domains=refine, bucket_col="bkt",
+        ).collect()
+        return (
+            {r["v"]: r["below"] for r in out},
+            len({r["bkt"] for r in out}),
+            max(
+                sum(1 for r in out if r["bkt"] == b) for b in {x["bkt"] for x in out}
+            ),
+        )
+
+    expected = {v: 2 * i for i, v in enumerate(sorted(vals))}
+    below_off, n_buckets_off, max_load_off = run(False)
+    below_on, n_buckets_on, max_load_on = run(True)
+    assert below_off == expected  # the degenerate mode is still EXACT
+    assert below_on == expected
+    # default mode: the whole bulk funnels into ~one bucket
+    assert max_load_off >= 600
+    # refined mode: the populous cell re-grids and the bulk spreads
+    assert n_buckets_on >= 32 and max_load_on <= 60
+
+
+def test_refine_narrow_domains_is_a_noop_on_healthy_domains(spark):
+    """On a well-spread domain (no populous cell) the refined mode
+    returns byte-identical below-counts and an equally-spread bucket
+    map — the escape hatch must never perturb the healthy path."""
+    from database_collector_spark.operators.ranking import prefix_count_below
+
+    rows = [(float(i) ** 1.5, i % 5 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "v double, c long")
+    outs = {}
+    for refine in (False, True):
+        outs[refine] = {
+            r["v"]: r["below"]
+            for r in prefix_count_below(
+                df, [], "v", "c", coarse_buckets=32,
+                refine_narrow_domains=refine,
+            ).collect()
+        }
+    assert outs[False] == outs[True]
+    import itertools
+
+    acc = 0
+    expected = {}
+    for v, c in sorted(rows):
+        expected[v] = acc
+        acc += c
+    assert outs[False] == expected
+
+
+def test_refine_narrow_domains_handles_nonfinite_and_keyed_input(spark):
+    """Non-finite values inside a populous cell take the same explicit
+    edge sub-cells; keyed domains refine independently per key."""
+    from database_collector_spark.operators.ranking import prefix_count_below
+
+    nan, inf = float("nan"), float("inf")
+    rows = (
+        [("a", 5.0 + i * 1e-10, 1) for i in range(200)]
+        + [("a", 1e300, 3), ("a", inf, 2), ("a", -inf, 4), ("a", nan, 7)]
+        + [("b", float(i), 1) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double, c long")
+    out = prefix_count_below(
+        df, ["g"], "v", "c", coarse_buckets=16, refine_narrow_domains=True
+    ).collect()
+    got = {}
+    for r in out:
+        key = (r["g"], "nan" if r["v"] != r["v"] else r["v"])
+        got[key] = r["below"]
+    import math
+
+    for g in ("a", "b"):
+        vals = [(v, c) for (gg, v, c) in rows if gg == g]
+        vals.sort(key=lambda t: (math.isnan(t[0]), t[0]))  # Spark order: NaN last
+        acc = 0
+        for v, c in vals:
+            key = (g, "nan" if v != v else v)
+            assert got[key] == acc, (g, v, got[key], acc)
+            acc += c
