@@ -91,14 +91,24 @@ def test_staged_plans_have_no_python_udfs_or_cartesians(spark):
 
 
 def test_every_staged_gate_is_documented_and_window_headed():
-    # the r10 cohort REGISTERED in round 10: every gate must sit in the
-    # live check window (not just a directive comment) and carry a
+    # the r10 cohort REGISTERED in round 10 and rotated OUT in round 11:
+    # every gate must carry a driver CORRECTNESS row from some past
+    # round (or sit in the current window awaiting one) and a
     # REGISTERED r10 COVERAGE row naming it
+    import glob
+    import json
+
     import __spark_entry__ as entrymod
 
+    seen: set[str] = set()
+    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        with open(f) as fh:
+            seen |= set(json.load(fh))
     cov = open("/root/repo/COVERAGE.md").read()
     for name in workloads_r10.QUERIES_R10:
-        assert name in entrymod._CHECK_FIRST, f"{name} not in the r10 window"
+        assert name in seen or name in entrymod._CHECK_FIRST, (
+            f"{name}: no driver row and not in the current window"
+        )
         assert f"`{name}`" in cov, f"{name} missing a COVERAGE row"
     assert cov.count("REGISTERED r10") == len(workloads_r10.QUERIES_R10), (
         "REGISTERED r10 COVERAGE rows must be 1:1 with the r10 cohort"
