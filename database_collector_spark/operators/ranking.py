@@ -240,12 +240,28 @@ def prefix_count_below(
     down — so a domain concentrated inside one cell of the log-range
     spreads across buckets again (the residual shrinks to domains
     narrower than ~1/2^32 of the log-range). Opt-in because it costs
-    two extra bounded aggregates + broadcasts per call even when
-    nothing is populous. ``bucket_col`` (audit hook) additionally
+    one extra pass over the compressed frame (count + sub-range in the
+    SAME aggregate) plus bounded-table work even when nothing is
+    populous — and because a refined key can occupy 4x the cells, the
+    keyed-domain ceiling shrinks to ``max_key_groups // 4`` to hold
+    the same worst-case broadcast budget. ``bucket_col`` (audit hook)
+    additionally
     emits each row's bucket id, so callers can MEASURE bucket skew on
     their own data before committing a big job to either mode.
     """
     n_cells = 65536
+    if out_col in counts.columns:
+        raise ValueError(
+            f"prefix_count_below: out_col {out_col!r} already exists in the "
+            "input; alias it first"
+        )
+    if bucket_col is not None and (
+        bucket_col in counts.columns or bucket_col == out_col
+    ):
+        raise ValueError(
+            f"prefix_count_below: bucket_col {bucket_col!r} collides with an "
+            "input column or out_col; pick a fresh name"
+        )
     for k in keys:
         counts = counts.where(F.col(k).isNotNull())
     counts = counts.where(F.col(val_col).isNotNull())
@@ -267,15 +283,24 @@ def prefix_count_below(
     )
     if keys:
         # one aggregate job over the COMPRESSED frame, limit-bounded so
-        # a runaway domain stops scanning at the ceiling + 1
-        n_groups = rng.select(*keys).limit(max_key_groups + 1).count()
-        if n_groups > max_key_groups:
+        # a runaway domain stops scanning at the ceiling + 1. With the
+        # narrow-domain refinement armed, a key can occupy up to
+        # 4 x 65536 composite cells, so the ceiling shrinks 4x to keep
+        # the worst-case broadcast map at the SAME driver budget.
+        ceiling = (
+            max(1, max_key_groups // 4)
+            if refine_narrow_domains
+            else max_key_groups
+        )
+        per_key_cells = "4 x 65536 composite" if refine_narrow_domains else "65536"
+        n_groups = rng.select(*keys).limit(ceiling + 1).count()
+        if n_groups > ceiling:
             raise ValueError(
-                f"prefix_count_below: key domain exceeds {max_key_groups} "
+                f"prefix_count_below: key domain exceeds {ceiling} "
                 f"groups — the broadcast cell map would hold up to "
-                f"|domain| x 65536 rows. Use a plain per-group window "
-                f"(Window.partitionBy(*keys).orderBy(val)) instead: with "
-                f"this many groups the groups themselves supply the "
+                f"|domain| x {per_key_cells} rows. Use a plain per-group "
+                f"window (Window.partitionBy(*keys).orderBy(val)) instead: "
+                f"with this many groups the groups themselves supply the "
                 f"parallelism. Raise max_key_groups only if the domain "
                 f"is genuinely bounded and the driver can hold the map."
             )
@@ -327,11 +352,18 @@ def prefix_count_below(
         # same denormal-width guard), so bucket boundaries stay monotone
         # in the value and the prefix sums stay exact wherever they
         # land. The decision is IN-PLAN from integer counts — no driver
-        # branching, no run-to-run nondeterminism. Costs two extra
-        # bounded aggregates + broadcasts per call even when nothing is
-        # populous, which is why it is opt-in.
+        # branching, no run-to-run nondeterminism. Costs one extra pass
+        # over the compressed frame plus bounded-table work even when
+        # nothing is populous, which is why it is opt-in.
         sub_cells = n_cells
-        load = celled.groupBy(*keys, "_cell").agg(F.count("*").alias("_dn"))
+        # ONE pass over the compressed frame: the per-cell distinct
+        # count AND the sub-range min/max come from the same aggregate;
+        # the populous filter then runs on the bounded per-cell table
+        load = celled.groupBy(*keys, "_cell").agg(
+            F.count("*").alias("_dn"),
+            F.min(finite_u).alias("_lo2"),
+            F.max(finite_u).alias("_hi2"),
+        )
         ltot = (
             load.groupBy(*keys).agg(F.sum("_dn").alias("_ltot"))
             if keys
@@ -340,11 +372,8 @@ def prefix_count_below(
         lj = load.join(F.broadcast(ltot), keys) if keys else load.crossJoin(
             F.broadcast(ltot)
         )
-        pop = lj.where(F.col("_dn") * 4 > F.col("_ltot")).select(*keys, "_cell")
-        sub_rng = (
-            celled.join(F.broadcast(pop), [*keys, "_cell"])
-            .groupBy(*keys, "_cell")
-            .agg(F.min(finite_u).alias("_lo2"), F.max(finite_u).alias("_hi2"))
+        sub_rng = lj.where(F.col("_dn") * 4 > F.col("_ltot")).select(
+            *keys, "_cell", "_lo2", "_hi2"
         )
         width2 = (F.col("_hi2") - F.col("_lo2")) / sub_cells
         sub = (

@@ -411,3 +411,48 @@ def test_refine_narrow_domains_handles_nonfinite_and_keyed_input(spark):
             key = (g, "nan" if v != v else v)
             assert got[key] == acc, (g, v, got[key], acc)
             acc += c
+
+
+def test_prefix_count_below_rejects_colliding_output_names(spark):
+    """out_col/bucket_col collisions fail fast at plan-build time, not
+    as an AMBIGUOUS_REFERENCE at action time far from the call site."""
+    import pytest
+
+    from database_collector_spark.operators.ranking import prefix_count_below
+
+    df = spark.createDataFrame([(1.0, 2)], "v double, c long")
+    with pytest.raises(ValueError, match="out_col"):
+        prefix_count_below(df, [], "v", "c", out_col="c")
+    with pytest.raises(ValueError, match="bucket_col"):
+        prefix_count_below(df, [], "v", "c", bucket_col="v")
+    with pytest.raises(ValueError, match="bucket_col"):
+        prefix_count_below(df, [], "v", "c", out_col="below", bucket_col="below")
+
+
+def test_refined_key_ceiling_shrinks_fourfold(spark):
+    """With refine_narrow_domains armed, a refined key can occupy 4x
+    the cells, so the broadcast guard's ceiling shrinks to
+    max_key_groups // 4 — same driver budget either way."""
+    import pytest
+
+    from database_collector_spark.operators.ranking import prefix_count_below
+
+    df = spark.range(12).selectExpr(
+        "cast(id as string) as g", "cast(id as double) as v", "1 as c"
+    )
+    # 12 groups pass a ceiling of 48 unrefined...
+    assert len(prefix_count_below(df, ["g"], "v", "c", max_key_groups=48).collect()) == 12
+    # ...but 48 // 4 = 12 still passes, while 44 // 4 = 11 refuses
+    assert (
+        len(
+            prefix_count_below(
+                df, ["g"], "v", "c", max_key_groups=48,
+                refine_narrow_domains=True,
+            ).collect()
+        )
+        == 12
+    )
+    with pytest.raises(ValueError, match="composite"):
+        prefix_count_below(
+            df, ["g"], "v", "c", max_key_groups=44, refine_narrow_domains=True
+        ).collect()
