@@ -215,13 +215,16 @@ def prefix_count_below(
     spearman_by_group: a handful of groups) — for high-cardinality
     grouped ranking use a plain per-group window instead, where the
     groups themselves supply the parallelism. The contract is ENFORCED,
-    not docstring-only (r10 ADVICE): when ``keys`` is non-empty the key
-    domain is counted (early-stopped at ``max_key_groups`` + 1) before
-    anything is broadcast, and a domain above ``max_key_groups``
-    (default 256 — 256 keys x 65536 cells bounds the broadcast cell
-    map at ~16.8M rows) raises ValueError naming the per-group-window
-    alternative rather than silently building a driver-breaking
-    broadcast from a user-supplied group column.
+    not docstring-only (r10 ADVICE): when ``keys`` is non-empty an
+    IN-PLAN guard (count-over-the-rng-table window wrapping
+    ``raise_error``) fires at action time whenever the key domain
+    exceeds ``max_key_groups`` (default 256 — 256 keys x 65536 cells
+    bounds the broadcast cell map at ~16.8M rows), naming the
+    per-group-window alternative rather than silently building a
+    driver-breaking broadcast from a user-supplied group column. Zero
+    extra jobs and only a bounded |domain|-row exchange on the rng
+    side branch (a driver-side count re-ran the whole upstream lineage
+    per call — measured ~20% of the spearman gate).
 
     Bucket boundaries only affect PARTITIONING, never the result:
     u is strictly increasing in v, the clamped floor is monotone
@@ -282,9 +285,14 @@ def prefix_count_below(
         else counts.agg(F.min(finite_u).alias("_lo"), F.max(finite_u).alias("_hi"))
     )
     if keys:
-        # one aggregate job over the COMPRESSED frame, limit-bounded so
-        # a runaway domain stops scanning at the ceiling + 1. With the
-        # narrow-domain refinement armed, a key can occupy up to
+        # IN-PLAN cardinality guard: a count-over-the-rng-table window
+        # wraps _lo in raise_error when the key domain exceeds the
+        # ceiling. Costs ZERO extra jobs (a driver-side count here would
+        # re-run the whole upstream lineage — measured ~20% of the
+        # spearman gate at sf0.1) and only a bounded |domain|-row
+        # single-partition exchange on the rng side branch; the guard
+        # fires at ACTION time, before any cell map is broadcast. With
+        # the narrow-domain refinement armed, a key can occupy up to
         # 4 x 65536 composite cells, so the ceiling shrinks 4x to keep
         # the worst-case broadcast map at the SAME driver budget.
         ceiling = (
@@ -293,17 +301,26 @@ def prefix_count_below(
             else max_key_groups
         )
         per_key_cells = "4 x 65536 composite" if refine_narrow_domains else "65536"
-        n_groups = rng.select(*keys).limit(ceiling + 1).count()
-        if n_groups > ceiling:
-            raise ValueError(
-                f"prefix_count_below: key domain exceeds {ceiling} "
-                f"groups — the broadcast cell map would hold up to "
-                f"|domain| x {per_key_cells} rows. Use a plain per-group "
-                f"window (Window.partitionBy(*keys).orderBy(val)) instead: "
-                f"with this many groups the groups themselves supply the "
-                f"parallelism. Raise max_key_groups only if the domain "
-                f"is genuinely bounded and the driver can hold the map."
+        guard_msg = (
+            f"prefix_count_below: key domain exceeds {ceiling} "
+            f"groups — the broadcast cell map would hold up to "
+            f"|domain| x {per_key_cells} rows. Use a plain per-group "
+            f"window (Window.partitionBy(*keys).orderBy(val)) instead: "
+            f"with this many groups the groups themselves supply the "
+            f"parallelism. Raise max_key_groups only if the domain "
+            f"is genuinely bounded and the driver can hold the map."
+        )
+        w_all = Window.partitionBy()
+        rng = rng.select(
+            *keys,
+            F.when(
+                F.count("*").over(w_all) > ceiling,
+                F.raise_error(F.lit(guard_msg)),
             )
+            .otherwise(F.col("_lo"))
+            .alias("_lo"),
+            "_hi",
+        )
     # ONE width binding shared by guard and divisor — the guard's
     # soundness is that it tests the IDENTICAL expression floor divides
     # by: a denormal-scale span can satisfy span > 0 while the width

@@ -15,6 +15,29 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _assert_single_partition_is_guard_only(plan: str) -> None:
+    """Every Exchange SinglePartition must belong to prefix_count_below's
+    bounded in-plan cardinality guard (a sort-free `Window [count(1) ...]`
+    over the |groups|-row rng table). The corpus-funnel signature a
+    zero-exchange pin used to catch — a SORT feeding a single partition —
+    stays banned outright, and the exchange count may not exceed the
+    guard-window count (so a non-guard single-partition consumer still
+    fails even without a sort)."""
+    import re
+
+    assert not re.search(
+        r"Sort \[[^\n]*\]\n[^\n]*\+- Exchange SinglePartition", plan
+    ), "sorted single-partition funnel in plan"
+    n_sp = plan.count("Exchange SinglePartition")
+    n_guard = plan.count(
+        "Window [count(1) windowspecdefinition(specifiedwindowframe"
+    )
+    assert n_sp <= n_guard, (
+        f"{n_sp} SinglePartition exchanges but only {n_guard} cardinality-"
+        "guard windows — a non-guard single-partition consumer appeared"
+    )
+
+
 def test_lang_id_is_zero_shuffle(spark):
     from database_collector_spark.operators.text import lang_id
     from database_collector_spark.workloads import _t
@@ -661,9 +684,11 @@ def test_spearman_has_no_single_partition_rank_funnel(spark):
     from database_collector_spark import workloads_r11
 
     plan = _plan(workloads_r11.q_spearman_corr(spark, SF))
-    # the two-level prefix-sum contract: NO SinglePartition exchange
-    # anywhere (a naive per-group rank window would funnel a third of
-    # the corpus through one task — l_returnflag has 3 values), and
+    # the two-level prefix-sum contract: the ONLY SinglePartition
+    # exchanges are the in-plan cardinality guard's sort-free count
+    # windows over the bounded rng table (a naive per-group rank window
+    # would funnel a third of the corpus through one task —
+    # l_returnflag has 3 values), and
     # EVERY window's first two spec args are (group, cell-or-bucket):
     # the histogram windows are (partition g, ORDER BY _cell) over the
     # bounded cell table, the level-2 windows (partition g,_b, order
@@ -671,7 +696,7 @@ def test_spearman_has_no_single_partition_rank_funnel(spark):
     # windowspecdefinition(g#, <value col># ...) — caught here.
     import re
 
-    assert plan.count("Exchange SinglePartition") == 0
+    _assert_single_partition_is_guard_only(plan)
     specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", plan)
     assert specs, "no windows found — pin is vacuous"
     for first_arg, second_arg in specs:
@@ -731,9 +756,10 @@ def test_auc_by_group_stays_keyed_and_jvm_side(spark):
         (F.col("doc_id") % 2).alias("label"),
     )
     plan = _plan(auc_by_group(scored, "lang"))
-    # the keyed twin of auc_exact: no single-partition funnel (every
-    # window keyed by group), no Python, no cartesian
-    assert plan.count("Exchange SinglePartition") == 0
+    # the keyed twin of auc_exact: no single-partition funnel beyond
+    # the bounded cardinality-guard windows (every data window keyed by
+    # group), no Python, no cartesian
+    _assert_single_partition_is_guard_only(plan)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
@@ -746,9 +772,9 @@ def test_auc_by_group_gate_plan_is_keyed_and_broadcast_attached(spark):
     plan = _plan(workloads_r12.q_auc_by_group(spark, SF))
     # lang attaches to the scorer via a hash join (broadcast-able at
     # any embedding-corpus size — the dim table is the documents
-    # projection); the rank core stays keyed with zero SinglePartition
-    # exchanges, exactly like the operator pin above
-    assert plan.count("Exchange SinglePartition") == 0
+    # projection); the rank core stays keyed — the only SinglePartition
+    # exchanges are the bounded guard windows, like the operator pin
+    _assert_single_partition_is_guard_only(plan)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
@@ -801,6 +827,6 @@ def test_quantiles_by_group_has_no_per_group_value_buffer(spark):
     # (its agg buffer holds every group value — the memory cliff this
     # operator exists to avoid), no single-partition funnel, no Python
     assert "percentile" not in plan.lower()
-    assert plan.count("Exchange SinglePartition") == 0
+    _assert_single_partition_is_guard_only(plan)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan

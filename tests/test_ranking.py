@@ -300,9 +300,10 @@ def test_auc_by_group_all_distinct_scores(spark):
 def test_prefix_count_below_rejects_high_cardinality_keys(spark):
     """The low-cardinality-keys contract is enforced at runtime (r10
     ADVICE): a user group column with more distinct keys than
-    max_key_groups must raise BEFORE any broadcast is built, with the
-    per-group-window alternative named — not blow the driver with a
-    |domain| x 65536-row broadcast map."""
+    max_key_groups must raise at action time with the per-group-window
+    alternative named — not blow the driver with a |domain| x 65536-row
+    broadcast map. The guard is IN-PLAN (raise_error over the bounded
+    rng table) so it costs zero extra jobs on contract-abiding input."""
     import pytest
 
     from database_collector_spark.operators.ranking import prefix_count_below
@@ -310,7 +311,7 @@ def test_prefix_count_below_rejects_high_cardinality_keys(spark):
     df = spark.range(40).selectExpr(
         "cast(id as string) as g", "cast(id as double) as v", "1 as c"
     )
-    with pytest.raises(ValueError, match="per-group window"):
+    with pytest.raises(Exception, match="per-group window"):
         prefix_count_below(df, ["g"], "v", "c", max_key_groups=8).collect()
     # at exactly the ceiling it builds fine
     ok = prefix_count_below(df, ["g"], "v", "c", max_key_groups=40).collect()
@@ -452,7 +453,7 @@ def test_refined_key_ceiling_shrinks_fourfold(spark):
         )
         == 12
     )
-    with pytest.raises(ValueError, match="composite"):
+    with pytest.raises(Exception, match="composite"):
         prefix_count_below(
             df, ["g"], "v", "c", max_key_groups=44, refine_narrow_domains=True
         ).collect()
