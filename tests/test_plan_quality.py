@@ -17,25 +17,36 @@ def _plan(df) -> str:
 
 def _assert_single_partition_is_guard_only(plan: str) -> None:
     """Every Exchange SinglePartition must belong to prefix_count_below's
-    bounded in-plan cardinality guard (a sort-free `Window [count(1) ...]`
-    over the |groups|-row rng table). The corpus-funnel signature a
-    zero-exchange pin used to catch — a SORT feeding a single partition —
-    stays banned outright, and the exchange count may not exceed the
-    guard-window count (so a non-guard single-partition consumer still
-    fails even without a sort)."""
+    bounded in-plan cardinality guard, verified STRUCTURALLY per
+    occurrence: the line above must be the guard's sort-free
+    `Window [count(1) ...]` and the line below must be the rng
+    aggregate itself (HashAggregate over the SIGNUM/LOG1P min/max —
+    the |groups|-row table). A sorted single-partition consumer (the
+    corpus-funnel signature), a corpus-wide count-over-() window, or
+    any other single-partition consumer fails the pairing — review
+    caught that bare string counts could not tell a bounded guard from
+    a corpus-sized count window, and that a `Sort [...]\\n` regex never
+    matches Spark's real `Sort [...], false, 0` lines."""
     import re
 
     assert not re.search(
-        r"Sort \[[^\n]*\]\n[^\n]*\+- Exchange SinglePartition", plan
+        r"Sort \[[^\n]*\n[^\n]*\+- Exchange SinglePartition", plan
     ), "sorted single-partition funnel in plan"
-    n_sp = plan.count("Exchange SinglePartition")
-    n_guard = plan.count(
-        "Window [count(1) windowspecdefinition(specifiedwindowframe"
-    )
-    assert n_sp <= n_guard, (
-        f"{n_sp} SinglePartition exchanges but only {n_guard} cardinality-"
-        "guard windows — a non-guard single-partition consumer appeared"
-    )
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        prev = lines[i - 1] if i else ""
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        assert (
+            "Window [count(1) windowspecdefinition(specifiedwindowframe" in prev
+            and "HashAggregate" in nxt
+            and "LOG1P" in nxt
+        ), (
+            "SinglePartition exchange not paired with the rng cardinality "
+            f"guard:\n  above: {prev.strip()[:120]}\n  line:  "
+            f"{ln.strip()[:120]}\n  below: {nxt.strip()[:120]}"
+        )
 
 
 def test_lang_id_is_zero_shuffle(spark):
