@@ -57,7 +57,10 @@ def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
         (F.col("label") >= 5).cast("int").alias("label"),
     )
     lang = docs.select("doc_id", "lang")
-    scored = clf.join(truth, "doc_id").join(lang, "doc_id")
+    # three report actions share the scored frame — persist it so the
+    # classifier's bigram tokenization and both joins run ONCE (the
+    # full_pipeline.py convention)
+    scored = clf.join(truth, "doc_id").join(lang, "doc_id").persist()
 
     overall = ranking.auc_exact(scored.select("score", "label")).collect()[0]
     by_lang = ranking.auc_by_group(
@@ -67,7 +70,7 @@ def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
         scored.select("score", "label"), n_bins=n_bins
     ).orderBy("bin")
 
-    return {
+    report = {
         "overall": (overall["n_pos"], overall["n_neg"], overall["auc"]),
         "by_lang": [
             (r["lang"], r["n_pos"], r["n_neg"], r["auc"]) for r in by_lang.collect()
@@ -78,6 +81,8 @@ def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
             for r in curve.collect()
         ],
     }
+    scored.unpersist()
+    return report
 
 
 def main() -> None:

@@ -123,4 +123,7 @@ def test_classifier_eval_example_composes(spark):
     assert cal_n == n_pos + n_neg
     for _, nd, np_, rate, lo, hi in report["calibration"]:
         assert 0 <= np_ <= nd and lo <= hi
-        assert rate == round(np_ / nd, 6)
+        # tolerance, not equality: Spark's HALF_UP round vs Python's
+        # round-half-even can disagree by 1 ulp at the 6th decimal on
+        # half-boundary ratios (e.g. k/640)
+        assert abs(rate - np_ / nd) <= 5e-7
