@@ -729,6 +729,7 @@ def calibration_curve(
     label_col: str = "label",
     n_bins: int = 10,
     coarse_buckets: int = 1024,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Reliability / calibration curve of a binary scorer: percentile-
     binned observed-positive rates — next to AUC, the evaluation a
@@ -751,25 +752,45 @@ def calibration_curve(
     Output: one row per non-empty bin (bin, n_docs, n_pos, pos_rate,
     lo_score, hi_score) — trailing bins can be empty when one tie
     class spans several percentile widths.
+
+    ``group_col`` produces one independent curve PER GROUP (percentile
+    bins computed within each group — the per-source/per-language
+    reliability audit next to auc_by_group), prepending the group to
+    the output. The low-cardinality-keys broadcast contract of
+    ``prefix_count_below`` then applies.
     """
-    base = scored.select(
-        F.col(score_col).alias("s"), F.col(label_col).cast("int").alias("y")
-    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
-    per = base.groupBy("s").agg(
+    keys = ["g"] if group_col else []
+    sel = [F.col(score_col).alias("s"), F.col(label_col).cast("int").alias("y")]
+    cond = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    if group_col:
+        sel.insert(0, F.col(group_col).alias("g"))
+        cond = cond & F.col(group_col).isNotNull()
+    base = scored.select(*sel).where(cond)
+    per = base.groupBy(*keys, "s").agg(
         F.count("*").alias("cnt"), F.sum("y").cast("long").alias("pos")
     )
     below = prefix_count_below(
-        per, [], "s", "cnt", coarse_buckets=coarse_buckets, out_col="below"
+        per, keys, "s", "cnt", coarse_buckets=coarse_buckets, out_col="below"
     )
-    tot = per.agg(F.sum("cnt").alias("_n"))
-    binned = below.crossJoin(F.broadcast(tot)).select(
+    tot = (
+        per.groupBy(*keys).agg(F.sum("cnt").alias("_n"))
+        if keys
+        else per.agg(F.sum("cnt").alias("_n"))
+    )
+    binned = (
+        below.join(F.broadcast(tot), keys)
+        if keys
+        else below.crossJoin(F.broadcast(tot))
+    ).select(
+        *keys,
         "s",
         "cnt",
         "pos",
         F.expr(f"(below * {n_bins}) div _n").alias("bin"),
     )
+    out_head = [F.col("g").alias(group_col)] if group_col else []
     return (
-        binned.groupBy("bin")
+        binned.groupBy(*keys, "bin")
         .agg(
             F.sum("cnt").alias("n_docs"),
             F.sum("pos").alias("n_pos"),
@@ -777,6 +798,7 @@ def calibration_curve(
             F.round(F.max("s"), 6).alias("hi_score"),
         )
         .select(
+            *out_head,
             "bin",
             "n_docs",
             "n_pos",
@@ -953,4 +975,86 @@ def quantiles_by_group(
         joined.groupBy("g")
         .agg(F.max("n").cast("long").alias("n"), *qcols)
         .select(F.col("g").alias(group_col), "n", "p25", "p50", "p75")
+    )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    rels: DataFrame,
+    *,
+    k: int = 10,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Exact NDCG@k of a ranked list against graded relevance labels —
+    the canonical ranked-retrieval evaluation, completing the tier next
+    to AUC (binary, corpus-wide) and calibration (probability quality):
+    BM25/ANN/RRF rankings get judged by the metric IR actually reports.
+
+    DCG@k = sum over the TOP-k ranked items of (2^rel - 1)/log2(rank+1)
+    (the standard burgess-gain form); IDCG@k is the same sum over the
+    k best labels in the group (ties broken immaterially — gains are
+    rank-position products of the sorted label multiset). Items missing
+    a label count as rel = 0; labels without a ranked item contribute
+    only to IDCG (the classic pooled-judgment semantics).
+
+    Inputs are BOUNDED per group (a ranked list is already top-N —
+    real systems never rank the corpus), so every step is a small
+    join + window per group: this is an evaluation operator, not a
+    corpus operator. Gains 2^rel are exact integers (rel is a small
+    int grade); each term divides an exact integer by log(rank+1) —
+    identical operands in any engine — and the <= k-term sum is
+    rounded to 6 (association-order residue ~1e-15 against a 1e-6
+    step, the accepted tiny-sum class). Single-partition windows here
+    are FINE: the frames are top-N lists, not corpora.
+
+    Output: one row per group (group_col?, n_ranked, n_judged, dcg,
+    idcg, ndcg) with ndcg NULL when IDCG = 0 (no positive labels),
+    fail-soft.
+    """
+    gkeys = [group_col] if group_col else []
+    r = ranked.select(
+        *gkeys, F.col(id_col).alias("_id"), F.col(rank_col).alias("_rk")
+    ).where(F.col(rank_col) <= k)
+    lab = rels.select(
+        *gkeys, F.col(id_col).alias("_id"), F.col(rel_col).cast("int").alias("_rel")
+    ).where(F.col(rel_col).isNotNull())
+    gain = F.pow(F.lit(2.0), F.col("_rel")) - 1
+    disc = F.log(F.col("_rk") + 1) / F.log(F.lit(2.0))
+    dcg = (
+        r.join(lab, [*gkeys, "_id"], "left")
+        .select(*gkeys, F.coalesce(F.col("_rel"), F.lit(0)).alias("_rel"), "_rk")
+        .groupBy(*gkeys)
+        .agg(
+            F.count("*").cast("long").alias("n_ranked"),
+            F.sum(gain / disc).alias("_dcg"),
+        )
+    )
+    w = (
+        Window.partitionBy(*gkeys).orderBy(F.desc("_rel"), "_id")
+        if gkeys
+        else Window.orderBy(F.desc("_rel"), "_id")
+    )
+    ideal = (
+        lab.select(*gkeys, "_rel", "_id", F.row_number().over(w).alias("_rk"))
+        .where(F.col("_rk") <= k)
+        .groupBy(*gkeys)
+        .agg(
+            F.count("*").cast("long").alias("n_judged"),
+            F.sum(gain / disc).alias("_idcg"),
+        )
+    )
+    how = "full_outer" if gkeys else "inner"
+    joined = dcg.join(ideal, gkeys, how) if gkeys else dcg.crossJoin(ideal)
+    return joined.select(
+        *gkeys,
+        F.coalesce(F.col("n_ranked"), F.lit(0)).alias("n_ranked"),
+        F.coalesce(F.col("n_judged"), F.lit(0)).alias("n_judged"),
+        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6).alias("dcg"),
+        F.round(F.coalesce(F.col("_idcg"), F.lit(0.0)), 6).alias("idcg"),
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")), 6
+        ).alias("ndcg"),
     )

@@ -457,3 +457,88 @@ def test_refined_key_ceiling_shrinks_fourfold(spark):
         prefix_count_below(
             df, ["g"], "v", "c", max_key_groups=44, refine_narrow_domains=True
         ).collect()
+
+
+def test_calibration_curve_grouped_matches_per_group_reference(spark):
+    """group_col produces one independent percentile-binned curve per
+    group — identical to running the ungrouped operator on each group's
+    slice."""
+    from database_collector_spark.operators.ranking import calibration_curve
+
+    rows = (
+        [("a", 0.1 * (i % 7), i % 2) for i in range(60)]
+        + [("b", 0.05 * (i % 11), (i // 3) % 2) for i in range(45)]
+        + [("b", None, 1), (None, 0.5, 0), ("a", 0.2, None)]
+    )
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    grouped = {
+        (r["g"], r["bin"]): tuple(r)[2:]
+        for r in calibration_curve(df, n_bins=4, group_col="g").collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            (g, r["bin"]): tuple(r)[1:]
+            for r in calibration_curve(
+                df.where(df.g == g), n_bins=4
+            ).collect()
+        }
+        for key, vals in solo.items():
+            assert grouped[key] == vals, key
+    assert len(grouped) == sum(
+        1 for k in grouped
+    ), "no extra groups from NULL rows"
+    assert not any(k[0] is None for k in grouped)
+
+
+def test_ndcg_at_k_matches_python_reference(spark):
+    """Exact NDCG@k vs a plain-Python reference: graded labels, items
+    missing labels (rel=0), labels missing from the ranking (IDCG
+    only), per-query grouping, an all-zero-label query (NULL ndcg)."""
+    import math
+
+    from database_collector_spark.operators.ranking import ndcg_at_k
+
+    ranked = [
+        ("q1", 101, 1), ("q1", 102, 2), ("q1", 103, 3), ("q1", 104, 4),
+        ("q2", 201, 1), ("q2", 202, 2),
+        ("q3", 301, 1),  # all labels zero -> NULL ndcg
+    ]
+    rels = [
+        ("q1", 101, 3), ("q1", 103, 1), ("q1", 999, 2),  # 999 unranked
+        ("q2", 202, 2), ("q2", 201, 0),
+        ("q3", 301, 0),
+    ]
+    k = 3
+    rdf = spark.createDataFrame(ranked, "q string, doc_id long, rank int")
+    ldf = spark.createDataFrame(rels, "q string, doc_id long, rel int")
+    got = {
+        r["q"]: r
+        for r in ndcg_at_k(
+            rdf, ldf, k=k, group_col="q", rank_col="rank"
+        ).collect()
+    }
+
+    from collections import defaultdict
+
+    rel_by = defaultdict(dict)
+    for q, d, rel in rels:
+        rel_by[q][d] = rel
+    for q in ("q1", "q2", "q3"):
+        top = sorted(
+            [(rk, d) for (qq, d, rk) in ranked if qq == q and rk <= k]
+        )
+        dcg = sum(
+            (2 ** rel_by[q].get(d, 0) - 1) / math.log2(rk + 1) for rk, d in top
+        )
+        ideal = sorted(rel_by[q].values(), reverse=True)[:k]
+        idcg = sum(
+            (2 ** rel - 1) / math.log2(i + 2) for i, rel in enumerate(ideal)
+        )
+        r = got[q]
+        assert r["n_ranked"] == len(top)
+        assert r["dcg"] == round(dcg, 6), q
+        assert r["idcg"] == round(idcg, 6), q
+        if idcg > 0:
+            assert r["ndcg"] == round(dcg / idcg, 6), q
+        else:
+            assert r["ndcg"] is None, q
