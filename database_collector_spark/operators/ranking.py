@@ -1015,12 +1015,16 @@ def ndcg_at_k(
     fail-soft.
     """
     gkeys = [group_col] if group_col else []
+    # NULL-group rows are EXCLUDED like every grouped operator here —
+    # groupBy would aggregate them while the (group, id) equi-joins
+    # never match NULL keys, yielding two disjoint bogus NULL rows
+    gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
     r = ranked.select(
         *gkeys, F.col(id_col).alias("_id"), F.col(rank_col).alias("_rk")
-    ).where(F.col(rank_col) <= k)
+    ).where((F.col(rank_col) <= k) & gfilter)
     lab = rels.select(
         *gkeys, F.col(id_col).alias("_id"), F.col(rel_col).cast("int").alias("_rel")
-    ).where(F.col(rel_col).isNotNull())
+    ).where(F.col(rel_col).isNotNull() & gfilter)
     gain = F.pow(F.lit(2.0), F.col("_rel")) - 1
     disc = F.log(F.col("_rk") + 1) / F.log(F.lit(2.0))
     dcg = (
@@ -1046,15 +1050,21 @@ def ndcg_at_k(
             F.sum(gain / disc).alias("_idcg"),
         )
     )
-    how = "full_outer" if gkeys else "inner"
-    joined = dcg.join(ideal, gkeys, how) if gkeys else dcg.crossJoin(ideal)
+    joined = (
+        dcg.join(ideal, gkeys, "full_outer") if gkeys else dcg.crossJoin(ideal)
+    )
+    # a judged group with NO ranked items (full-outer right side only)
+    # has a NULL _dcg but a positive _idcg: it scores ndcg = 0.0 — a
+    # system returning nothing for a judged query is WRONG, not
+    # unjudgeable; NULL stays reserved for IDCG = 0
+    dcg0 = F.coalesce(F.col("_dcg"), F.lit(0.0))
     return joined.select(
         *gkeys,
         F.coalesce(F.col("n_ranked"), F.lit(0)).alias("n_ranked"),
         F.coalesce(F.col("n_judged"), F.lit(0)).alias("n_judged"),
-        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6).alias("dcg"),
+        F.round(dcg0, 6).alias("dcg"),
         F.round(F.coalesce(F.col("_idcg"), F.lit(0.0)), 6).alias("idcg"),
         F.round(
-            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")), 6
+            F.when(F.col("_idcg") > 0, dcg0 / F.col("_idcg")), 6
         ).alias("ndcg"),
     )

@@ -475,6 +475,7 @@ def test_calibration_curve_grouped_matches_per_group_reference(spark):
         (r["g"], r["bin"]): tuple(r)[2:]
         for r in calibration_curve(df, n_bins=4, group_col="g").collect()
     }
+    solo_keys = set()
     for g in ("a", "b"):
         solo = {
             (g, r["bin"]): tuple(r)[1:]
@@ -482,11 +483,11 @@ def test_calibration_curve_grouped_matches_per_group_reference(spark):
                 df.where(df.g == g), n_bins=4
             ).collect()
         }
+        solo_keys |= set(solo)
         for key, vals in solo.items():
             assert grouped[key] == vals, key
-    assert len(grouped) == sum(
-        1 for k in grouped
-    ), "no extra groups from NULL rows"
+    # BOTH directions: no spurious extra (g, bin) rows, no NULL group
+    assert set(grouped) == solo_keys
     assert not any(k[0] is None for k in grouped)
 
 
@@ -542,3 +543,25 @@ def test_ndcg_at_k_matches_python_reference(spark):
             assert r["ndcg"] == round(dcg / idcg, 6), q
         else:
             assert r["ndcg"] is None, q
+
+
+def test_ndcg_judged_but_unranked_group_scores_zero_not_null(spark):
+    """A judged query the system returned NOTHING for is wrong, not
+    unjudgeable: ndcg = 0.0 (NULL stays reserved for IDCG = 0). NULL
+    group rows are excluded on both inputs — the equi-joins never match
+    NULL keys, so they'd otherwise split into two bogus rows."""
+    from database_collector_spark.operators.ranking import ndcg_at_k
+
+    rdf = spark.createDataFrame(
+        [("q1", 101, 1), (None, 102, 1)], "q string, doc_id long, rank int"
+    )
+    ldf = spark.createDataFrame(
+        [("q1", 101, 2), ("q2", 555, 3), (None, 102, 3)],
+        "q string, doc_id long, rel int",
+    )
+    got = {r["q"]: r for r in ndcg_at_k(rdf, ldf, k=3, group_col="q").collect()}
+    assert set(got) == {"q1", "q2"}
+    assert got["q1"]["ndcg"] == 1.0
+    q2 = got["q2"]
+    assert (q2["n_ranked"], q2["n_judged"], q2["dcg"], q2["ndcg"]) == (0, 1, 0.0, 0.0)
+    assert q2["idcg"] == 7.0
