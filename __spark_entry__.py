@@ -78,11 +78,11 @@ _CHECK_FIRST = [
     "funnel_steps", "heavy_hitters", "heavy_hitters_by_lang",
     "histogram_quantile", "image_dhash_dedup",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r12 MANDATORY HEAD: any red r11 rows first, then the FIVE r12
+    # r12 MANDATORY HEAD: any red r11 rows first, then the SEVEN r12
     # gates staged in workloads_r12.py with pre-verified oracles
-    # (auc_by_group, calibration_curve, kendall_tau_banded,
-    # quantiles_by_group, source_governance; registration = import
-    # QUERIES_R12/ORACLES_R12
+    # (auc_by_group, calibration_curve, calibration_by_source,
+    # kendall_tau_banded, ndcg_quality, quantiles_by_group,
+    # source_governance; registration = import QUERIES_R12/ORACLES_R12
     # into the dicts below + list them here), then the TWENTY-FOUR
     # remaining r7-latest gates whose staleness bound binds EXACTLY at
     # r12 (newest row r7, 12 - 7 = 5), alphabetical: key_skew_profile,
@@ -93,13 +93,13 @@ _CHECK_FIRST = [
     # seasonal_decompose, session_windows, shingle_weights,
     # string_funcs, text_stats_wide, tfidf_topterms, volume_anomaly,
     # zorder_layout.
-    # That is red + 5 + 24 = 29+red, leaving 21 slots (assuming 0
+    # That is red + 7 + 24 = 31+red, leaving 19 slots (assuming 0
     # reds) for r8-latest backfill — the 48-gate r8-latest cohort's
-    # staleness bound lands at r13, so its first 21 (alphabetical:
-    # ann_sq8_topk .. jaccard_join_exact) take r12's remaining slots
-    # and the other 27 MUST take r13's head, capping the r13 staged
-    # cohort at ~23 minus r12 reds. Any red r11 row displaces from the
-    # END of the 21.
+    # staleness bound lands at r13, so its first 19 (alphabetical:
+    # ann_sq8_topk .. interpolate_linear) take r12's remaining slots
+    # and the other 29 MUST take r13's head, capping the r13 staged
+    # cohort at ~21 minus r12 reds. Any red r11 row displaces from the
+    # END of the 19.
     # All subject to the max-staleness meta-test in
     # tests/test_docs_consistency.py (no registered gate's newest driver
     # row older than 5 rounds; missing gates count as round 0).

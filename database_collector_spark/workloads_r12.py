@@ -20,6 +20,11 @@ COMPOSITION (not just its stages):
   standard tie correction, pairs bounded to each sample's next 12
   successors — the theil_sen banding applied to rank correlation
   (operators/ranking.py::banded_kendall_tau).
+- ``calibration_by_source`` — the calibration gate's fairness twin:
+  one independent reliability curve per source
+  (operators/ranking.py::calibration_curve(group_col=...)).
+- ``ndcg_quality`` — exact NDCG@10 per language of a bounded ranked
+  list against graded relevance (operators/ranking.py::ndcg_at_k).
 - ``quantiles_by_group`` — exact type-1 quartiles per group from
   per-(group, value) counts + the shared prefix-sum core: the
   100 TB-honest exact-quantile form whose memory is bounded by the
@@ -43,6 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from database_collector_spark import curation
 from database_collector_spark.operators import dedup, ranking, similarity, text
@@ -314,6 +320,154 @@ FROM wb GROUP BY g ORDER BY g
 """
 
 
+# --------------------------------------------------------------- NDCG@k
+
+_NDCG_K = 10
+
+
+def q_ndcg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NDCG@10 per language of the length-ranked document list
+    against the embedding-label relevance grades (0-9) — the canonical
+    ranked-retrieval evaluation (operators/ranking.py::ndcg_at_k,
+    burgess gains, pooled-judgment semantics), each language playing
+    the query role. The ranking is the exact-integer n_chars order
+    (doc_id tie-break) truncated to the top 10 per language — a
+    BOUNDED ranked-list input, the operator's contract; the per-lang
+    row_number window is parallel across languages and its partitions
+    are corpus-bounded only here at fixture scale (a real system feeds
+    ndcg_at_k its retrieval top-k directly)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    ranked = docs.select("lang", "doc_id", w.alias("rank")).where(
+        F.col("rank") <= _NDCG_K
+    )
+    rels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("rel")
+    )
+    lang = docs.select("doc_id", "lang")
+    return ranking.ndcg_at_k(
+        ranked,
+        rels.join(lang, "doc_id").select("lang", "doc_id", "rel"),
+        k=_NDCG_K,
+        group_col="lang",
+    ).orderBy("lang")
+
+
+SQL_NDCG_QUALITY = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+),
+topk AS (SELECT * FROM ranked WHERE rk <= {_NDCG_K}),
+rels AS (
+  SELECT d.lang, e.vec_id AS doc_id, e.label AS rel
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE e.label IS NOT NULL AND d.lang IS NOT NULL
+),
+dcg AS (
+  SELECT t.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         SUM((pow(2.0, COALESCE(r.rel, 0)) - 1) / (ln(t.rk + 1) / ln(2.0)))
+           AS dcg_raw
+  FROM topk t LEFT JOIN rels r ON r.lang = t.lang AND r.doc_id = t.doc_id
+  GROUP BY t.lang
+),
+ideal AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_judged,
+         SUM((pow(2.0, rel) - 1) / (ln(irk + 1) / ln(2.0))) AS idcg_raw
+  FROM (
+    SELECT lang, rel,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY rel DESC, doc_id) AS irk
+    FROM rels
+  ) WHERE irk <= {_NDCG_K}
+  GROUP BY lang
+)
+SELECT COALESCE(d.lang, i.lang) AS lang,
+       COALESCE(d.n_ranked, 0) AS n_ranked,
+       COALESCE(i.n_judged, 0) AS n_judged,
+       round(COALESCE(d.dcg_raw, 0), 6) AS dcg,
+       round(COALESCE(i.idcg_raw, 0), 6) AS idcg,
+       CASE WHEN i.idcg_raw > 0 THEN
+         round(COALESCE(d.dcg_raw, 0) / i.idcg_raw, 6) END AS ndcg
+FROM dcg d FULL OUTER JOIN ideal i ON d.lang = i.lang
+ORDER BY 1
+"""
+
+
+# ------------------------------------------------ per-source calibration
+
+_CAL_SRC_BINS = 4
+
+
+def q_calibration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibration_curve gate's fairness twin: one independent
+    reliability curve PER SOURCE of the hashed quality classifier
+    against the embedding label (operators/ranking.py::
+    calibration_curve(group_col=...) — the same tie-classes-whole
+    integer binning, percentiles computed within each source via the
+    keyed prefix core). 4 bins x 20 sources keeps every bin populated
+    at sf0.001."""
+    docs = _t(spark, sf_dir, "documents")
+    clf = (
+        text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
+        .where(F.col("n_feats") > 0)
+        .select("doc_id", "n_feats", "logit_milli")
+    )
+    lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    src = docs.select("doc_id", "source")
+    scored = clf.join(lab, "doc_id").join(src, "doc_id").select(
+        "source",
+        (F.col("logit_milli") / (F.lit(1000.0) * F.col("n_feats"))).alias("score"),
+        F.col("y").alias("truth"),
+    )
+    return ranking.calibration_curve(
+        scored, label_col="truth", n_bins=_CAL_SRC_BINS, group_col="source"
+    ).orderBy("source", "bin")
+
+
+SQL_CALIBRATION_BY_SOURCE = f"""
+WITH clf AS MATERIALIZED (
+  SELECT doc_id, n_feats, logit_milli
+  FROM ({SQL_QUALITY_CLASSIFIER}) q WHERE n_feats > 0
+),
+sc AS (
+  SELECT d.source, c.logit_milli / (1000.0 * c.n_feats) AS s,
+         CASE WHEN e.label >= 5 THEN 1 ELSE 0 END AS y
+  FROM clf c
+  JOIN embeddings e ON e.vec_id = c.doc_id
+  JOIN documents d ON d.doc_id = c.doc_id
+  WHERE e.label IS NOT NULL AND d.source IS NOT NULL
+),
+per AS (
+  SELECT source, s, COUNT(*) AS cnt, SUM(y) AS pos FROM sc GROUP BY source, s
+),
+wb AS (
+  SELECT source, s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM per
+)
+SELECT source,
+       CAST((below * {_CAL_SRC_BINS}) // n AS BIGINT) AS bin,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       round(CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS pos_rate,
+       round(MIN(s), 6) AS lo_score,
+       round(MAX(s), 6) AS hi_score
+FROM wb GROUP BY source, bin ORDER BY source, bin
+"""
+
+
 # ------------------------------------------------- source governance report
 
 _GOV_CUT = 0.40
@@ -531,7 +685,9 @@ ORDER BY p.source
 QUERIES_R12 = {
     "auc_by_group": q_auc_by_group,
     "calibration_curve": q_calibration_curve,
+    "calibration_by_source": q_calibration_by_source,
     "kendall_tau_banded": q_kendall_tau_banded,
+    "ndcg_quality": q_ndcg_quality,
     "quantiles_by_group": q_quantiles_by_group,
     "source_governance": q_source_governance,
 }
@@ -539,7 +695,9 @@ QUERIES_R12 = {
 ORACLES_R12 = {
     "auc_by_group": SQL_AUC_BY_GROUP,
     "calibration_curve": SQL_CALIBRATION_CURVE,
+    "calibration_by_source": SQL_CALIBRATION_BY_SOURCE,
     "kendall_tau_banded": SQL_KENDALL_TAU_BANDED,
+    "ndcg_quality": SQL_NDCG_QUALITY,
     "quantiles_by_group": SQL_QUANTILES_BY_GROUP,
     "source_governance": SQL_SOURCE_GOVERNANCE,
 }
