@@ -841,3 +841,28 @@ def test_quantiles_by_group_has_no_per_group_value_buffer(spark):
     _assert_single_partition_is_guard_only(plan)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ndcg_quality_windows_are_group_limit_pushed(spark):
+    from database_collector_spark import workloads_r12
+
+    plan = _plan(workloads_r12.q_ndcg_quality(spark, SF))
+    # both top-k windows (the per-lang ranking and the ideal-label
+    # ordering) must get Spark's rank-limit pushdown: each task keeps
+    # only k rows before the per-group sort, so the corpus never sorts
+    # whole-group partitions (partial + final per window = 4 nodes)
+    assert plan.count("WindowGroupLimit") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_calibration_by_source_stays_keyed(spark):
+    from database_collector_spark import workloads_r12
+
+    plan = _plan(workloads_r12.q_calibration_by_source(spark, SF))
+    # the per-source curves ride the keyed prefix core: only the
+    # bounded cardinality-guard single-partition exchanges, no Python,
+    # no cartesian, and the classifier fold stays in-row
+    _assert_single_partition_is_guard_only(plan)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
