@@ -357,10 +357,12 @@ def q_ndcg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NDCG_QUALITY = f"""
 WITH ranked AS (
+  -- NULL-lang rows excluded on BOTH sides: ndcg_at_k drops NULL
+  -- groups from the ranked input too (the rels CTE already filters)
   SELECT lang, doc_id,
          ROW_NUMBER() OVER (PARTITION BY lang
                             ORDER BY n_chars DESC, doc_id) AS rk
-  FROM documents
+  FROM documents WHERE lang IS NOT NULL
 ),
 topk AS (SELECT * FROM ranked WHERE rk <= {_NDCG_K}),
 rels AS (
