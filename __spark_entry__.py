@@ -31,6 +31,7 @@ from database_collector_spark import (
     workloads_r9,
     workloads_r10,
     workloads_r11,
+    workloads_r12,
     workloads_ts,
 )
 
@@ -48,58 +49,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # Round-11 rotation, part 1 — NEW GATES: CORRECTNESS_r10 was 50/50
-    # green (zero red rows anywhere, the first fully-green window), so
-    # the head goes straight to the SEVEN r11 gates staged in
-    # workloads_r11.py since round 10 (oracles pre-verified by the
-    # driver-identical staged differential at sf0.001/0.01 + local[7],
-    # judge-re-run green; registered this round).
-    "substring_dedup", "semdedup_prune", "dsir_weights",
-    "upsert_compaction", "bloom_decontaminate", "spearman_corr",
-    "cross_source_dup_matrix",
-    # part 2 — staleness-bound backfill: the EIGHTEEN r6-latest gates
-    # displaced from the r10 window (newest driver row = round 6;
-    # 11 - 6 = 5, the max-staleness bound binds THIS round).
-    "multimodal_decode", "multimodal_features", "multimodal_frames",
-    "pricing_summary", "quality_score", "registry_diff",
-    "repetition_stats", "rollup_counts", "scd1_upsert", "scd2_history",
-    "sequence_pack", "similarity_topk", "snapshot_diff",
-    "sorted_list_agg", "summary_quantiles", "text_normalize",
-    "token_estimate", "topk_per_group",
-    # part 3 — oldest-evidence backfill: the first 25 (alphabetical) of
-    # the 49 r7-latest gates (newest driver row = round 7; their bound
-    # binds at r12, taken early here to keep r12's arithmetic solvable).
-    "ann_ivf_incremental", "ann_ivf_kmeans", "attribution_first_touch",
-    "bitmap_distinct", "bm25_scores", "bpe_encode", "bpe_merges",
-    "char_entropy", "cluster_representatives", "cms_estimates",
-    "corpus_overlap", "counter_rate", "cusum_changepoints",
-    "dedup_fuzzy", "dense_timeseries", "embedding_normalize",
-    "event_transitions", "ewma_smooth", "fk_bloom", "fk_integrity",
-    "funnel_steps", "heavy_hitters", "heavy_hitters_by_lang",
-    "histogram_quantile", "image_dhash_dedup",
+    # Round-12 rotation, part 1 — NEW GATES: CORRECTNESS_r11 was 50/50
+    # green (zero red rows anywhere, second consecutive fully-green
+    # window), so the head goes straight to the SEVEN r12 gates staged
+    # in workloads_r12.py since round 11 (oracles pre-verified by the
+    # driver-identical staged differential at sf0.001/0.01/0.1 +
+    # local[7], judge-re-run green; registered this round).
+    "auc_by_group", "calibration_curve", "calibration_by_source",
+    "kendall_tau_banded", "ndcg_quality", "quantiles_by_group",
+    "source_governance",
+    # part 2 — staleness-bound backfill: the TWENTY-FOUR r7-latest
+    # gates (newest driver row = round 7; 12 - 7 = 5, the max-staleness
+    # bound binds THIS round). Computed from the CORRECTNESS_r*.json
+    # union, alphabetical (key_skew_profile .. zorder_layout).
+    "key_skew_profile", "leakage_safe_split", "lsh_recall_report",
+    "mad_outliers", "multimodal_audio", "null_funcs", "pagerank_exact",
+    "pii_scrub", "posexplode_tokens", "profile_table", "quantile_norm",
+    "retention_cohorts", "rolling_median", "rolling_zscore",
+    "seasonal_profile", "theil_sen_slope", "token_postings",
+    "trend_slope", "trimmed_mean", "try_arith", "unigram_logppl",
+    "url_dedup", "weighted_sample", "zorder_layout",
+    # part 3 — oldest-evidence backfill: the first 19 (alphabetical) of
+    # the 48 r8-latest gates (newest driver row = round 8; their bound
+    # binds at r13, taken early here to keep r13's arithmetic solvable).
+    "ann_sq8_topk", "bag_set_ops", "benford_audit", "bigram_logppl",
+    "capped_balance", "chunk_documents", "cms_join_size",
+    "corpus_shuffle", "corr_matrix", "decayed_counts",
+    "dedup_containment", "dist_drift", "embedding_covariance",
+    "embedding_dedup_clusters", "entity_resolution", "error_impact",
+    "filter_funnel", "freshness_audit", "interpolate_linear",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r12 MANDATORY HEAD: any red r11 rows first, then the SEVEN r12
-    # gates staged in workloads_r12.py with pre-verified oracles
-    # (auc_by_group, calibration_curve, calibration_by_source,
-    # kendall_tau_banded, ndcg_quality, quantiles_by_group,
-    # source_governance; registration = import QUERIES_R12/ORACLES_R12
-    # into the dicts below + list them here), then the TWENTY-FOUR
-    # remaining r7-latest gates whose staleness bound binds EXACTLY at
-    # r12 (newest row r7, 12 - 7 = 5), alphabetical: key_skew_profile,
-    # label_enrich, lsh_tuning, minhash_recall_audit, mode_stats,
-    # null_profile, ontime_rate, order_priority_counts, outlier_mad,
-    # pii_scrub, pivot_metrics, quality_filter, range_join_bins,
-    # retention_cohorts, rfm_segments, sample_stratified,
-    # seasonal_decompose, session_windows, shingle_weights,
-    # string_funcs, text_stats_wide, tfidf_topterms, volume_anomaly,
-    # zorder_layout.
-    # That is red + 7 + 24 = 31+red, leaving 19 slots (assuming 0
-    # reds) for r8-latest backfill — the 48-gate r8-latest cohort's
-    # staleness bound lands at r13, so its first 19 (alphabetical:
-    # ann_sq8_topk .. interpolate_linear) take r12's remaining slots
-    # and the other 29 MUST take r13's head, capping the r13 staged
-    # cohort at ~21 minus r12 reds. Any red r11 row displaces from the
-    # END of the 19.
+    # r13 MANDATORY HEAD: any red r12 rows first, then the staged r13
+    # cohort from workloads_r13.py (import QUERIES_R13/ORACLES_R13 into
+    # the dicts below + list them here), then the TWENTY-NINE remaining
+    # r8-latest gates whose staleness bound binds EXACTLY at r13
+    # (newest row r8, 13 - 8 = 5), alphabetical: interval_coalesce,
+    # jaccard_join_exact, kcore_peel, kfold_split, kmv_intersection,
+    # long_running_sessions, m4_downsample, map_funcs, multimodal_png,
+    # null_safe_join, oov_rate, pattern_detect, pit_join,
+    # pmi_collocations, prorate_daily, psi_drift, rollup_cascade,
+    # rrf_fusion, session_paths, skyline_orders, supplier_diversity,
+    # table_checksum, time_to_convert, time_weighted_avg,
+    # triangle_count, value_histogram, variant_json, waiting_suppliers,
+    # weighted_median. That is red + staged + 29 = 50, capping the r13
+    # staged cohort at 21 minus r12 reds. Any red r12 row displaces
+    # from the END of the staged cohort. The 49 r9-latest gates bind at
+    # r14. Always recompute cohorts from the CORRECTNESS_r*.json union
+    # (tests/test_docs_consistency.py::test_rotation_debt_cannot_drift)
+    # rather than trusting name lists written from memory — the r11
+    # directive's expanded r7 name list was stale; only its computed
+    # endpoints were right.
     # All subject to the max-staleness meta-test in
     # tests/test_docs_consistency.py (no registered gate's newest driver
     # row older than 5 rounds; missing gates count as round 0).
@@ -126,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads_r9.QUERIES_R9,
         **workloads_r10.QUERIES_R10,
         **workloads_r11.QUERIES_R11,
+        **workloads_r12.QUERIES_R12,
         **workloads_ts.QUERIES_TS,
     })
 
@@ -144,5 +144,6 @@ def oracle_sql() -> dict[str, str]:
         **workloads_r9.ORACLES_R9,
         **workloads_r10.ORACLES_R10,
         **workloads_r11.ORACLES_R11,
+        **workloads_r12.ORACLES_R12,
         **workloads_ts.ORACLES_TS,
     })
