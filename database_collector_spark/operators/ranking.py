@@ -987,6 +987,7 @@ def ndcg_at_k(
     id_col: str = "doc_id",
     rank_col: str = "rank",
     rel_col: str = "rel",
+    check_unique_judgments: bool = False,
 ) -> DataFrame:
     """Exact NDCG@k of a ranked list against graded relevance labels —
     the canonical ranked-retrieval evaluation, completing the tier next
@@ -1013,18 +1014,56 @@ def ndcg_at_k(
     Output: one row per group (group_col?, n_ranked, n_judged, dcg,
     idcg, ndcg) with ndcg NULL when IDCG = 0 (no positive labels),
     fail-soft.
+
+    Contracts, enforced vs documented: ``rank >= 1`` is ENFORCED
+    in-plan — a rank of 0 would make the discount log2(1) = 0 and dcg
+    silently Infinity, so the checked rank raises per-row at execution
+    (zero cost on clean data, the relative_percentile_filter pattern).
+    Judgments must be UNIQUE per (group, id) — duplicates multiply
+    ranked rows through the left join, inflating n_ranked/DCG/IDCG.
+    That check needs a keyed count-window over the whole judgment
+    table (an extra shuffle a corpus-sized label table would pay every
+    call), so it is opt-in: ``check_unique_judgments=True`` arms the
+    same raise_error guard; callers that mint judgments from a unique
+    key (the registered gate joins on the embeddings PK) leave it off.
     """
     gkeys = [group_col] if group_col else []
     # NULL-group rows are EXCLUDED like every grouped operator here —
     # groupBy would aggregate them while the (group, id) equi-joins
     # never match NULL keys, yielding two disjoint bogus NULL rows
     gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
+    checked_rank = F.when(
+        F.col(rank_col) < 1,
+        F.raise_error(
+            F.lit(
+                f"ndcg_at_k: {rank_col!r} < 1 — ranks are 1-based; a rank "
+                "of 0 makes the log2(rank+1) discount zero and DCG infinite"
+            )
+        ),
+    ).otherwise(F.col(rank_col))
     r = ranked.select(
-        *gkeys, F.col(id_col).alias("_id"), F.col(rank_col).alias("_rk")
+        *gkeys, F.col(id_col).alias("_id"), checked_rank.alias("_rk")
     ).where((F.col(rank_col) <= k) & gfilter)
     lab = rels.select(
         *gkeys, F.col(id_col).alias("_id"), F.col(rel_col).cast("int").alias("_rel")
     ).where(F.col(rel_col).isNotNull() & gfilter)
+    if check_unique_judgments:
+        dupw = Window.partitionBy(*gkeys, "_id")
+        lab = lab.withColumn(
+            "_rel",
+            F.when(
+                F.count("*").over(dupw) > 1,
+                F.raise_error(
+                    F.lit(
+                        "ndcg_at_k: duplicate judgment rows for one "
+                        f"({', '.join([*gkeys, id_col])}) — duplicates "
+                        "multiply ranked rows via the left join and "
+                        "inflate n_ranked/DCG/IDCG; deduplicate the "
+                        "relevance table first"
+                    )
+                ),
+            ).otherwise(F.col("_rel")),
+        )
     gain = F.pow(F.lit(2.0), F.col("_rel")) - 1
     disc = F.log(F.col("_rk") + 1) / F.log(F.lit(2.0))
     dcg = (

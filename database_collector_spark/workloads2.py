@@ -799,8 +799,7 @@ SQL_POSEXPLODE_TOKENS = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 p AS (
   SELECT doc_id, i - 1 AS pos, t[i] AS tok
-  FROM toks, (SELECT unnest(generate_series(1, 600)) AS i) ii
-  WHERE i <= len(t)
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(pos * length(tok)) AS BIGINT) AS pos_len_checksum,

@@ -27,12 +27,13 @@ from database_collector_spark.workloads import _t
 # distinct word-3-gram shingles per document (mirrors operators.dedup.shingles)
 
 
-# Oracle-side position bound: must EXCEED the longest document's token
-# count or the oracle's shingle sets silently truncate while Spark's are
-# complete (sizes and shared counts diverge — latent until the fixture
-# grows longer docs). Fixture max is ~100 tokens (TESTDATA.md);
-# tests/test_docs_consistency.py pins the headroom against the real data.
-_SHINGLE_POS_BOUND = 2000
+# Oracle-side positions derive from each document's OWN token count
+# (r11 VERDICT: the earlier fixed 2000-position cross-join silently
+# truncated shingle sets for any doc longer than the bound while the
+# Spark side stayed complete — latent until a fixture regeneration grew
+# longer docs; the per-row generate_series matches the Spark semantics
+# at any document length, and generate_series(1, n) is empty for n < 1
+# so short docs contribute no shingles on either engine).
 
 
 def _sql_shingles(table: str = "documents") -> str:
@@ -40,8 +41,8 @@ def _sql_shingles(table: str = "documents") -> str:
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM toks, (SELECT unnest(generate_series(1, {_SHINGLE_POS_BOUND})) AS i) ii
-  WHERE i <= len(t) - 2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks)
 )
 """
 
@@ -217,8 +218,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_FINGERPRINT = """
 WITH g AS (
   SELECT doc_id, i AS pos, md5(substring(text, i, 8)) AS h
-  FROM documents, (SELECT unnest(generate_series(1, 600)) AS i) ii
-  WHERE i <= length(text) - 7
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 7)) AS i
+        FROM documents)
 ),
 sel AS (
   SELECT doc_id,
@@ -336,8 +338,8 @@ SQL_DECONTAMINATE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh4 AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 3), ' ') AS shingle
-  FROM toks, (SELECT unnest(generate_series(1, 600)) AS i) ii
-  WHERE i <= len(t) - 3
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+        FROM toks)
 )
 SELECT c.doc_id, COUNT(*) AS n_hit_shingles
 FROM (SELECT * FROM sh4 WHERE doc_id % 13 <> 0) c
@@ -614,8 +616,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MULTIMODAL_FEATURES = """
 WITH b AS (
   SELECT doc_id, i, ascii(substring(text, i, 1)) AS byte
-  FROM documents, (SELECT unnest(generate_series(1, 600)) AS i) ii
-  WHERE i <= length(text)
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        FROM documents)
 )
 SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_bytes,
@@ -945,8 +947,7 @@ SQL_HEAVY_HITTERS = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (
   SELECT t[i] || ' ' || t[i+1] AS gram
-  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) ii
-  WHERE i <= len(t) - 1
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
 )
 SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
 FROM grams
@@ -1065,8 +1066,7 @@ SQL_HEAVY_HITTERS_BY_LANG = """
 WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
 grams AS (
   SELECT lang, t[i] || ' ' || t[i+1] AS gram
-  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) ii
-  WHERE i <= len(t) - 1
+  FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
 ),
 totals AS (SELECT lang, COUNT(*) AS tot FROM grams
            WHERE gram IS NOT NULL GROUP BY lang)

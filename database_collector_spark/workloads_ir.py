@@ -809,8 +809,8 @@ SQL_CORPUS_OVERLAP = """
 WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) ii
-  WHERE i <= len(t) - 2
+  FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks)
 ),
 tagged AS (
   SELECT shingle,

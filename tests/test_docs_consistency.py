@@ -90,21 +90,25 @@ def test_no_gate_evidence_older_than_five_rounds():
     )
 
 
-def test_oracle_position_bound_exceeds_longest_document():
-    """Several oracles enumerate token positions with a fixed
-    generate_series bound; if a regenerated fixture ever carries a doc
-    longer than that bound, the oracle's n-gram sets silently truncate
-    while Spark's stay complete. Pin the headroom against the real
-    data at the largest fixture SF."""
-    import duckdb
+def test_no_oracle_enumerates_positions_with_a_fixed_bound():
+    """r11 VERDICT: oracles used to enumerate token/char positions with
+    a fixed generate_series bound (2000/600/200); a regenerated fixture
+    with a doc longer than the bound would silently truncate the
+    oracle's n-gram sets while Spark's stayed complete. All such sites
+    now derive positions from the row's own length
+    (unnest(generate_series(1, len(t) - k + 1))), which is correct at
+    ANY document length. Pin the retirement repo-wide: the only literal
+    generate_series upper bounds left are small STRUCTURAL constants
+    (embedding dim 64, PQ subspaces, seed/band/bucket counts) — any
+    literal bound above 64 is the truncation class reappearing."""
+    import re
 
-    from database_collector_spark.workloads_ext import _SHINGLE_POS_BOUND
-
-    longest = duckdb.sql(
-        "SELECT MAX(len(string_split(text, ' '))) FROM "
-        "read_parquet('/root/testdata/sf0.1/documents.parquet')"
-    ).fetchone()[0]
-    assert longest * 2 <= _SHINGLE_POS_BOUND, (
-        f"longest doc has {longest} tokens; raise _SHINGLE_POS_BOUND "
-        f"(and the inline 2000 bounds in the gram oracles) well past it"
-    )
+    for name, sql in entrymod.oracle_sql().items():
+        for lo, hi in re.findall(
+            r"generate_series\(\s*(-?\d+)\s*,\s*(\d+)\s*\)", sql
+        ):
+            assert int(hi) <= 64, (
+                f"{name}: generate_series({lo}, {hi}) — a fixed position "
+                "bound silently truncates on long documents; derive the "
+                "bound from the row (len(t)-based) instead"
+            )

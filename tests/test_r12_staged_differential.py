@@ -82,24 +82,31 @@ def test_staged_plans_have_no_python_udfs_or_cartesians(spark):
 
 
 def test_every_staged_gate_is_documented_and_window_headed():
-    # staged-gate bookkeeping (the r8-proven pattern): every r12 gate
-    # appears in the r12 window-head directive comment and has exactly
-    # one "queued r12" COVERAGE row mentioning it by name
+    # staged-gate bookkeeping (the r8-proven pattern), post-registration
+    # form: every r12 gate sits in the live _CHECK_FIRST window and has
+    # exactly one "REGISTERED r12" COVERAGE row mentioning it by name
+    import __spark_entry__ as entrymod
+
     cov = open("/root/repo/COVERAGE.md").read()
-    entry_src = open("/root/repo/__spark_entry__.py").read()
     for name in workloads_r12.QUERIES_R12:
-        assert name in entry_src, f"{name} missing from the r12 window-head comment"
+        assert name in entrymod._CHECK_FIRST, f"{name} not in the r12 window"
         assert f"`{name}`" in cov, f"{name} missing a COVERAGE row"
-    assert cov.count("queued r12") == len(workloads_r12.QUERIES_R12), (
-        "queued-r12 COVERAGE rows must be 1:1 with the r12 staged cohort"
+    assert cov.count("REGISTERED r12") == len(workloads_r12.QUERIES_R12), (
+        "REGISTERED r12 COVERAGE rows must be 1:1 with the r12 cohort"
     )
 
 
-def test_staged_names_do_not_shadow_registered_gates():
+def test_r12_cohort_is_fully_registered():
+    # the inverse of the pre-registration shadow check: since round 12
+    # every r12 name must resolve in the REGISTERED surface with the
+    # module's own callable/SQL (the _ordered merge must not have
+    # dropped or shadowed any)
     import __spark_entry__ as entrymod
 
-    overlap = set(workloads_r12.QUERIES_R12) & set(entrymod.queries())
-    assert not overlap, f"staged names shadow registered gates: {overlap}"
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    for name in workloads_r12.QUERIES_R12:
+        assert qs[name] is workloads_r12.QUERIES_R12[name], name
+        assert os_[name] == workloads_r12.ORACLES_R12[name], name
 
 
 def test_r12_registration_dry_run_composes(spark):

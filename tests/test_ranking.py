@@ -565,3 +565,53 @@ def test_ndcg_judged_but_unranked_group_scores_zero_not_null(spark):
     q2 = got["q2"]
     assert (q2["n_ranked"], q2["n_judged"], q2["dcg"], q2["ndcg"]) == (0, 1, 0.0, 0.0)
     assert q2["idcg"] == 7.0
+
+
+def test_ndcg_rank_below_one_raises_in_plan(spark):
+    """ndcg_at_k enforces its 1-based-rank contract in-plan (r11
+    ADVICE): a rank of 0 would zero the log2(rank+1) discount and make
+    DCG silently Infinity, so the checked rank raises at execution."""
+    import pytest
+
+    from database_collector_spark.operators.ranking import ndcg_at_k
+
+    rdf = spark.createDataFrame(
+        [("q1", 101, 0), ("q1", 102, 1)], "q string, doc_id long, rank int"
+    )
+    ldf = spark.createDataFrame([("q1", 101, 2)], "q string, doc_id long, rel int")
+    with pytest.raises(Exception, match="ranks are 1-based"):
+        ndcg_at_k(rdf, ldf, k=3, group_col="q").collect()
+
+
+def test_ndcg_duplicate_judgment_guard(spark):
+    """The unique-(group, id) judgment contract: duplicates multiply
+    ranked rows through the left join and inflate n_ranked/DCG/IDCG.
+    The in-plan guard is OPT-IN (it costs a keyed count-window over the
+    judgment table): armed, it raises on a duplicated judgment and
+    passes untouched on clean data; unarmed, the documented contract
+    stands and duplicates stay the caller's bug."""
+    import pytest
+
+    from database_collector_spark.operators.ranking import ndcg_at_k
+
+    rdf = spark.createDataFrame([("q1", 101, 1)], "q string, doc_id long, rank int")
+    clean = spark.createDataFrame(
+        [("q1", 101, 2), ("q1", 102, 1)], "q string, doc_id long, rel int"
+    )
+    dup = spark.createDataFrame(
+        [("q1", 101, 2), ("q1", 101, 3)], "q string, doc_id long, rel int"
+    )
+    ok = ndcg_at_k(
+        rdf, clean, k=3, group_col="q", check_unique_judgments=True
+    ).collect()
+    assert ok[0]["ndcg"] is not None
+    unguarded = ndcg_at_k(
+        rdf, clean, k=3, group_col="q"
+    ).collect()
+    assert [tuple(r) for r in unguarded] == [tuple(r) for r in ok], (
+        "arming the guard must not change results on clean data"
+    )
+    with pytest.raises(Exception, match="duplicate judgment"):
+        ndcg_at_k(
+            rdf, dup, k=3, group_col="q", check_unique_judgments=True
+        ).collect()
