@@ -809,6 +809,71 @@ def calibration_curve(
     )
 
 
+def fixed_bin_calibration(
+    scored: DataFrame,
+    *,
+    score_col: str = "score_int",
+    label_col: str = "label",
+    lo: int = 0,
+    bin_width: int = 1,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability counts over FIXED integer score thresholds — the
+    streaming-friendly sibling of ``calibration_curve``. Percentile
+    bins need the whole score distribution (the strictly-below prefix),
+    so they cannot be maintained incrementally; a production monitor
+    watching a classifier *while the corpus streams in* bins on fixed
+    thresholds instead: bin = clamp((score − lo) div bin_width,
+    0, n_bins−1) — all-integer, so the binning is engine- and
+    arrival-order-deterministic, and the per-bin (n, positives) counts
+    are plain commutative sums.
+
+    The same expression tree runs on a BATCH frame and on a STREAMING
+    frame: applied to ``readStream`` input it is a keyed running
+    aggregate (outputMode('update'), no watermark needed — bins are a
+    bounded key domain by construction, n_bins keys forever, so state
+    cannot grow), and its end-state equals this batch twin on the same
+    rows (pytest-pinned, the ttl_expiry_counts pattern).
+
+    ``score_col`` must be an exact INTEGER score (e.g. the hashed
+    classifier's logit_milli div n_feats — millilogits per feature);
+    deriving bins from a float score would hang the bin edge on a
+    last-ulp libm difference across engines. NULL score/label rows are
+    excluded (the auc_exact contract). ``pos_rate`` is one division
+    over identical exact integers. Output: (bin, n_docs, n_pos,
+    pos_rate, lo_score, hi_score) per non-empty bin; lo/hi are the
+    exact integer score bounds seen inside the bin (clamped outliers
+    land in the edge bins and stretch their bounds — visible, not
+    silently dropped).
+    """
+    s = F.col(score_col)
+    raw = F.expr(f"(CAST({score_col} AS BIGINT) - {lo}) div {bin_width}")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        scored.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            bin_.cast("long").alias("bin"),
+            s.cast("long").alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.min("s").alias("lo_score"),
+            F.max("s").alias("hi_score"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n_docs"), 6).alias("pos_rate"),
+            "lo_score",
+            "hi_score",
+        )
+    )
+
+
 def banded_pair_deltas(
     df: DataFrame,
     group_col: str,
@@ -935,6 +1000,7 @@ def quantiles_by_group(
     val_col: str,
     *,
     coarse_buckets: int = 1024,
+    refine_narrow_domains: bool = False,
 ) -> DataFrame:
     """Exact type-1 (lower) quartiles per group WITHOUT a per-group
     value buffer: Spark's built-in exact ``percentile`` aggregate holds
@@ -956,13 +1022,26 @@ def quantiles_by_group(
 
     Output: (group_col, n, p25, p50, p75) — n BIGINT, quartiles in the
     input value's type.
+
+    ``refine_narrow_domains`` passes through to ``prefix_count_below``:
+    arm it when a group's value domain can concentrate inside one
+    log-space cell (a tight bulk next to a range-stretching outlier) —
+    the core then re-grids the populous cells so no single bucket
+    inherits the whole bulk; the keyed-domain ceiling shrinks to
+    ``max_key_groups // 4`` per the core's contract.
     """
     base = df.select(
         F.col(group_col).alias("g"), F.col(val_col).alias("v")
     ).where(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
     per = base.groupBy("g", "v").agg(F.count("*").alias("cnt"))
     below = prefix_count_below(
-        per, ["g"], "v", "cnt", coarse_buckets=coarse_buckets, out_col="below"
+        per,
+        ["g"],
+        "v",
+        "cnt",
+        coarse_buckets=coarse_buckets,
+        out_col="below",
+        refine_narrow_domains=refine_narrow_domains,
     )
     totals = per.groupBy("g").agg(F.sum("cnt").alias("n"))
     joined = below.join(F.broadcast(totals), "g")

@@ -1,0 +1,284 @@
+"""Differential verification of the STAGED r13 gates (workloads_r13.py)
+against their DuckDB oracles — the exact comparison tools/check.py (and
+the external driver) runs: row count, sorted column names,
+order-insensitive canonical value hash. Run at sf0.001 so the suite
+stays fast; the registration round re-runs everything at sf0.01 through
+the normal harness (`tools/check.py --staged` does it today).
+
+Also LIMIT-0-sweeps the staged oracles through the shared portability
+predicate (tools/check.py::unportable_type), pins the bucketed gate's
+zero-exchange sort-merge plan, audits that the refine escape hatch
+ACTUALLY re-grids on the quantiles_refined domain, and runs the
+fixed-bin calibration operator as a Structured Streaming update-mode
+aggregate whose end-state must equal the batch twin (the
+ttl_expiry_counts pattern).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import tempfile
+
+import duckdb
+import pytest
+
+from database_collector_spark import workloads_r13
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+_spec = importlib.util.spec_from_file_location("check", "/root/repo/tools/check.py")
+check = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check)
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def test_staged_sets_are_one_to_one():
+    assert set(workloads_r13.QUERIES_R13) == set(workloads_r13.ORACLES_R13)
+
+
+def test_staged_oracles_have_no_arrow_unportable_columns(con):
+    for name, sql in workloads_r13.ORACLES_R13.items():
+        rel = con.sql(f"SELECT * FROM ({sql}) q LIMIT 0")
+        for col, typ in zip(rel.columns, map(str, rel.types)):
+            reason = check.unportable_type(typ)
+            assert reason is None, f"{name}.{col}: {reason}"
+
+
+@pytest.mark.parametrize("name", sorted(workloads_r13.QUERIES_R13))
+def test_staged_gate_matches_oracle(spark, con, name):
+    sdf = workloads_r13.QUERIES_R13[name](spark, SF)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = con.sql(workloads_r13.ORACLES_R13[name])
+    o_cols = res.columns
+    o_rows = res.fetchall()
+    assert len(s_rows) == len(o_rows), f"{name}: rows {len(s_rows)} vs {len(o_rows)}"
+    assert len(s_rows) > 0, f"{name}: trivially-empty gate"
+    sc, s_canon = check.canon_rows(s_cols, s_rows)
+    oc, o_canon = check.canon_rows(o_cols, o_rows)
+    assert sc == oc, f"{name}: columns {sc} vs {oc}"
+    assert check.value_hash(s_canon) == check.value_hash(o_canon), (
+        f"{name}: value hash mismatch; first spark={s_canon[:2]} oracle={o_canon[:2]}"
+    )
+
+
+def test_staged_plans_have_no_python_udfs_or_cartesians(spark):
+    """The blanket plan invariant the registered gates get from
+    test_plan_quality.py, applied at staging time: nothing in the r13
+    tier may fall back to row-at-a-time Python eval or an unbroadcast
+    cartesian product."""
+    for name, fn in workloads_r13.QUERIES_R13.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_bucketed_join_is_exchange_free_when_smj_forced(spark):
+    """At fixture scale Catalyst rightly broadcasts the tiny side; the
+    100 TB claim is the SORT-MERGE path (both sides too big to
+    broadcast), where bucketing must elide the exchanges entirely.
+    Force it by disabling broadcast and pin: SMJ, ZERO exchange of any
+    kind under the join (the only shuffles in the whole gate are the
+    final per-lang aggregate + its ordering), bucketed scans on both
+    sides."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            workloads_r13.q_bucketed_join_persist(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Bucketed: true") == 2, plan[:2000]
+    # exchanges: exactly the per-lang aggregate shuffle + the orderBy
+    # range partitioning — NONE keyed by doc_id (the join key)
+    assert "Exchange hashpartitioning(doc_id" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_quantiles_refined_regrids_the_degenerate_cell(spark):
+    """The reason this gate exists: on the 1e12-bulk + zero-outlier
+    domain the UNREFINED core maps (nearly) every distinct value of a
+    group into one bucket — the documented single-populous-bucket
+    residual — while the ARMED core re-grids the populous cell and
+    spreads the bulk. Audit via the bucket_col hook: per group, the
+    max share of distinct values in one bucket must be close to 1
+    unrefined and small refined."""
+    from pyspark.sql import functions as F
+
+    from database_collector_spark.operators.ranking import prefix_count_below
+    from database_collector_spark.workloads import _t
+    from database_collector_spark.workloads_r13 import _qr_value
+
+    docs = _t(spark, SF, "documents")
+    per = (
+        docs.select(F.col("lang").alias("g"), _qr_value().alias("v"))
+        .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def max_bucket_share(refined: bool) -> float:
+        out = prefix_count_below(
+            per,
+            ["g"],
+            "v",
+            "cnt",
+            out_col="below",
+            refine_narrow_domains=refined,
+            bucket_col="bkt",
+        )
+        stats = (
+            out.groupBy("g", "bkt")
+            .agg(F.count("*").alias("nv"))
+            .groupBy("g")
+            .agg((F.max("nv") / F.sum("nv")).alias("share"))
+            .agg(F.max("share"))
+            .collect()[0][0]
+        )
+        return float(stats)
+
+    unref = max_bucket_share(False)
+    ref = max_bucket_share(True)
+    assert unref > 0.9, f"domain not degenerate enough: unrefined share {unref}"
+    assert ref < 0.25, f"refine did not spread the bulk: refined share {ref}"
+
+
+def test_rule_attribution_marginals_reconcile(spark):
+    """The funnel contract: sum of marginals == number of documents
+    flagged by ANY rule (so survivors = n_docs - sum(marginals)
+    exactly), and each rule's marginal never exceeds its flag count."""
+    from pyspark.sql import functions as F
+
+    from database_collector_spark.workloads import _t
+    from database_collector_spark.workloads_r13 import _rule_columns
+
+    rows = workloads_r13.q_rule_attribution(spark, SF).collect()
+    total_marginal = sum(r["n_marginal"] for r in rows)
+    for r in rows:
+        assert r["n_marginal"] <= r["n_flagged"], r
+    docs = _t(spark, SF, "documents")
+    any_rule = None
+    for _, pred in _rule_columns():
+        any_rule = pred if any_rule is None else (any_rule | pred)
+    flagged_any = docs.where(any_rule).count()
+    assert total_marginal == flagged_any
+    assert rows[0]["n_marginal"] == rows[0]["n_flagged"], (
+        "rule 0 has no prior rules; its marginal must equal its flag count"
+    )
+
+
+def test_fixed_bin_calibration_stream_end_state_matches_batch(spark):
+    """The streaming story the operator docstring claims, pinned: the
+    SAME fixed_bin_calibration expression over a readStream source,
+    run in update mode across multiple availableNow passes restarting
+    from one checkpoint, converges to the batch twin's exact per-bin
+    rows. Bins are a bounded key domain (n_bins keys forever), so no
+    watermark/TTL is needed for state to stay bounded."""
+    from pyspark.sql import functions as F
+
+    from database_collector_spark.operators.ranking import fixed_bin_calibration
+
+    rows = [  # (s_int, y) — spans below-lo, in-range, above-hi scores
+        (-300, 0), (-300, 1), (-120, 0), (-51, 1), (-50, 1),
+        (0, 1), (49, 0), (120, 1), (260, 1), (260, 0), (5, 0),
+    ]
+    kw = dict(score_col="s_int", label_col="y", lo=-250, bin_width=50, n_bins=10)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        latest: dict = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                latest[r["bin"]] = tuple(r)
+
+        def run_pass():
+            stream = spark.readStream.schema("s_int long, y int").json(src)
+            q = (
+                fixed_bin_calibration(stream, **kw)
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                assert q.awaitTermination(120), "stream pass did not finish"
+            finally:
+                q.stop()
+
+        def write_batch(fname, some):
+            with open(f"{src}/{fname}", "w") as f:
+                f.write(
+                    "\n".join(json.dumps({"s_int": s, "y": y}) for s, y in some)
+                )
+
+        write_batch("b1.json", rows[:4])
+        run_pass()
+        write_batch("b2.json", rows[4:8])
+        run_pass()
+        write_batch("b3.json", rows[8:])
+        run_pass()
+
+    batch = fixed_bin_calibration(
+        spark.createDataFrame(rows, "s_int long, y int"), **kw
+    )
+    expected = {r["bin"]: tuple(r) for r in batch.collect()}
+    assert latest == expected
+
+
+def test_every_staged_gate_is_documented_and_window_headed():
+    # staged-gate bookkeeping (the r8-proven pattern): every r13 gate
+    # appears in the r13 window-head directive comment and has exactly
+    # one "queued r13" COVERAGE row mentioning it by name
+    cov = open("/root/repo/COVERAGE.md").read()
+    entry_src = open("/root/repo/__spark_entry__.py").read()
+    for name in workloads_r13.QUERIES_R13:
+        assert name in entry_src, f"{name} missing from the r13 window-head comment"
+        assert f"`{name}`" in cov, f"{name} missing a COVERAGE row"
+    assert cov.count("queued r13") == len(workloads_r13.QUERIES_R13), (
+        "queued-r13 COVERAGE rows must be 1:1 with the r13 staged cohort"
+    )
+
+
+def test_staged_names_do_not_shadow_registered_gates():
+    import __spark_entry__ as entrymod
+
+    overlap = set(workloads_r13.QUERIES_R13) & set(entrymod.queries())
+    assert not overlap, f"staged names shadow registered gates: {overlap}"
+
+
+def test_r13_registration_dry_run_composes(spark):
+    """Simulate the r13 registration: merging QUERIES_R13/ORACLES_R13
+    into the registered dicts must yield a 1:1 query/oracle surface
+    where every staged name resolves."""
+    import __spark_entry__ as entrymod
+
+    q = {**entrymod.queries(), **workloads_r13.QUERIES_R13}
+    o = {**entrymod.oracle_sql(), **workloads_r13.ORACLES_R13}
+    assert set(q) == set(o)
+    for name in workloads_r13.QUERIES_R13:
+        assert callable(q[name]) and isinstance(o[name], str)

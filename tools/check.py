@@ -137,11 +137,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if staged:
-        # the CURRENT staged cohort (r11's registered in round 11)
-        from database_collector_spark import workloads_r12
+        # the CURRENT staged cohort (r12's registered in round 12)
+        from database_collector_spark import workloads_r13
 
-        queries = {**queries, **workloads_r12.QUERIES_R12}
-        oracles = {**oracles, **workloads_r12.ORACLES_R12}
+        queries = {**queries, **workloads_r13.QUERIES_R13}
+        oracles = {**oracles, **workloads_r13.ORACLES_R13}
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
