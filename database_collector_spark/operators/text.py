@@ -698,9 +698,10 @@ def lang_id_confusion(docs: DataFrame) -> DataFrame:
 def dsir_logratio_weights(
     docs: DataFrame,
     *,
-    target_filter: Column | str = "lang = 'en'",
+    target_filter: Column | str | None = None,
     n_buckets: int = 1024,
     salt: str = "dsir",
+    allow_sql_string: bool = False,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", public): score every
@@ -734,25 +735,36 @@ def dsir_logratio_weights(
 
     Output: (doc_id, n_toks, is_target, log_w).
 
-    ``target_filter`` may be a ``Column`` predicate (preferred — no SQL
-    parsing) or a SQL expression string. The string form is TRUSTED
-    INPUT: it is parsed verbatim by ``F.expr`` and so executes whatever
-    expression the caller supplies, same contract as ``DataFrame.
-    filter(str)`` itself. Never interpolate user-controlled text into
-    it; pass a ``Column`` built from ``F.col``/literals instead (the
-    salt, by contrast, is identifier-checked because it is embedded in
-    a generated hash expression).
+    ``target_filter`` is a ``Column`` predicate (default:
+    ``F.col("lang") == "en"``). A raw SQL expression string is only
+    accepted with ``allow_sql_string=True`` (r11 ADVICE — the string
+    path is otherwise too easy to reach by accident): the string form
+    is TRUSTED INPUT, parsed verbatim by ``F.expr``, so it executes
+    whatever expression the caller supplies — the same contract as
+    ``DataFrame.filter(str)`` itself. Never interpolate
+    user-controlled text into it; pass a ``Column`` built from
+    ``F.col``/literals instead (the salt, by contrast, is
+    identifier-checked because it is embedded in a generated hash
+    expression).
     """
     _check_clf_params(n_buckets, salt)
     bucket = (
         f"(CAST(conv(substring(md5(concat(term, ':', '{salt}')), 1, 8), 16, 10)"
         f" AS BIGINT) % {n_buckets})"
     )
-    is_target = (
-        target_filter
-        if isinstance(target_filter, Column)
-        else F.expr(f"({target_filter})")
-    )
+    if target_filter is None:
+        is_target = F.col("lang") == "en"
+    elif isinstance(target_filter, Column):
+        is_target = target_filter
+    elif allow_sql_string:
+        is_target = F.expr(f"({target_filter})")
+    else:
+        raise ValueError(
+            "dsir_logratio_weights: target_filter is a raw SQL string; "
+            "pass a Column predicate (F.col(...) == ...) or opt in "
+            "explicitly with allow_sql_string=True (trusted-input "
+            "contract)"
+        )
     toks = (
         docs.withColumn("is_target", is_target)
         .select(

@@ -179,7 +179,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py::dsir_logratio_weights — one bounded model
     shuffle, broadcast model table, doc-keyed re-aggregate)."""
     return text.dsir_logratio_weights(
-        _t(spark, sf_dir, "documents"), target_filter="lang = 'en'"
+        _t(spark, sf_dir, "documents"), target_filter=F.col("lang") == "en"
     )
 
 

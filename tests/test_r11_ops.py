@@ -469,17 +469,24 @@ def test_spearman_by_group_property(spark, data):
 
 def test_dsir_accepts_column_predicate_as_target_filter(spark):
     """target_filter takes a Column predicate (preferred, no SQL
-    parsing — r10 ADVICE trusted-input contract); Column and string
-    forms of the same predicate score identically."""
+    parsing — r10 ADVICE trusted-input contract); the raw-SQL string
+    form now requires an explicit allow_sql_string opt-in (r11 ADVICE)
+    and scores identically when opted into; unopted strings fail fast."""
+    import pytest
+
     docs = [
         (1, "hello world hello", "en"),
         (2, "bonjour le monde monde", "fr"),
         (3, "hello again world", "en"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="allow_sql_string"):
+        text.dsir_logratio_weights(df, target_filter="lang = 'en'")
     via_str = {
         r["doc_id"]: (r["is_target"], r["log_w"])
-        for r in text.dsir_logratio_weights(df, target_filter="lang = 'en'").collect()
+        for r in text.dsir_logratio_weights(
+            df, target_filter="lang = 'en'", allow_sql_string=True
+        ).collect()
     }
     via_col = {
         r["doc_id"]: (r["is_target"], r["log_w"])
@@ -487,5 +494,9 @@ def test_dsir_accepts_column_predicate_as_target_filter(spark):
             df, target_filter=F.col("lang") == "en"
         ).collect()
     }
-    assert via_str == via_col
+    via_default = {
+        r["doc_id"]: (r["is_target"], r["log_w"])
+        for r in text.dsir_logratio_weights(df).collect()
+    }
+    assert via_str == via_col == via_default
     assert via_col[1][0] is True and via_col[2][0] is False
