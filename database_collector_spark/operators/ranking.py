@@ -766,8 +766,18 @@ def calibration_curve(
         sel.insert(0, F.col(group_col).alias("g"))
         cond = cond & F.col(group_col).isNotNull()
     base = scored.select(*sel).where(cond)
-    per = base.groupBy(*keys, "s").agg(
-        F.count("*").alias("cnt"), F.sum("y").cast("long").alias("pos")
+    # localCheckpoint (lazy): the compressed per-score table feeds the
+    # prefix core's branches PLUS the totals and the bin join-back —
+    # without it every branch re-derives `scored`'s whole upstream (the
+    # registered gate's hashed classifier re-tokenized the corpus three
+    # times: measured 6.4 s -> expected ~1 classifier pass at sf0.1).
+    # Purely a materialization decision: the bucket cuts are
+    # deterministic aggregates, so replay under block loss cannot move
+    # any value (the r10 sketch-cut lesson does not apply).
+    per = (
+        base.groupBy(*keys, "s")
+        .agg(F.count("*").alias("cnt"), F.sum("y").cast("long").alias("pos"))
+        .localCheckpoint(eager=False)
     )
     below = prefix_count_below(
         per, keys, "s", "cnt", coarse_buckets=coarse_buckets, out_col="below"
@@ -1033,7 +1043,15 @@ def quantiles_by_group(
     base = df.select(
         F.col(group_col).alias("g"), F.col(val_col).alias("v")
     ).where(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
-    per = base.groupBy("g", "v").agg(F.count("*").alias("cnt"))
+    # lazy localCheckpoint for the same reason as _auc_core /
+    # calibration_curve: the compressed table has multiple consumers
+    # (prefix branches, totals, quartile join-back) and must not
+    # re-derive its upstream once per branch
+    per = (
+        base.groupBy("g", "v")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     below = prefix_count_below(
         per,
         ["g"],
