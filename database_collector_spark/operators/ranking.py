@@ -770,10 +770,12 @@ def calibration_curve(
     # prefix core's branches PLUS the totals and the bin join-back —
     # without it every branch re-derives `scored`'s whole upstream (the
     # registered gate's hashed classifier re-tokenized the corpus three
-    # times: measured 6.4 s -> expected ~1 classifier pass at sf0.1).
-    # Purely a materialization decision: the bucket cuts are
-    # deterministic aggregates, so replay under block loss cannot move
-    # any value (the r10 sketch-cut lesson does not apply).
+    # times: measured 8.2 -> 5.8 s at sf0.1). Values cannot move either
+    # way (the bucket cuts are deterministic aggregates, unlike the r10
+    # sketch cuts); the trade-off is AVAILABILITY: localCheckpoint
+    # truncates lineage, so a lost executor block fails the job for a
+    # retry instead of recomputing — fail-stop, never wrong data, same
+    # policy as _auc_core/spearman_by_group.
     per = (
         base.groupBy(*keys, "s")
         .agg(F.count("*").alias("cnt"), F.sum("y").cast("long").alias("pos"))
@@ -856,15 +858,30 @@ def fixed_bin_calibration(
     land in the edge bins and stretch their bounds — visible, not
     silently dropped).
     """
+    if not (isinstance(n_bins, int) and n_bins >= 1):
+        raise ValueError(f"fixed_bin_calibration: n_bins must be >= 1, got {n_bins!r}")
+    if not (isinstance(bin_width, int) and bin_width >= 1):
+        raise ValueError(
+            f"fixed_bin_calibration: bin_width must be a positive int, got {bin_width!r}"
+        )
+    if not isinstance(lo, int):
+        raise ValueError(f"fixed_bin_calibration: lo must be an int, got {lo!r}")
     s = F.col(score_col)
-    raw = F.expr(f"(CAST({score_col} AS BIGINT) - {lo}) div {bin_width}")
+    # user column names go through F.col (never string-interpolated into
+    # expr — a name needing backticks would break the parse); only the
+    # validated int literals and the internal `_s` alias reach F.expr,
+    # which is needed solely for the integral `div` (trunc-toward-zero
+    # on BOTH engines; no Column-level operator exists for it)
+    pre = scored.where(s.isNotNull() & F.col(label_col).isNotNull()).select(
+        s.cast("long").alias("_s"), F.col(label_col).cast("int").alias("y")
+    )
+    raw = F.expr(f"(_s - {int(lo)}) div {int(bin_width)}")
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
     return (
-        scored.where(s.isNotNull() & F.col(label_col).isNotNull())
-        .select(
+        pre.select(
             bin_.cast("long").alias("bin"),
-            s.cast("long").alias("s"),
-            F.col(label_col).cast("int").alias("y"),
+            F.col("_s").alias("s"),
+            "y",
         )
         .groupBy("bin")
         .agg(
@@ -1046,7 +1063,9 @@ def quantiles_by_group(
     # lazy localCheckpoint for the same reason as _auc_core /
     # calibration_curve: the compressed table has multiple consumers
     # (prefix branches, totals, quartile join-back) and must not
-    # re-derive its upstream once per branch
+    # re-derive its upstream once per branch. Same availability
+    # trade-off as there: lineage truncation makes executor block loss
+    # fail-stop (job retry), never wrong data.
     per = (
         base.groupBy("g", "v")
         .agg(F.count("*").alias("cnt"))

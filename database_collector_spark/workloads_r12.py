@@ -128,6 +128,34 @@ SQL_AUC_BY_GROUP = _sql_auc_by_group()
 _CAL_BINS = 10
 
 
+def clf_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, logit_milli, y): the hashed quality
+    classifier's raw outputs joined 1:1 (vec_id = doc_id) with the
+    binary ground truth (embedding label >= 5; NULL labels are
+    actively dropped here — ``(label >= 5).cast('int')`` maps NULL to
+    y=NULL and an inner join would keep it, so the helper filters
+    ``y IS NOT NULL`` to make the advertised contract true rather than
+    relying on every consumer's own NULL guard; the oracle twins'
+    ``WHERE e.label IS NOT NULL`` matches). The classifier emits its
+    own keep/drop
+    ``label`` column — projected away HERE, exactly once, so no
+    consumer can accidentally join the prediction instead of the truth
+    (r12 review: this footgun was previously re-solved by comment at
+    three call sites: both calibration gates and the staged fixed-bin
+    monitor)."""
+    docs = _t(spark, sf_dir, "documents")
+    clf = (
+        text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
+        .where(F.col("n_feats") > 0)
+        .select("doc_id", "n_feats", "logit_milli")
+    )
+    lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    return clf.join(lab, "doc_id").where(F.col("y").isNotNull())
+
+
 def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability curve of the hashed quality classifier
     (workloads_r9's fastText-shape linear gate) against the embedding
@@ -137,19 +165,7 @@ def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin assignment, one exact integer division per bin). The score is
     logit_milli / (1000·n_feats): ONE division over identical exact
     integers, engine-equal without any decimal detour."""
-    docs = _t(spark, sf_dir, "documents")
-    clf = (
-        text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
-        .where(F.col("n_feats") > 0)
-        # the classifier emits its own keep/drop `label` — project it
-        # away before joining the ground-truth label in
-        .select("doc_id", "n_feats", "logit_milli")
-    )
-    lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id").alias("doc_id"),
-        (F.col("label") >= 5).cast("int").alias("y"),
-    )
-    scored = clf.join(lab, "doc_id").select(
+    scored = clf_truth_frame(spark, sf_dir).select(
         (F.col("logit_milli") / (F.lit(1000.0) * F.col("n_feats"))).alias("score"),
         F.col("y").alias("truth"),
     )
@@ -355,51 +371,65 @@ def q_ndcg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-SQL_NDCG_QUALITY = f"""
+def sql_ndcg_oracle(group_col: str, rank_expr: str, k: int = _NDCG_K) -> str:
+    """The ONE NDCG@k oracle shape, parameterized by grouping column
+    and ranking expression — the r12 lang gate and the staged r13
+    source gate both generate from here, so a semantic fix (like r11's
+    NULL-group ranked-CTE exclusion) lands in every NDCG twin at once
+    instead of drifting across hand-edited copies. ``group_col`` /
+    ``rank_expr`` are CODE-supplied SQL fragments (the trusted-builder
+    contract of the other sql_* helpers in this package). Both engines
+    evaluate the IDENTICAL ln-ratio discount (never DuckDB's native
+    log2); <= k-term sums rounded at 6 — the accepted tiny-sum class."""
+    return f"""
 WITH ranked AS (
-  -- NULL-lang rows excluded on BOTH sides: ndcg_at_k drops NULL
+  -- NULL-group rows excluded on BOTH sides: ndcg_at_k drops NULL
   -- groups from the ranked input too (the rels CTE already filters)
-  SELECT lang, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY n_chars DESC, doc_id) AS rk
-  FROM documents WHERE lang IS NOT NULL
+  SELECT {group_col}, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY {rank_expr} DESC, doc_id) AS rk
+  FROM documents WHERE {group_col} IS NOT NULL
 ),
-topk AS (SELECT * FROM ranked WHERE rk <= {_NDCG_K}),
+topk AS (SELECT * FROM ranked WHERE rk <= {k}),
 rels AS (
-  SELECT d.lang, e.vec_id AS doc_id, e.label AS rel
+  SELECT d.{group_col}, e.vec_id AS doc_id, e.label AS rel
   FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-  WHERE e.label IS NOT NULL AND d.lang IS NOT NULL
+  WHERE e.label IS NOT NULL AND d.{group_col} IS NOT NULL
 ),
 dcg AS (
-  SELECT t.lang,
+  SELECT t.{group_col},
          CAST(COUNT(*) AS BIGINT) AS n_ranked,
          SUM((pow(2.0, COALESCE(r.rel, 0)) - 1) / (ln(t.rk + 1) / ln(2.0)))
            AS dcg_raw
-  FROM topk t LEFT JOIN rels r ON r.lang = t.lang AND r.doc_id = t.doc_id
-  GROUP BY t.lang
+  FROM topk t LEFT JOIN rels r
+    ON r.{group_col} = t.{group_col} AND r.doc_id = t.doc_id
+  GROUP BY t.{group_col}
 ),
 ideal AS (
-  SELECT lang,
+  SELECT {group_col},
          CAST(COUNT(*) AS BIGINT) AS n_judged,
          SUM((pow(2.0, rel) - 1) / (ln(irk + 1) / ln(2.0))) AS idcg_raw
   FROM (
-    SELECT lang, rel,
-           ROW_NUMBER() OVER (PARTITION BY lang
+    SELECT {group_col}, rel,
+           ROW_NUMBER() OVER (PARTITION BY {group_col}
                               ORDER BY rel DESC, doc_id) AS irk
     FROM rels
-  ) WHERE irk <= {_NDCG_K}
-  GROUP BY lang
+  ) WHERE irk <= {k}
+  GROUP BY {group_col}
 )
-SELECT COALESCE(d.lang, i.lang) AS lang,
+SELECT COALESCE(d.{group_col}, i.{group_col}) AS {group_col},
        COALESCE(d.n_ranked, 0) AS n_ranked,
        COALESCE(i.n_judged, 0) AS n_judged,
        round(COALESCE(d.dcg_raw, 0), 6) AS dcg,
        round(COALESCE(i.idcg_raw, 0), 6) AS idcg,
        CASE WHEN i.idcg_raw > 0 THEN
          round(COALESCE(d.dcg_raw, 0) / i.idcg_raw, 6) END AS ndcg
-FROM dcg d FULL OUTER JOIN ideal i ON d.lang = i.lang
+FROM dcg d FULL OUTER JOIN ideal i ON d.{group_col} = i.{group_col}
 ORDER BY 1
 """
+
+
+SQL_NDCG_QUALITY = sql_ndcg_oracle("lang", "n_chars")
 
 
 # ------------------------------------------------ per-source calibration
@@ -415,18 +445,8 @@ def q_calibration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer binning, percentiles computed within each source via the
     keyed prefix core). 4 bins x 20 sources keeps every bin populated
     at sf0.001."""
-    docs = _t(spark, sf_dir, "documents")
-    clf = (
-        text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
-        .where(F.col("n_feats") > 0)
-        .select("doc_id", "n_feats", "logit_milli")
-    )
-    lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id").alias("doc_id"),
-        (F.col("label") >= 5).cast("int").alias("y"),
-    )
-    src = docs.select("doc_id", "source")
-    scored = clf.join(lab, "doc_id").join(src, "doc_id").select(
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = clf_truth_frame(spark, sf_dir).join(src, "doc_id").select(
         "source",
         (F.col("logit_milli") / (F.lit(1000.0) * F.col("n_feats"))).alias("score"),
         F.col("y").alias("truth"),

@@ -54,6 +54,7 @@ from database_collector_spark.operators import ranking, text
 from database_collector_spark.sinks.bucketed import read_table, write_bucketed
 from database_collector_spark.workloads import _t
 from database_collector_spark.workloads_r9 import SQL_QUALITY_CLASSIFIER
+from database_collector_spark.workloads_r12 import clf_truth_frame, sql_ndcg_oracle
 
 # ------------------------------------------------------ NDCG by source
 
@@ -91,50 +92,9 @@ def q_ndcg_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-SQL_NDCG_BY_SOURCE = f"""
-WITH ranked AS (
-  SELECT source, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY len(string_split(text, ' ')) DESC,
-                                     doc_id) AS rk
-  FROM documents WHERE source IS NOT NULL
-),
-topk AS (SELECT * FROM ranked WHERE rk <= {_NDCG_K}),
-rels AS (
-  SELECT d.source, e.vec_id AS doc_id, e.label AS rel
-  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-  WHERE e.label IS NOT NULL AND d.source IS NOT NULL
-),
-dcg AS (
-  SELECT t.source,
-         CAST(COUNT(*) AS BIGINT) AS n_ranked,
-         SUM((pow(2.0, COALESCE(r.rel, 0)) - 1) / (ln(t.rk + 1) / ln(2.0)))
-           AS dcg_raw
-  FROM topk t LEFT JOIN rels r ON r.source = t.source AND r.doc_id = t.doc_id
-  GROUP BY t.source
-),
-ideal AS (
-  SELECT source,
-         CAST(COUNT(*) AS BIGINT) AS n_judged,
-         SUM((pow(2.0, rel) - 1) / (ln(irk + 1) / ln(2.0))) AS idcg_raw
-  FROM (
-    SELECT source, rel,
-           ROW_NUMBER() OVER (PARTITION BY source
-                              ORDER BY rel DESC, doc_id) AS irk
-    FROM rels
-  ) WHERE irk <= {_NDCG_K}
-  GROUP BY source
-)
-SELECT COALESCE(d.source, i.source) AS source,
-       COALESCE(d.n_ranked, 0) AS n_ranked,
-       COALESCE(i.n_judged, 0) AS n_judged,
-       round(COALESCE(d.dcg_raw, 0), 6) AS dcg,
-       round(COALESCE(i.idcg_raw, 0), 6) AS idcg,
-       CASE WHEN i.idcg_raw > 0 THEN
-         round(COALESCE(d.dcg_raw, 0) / i.idcg_raw, 6) END AS ndcg
-FROM dcg d FULL OUTER JOIN ideal i ON d.source = i.source
-ORDER BY 1
-"""
+# one NDCG oracle shape for all NDCG gates (r12 review: hand-edited
+# twin copies drift; the r11 NULL-group fix had to be mirrored by hand)
+SQL_NDCG_BY_SOURCE = sql_ndcg_oracle("source", "len(string_split(text, ' '))")
 
 
 # ------------------------------------------------- refined quartiles
@@ -218,19 +178,7 @@ _FB_BINS = 10
 
 
 def _fb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    clf = (
-        text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
-        .where(F.col("n_feats") > 0)
-        # the classifier emits its own keep/drop `label` — project it
-        # away before joining the ground-truth label in
-        .select("doc_id", "n_feats", "logit_milli")
-    )
-    lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id").alias("doc_id"),
-        (F.col("label") >= 5).cast("int").alias("y"),
-    )
-    return clf.join(lab, "doc_id").select(
+    return clf_truth_frame(spark, sf_dir).select(
         # integer score: millilogits per feature — `div` truncates
         # toward zero on BOTH engines (DuckDB // also truncates), so
         # the binning input is engine-exact with no float in sight
@@ -370,7 +318,8 @@ SQL_RULE_ATTRIBUTION = _sql_rule_attribution()
 # ---------------------------------------------- bucketed join layout
 
 _BJP_BUCKETS = 8
-_BUILT_TABLES: set[str] = set()
+# atexit-hook dedup keys: (table_name, id(session)) — per actual build
+_BUILT_TABLES: set[tuple[str, int]] = set()
 
 
 def _pid_alive(pid: int) -> bool:
@@ -421,15 +370,37 @@ def q_bucketed_join_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id sum), so a layout that corrupted or dropped rows flips the
     row, not just the plan shape."""
     dt, et = _bjp_tables(spark, sf_dir)
-    if dt not in _BUILT_TABLES:
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-            F.col("vec_id").alias("doc_id"), "label"
-        )
-        write_bucketed(docs, dt, bucket_col="doc_id", n_buckets=_BJP_BUCKETS)
-        write_bucketed(emb, et, bucket_col="doc_id", n_buckets=_BJP_BUCKETS)
-        _BUILT_TABLES.add(dt)
-        atexit.register(_drop_bjp_tables, spark, dt, et)
+    # build-once decision asks the CATALOG, not a process-global set:
+    # managed tables live in the (default in-memory) session catalog,
+    # so a session restart within one process would leave a stale
+    # membership set pointing at tables the new catalog doesn't have
+    sides = (
+        (dt, lambda: _t(spark, sf_dir, "documents").select("doc_id", "lang")),
+        (
+            et,
+            lambda: spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                F.col("vec_id").alias("doc_id"), "label"
+            ),
+        ),
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    for tname, mk in sides:
+        if spark.catalog.tableExists(tname):
+            continue
+        # a missing catalog entry with leftover same-pid files (the
+        # session-restart case) would make the managed-table CREATE
+        # refuse the non-empty location — clear it first
+        shutil.rmtree(os.path.join(wh, tname), ignore_errors=True)
+        write_bucketed(mk(), tname, bucket_col="doc_id", n_buckets=_BJP_BUCKETS)
+        # (re-)register the drop hook per ACTUAL build: a hook captured
+        # by a now-stopped session is a swallowed no-op at exit, so the
+        # dedup key includes the session identity
+        hook_key = (tname, id(spark))
+        if hook_key not in _BUILT_TABLES:
+            _BUILT_TABLES.add(hook_key)
+            atexit.register(_drop_bjp_tables, spark, tname)
     j = read_table(spark, dt).join(read_table(spark, et), "doc_id")
     return (
         j.groupBy("lang")

@@ -97,13 +97,23 @@ def test_no_oracle_enumerates_positions_with_a_fixed_bound():
     oracle's n-gram sets while Spark's stayed complete. All such sites
     now derive positions from the row's own length
     (unnest(generate_series(1, len(t) - k + 1))), which is correct at
-    ANY document length. Pin the retirement repo-wide: the only literal
-    generate_series upper bounds left are small STRUCTURAL constants
-    (embedding dim 64, PQ subspaces, seed/band/bucket counts) — any
-    literal bound above 64 is the truncation class reappearing."""
+    ANY document length. Pin the retirement repo-wide — REGISTERED and
+    STAGED oracles both (via tools/check.py's single staged-module
+    pointer), so the class cannot re-enter through a staged cohort and
+    ship at registration: the only literal generate_series upper bounds
+    left are small STRUCTURAL constants (embedding dim 64, PQ
+    subspaces, seed/band/bucket counts) — any literal bound above 64
+    is the truncation class reappearing."""
+    import importlib.util
     import re
 
-    for name, sql in entrymod.oracle_sql().items():
+    spec = importlib.util.spec_from_file_location(
+        "check", os.path.join(ROOT, "tools", "check.py")
+    )
+    check = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(check)
+    swept = {**entrymod.oracle_sql(), **check.staged_oracles()}
+    for name, sql in swept.items():
         for lo, hi in re.findall(
             r"generate_series\(\s*(-?\d+)\s*,\s*(\d+)\s*\)", sql
         ):

@@ -282,3 +282,25 @@ def test_r13_registration_dry_run_composes(spark):
     assert set(q) == set(o)
     for name in workloads_r13.QUERIES_R13:
         assert callable(q[name]) and isinstance(o[name], str)
+
+
+def test_fixed_bin_calibration_validates_params(spark):
+    """r12 review: garbage bin geometry must fail fast, not silently
+    produce one bogus bin (n_bins=0 would clamp every row to bin -1;
+    bin_width=0 NULLs the div; negative width inverts the binning)."""
+    from database_collector_spark.operators.ranking import fixed_bin_calibration
+
+    df = spark.createDataFrame([(1, 1)], "s_int long, y int")
+    for bad in (dict(n_bins=0), dict(bin_width=0), dict(bin_width=-5),
+                dict(lo=1.5), dict(n_bins=-1)):
+        kw = dict(score_col="s_int", label_col="y", lo=0, bin_width=1, n_bins=10)
+        kw.update(bad)
+        with pytest.raises(ValueError):
+            fixed_bin_calibration(df, **kw)
+    # a column name needing backticks must work (no string interpolation
+    # of user identifiers into expr)
+    odd = spark.createDataFrame([(7, 1)], "`my score` long, y int")
+    out = fixed_bin_calibration(
+        odd, score_col="my score", label_col="y", lo=0, bin_width=1, n_bins=10
+    ).collect()
+    assert out[0]["bin"] == 7 and out[0]["n_pos"] == 1

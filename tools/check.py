@@ -7,9 +7,10 @@ hash — the same shape of check the driver records in CORRECTNESS_r{N}.json.
 
 Usage:  python tools/check.py [--staged] [sf_dir] [query_name ...]
 
-``--staged`` additionally includes the CURRENT staged cohort
-(workloads_r12 — not yet registered with the driver) so it runs through
-the exact same harness.
+``--staged`` additionally includes the CURRENT staged cohort — whatever
+module ``staged_queries()`` below points at (the ONE staged-module
+pointer; not yet registered with the driver) — so it runs through the
+exact same harness.
 """
 
 from __future__ import annotations
@@ -116,6 +117,27 @@ def value_hash(canon: list[str]) -> str:
     return h.hexdigest()
 
 
+def staged_queries() -> dict:
+    """The CURRENT staged cohort's queries (r13 as of round 12). This
+    is the ONE place the staged-module pointer lives: main()'s
+    --staged merge AND the docs-consistency oracle sweeps import it,
+    so a registration round bumps exactly one import and the staged
+    oracles never escape the repo-wide meta-tests (a staged oracle
+    reintroducing a retired failure class — e.g. a fixed
+    generate_series position bound — must fail at staging time, not
+    after registration)."""
+    from database_collector_spark import workloads_r13
+
+    return dict(workloads_r13.QUERIES_R13)
+
+
+def staged_oracles() -> dict:
+    """Oracle twins of staged_queries() — same single-pointer contract."""
+    from database_collector_spark import workloads_r13
+
+    return dict(workloads_r13.ORACLES_R13)
+
+
 def main() -> int:
     args = sys.argv[1:]
     staged = "--staged" in args
@@ -137,11 +159,8 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if staged:
-        # the CURRENT staged cohort (r12's registered in round 12)
-        from database_collector_spark import workloads_r13
-
-        queries = {**queries, **workloads_r13.QUERIES_R13}
-        oracles = {**oracles, **workloads_r13.ORACLES_R13}
+        queries = {**queries, **staged_queries()}
+        oracles = {**oracles, **staged_oracles()}
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
