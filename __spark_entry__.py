@@ -79,10 +79,11 @@ _CHECK_FIRST = [
     "embedding_dedup_clusters", "entity_resolution", "error_impact",
     "filter_funnel", "freshness_audit", "interpolate_linear",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r13 MANDATORY HEAD: any red r12 rows first, then the FIVE r13
+    # r13 MANDATORY HEAD: any red r12 rows first, then the EIGHT r13
     # gates staged in workloads_r13.py with pre-verified oracles
     # (ndcg_by_source, quantiles_refined, calibration_fixed_bins,
-    # rule_attribution, bucketed_join_persist; registration = import
+    # rule_attribution, bucketed_join_persist, map_quality,
+    # cohen_kappa, hard_negatives; registration = import
     # QUERIES_R13/ORACLES_R13 into the dicts below + list them here),
     # then the TWENTY-NINE remaining
     # r8-latest gates whose staleness bound binds EXACTLY at r13
@@ -94,12 +95,13 @@ _CHECK_FIRST = [
     # rrf_fusion, session_paths, skyline_orders, supplier_diversity,
     # table_checksum, time_to_convert, time_weighted_avg,
     # triangle_count, value_histogram, variant_json, waiting_suppliers,
-    # weighted_median. That is red + 5 + 29 = 34+red, leaving 16 slots
+    # weighted_median. That is red + 8 + 29 = 37+red, leaving 13 slots
     # (assuming 0 reds) for r9-latest backfill — the 49-gate r9-latest
-    # cohort's staleness bound lands at r14, so its first 16
-    # (alphabetical) take r13's remaining slots and the other 33 MUST
-    # take r14's head. Any red r12 row displaces from the END of the
-    # 16. Always recompute cohorts from the CORRECTNESS_r*.json union
+    # cohort's staleness bound lands at r14, so its first 13
+    # (alphabetical) take r13's remaining slots and the other 36 MUST
+    # take r14's head (36 + r14-staged <= 50 caps the r14 cohort at
+    # ~14). Any red r12 row displaces from the END of the
+    # 13. Always recompute cohorts from the CORRECTNESS_r*.json union
     # (tests/test_docs_consistency.py::test_rotation_debt_cannot_drift)
     # rather than trusting name lists written from memory — the r11
     # directive's expanded r7 name list was stale; only its computed

@@ -1223,3 +1223,181 @@ def ndcg_at_k(
             F.when(F.col("_idcg") > 0, dcg0 / F.col("_idcg")), 6
         ).alias("ndcg"),
     )
+
+
+def map_at_k(
+    ranked: DataFrame,
+    rels: DataFrame,
+    *,
+    k: int = 10,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Binary set-retrieval metrics at cutoff k — Precision@k, Recall@k
+    and Average Precision (the per-group term of MAP) — next to
+    ndcg_at_k's graded-gain view; together they are the two numbers IR
+    evaluations actually report (TREC-style: AP averaged over queries =
+    MAP). Relevance is BINARY here: any ``rel_col > 0`` judgment counts
+    as relevant (graded labels collapse, the standard MAP convention).
+
+    Definitions (per group): hits = |top-k ∩ relevant|;
+    ``p_at_k`` = hits / k (fixed-k denominator — an engine returning
+    fewer than k items is penalized, not renormalized);
+    ``r_at_k`` = hits / n_rel over ALL relevant judgments in the group
+    (not just top-k); ``ap`` = (Σ_{i<=k, item_i relevant} hits_i / i)
+    / min(n_rel, k) — the cutoff-AP normalizer that keeps AP = 1
+    reachable when a group has more relevant items than k. Groups with
+    n_rel = 0 get NULL r_at_k/ap (nothing to retrieve is unjudgeable,
+    mirroring ndcg's NULL-on-IDCG=0); judged groups with NO ranked
+    rows score 0.0 (a system returning nothing for a judged query is
+    WRONG, not unjudgeable — same stance as ndcg_at_k).
+
+    Engine parity: hits/k and hits/n_rel are single divisions over
+    identical exact integers (bit-equal cross-engine, r9 idiom); the AP
+    sum is <= k terms of exact-integer ratios rounded at 6 — the same
+    accepted tiny-sum class as the NDCG discount sum. ``rank >= 1`` is
+    enforced in-plan with the same raise_error guard as ndcg_at_k
+    (rank semantics, not discount safety: a 0-rank would silently
+    shift every cumulative-hit prefix).
+
+    Scale (100 TB): ranked lists are top-N per group by construction —
+    the per-group cumulative-hit window runs over <= k rows per frame,
+    never a corpus partition; n_rel is one keyed aggregate over the
+    judgment table; the join is a (group, id) equi-join. Nothing here
+    touches the corpus itself.
+    """
+    gkeys = [group_col] if group_col else []
+    gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
+    checked_rank = F.when(
+        F.col(rank_col) < 1,
+        F.raise_error(
+            F.lit(
+                f"map_at_k: {rank_col!r} < 1 — ranks are 1-based; a rank of "
+                "0 would shift every cumulative-hit prefix in the AP sum"
+            )
+        ),
+    ).otherwise(F.col(rank_col))
+    r = ranked.select(
+        *gkeys, F.col(id_col).alias("_id"), checked_rank.alias("_rk")
+    ).where((F.col(rank_col) <= k) & gfilter)
+    lab = rels.select(
+        *gkeys,
+        F.col(id_col).alias("_id"),
+        (F.col(rel_col) > 0).cast("int").alias("_hit"),
+    ).where(F.col(rel_col).isNotNull() & gfilter)
+    n_rel = (
+        lab.where(F.col("_hit") == 1)
+        .groupBy(*gkeys)
+        .agg(F.count("*").cast("long").alias("n_rel"))
+    )
+    cumw = (
+        Window.partitionBy(*gkeys) if gkeys else Window.partitionBy()
+    ).orderBy("_rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hit = F.coalesce(F.col("_hit"), F.lit(0))
+    scored = (
+        r.join(lab, [*gkeys, "_id"], "left")
+        .select(*gkeys, "_rk", hit.alias("_h"))
+        .withColumn("_cum", F.sum("_h").over(cumw))
+        .groupBy(*gkeys)
+        .agg(
+            F.count("*").cast("long").alias("n_ranked"),
+            F.sum("_h").cast("long").alias("hits"),
+            F.sum(
+                F.col("_h") * F.col("_cum").cast("double") / F.col("_rk")
+            ).alias("_ap_num"),
+        )
+    )
+    joined = (
+        scored.join(n_rel, gkeys, "full_outer")
+        if gkeys
+        else scored.crossJoin(n_rel)
+    )
+    hits0 = F.coalesce(F.col("hits"), F.lit(0))
+    apnum0 = F.coalesce(F.col("_ap_num"), F.lit(0.0))
+    norm = F.least(F.col("n_rel"), F.lit(k).cast("long"))
+    return joined.select(
+        *gkeys,
+        F.coalesce(F.col("n_ranked"), F.lit(0)).alias("n_ranked"),
+        F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+        hits0.alias("hits"),
+        F.round(hits0.cast("double") / F.lit(float(k)), 6).alias("p_at_k"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0, hits0.cast("double") / F.col("n_rel")
+            ),
+            6,
+        ).alias("r_at_k"),
+        F.round(F.when(F.col("n_rel") > 0, apnum0 / norm), 6).alias("ap"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    *,
+    rater_a_col: str,
+    rater_b_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Cohen's kappa between two binary raters — chance-corrected
+    agreement, the standard number for "do these two labelers /
+    classifiers / annotation passes actually agree" in dataset
+    curation (e.g. a learned quality gate vs a rule heuristic, or two
+    annotation vendors). Completes the eval tier's agreement corner
+    next to AUC (ranking), calibration (probability), and the rank
+    correlations.
+
+    Raters are read as booleans: any non-NULL truthy/nonzero value is
+    a positive vote; rows where EITHER rater is NULL are dropped (an
+    abstention is not a vote — the pairwise-deletion convention).
+
+    All-integer core: with per-group n, agree = |a = b|, pos_a, pos_b,
+        kappa = (n·agree − pe_num) / (n² − pe_num),
+        pe_num = pos_a·pos_b + (n−pos_a)·(n−pos_b)
+    — the closed form of (po − pe)/(1 − pe) with both sides multiplied
+    by n². Products are computed in DECIMAL(≤38,0) so the identity is
+    EXACT far past the 2^63 row counts where BIGINT n² would overflow
+    (n up to 1e18); the single final division casts both exact decimal
+    operands to double (round-to-nearest of identical integers —
+    engine-equal, r9 idiom) and rounds at 6. kappa is NULL when the
+    denominator is 0 — both raters constant on the SAME side (pe = 1,
+    chance agreement is certain and the statistic is undefined); one
+    constant rater against a mixed one yields an exact 0 (den =
+    n·neg_b, num = 0), the no-better-than-chance reading.
+
+    Scale (100 TB): ONE keyed aggregate over exact integer counts per
+    group — map-side partial, no window, no join. The decimal algebra
+    is per-group scalar arithmetic on the aggregate row.
+    """
+    gkeys = [group_col] if group_col else []
+    gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
+    a = F.col(rater_a_col).cast("boolean")
+    b = F.col(rater_b_col).cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull() & gfilter).select(
+        *gkeys,
+        a.cast("int").alias("_a"),
+        b.cast("int").alias("_b"),
+    )
+    agg = base.groupBy(*gkeys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long")).alias("agree"),
+        F.sum("_a").cast("long").alias("pos_a"),
+        F.sum("_b").cast("long").alias("pos_b"),
+    )
+    d = lambda c: c.cast("decimal(18,0)")  # noqa: E731 — local shorthand
+    pe_num = d(F.col("pos_a")) * d(F.col("pos_b")) + d(
+        F.col("n") - F.col("pos_a")
+    ) * d(F.col("n") - F.col("pos_b"))
+    num = d(F.col("n")) * d(F.col("agree")) - pe_num
+    den = d(F.col("n")) * d(F.col("n")) - pe_num
+    return agg.select(
+        *gkeys,
+        "n",
+        "agree",
+        "pos_a",
+        "pos_b",
+        F.round(
+            F.when(den != 0, num.cast("double") / den.cast("double")), 6
+        ).alias("kappa"),
+    )

@@ -1364,3 +1364,65 @@ def semdedup_prune(
             F.coalesce("dropped", F.lit(False)).alias("dropped"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    *,
+    anchor_filter: str,
+    negative_filter: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining: for each anchor vector, the k nearest-by-
+    cosine vectors from the NEGATIVE set — the standard contrastive-
+    training data op (anchors = positives of a class, negatives = the
+    rest; the nearest negatives are the "hard" ones worth training on).
+
+    Same exact-integer cosine core as ``cosine_topk`` (quantized
+    vectors, exact integer dot products, one double division per pair,
+    round 6) with the candidate side restricted by ``negative_filter``
+    BEFORE the pair product — the filter prunes the broadcast-probe
+    stream, it never post-filters scored pairs. Anchors and negatives
+    may overlap by id (an anchor can be its own near-negative under a
+    label-free filter); the self-pair is excluded like cosine_topk.
+
+    Scale (100 TB): the anchor batch is the BOUNDED side (broadcast),
+    candidates stream map-side — O(|anchors| · |negatives|) dot
+    products with no shuffle until the per-anchor top-k window over
+    |anchors| groups. This is the exact-baseline tier; the bucketed
+    LSH near-dup path is the recall-traded scale path, same as
+    cosine_topk vs ann_lsh.
+    """
+    base = with_quantized(embeddings)
+    q = base.filter(anchor_filter).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("qnorm2").alias("q_n2"),
+    )
+    c = base.filter(negative_filter).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("qnorm2").alias("c_n2"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                _dot("q_qe", "c_qe").cast("double")
+                / (
+                    F.sqrt(F.col("q_n2").cast("double"))
+                    * F.sqrt(F.col("c_n2").cast("double"))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cos"), "rank")
+    )

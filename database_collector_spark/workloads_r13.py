@@ -32,6 +32,18 @@ Cohort (the r11 verdict's item-2 list plus the Spark-first layout gate):
   sides bucketed+sorted on the key, reload, and join with ZERO exchange
   on either side (plan-pinned) — the pay-the-shuffle-once-at-write
   layout every recurring 100 TB star join wants.
+- ``map_quality`` — Precision@10 / Recall@10 / Average Precision per
+  language over the SAME length-ranked list the NDCG gate judges
+  (operators/ranking.py::map_at_k): the binary-relevance half of the
+  IR-evaluation pair, sharing the ranked-input contract.
+- ``cohen_kappa`` — chance-corrected agreement between the hashed
+  quality classifier's keep vote and the embedding ground truth, per
+  language (operators/ranking.py::cohen_kappa): the eval tier's
+  inter-rater corner, all-integer confusion core in DECIMAL(38,0).
+- ``hard_negatives`` — contrastive-training mining: for each
+  high-label anchor vector, the 5 nearest-by-cosine LOW-label vectors
+  (operators/similarity.py::hard_negatives, the cosine_topk core with
+  a candidate-side predicate pushed below the pair product).
 
 Reference parity: the reference (truemark/database-collector) has no
 analytics engine of its own — its main loop
@@ -50,9 +62,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from database_collector_spark.operators import ranking, text
+from database_collector_spark.operators import ranking, similarity, text
 from database_collector_spark.sinks.bucketed import read_table, write_bucketed
 from database_collector_spark.workloads import _t
+from database_collector_spark.workloads_ext import _SQL_QUANT
 from database_collector_spark.workloads_r9 import SQL_QUALITY_CLASSIFIER
 from database_collector_spark.workloads_r12 import clf_truth_frame, sql_ndcg_oracle
 
@@ -431,12 +444,205 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+# ------------------------------------------------- MAP / P@k / R@k
+
+_MAP_K = 10
+
+
+def q_map_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10, Recall@10 and Average Precision per language of
+    the length-ranked document list against binary relevance (embedding
+    label >= 5) — the set-retrieval half of the IR-evaluation pair next
+    to ndcg_quality's graded view, judging the IDENTICAL ranked input
+    (operators/ranking.py::map_at_k; exact-integer hit counts, the
+    <= k-term AP sum in the same accepted tiny-sum class as the NDCG
+    discount sum)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    ranked = docs.select("lang", "doc_id", w.alias("rank")).where(
+        F.col("rank") <= _MAP_K
+    )
+    rels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") >= 5).cast("int").alias("rel"),
+    )
+    lang = docs.select("doc_id", "lang")
+    return ranking.map_at_k(
+        ranked,
+        rels.join(lang, "doc_id").select("lang", "doc_id", "rel"),
+        k=_MAP_K,
+        group_col="lang",
+    ).orderBy("lang")
+
+
+SQL_MAP_QUALITY = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents WHERE lang IS NOT NULL
+),
+topk AS (SELECT * FROM ranked WHERE rk <= {_MAP_K}),
+rels AS (
+  SELECT d.lang, e.vec_id AS doc_id,
+         CASE WHEN e.label >= 5 THEN 1 ELSE 0 END AS hit
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE e.label IS NOT NULL AND d.lang IS NOT NULL
+),
+nrel AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM rels WHERE hit = 1 GROUP BY lang
+),
+c AS (
+  SELECT t.lang, t.rk, COALESCE(r.hit, 0) AS h,
+         SUM(COALESCE(r.hit, 0)) OVER (
+           PARTITION BY t.lang ORDER BY t.rk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM topk t LEFT JOIN rels r ON r.lang = t.lang AND r.doc_id = t.doc_id
+),
+s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         CAST(SUM(h) AS BIGINT) AS hits,
+         SUM(h * CAST(cum AS DOUBLE) / rk) AS ap_num
+  FROM c GROUP BY lang
+)
+SELECT COALESCE(s.lang, n.lang) AS lang,
+       COALESCE(s.n_ranked, 0) AS n_ranked,
+       COALESCE(n.n_rel, 0) AS n_rel,
+       COALESCE(s.hits, 0) AS hits,
+       round(CAST(COALESCE(s.hits, 0) AS DOUBLE) / {float(_MAP_K)}, 6)
+         AS p_at_k,
+       CASE WHEN n.n_rel > 0 THEN
+         round(CAST(COALESCE(s.hits, 0) AS DOUBLE) / n.n_rel, 6) END AS r_at_k,
+       CASE WHEN n.n_rel > 0 THEN
+         round(COALESCE(s.ap_num, 0) / LEAST(n.n_rel, {_MAP_K}), 6) END AS ap
+FROM s FULL OUTER JOIN nrel n ON s.lang = n.lang
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------- Cohen's kappa
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement per language between the hashed
+    quality classifier's keep vote (logit > 0) and the embedding ground
+    truth (label >= 5) — operators/ranking.py::cohen_kappa: one keyed
+    aggregate of exact integer confusion counts, the closed-form
+    (n·agree − pe_num)/(n² − pe_num) in DECIMAL(38,0), one final double
+    division over identical exact operands."""
+    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = clf_truth_frame(spark, sf_dir).join(lang, "doc_id").select(
+        "lang",
+        (F.col("logit_milli") > 0).alias("pred"),
+        (F.col("y") == 1).alias("truth"),
+    )
+    return ranking.cohen_kappa(
+        scored, rater_a_col="pred", rater_b_col="truth", group_col="lang"
+    ).orderBy("lang")
+
+
+SQL_COHEN_KAPPA = f"""
+WITH clf AS MATERIALIZED (
+  SELECT doc_id, logit_milli
+  FROM ({SQL_QUALITY_CLASSIFIER}) q WHERE n_feats > 0
+),
+sc AS (
+  SELECT d.lang,
+         CASE WHEN c.logit_milli > 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN e.label >= 5 THEN 1 ELSE 0 END AS b
+  FROM clf c
+  JOIN embeddings e ON e.vec_id = c.doc_id
+  JOIN documents d ON d.doc_id = c.doc_id
+  WHERE e.label IS NOT NULL AND d.lang IS NOT NULL
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(SUM(a) AS BIGINT) AS pos_a,
+         CAST(SUM(b) AS BIGINT) AS pos_b
+  FROM sc GROUP BY lang
+),
+k AS (
+  SELECT lang, n, agree, pos_a, pos_b,
+         CAST(pos_a AS DECIMAL(18,0)) * CAST(pos_b AS DECIMAL(18,0))
+           + CAST(n - pos_a AS DECIMAL(18,0)) * CAST(n - pos_b AS DECIMAL(18,0))
+           AS pe_num,
+         CAST(n AS DECIMAL(18,0)) * CAST(agree AS DECIMAL(18,0)) AS na,
+         CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)) AS nn
+  FROM agg
+)
+SELECT lang, n, agree, pos_a, pos_b,
+       CASE WHEN nn - pe_num <> 0 THEN
+         round(CAST(na - pe_num AS DOUBLE) / CAST(nn - pe_num AS DOUBLE), 6)
+       END AS kappa
+FROM k ORDER BY lang
+"""
+
+
+# ------------------------------------------------ hard-negative mining
+
+_HN_ANCHORS = "vec_id < 10 AND label >= 5"
+_HN_NEGATIVES = "label < 5"
+_HN_K = 5
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each high-label anchor in
+    the bounded query batch, the 5 nearest-by-cosine low-label vectors
+    (operators/similarity.py::hard_negatives — the cosine_topk
+    exact-integer core with the negative predicate pruning the
+    candidate stream BEFORE the pair product). NULL labels fail both
+    predicates and are excluded on both engines."""
+    return similarity.hard_negatives(
+        _t(spark, sf_dir, "embeddings"),
+        anchor_filter=_HN_ANCHORS,
+        negative_filter=_HN_NEGATIVES,
+        k=_HN_K,
+    ).orderBy("q_id", "rank")
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH {_SQL_QUANT},
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.qe[i] * c.qe[i]) AS dot
+  FROM qe q, qe c, idx
+  WHERE q.vec_id < 10 AND q.label >= 5
+    AND c.label < 5 AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.q_id, p.c_id,
+         CAST(p.dot AS DOUBLE)
+           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+           AS cos_raw
+  FROM p
+  JOIN norms nq ON nq.vec_id = p.q_id
+  JOIN norms nc ON nc.vec_id = p.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_raw DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(cos_raw, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_HN_K}
+ORDER BY q_id, rank
+"""
+
+
 QUERIES_R13 = {
     "ndcg_by_source": q_ndcg_by_source,
     "quantiles_refined": q_quantiles_refined,
     "calibration_fixed_bins": q_calibration_fixed_bins,
     "rule_attribution": q_rule_attribution,
     "bucketed_join_persist": q_bucketed_join_persist,
+    "map_quality": q_map_quality,
+    "cohen_kappa": q_cohen_kappa,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLES_R13 = {
@@ -445,4 +651,7 @@ ORACLES_R13 = {
     "calibration_fixed_bins": SQL_CALIBRATION_FIXED_BINS,
     "rule_attribution": SQL_RULE_ATTRIBUTION,
     "bucketed_join_persist": SQL_BUCKETED_JOIN_PERSIST,
+    "map_quality": SQL_MAP_QUALITY,
+    "cohen_kappa": SQL_COHEN_KAPPA,
+    "hard_negatives": SQL_HARD_NEGATIVES,
 }

@@ -304,3 +304,131 @@ def test_fixed_bin_calibration_validates_params(spark):
         odd, score_col="my score", label_col="y", lo=0, bin_width=1, n_bins=10
     ).collect()
     assert out[0]["bin"] == 7 and out[0]["n_pos"] == 1
+
+
+def test_map_at_k_matches_hand_computation(spark):
+    """Brute-force reference for map_at_k on a hand-computed 2-group
+    fixture: group g1 has ranked+judged rows (AP verifiable by hand),
+    g2 is judged-but-unranked (scores 0.0), g3 is ranked with zero
+    relevant judgments (NULL r_at_k/ap)."""
+    from database_collector_spark.operators.ranking import map_at_k
+
+    ranked = spark.createDataFrame(
+        [("g1", 1, 1), ("g1", 2, 2), ("g1", 3, 3), ("g1", 4, 4),
+         ("g3", 7, 1), ("g3", 8, 2)],
+        "g string, doc_id int, rank int",
+    )
+    rels = spark.createDataFrame(
+        # g1: docs 1,3 relevant + doc 99 relevant-but-unranked -> n_rel=3
+        [("g1", 1, 1), ("g1", 2, 0), ("g1", 3, 1), ("g1", 99, 1),
+         ("g2", 5, 1),
+         ("g3", 7, 0)],
+        "g string, doc_id int, rel int",
+    )
+    out = {
+        r["g"]: r
+        for r in map_at_k(ranked, rels, k=3, group_col="g").collect()
+    }
+    g1 = out["g1"]
+    # top-3 of g1 = docs 1,2,3 -> hits at ranks 1,3; cum hits 1,1,2
+    # AP = (1/1 + 2/3) / min(3, 3) = 5/9
+    assert (g1["n_ranked"], g1["n_rel"], g1["hits"]) == (3, 3, 2)
+    assert g1["p_at_k"] == round(2 / 3, 6)
+    assert g1["r_at_k"] == round(2 / 3, 6)
+    assert g1["ap"] == round((1.0 + 2.0 / 3.0) / 3.0, 6)
+    g2 = out["g2"]
+    assert (g2["n_ranked"], g2["n_rel"], g2["hits"]) == (0, 1, 0)
+    assert (g2["p_at_k"], g2["r_at_k"], g2["ap"]) == (0.0, 0.0, 0.0)
+    g3 = out["g3"]
+    assert (g3["n_ranked"], g3["n_rel"], g3["hits"]) == (2, 0, 0)
+    assert g3["p_at_k"] == 0.0 and g3["r_at_k"] is None and g3["ap"] is None
+    # rank >= 1 is enforced in-plan
+    bad = spark.createDataFrame([("g1", 1, 0)], "g string, doc_id int, rank int")
+    with pytest.raises(Exception, match="ranks are 1-based"):
+        map_at_k(bad, rels, k=3, group_col="g").collect()
+
+
+def test_cohen_kappa_matches_hand_computation(spark):
+    """Hand-computed kappa cases: imperfect agreement (classic 2x2),
+    perfect agreement (kappa=1), constant raters (NULL), and pairwise
+    deletion of NULL votes."""
+    from database_collector_spark.operators.ranking import cohen_kappa
+
+    # ga: n=10, agree=7, pos_a=5, pos_b=4 (a=b=1 on 3 rows)
+    # pe_num = 5*4 + 5*6 = 50; kappa = (70-50)/(100-50) = 0.4
+    rows = (
+        [("ga", 1, 1)] * 3 + [("ga", 1, 0)] * 2 + [("ga", 0, 1)] * 1
+        + [("ga", 0, 0)] * 4
+        + [("gb", 1, 1)] * 2 + [("gb", 0, 0)] * 3          # perfect
+        + [("gc", 1, 1)] * 2 + [("gc", 1, 0)] * 2          # a constant
+        + [("gd", None, 1), ("gd", 1, 1), ("gd", 0, 0)]    # NULL dropped
+        + [("ge", 1, 1)] * 3                               # both constant
+    )
+    df = spark.createDataFrame(rows, "g string, a int, b int")
+    out = {
+        r["g"]: r
+        for r in cohen_kappa(
+            df, rater_a_col="a", rater_b_col="b", group_col="g"
+        ).collect()
+    }
+    ga = out["ga"]
+    assert (ga["n"], ga["agree"], ga["pos_a"], ga["pos_b"]) == (10, 7, 5, 4)
+    assert ga["kappa"] == 0.4
+    assert out["gb"]["kappa"] == 1.0
+    # ONE constant rater: den = n * neg_b != 0, kappa = 0 exactly (no
+    # better than chance) — NOT the undefined case
+    assert out["gc"]["kappa"] == 0.0
+    assert out["gd"]["n"] == 2 and out["gd"]["kappa"] == 1.0
+    # BOTH raters constant on the same side: pe = 1, kappa undefined
+    assert out["ge"]["kappa"] is None
+
+
+def test_hard_negatives_subset_of_restricted_topk(spark):
+    """Every mined pair satisfies both predicates, and the result equals
+    cosine_topk run over the candidate set restricted to negatives (the
+    operator must prune the stream, not re-rank differently)."""
+    from database_collector_spark.operators import similarity
+    from database_collector_spark.workloads import _t
+
+    emb = _t(spark, SF, "embeddings")
+    got = similarity.hard_negatives(
+        emb, anchor_filter="vec_id < 10 AND label >= 5",
+        negative_filter="label < 5", k=3,
+    ).collect()
+    assert got, "fixture must yield at least one anchor"
+    anchors = {
+        r["vec_id"] for r in emb.filter("vec_id < 10 AND label >= 5")
+        .select("vec_id").collect()
+    }
+    negatives = {
+        r["vec_id"] for r in emb.filter("label < 5").select("vec_id").collect()
+    }
+    for r in got:
+        assert r["q_id"] in anchors and r["c_id"] in negatives
+    # brute-force reference with the operator's own quantization
+    # (round(x * 2^20) int dots, one double division), negatives-only
+    # candidate set — cosine_topk can't express that (its candidate
+    # side is the whole input), which is exactly why the operator exists
+    vecs = {
+        r["vec_id"]: [round(float(x) * 1048576) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        return dot / (
+            math.sqrt(float(sum(x * x for x in vecs[a])))
+            * math.sqrt(float(sum(x * x for x in vecs[b])))
+        )
+
+    expected = set()
+    for q in anchors:
+        scored = sorted(
+            ((-cos(q, c), c) for c in negatives if c != q)
+        )[:3]
+        expected |= {
+            (q, c, round(-n, 6), i + 1) for i, (n, c) in enumerate(scored)
+        }
+    got_pairs = {(r["q_id"], r["c_id"], r["cos"], r["rank"]) for r in got}
+    assert got_pairs == expected
