@@ -432,3 +432,28 @@ def test_hard_negatives_subset_of_restricted_topk(spark):
         }
     got_pairs = {(r["q_id"], r["c_id"], r["cos"], r["rank"]) for r in got}
     assert got_pairs == expected
+
+
+def test_new_eval_gate_plans_stay_parallel(spark):
+    """Plan pins for the r12-second-wave staged gates: map_quality's
+    two ranking windows get the rank-limit pushdown (tasks keep k rows
+    before the per-group sort) and nothing funnels to one partition;
+    cohen_kappa is ONE keyed aggregate shuffle (its joins broadcast);
+    hard_negatives broadcasts the bounded anchor batch (BNLJ — the
+    probe stream stays map-side) and its per-anchor top-k window is
+    group-limit pushed."""
+    plans = {
+        name: workloads_r13.QUERIES_R13[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        for name in ("map_quality", "cohen_kappa", "hard_negatives")
+    }
+    for name, plan in plans.items():
+        assert plan.count("Exchange SinglePartition") == 0, name
+    assert plans["map_quality"].count("WindowGroupLimit") >= 2
+    assert plans["cohen_kappa"].count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plans["cohen_kappa"]
+    assert plans["hard_negatives"].count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plans["hard_negatives"]
+    assert plans["hard_negatives"].count("WindowGroupLimit") >= 2
