@@ -11,12 +11,16 @@ the engine's classifier-evaluation tier.
       -> calibration curve           (ranking.calibration_curve: when
          the model says 0.8, is it right 80% of the time? percentile
          bins with tie classes kept whole)
+      -> Cohen's kappa               (ranking.cohen_kappa: does the
+         model's hard keep/drop vote agree with ground truth beyond
+         chance? — the number annotation-vendor reviews report)
 
 Run:  python examples/classifier_eval.py [sf_dir] [n_bins]
 Defaults: /root/testdata/sf0.001 and 10 bins.
 
 Every step is the same public API the driver gates exercise
-(quality_classifier, auc_scores, auc_by_group, calibration_curve);
+(quality_classifier, auc_scores, auc_by_group, calibration_curve,
+cohen_kappa);
 this file adds no logic — it shows the composition a model-gating
 review actually runs. Ground truth here is the fixture's embedding
 label (>= 5), the same proxy the gates check against.
@@ -69,6 +73,14 @@ def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
     curve = ranking.calibration_curve(
         scored.select("score", "label"), n_bins=n_bins
     ).orderBy("bin")
+    kappa = ranking.cohen_kappa(
+        scored.select(
+            "lang", (F.col("score") > 0).alias("keep"), (F.col("label") == 1).alias("truth")
+        ),
+        rater_a_col="keep",
+        rater_b_col="truth",
+        group_col="lang",
+    ).orderBy("lang")
 
     report = {
         "overall": (overall["n_pos"], overall["n_neg"], overall["auc"]),
@@ -79,6 +91,9 @@ def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
             (r["bin"], r["n_docs"], r["n_pos"], r["pos_rate"], r["lo_score"],
              r["hi_score"])
             for r in curve.collect()
+        ],
+        "kappa": [
+            (r["lang"], r["n"], r["agree"], r["kappa"]) for r in kappa.collect()
         ],
     }
     scored.unpersist()
@@ -100,6 +115,9 @@ def main() -> None:
         print("calibration (bin, n, pos, observed rate, score range):")
         for b, nd, np_, rate, lo, hi in report["calibration"]:
             print(f"  bin {b}: n={nd} pos={np_} rate={rate} [{lo}, {hi}]")
+        print("keep-vote agreement vs truth (Cohen's kappa, per lang):")
+        for lang, n, agree, kap in report["kappa"]:
+            print(f"  {lang}: kappa={kap} (agree {agree}/{n})")
     finally:
         spark.stop()
 

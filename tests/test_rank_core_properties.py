@@ -143,3 +143,99 @@ def test_banded_kendall_tau_fuzz(spark, pts, band):
         assert r["tau_b"] == round((c - d) / math.sqrt(denom), 6)
     else:
         assert r["tau_b"] is None
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_ranked=st.integers(min_value=1, max_value=8),
+    judged=st.dictionaries(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=3),
+        max_size=12,
+    ),
+    k=st.sampled_from([1, 3, 10]),
+)
+def test_map_at_k_fuzz_vs_python_reference(spark, n_ranked, judged, k):
+    """map_at_k equals a plain-Python reference over arbitrary ranked
+    lists and judgment tables (ids judged-but-unranked, ranked-but-
+    unjudged, graded rels collapsing to binary, every k regime)."""
+    from database_collector_spark.operators.ranking import map_at_k
+
+    ranked_ids = list(range(n_ranked))  # rank i+1 for id i
+    ranked = spark.createDataFrame(
+        [("g", i, i + 1) for i in ranked_ids], "g string, doc_id int, rank int"
+    )
+    if not judged:
+        judged = {0: 0}
+    rels = spark.createDataFrame(
+        [("g", i, r) for i, r in judged.items()], "g string, doc_id int, rel int"
+    )
+    row = map_at_k(ranked, rels, k=k, group_col="g").collect()[0]
+
+    rel_ids = {i for i, r in judged.items() if r > 0}
+    topk = [i for i in ranked_ids if i + 1 <= k]
+    hits_seq, cum = [], 0
+    ap_num = 0.0
+    for pos, i in enumerate(topk, start=1):
+        h = 1 if i in rel_ids else 0
+        cum += h
+        if h:
+            ap_num += cum / pos
+    n_rel = len(rel_ids)
+    assert row["n_ranked"] == len(topk)
+    assert row["n_rel"] == n_rel
+    assert row["hits"] == cum
+    assert abs(row["p_at_k"] - cum / k) <= 5.1e-7
+    if n_rel == 0:
+        assert row["r_at_k"] is None and row["ap"] is None
+    else:
+        assert abs(row["r_at_k"] - cum / n_rel) <= 5.1e-7
+        assert abs(row["ap"] - ap_num / min(n_rel, k)) <= 5.1e-7
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    votes=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=1)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=1)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cohen_kappa_fuzz_vs_closed_form(spark, votes):
+    """cohen_kappa equals the exact-integer closed form under arbitrary
+    vote patterns including NULL abstentions and constant raters."""
+    from database_collector_spark.operators.ranking import cohen_kappa
+
+    df = spark.createDataFrame(
+        [("g", a, b) for a, b in votes], "g string, a int, b int"
+    )
+    out = cohen_kappa(df, rater_a_col="a", rater_b_col="b", group_col="g").collect()
+    kept = [(a, b) for a, b in votes if a is not None and b is not None]
+    if not kept:
+        assert out == []
+        return
+    row = out[0]
+    n = len(kept)
+    agree = sum(1 for a, b in kept if a == b)
+    pos_a = sum(a for a, _ in kept)
+    pos_b = sum(b for _, b in kept)
+    assert (row["n"], row["agree"], row["pos_a"], row["pos_b"]) == (
+        n, agree, pos_a, pos_b,
+    )
+    pe_num = pos_a * pos_b + (n - pos_a) * (n - pos_b)
+    den = n * n - pe_num
+    if den == 0:
+        assert row["kappa"] is None
+    else:
+        assert abs(row["kappa"] - (n * agree - pe_num) / den) <= 5.1e-7
