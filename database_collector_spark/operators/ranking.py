@@ -1401,3 +1401,80 @@ def cohen_kappa(
             F.when(den != 0, num.cast("double") / den.cast("double")), 6
         ).alias("kappa"),
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 20,
+    coarse_buckets: int = 1024,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Precision-recall sweep of a binary scorer: one (threshold,
+    precision, recall) point per percentile bin — the operating-curve
+    view that closes the eval tier (AUC summarizes ranking in one
+    number; calibration audits probabilities; THIS answers "which
+    cutoff do I gate the corpus at, and what does it cost in
+    precision/recall?" — the decision a 100 TB curation run actually
+    makes).
+
+    Rides ``calibration_curve``'s percentile-bin machinery verbatim
+    (tie classes whole, compressed score domain, the prefix core), then
+    takes SUFFIX sums over the <= n_bins-per-group bin table: a point
+    at bin b reads "keep every document scoring in bin b or higher"
+    (threshold = the bin's lo_score), with pred_pos/tp exact suffix-
+    summed integers, precision = tp/pred_pos and recall = tp/total_pos
+    each ONE division over identical exact integers (bit-equal
+    cross-engine, r9 idiom). recall is NULL when the group has no
+    positives at all (nothing to recall — the auc single-class
+    stance).
+
+    The suffix-sum window runs over the AGGREGATED bin table —
+    <= n_bins rows per group, n_bins a caller constant — so the
+    ungrouped form's single-partition window is bounded by
+    construction, never corpus-sized (the ndcg "frames are top-N
+    lists" argument; at 100 TB the corpus-scale work all happened in
+    the calibration binning underneath).
+
+    Output: (group?, bin, threshold, pred_pos, tp, precision, recall),
+    one row per non-empty bin, highest-score bin first in `bin` order.
+    """
+    keys = [group_col] if group_col else []
+    cal = calibration_curve(
+        scored,
+        score_col=score_col,
+        label_col=label_col,
+        n_bins=n_bins,
+        coarse_buckets=coarse_buckets,
+        group_col=group_col,
+    )
+    sufw = (
+        (Window.partitionBy(*keys) if keys else Window.partitionBy())
+        .orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totw = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    return (
+        cal.select(
+            *keys,
+            "bin",
+            F.col("lo_score").alias("threshold"),
+            F.sum("n_docs").over(sufw).cast("long").alias("pred_pos"),
+            F.sum("n_pos").over(sufw).cast("long").alias("tp"),
+            F.sum("n_pos").over(totw).cast("long").alias("_all_pos"),
+        )
+        .select(
+            *keys,
+            "bin",
+            "threshold",
+            "pred_pos",
+            "tp",
+            F.round(F.col("tp") / F.col("pred_pos"), 6).alias("precision"),
+            F.round(
+                F.when(F.col("_all_pos") > 0, F.col("tp") / F.col("_all_pos")),
+                6,
+            ).alias("recall"),
+        )
+    )

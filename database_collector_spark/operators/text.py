@@ -878,3 +878,65 @@ def rule_attribution(
         ),
         F.col("_n").alias("n_docs"),
     ).select("rule_order", "rule", "n_flagged", "n_marginal", "n_docs")
+
+
+def vocab_richness(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Chao1 vocabulary-coverage estimate: how much of a corpus slice's
+    vocabulary have we actually SEEN — the curation question behind
+    "is this source mined out, or does sampling more of it still buy
+    new tokens?". The Chao1 estimator reads unseen-species mass off
+    the rare end of the frequency spectrum: with f1 = hapax count
+    (tokens seen exactly once) and f2 = doubleton count,
+
+        chao1 = observed + f1·(f1 − 1) / (2·(f2 + 1))
+
+    (the bias-corrected form — defined even when f2 = 0, unlike the
+    classic f1²/2f2). A slice whose chao1 is close to its observed
+    vocabulary is exhausted; a large gap means more sampling still
+    yields novel types.
+
+    Whitespace tokenization via ``nonempty_tokens_col`` (the one shared
+    word definition); NULL text / NULL group rows are excluded.
+
+    Engine parity: observed/f1/f2/n_tokens are exact integer counts;
+    the correction term is ONE double division of exact integer
+    operands (f1·(f1−1) <= ~1e18 stays in BIGINT for any real vocab),
+    added to an exact integer and rounded at 6.
+
+    Scale (100 TB): ONE (group, token) aggregate — the same shuffle
+    shape as TF-IDF's document-frequency pass — then a |vocab|-row
+    keyed count-by-frequency fold to a single row per group. Nothing
+    corpus-sized crosses the second shuffle: the frequency spectrum
+    per group is at most |distinct tokens| rows compressed to <= a
+    handful of aggregate counters.
+    """
+    keys = [group_col] if group_col else []
+    cond = F.col(text_col).isNotNull()
+    if group_col:
+        cond = cond & F.col(group_col).isNotNull()
+    toks = docs.where(cond).select(
+        *keys, F.explode(nonempty_tokens_col(text_col)).alias("tok")
+    )
+    freq = toks.groupBy(*keys, "tok").agg(F.count("*").alias("f"))
+    agg = freq.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("observed"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum((F.col("f") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("f") == 2).cast("long")).alias("f2"),
+    )
+    chao1 = F.col("observed") + (
+        F.col("f1") * (F.col("f1") - 1)
+    ).cast("double") / (2.0 * (F.col("f2") + 1))
+    return agg.select(
+        *keys,
+        "observed",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+    )

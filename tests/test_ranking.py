@@ -615,3 +615,59 @@ def test_ndcg_duplicate_judgment_guard(spark):
         ndcg_at_k(
             rdf, dup, k=3, group_col="q", check_unique_judgments=True
         ).collect()
+
+
+def test_pr_curve_matches_python_reference(spark):
+    """pr_curve (r14 gate candidate) vs a plain-Python sweep reference:
+    suffix-summed counts per percentile bin, precision/recall exact;
+    also the zero-positive group gets NULL recall."""
+    from database_collector_spark.operators.ranking import (
+        calibration_curve,
+        pr_curve,
+    )
+
+    rows = [(float(s), 1 if s >= 6 else 0) for s in range(10)] + [
+        (3.0, 1),  # tie class + an off-pattern positive
+        (3.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: r for r in pr_curve(df, n_bins=4).collect()}
+    cal = {r["bin"]: r for r in calibration_curve(df, n_bins=4).collect()}
+    assert set(got) == set(cal)
+    all_pos = sum(r["n_pos"] for r in cal.values())
+    for b, row in got.items():
+        pred = sum(c["n_docs"] for bb, c in cal.items() if bb >= b)
+        tp = sum(c["n_pos"] for bb, c in cal.items() if bb >= b)
+        assert (row["pred_pos"], row["tp"]) == (pred, tp), b
+        assert row["threshold"] == cal[b]["lo_score"]
+        assert row["precision"] == round(tp / pred, 6)
+        assert row["recall"] == round(tp / all_pos, 6)
+    # lowest bin's point covers everything: recall 1.0
+    assert got[min(got)]["recall"] == 1.0
+    # zero-positive slice -> NULL recall, precision 0
+    neg = spark.createDataFrame([(1.0, 0), (2.0, 0)], "score double, label int")
+    only = pr_curve(neg, n_bins=2).collect()
+    assert all(r["recall"] is None and r["precision"] == 0.0 for r in only)
+
+
+def test_pr_curve_grouped_equals_per_slice(spark):
+    """The grouped form must equal the ungrouped operator run on each
+    slice (the calibration_curve group-contract, inherited)."""
+    from pyspark.sql import functions as F
+
+    from database_collector_spark.operators.ranking import pr_curve
+
+    rows = [("a", float(s), s % 2) for s in range(8)] + [
+        ("b", float(s % 3), 1 if s > 4 else 0) for s in range(6)
+    ]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    grouped = {
+        (r["g"], r["bin"]): (r["pred_pos"], r["tp"], r["precision"], r["recall"])
+        for r in pr_curve(df, n_bins=3, group_col="g").collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            (g, r["bin"]): (r["pred_pos"], r["tp"], r["precision"], r["recall"])
+            for r in pr_curve(df.where(F.col("g") == g), n_bins=3).collect()
+        }
+        assert {k: v for k, v in grouped.items() if k[0] == g} == solo

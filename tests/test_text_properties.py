@@ -454,3 +454,38 @@ def test_lang_id_confusion_counts_and_shares(spark):
     assert got[("en", "es")] == (1, round(1 / 3, 4))
     assert got[("de", "unknown")] == (1, 1.0)
     assert len(got) == 3
+
+
+def test_vocab_richness_matches_python_reference(spark):
+    """vocab_richness (r14 gate candidate): observed/f1/f2/n_tokens vs
+    a plain-Python frequency spectrum, chao1 = observed +
+    f1(f1-1)/(2(f2+1)) exactly; NULL text and NULL group excluded."""
+    from collections import Counter
+
+    from database_collector_spark.operators.text import vocab_richness
+
+    rows = [
+        ("a", "x y x z  w"),        # double space -> empty token dropped
+        ("a", "x q"),
+        ("b", "solo"),
+        ("b", None),
+        (None, "ghost tokens"),
+    ]
+    df = spark.createDataFrame(rows, "g string, text string")
+    out = {
+        r["g"]: r for r in vocab_richness(df, group_col="g").collect()
+    }
+    ref: dict[str, Counter] = {}
+    for g, t in rows:
+        if g is None or t is None:
+            continue
+        ref.setdefault(g, Counter()).update(w for w in t.split(" ") if w)
+    assert set(out) == set(ref)
+    for g, cnt in ref.items():
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        row = out[g]
+        assert (row["observed"], row["n_tokens"], row["f1"], row["f2"]) == (
+            len(cnt), sum(cnt.values()), f1, f2,
+        )
+        assert row["chao1"] == round(len(cnt) + f1 * (f1 - 1) / (2 * (f2 + 1)), 6)
