@@ -85,6 +85,12 @@ _CHECK_FIRST = [
     # rule_attribution, bucketed_join_persist, map_quality,
     # cohen_kappa, hard_negatives; registration = import
     # QUERIES_R13/ORACLES_R13 into the dicts below + list them here),
+    # (r14 NOTE: workloads_r14.py already holds ELEVEN pre-staged,
+    # oracle-verified gates — pr_curve_sweep, lift_deciles, mcc_by_lang,
+    # brier_quality, ece_quality, ks_separation, mrr_quality,
+    # fleiss_panel, chi2_lang_source, vocab_coverage, class_balance —
+    # sized to fit r14's head next to the 36 r9-latest backfill gates:
+    # 36 + 11 = 47 <= 50.)
     # then the TWENTY-NINE remaining
     # r8-latest gates whose staleness bound binds EXACTLY at r13
     # (newest row r8, 13 - 8 = 5), alphabetical: interval_coalesce,

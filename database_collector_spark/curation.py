@@ -501,3 +501,46 @@ def relative_percentile_filter(
         .withColumn("pct", F.round("_cd", 9))
         .drop("_cd")
     )
+
+
+def class_balance_plan(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Downsampling plan that balances classes within each group — the
+    step before training-mix assembly: per (group, label) cell, the
+    observed count, the group's balance target (its SMALLEST class —
+    balancing down, never oversampling), and the keep fraction a
+    sampler should apply to that cell.
+
+    Emits a PLAN, not sampled rows: at 100 TB the decision table (one
+    row per (group, label) cell) is what the orchestrator reviews and
+    what a later `sample(fraction=...)`/filter pass consumes; computing
+    it never touches row payloads.
+
+    ``keep_frac`` = target/n — ONE division over exact integer counts
+    (bit-equal cross-engine), rounded at 6; target = min cell count
+    within the group, from a window over the BOUNDED per-cell aggregate
+    (|groups|x|labels| rows, never the corpus). NULL group/label rows
+    are excluded (a missing class is not a class).
+
+    Output: (group, label, n, target, keep_frac).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(group_col).alias("grp"), F.col(label_col).alias("label"))
+    cells = base.groupBy("grp", "label").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("grp")
+    return cells.select(
+        F.col("grp").alias(group_col),
+        "label",
+        "n",
+        F.min("n").over(w).cast("long").alias("target"),
+        F.round(
+            F.min("n").over(w).cast("double") / F.col("n"), 6
+        ).alias("keep_frac"),
+    )

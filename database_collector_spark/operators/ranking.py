@@ -1478,3 +1478,664 @@ def pr_curve(
             ).alias("recall"),
         )
     )
+
+
+def mcc(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Matthews correlation coefficient between a binary prediction and
+    a binary truth — the single-number confusion-matrix summary that
+    stays honest under class imbalance (accuracy and F1 both saturate
+    when 99% of a corpus is one class; a quality gate on a mostly-good
+    corpus is exactly that regime). Completes the agreement corner next
+    to ``cohen_kappa``: kappa reads the two columns as symmetric raters,
+    MCC reads them as prediction vs ground truth and is the number
+    classifier evaluations report.
+
+    Inputs are read as booleans (non-NULL truthy = positive); rows where
+    EITHER side is NULL are dropped (pairwise deletion, the
+    ``cohen_kappa`` convention), as are NULL-group rows.
+
+    All-integer core: per group n, tp, pred_pos, truth_pos give
+    fp = pred_pos − tp, fn = truth_pos − tp, tn = n − pred_pos −
+    truth_pos + tp, and
+
+        mcc = (tp·tn − fp·fn) / (√(tp+fp)·√(tp+fn)·√(tn+fp)·√(tn+fn))
+
+    with the numerator's products in DECIMAL(≤38,0) (exact past the
+    counts where BIGINT products overflow). The denominator multiplies
+    four IEEE-correctly-rounded sqrts of EXACT integer margins
+    left-to-right — the same expression tree on both engines is
+    bit-equal (each sqrt and each multiply correctly rounded over
+    identical operands) — and the single final division rounds at 6.
+    MCC is NULL when any margin is 0 (a constant row or column makes
+    the statistic undefined — the kappa NULL stance).
+
+    Scale (100 TB): ONE keyed aggregate over exact integer counts —
+    map-side partial, no window, no join.
+    """
+    gkeys = [group_col] if group_col else []
+    gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
+    a = F.col(pred_col).cast("boolean")
+    b = F.col(truth_col).cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull() & gfilter).select(
+        *gkeys, a.cast("int").alias("_p"), b.cast("int").alias("_t")
+    )
+    agg = base.groupBy(*gkeys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("_p") * F.col("_t")).cast("long").alias("tp"),
+        F.sum("_p").cast("long").alias("_pp"),
+        F.sum("_t").cast("long").alias("_tq"),
+    )
+    tp = F.col("tp")
+    fp = (F.col("_pp") - tp).alias("fp")
+    fn = (F.col("_tq") - tp).alias("fn")
+    tn = (F.col("n") - F.col("_pp") - F.col("_tq") + tp).alias("tn")
+    cells = agg.select(*gkeys, "n", tp, fp, fn, tn)
+    d = lambda c: c.cast("decimal(18,0)")  # noqa: E731 — local shorthand
+    num = d(F.col("tp")) * d(F.col("tn")) - d(F.col("fp")) * d(F.col("fn"))
+    m1 = F.col("tp") + F.col("fp")
+    m2 = F.col("tp") + F.col("fn")
+    m3 = F.col("tn") + F.col("fp")
+    m4 = F.col("tn") + F.col("fn")
+    den = (
+        F.sqrt(m1.cast("double"))
+        * F.sqrt(m2.cast("double"))
+        * F.sqrt(m3.cast("double"))
+        * F.sqrt(m4.cast("double"))
+    )
+    ok = (m1 > 0) & (m2 > 0) & (m3 > 0) & (m4 > 0)
+    return cells.select(
+        *gkeys,
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.when(ok, num.cast("double") / den), 6).alias("mcc"),
+    )
+
+
+def brier_score(
+    scored: DataFrame,
+    *,
+    p_col: str = "p_milli",
+    label_col: str = "label",
+    scale: int = 1000,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Brier score of a QUANTIZED probability against a binary outcome
+    — mean squared error of the forecast, the proper scoring rule that
+    (unlike AUC) punishes mis-calibration, not just mis-ranking.
+
+    ``p_col`` must be an exact INTEGER milli-probability in
+    [0, ``scale``] (e.g. the hard-sigmoid projection of the hashed
+    classifier's millilogits) — a float probability would make the
+    per-row square engine-divergent, while the integer form keeps the
+    whole accumulation exact:
+
+        brier = Σ (p_i − scale·y_i)² / (scale²·N)
+
+    has an exact-integer numerator (each term ≤ scale², summed in
+    DECIMAL(38,0)) and ONE final division over exact operands, rounded
+    at 6. The [0, scale] domain is ENFORCED in-plan (raise_error per
+    row, zero cost on clean data — the rank-guard pattern): a p outside
+    the domain is a caller bug that would silently distort the score.
+    NULL p/label/group rows are excluded (pairwise deletion).
+
+    Scale (100 TB): one zero-shuffle per-row square + ONE keyed
+    aggregate, map-side partial. Output: (group?, n, brier).
+    """
+    if not (isinstance(scale, int) and scale >= 1):
+        raise ValueError(f"brier_score: scale must be a positive int, got {scale!r}")
+    gkeys = [group_col] if group_col else []
+    gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
+    p = F.col(p_col).cast("long")
+    y = F.col(label_col).cast("int")
+    checked_p = F.when(
+        (p < 0) | (p > scale),
+        F.raise_error(
+            F.lit(
+                f"brier_score: {p_col!r} outside [0, {scale}] — the column "
+                "must be an integer milli-probability on the declared scale"
+            )
+        ),
+    ).otherwise(p)
+    base = scored.where(p.isNotNull() & y.isNotNull() & gfilter).select(
+        *gkeys, (checked_p - F.lit(scale) * y).alias("_e")
+    )
+    return base.groupBy(*gkeys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum((F.col("_e") * F.col("_e")).cast("decimal(38,0)")).cast("double")
+            / (F.lit(float(scale * scale)) * F.count("*")),
+            6,
+        ).alias("brier"),
+    )
+
+
+def ece_report(
+    scored: DataFrame,
+    *,
+    p_col: str = "p_milli",
+    label_col: str = "label",
+    scale: int = 1000,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Expected / maximum calibration error of a QUANTIZED probability
+    — the one-number summary a calibration_curve eyeballs: bin the
+    forecasts, compare each bin's mean forecast with its observed
+    positive rate, weight by bin mass (ECE) or take the worst bin
+    (MCE).
+
+    ``p_col`` is an exact INTEGER milli-probability in [0, ``scale``]
+    (enforced in-plan, the ``brier_score`` guard). Bins are fixed
+    equal-width: bin = min(p·n_bins div scale, n_bins−1) — all-integer,
+    engine- and order-deterministic.
+
+    The per-bin gap |mean_p − pos_rate| = |scale·pos_b − Σp_b| /
+    (scale·n_b): since ECE weights each bin by n_b/N, the n_b CANCELS —
+
+        ece = Σ_b |scale·pos_b − Σp_b| / (scale·N)
+
+    is ONE division over an exact-integer numerator (per-bin absolute
+    differences summed in DECIMAL(38,0)). MCE keeps the per-bin
+    division (one exact division per bin, ≤ n_bins of them) and takes
+    the max of those deterministic doubles. Both round at 6. NULL
+    p/label/group rows are excluded.
+
+    Scale (100 TB): one zero-shuffle integer bin projection, ONE keyed
+    aggregate to ≤ n_bins rows per group, then a bounded fold — the
+    fixed_bin_calibration shape with the report folded on top.
+    Output: (group?, n, ece, mce).
+    """
+    if not (isinstance(scale, int) and scale >= 1):
+        raise ValueError(f"ece_report: scale must be a positive int, got {scale!r}")
+    if not (isinstance(n_bins, int) and n_bins >= 1):
+        raise ValueError(f"ece_report: n_bins must be >= 1, got {n_bins!r}")
+    gkeys = [group_col] if group_col else []
+    gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
+    p = F.col(p_col).cast("long")
+    y = F.col(label_col).cast("int")
+    checked_p = F.when(
+        (p < 0) | (p > scale),
+        F.raise_error(
+            F.lit(
+                f"ece_report: {p_col!r} outside [0, {scale}] — the column "
+                "must be an integer milli-probability on the declared scale"
+            )
+        ),
+    ).otherwise(p)
+    base = scored.where(p.isNotNull() & y.isNotNull() & gfilter).select(
+        *gkeys, checked_p.alias("_p"), y.alias("_y")
+    )
+    # `div` needs F.expr; only the validated int literals and internal
+    # aliases reach it (the fixed_bin_calibration discipline)
+    bin_ = F.least(
+        F.expr(f"(_p * {int(n_bins)}) div {int(scale)}"), F.lit(n_bins - 1)
+    )
+    per_bin = (
+        base.select(*gkeys, bin_.alias("_b"), "_p", "_y")
+        .groupBy(*gkeys, "_b")
+        .agg(
+            F.count("*").cast("long").alias("_nb"),
+            F.sum("_y").cast("long").alias("_pos"),
+            F.sum("_p").cast("decimal(38,0)").alias("_sp"),
+        )
+    )
+    gap = F.abs(
+        F.lit(scale).cast("decimal(38,0)") * F.col("_pos") - F.col("_sp")
+    )
+    return per_bin.groupBy(*gkeys).agg(
+        F.sum("_nb").cast("long").alias("n"),
+        F.round(
+            F.sum(gap).cast("double")
+            / (F.lit(float(scale)) * F.sum("_nb")),
+            6,
+        ).alias("ece"),
+        F.round(
+            F.max(gap.cast("double") / (F.lit(float(scale)) * F.col("_nb"))), 6
+        ).alias("mce"),
+    )
+
+
+def lift_curve(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    coarse_buckets: int = 1024,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Lift / cumulative-gains view of a binary scorer: per percentile
+    bin, how much denser are positives than the base rate — the
+    campaign-targeting twin of ``pr_curve`` (PR answers "what does a
+    cutoff cost"; lift answers "how much better than random is the
+    top X%", the number a sampling budget gets allocated by).
+
+    Rides ``calibration_curve``'s tie-classes-whole percentile binning
+    verbatim, then over the ≤ n_bins-per-group bin table computes
+
+        lift_b     = (pos_b·N) / (n_b·P)
+        cum_lift_b = (cum_pos_b·N) / (cum_n_b·P)
+
+    with cum_* suffix sums from the highest-score bin down (bin order
+    is ascending-score, so "top of the list" is the suffix — the
+    pr_curve convention). Every product is exact DECIMAL over exact
+    integer counts; each lift is ONE division over identical exact
+    operands (bit-equal cross-engine), rounded at 6; NULL when the
+    group has no positives (base rate 0 — lift undefined, the auc
+    single-class stance).
+
+    The suffix/total windows run over the AGGREGATED bin table —
+    bounded by construction (the pr_curve argument); the corpus-scale
+    work all happened in the calibration binning underneath.
+
+    Output: (group?, bin, n_docs, n_pos, lift, cum_n, cum_pos,
+    cum_lift), one row per non-empty bin.
+    """
+    keys = [group_col] if group_col else []
+    cal = calibration_curve(
+        scored,
+        score_col=score_col,
+        label_col=label_col,
+        n_bins=n_bins,
+        coarse_buckets=coarse_buckets,
+        group_col=group_col,
+    )
+    sufw = (
+        (Window.partitionBy(*keys) if keys else Window.partitionBy())
+        .orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totw = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    d = lambda c: c.cast("decimal(18,0)")  # noqa: E731 — local shorthand
+    with_cums = cal.select(
+        *keys,
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(sufw).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(sufw).cast("long").alias("cum_pos"),
+        F.sum("n_docs").over(totw).cast("long").alias("_n_all"),
+        F.sum("n_pos").over(totw).cast("long").alias("_p_all"),
+    )
+    pos_ok = F.col("_p_all") > 0
+    return with_cums.select(
+        *keys,
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.round(
+            F.when(
+                pos_ok,
+                (d(F.col("n_pos")) * d(F.col("_n_all"))).cast("double")
+                / (d(F.col("n_docs")) * d(F.col("_p_all"))).cast("double"),
+            ),
+            6,
+        ).alias("lift"),
+        "cum_n",
+        "cum_pos",
+        F.round(
+            F.when(
+                pos_ok,
+                (d(F.col("cum_pos")) * d(F.col("_n_all"))).cast("double")
+                / (d(F.col("cum_n")) * d(F.col("_p_all"))).cast("double"),
+            ),
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+def ks_statistic(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_col: str | None = None,
+    coarse_buckets: int = 1024,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the positive and
+    negative score distributions — max_s |F_pos(s) − F_neg(s)|, the
+    classic credit-scoring discrimination number next to AUC (AUC
+    averages the separation; KS reports the single best operating
+    point's worth of it).
+
+    EXACT at corpus scale, the ``auc_exact`` discipline: ONE groupBy
+    collapses the corpus to per-distinct-score (pos, neg) counts, the
+    running counts below each score come from ``prefix_count_below``'s
+    two-level distributed prefix sum (once per class over the SAME
+    compressed table), and the supremum is attained at a data point, so
+
+        ks = max_s |cum_pos(s)·n_neg − cum_neg(s)·n_pos| / (n_pos·n_neg)
+
+    has an exact DECIMAL numerator per score class, an exact integer
+    max, and ONE final division, rounded at 6. NULL scores/labels are
+    excluded (documented contract, mirrored in oracle twins); a group
+    with no positives or no negatives returns NULL ks, fail-soft.
+
+    No corpus-sized single-partition sort for ANY score cardinality;
+    never a pos × neg pair join. Output: (group?, n_pos, n_neg, ks).
+    """
+    gkeys = [group_col] if group_col else []
+    gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
+    base = scored.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull() & gfilter
+    ).select(
+        *gkeys,
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    # lazily checkpointed: the range/histogram/fold branches of BOTH
+    # prefix passes re-derive this compressed table otherwise (the
+    # _auc_core rationale)
+    per_score = (
+        base.groupBy(*gkeys, "s")
+        .agg(
+            F.count(F.when(F.col("y") == 1, 1)).alias("pos"),
+            F.count(F.when(F.col("y") == 0, 1)).alias("neg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    below = prefix_count_below(
+        per_score, gkeys, "s", "pos", coarse_buckets=coarse_buckets,
+        out_col="pos_below",
+    ).localCheckpoint(eager=False)  # the second pass's range/histogram/
+    # fold branches would otherwise each re-run the first pass
+    below = prefix_count_below(
+        below, gkeys, "s", "neg", coarse_buckets=coarse_buckets,
+        out_col="neg_below",
+    )
+    totw = Window.partitionBy(*gkeys) if gkeys else Window.partitionBy()
+    d = lambda c: c.cast("decimal(18,0)")  # noqa: E731 — local shorthand
+    cums = below.select(
+        *gkeys,
+        "pos",
+        "neg",
+        F.sum("pos").over(totw).cast("long").alias("_np"),
+        F.sum("neg").over(totw).cast("long").alias("_nn"),
+        (F.col("pos_below") + F.col("pos")).alias("_cp"),
+        (F.col("neg_below") + F.col("neg")).alias("_cn"),
+    )
+    dnum = F.abs(d(F.col("_cp")) * d(F.col("_nn")) - d(F.col("_cn")) * d(F.col("_np")))
+    return (
+        cums.select(*gkeys, "pos", "neg", "_np", "_nn", dnum.alias("_d"))
+        .groupBy(*gkeys)
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            F.when(
+                (F.sum("pos") > 0) & (F.sum("neg") > 0),
+                F.round(
+                    F.max("_d").cast("double")
+                    / (d(F.max("_np")) * d(F.max("_nn"))).cast("double"),
+                    6,
+                ),
+            ).alias("ks"),
+        )
+    )
+
+
+def reciprocal_rank(
+    ranked: DataFrame,
+    rels: DataFrame,
+    *,
+    k: int = 10,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Reciprocal rank at cutoff k — 1 / (rank of the FIRST relevant
+    item in the top-k), the per-query term of MRR and the third number
+    TREC-style evaluations report next to AP (``map_at_k``) and NDCG
+    (``ndcg_at_k``). Relevance is binary (``rel_col > 0``, the MAP
+    convention).
+
+    Per group: ``first_rel_rank`` = min rank of a relevant ranked item
+    within the top-k (NULL when no relevant item made the cutoff);
+    ``rr`` = 1/first_rel_rank — ONE division over an exact integer
+    (bit-equal cross-engine) — with the map_at_k edge stances: judged
+    groups with relevant items but no top-k hit score rr = 0.0 (the
+    system MISSED, not unjudgeable), groups with n_rel = 0 get NULL
+    (nothing to find), and ``rank >= 1`` is enforced in-plan.
+
+    Scale (100 TB): ranked lists are top-N per group by construction;
+    one (group, id) equi-join, one keyed min — never touches the
+    corpus. Output: (group?, n_ranked, n_rel, first_rel_rank, rr).
+    """
+    gkeys = [group_col] if group_col else []
+    gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
+    checked_rank = F.when(
+        F.col(rank_col) < 1,
+        F.raise_error(
+            F.lit(
+                f"reciprocal_rank: {rank_col!r} < 1 — ranks are 1-based; a "
+                "rank of 0 would make rr = 1/0 infinite"
+            )
+        ),
+    ).otherwise(F.col(rank_col))
+    r = ranked.select(
+        *gkeys, F.col(id_col).alias("_id"), checked_rank.alias("_rk")
+    ).where((F.col(rank_col) <= k) & gfilter)
+    lab = rels.select(
+        *gkeys,
+        F.col(id_col).alias("_id"),
+        (F.col(rel_col) > 0).cast("int").alias("_hit"),
+    ).where(F.col(rel_col).isNotNull() & gfilter)
+    n_rel = (
+        lab.where(F.col("_hit") == 1)
+        .groupBy(*gkeys)
+        .agg(F.count("*").cast("long").alias("n_rel"))
+    )
+    firsts = (
+        r.join(lab, [*gkeys, "_id"], "left")
+        .groupBy(*gkeys)
+        .agg(
+            F.count("*").cast("long").alias("n_ranked"),
+            F.min(F.when(F.col("_hit") == 1, F.col("_rk")))
+            .cast("long")
+            .alias("first_rel_rank"),
+        )
+    )
+    joined = (
+        firsts.join(n_rel, gkeys, "full_outer")
+        if gkeys
+        else firsts.crossJoin(n_rel)
+    )
+    rr = F.when(
+        F.col("first_rel_rank").isNotNull(),
+        F.lit(1.0) / F.col("first_rel_rank"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        *gkeys,
+        F.coalesce(F.col("n_ranked"), F.lit(0)).alias("n_ranked"),
+        F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+        "first_rel_rank",
+        F.round(F.when(F.col("n_rel") > 0, rr), 6).alias("rr"),
+    )
+
+
+def fleiss_kappa(
+    votes: DataFrame,
+    *,
+    item_col: str = "item_id",
+    cat_col: str = "category",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number
+    of raters per item, over any number of categories: the multi-rater
+    generalization of ``cohen_kappa`` (which compares exactly two named
+    raters). The curation read: n annotation passes (rule gate,
+    learned gate, heuristic gate) each vote a category per document —
+    is their agreement better than chance?
+
+    Input is LONG format: one row per (item, vote); raters are
+    anonymous (Fleiss' statistic only reads per-item category counts).
+    NULL item/category/group rows are excluded. The fixed-raters
+    precondition is ENFORCED in-plan (raise_error when any two items in
+    a group have different vote counts — unequal panels silently bias
+    P_o, so the guard names the failure rather than mis-scoring).
+
+    All-integer core: with N items, n raters, n_ij votes for category j
+    on item i, T_j = Σ_i n_ij,
+
+        A = Σ_ij n_ij(n_ij−1)        (observed-agreement numerator)
+        D = N·n·(n−1)                 (its denominator)
+        B = Σ_j T_j²                  (chance-agreement numerator)
+        E = (N·n)²                    (its denominator)
+        kappa = (A·E − B·D) / (D·(E − B))
+
+    — the closed form of (P_o − P_e)/(1 − P_e) with every product in
+    DECIMAL(38,0) (exact for N·n up to ~1e9 raters·items; the operand
+    bound is documented, not silently wrapped) and ONE final division
+    over exact operands, rounded at 6. kappa is NULL when n = 1 (no
+    pairs to agree) or P_e = 1 (every vote one category — chance
+    agreement certain, the cohen_kappa stance).
+
+    Scale (100 TB): two keyed aggregates — (group, item, cat) counts
+    folded per item, then per group — both map-side partial; the
+    category-marginal branch is a second bounded aggregate over the
+    same compressed table. Output: (group?, n_items, n_raters, n_cats,
+    kappa).
+    """
+    gkeys = [group_col] if group_col else []
+    cond = F.col(item_col).isNotNull() & F.col(cat_col).isNotNull()
+    if group_col:
+        cond = cond & F.col(group_col).isNotNull()
+    base = votes.where(cond).select(
+        *gkeys, F.col(item_col).alias("_it"), F.col(cat_col).alias("_cat")
+    )
+    # compressed (group, item, cat) vote counts — both branches below
+    # fold this same table (lazy checkpoint: the per-item and per-cat
+    # branches would otherwise each re-scan the corpus)
+    nij = (
+        base.groupBy(*gkeys, "_it", "_cat")
+        .agg(F.count("*").cast("long").alias("_nij"))
+        .localCheckpoint(eager=False)
+    )
+    per_item = nij.groupBy(*gkeys, "_it").agg(
+        F.sum("_nij").cast("long").alias("_ni"),
+        F.sum(F.col("_nij") * (F.col("_nij") - 1))
+        .cast("decimal(38,0)")
+        .alias("_a_i"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — local shorthand
+    item_agg = per_item.groupBy(*gkeys).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.when(
+            F.min("_ni") != F.max("_ni"),
+            F.raise_error(
+                F.lit(
+                    "fleiss_kappa: unequal vote counts per item — Fleiss' "
+                    "statistic requires a fixed rater panel; filter to "
+                    "fully-voted items (or use cohen_kappa for two named "
+                    "raters) first"
+                )
+            ),
+        ).otherwise(F.max("_ni")).cast("long").alias("n_raters"),
+        F.sum("_a_i").alias("_a"),
+    )
+    per_cat = nij.groupBy(*gkeys, "_cat").agg(
+        F.sum("_nij").cast("decimal(38,0)").alias("_tj")
+    )
+    cat_agg = per_cat.groupBy(*gkeys).agg(
+        F.count("*").cast("long").alias("n_cats"),
+        F.sum(F.col("_tj") * F.col("_tj")).alias("_b"),
+    )
+    joined = (
+        item_agg.join(cat_agg, gkeys) if gkeys else item_agg.crossJoin(cat_agg)
+    )
+    nn = d(F.col("n_items")) * d(F.col("n_raters"))
+    dd = nn * d(F.col("n_raters") - 1)
+    ee = nn * nn
+    num = d(F.col("_a")) * ee - d(F.col("_b")) * dd
+    den = dd * (ee - d(F.col("_b")))
+    return joined.select(
+        *gkeys,
+        "n_items",
+        "n_raters",
+        "n_cats",
+        F.round(
+            F.when(den != 0, num.cast("double") / den.cast("double")), 6
+        ).alias("kappa"),
+    )
+
+
+def chi2_association(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-squared association cells between two categorical columns —
+    the contingency-table report behind "is quality flag X independent
+    of source Y": per (a, b) cell, the observed count, the
+    independence-expected count, and the cell's χ² contribution. The
+    drift/governance read is per-cell (WHICH source × flag combination
+    is over-represented), so the operator emits the table, not a
+    single order-dependent scalar sum.
+
+    The full cross of observed marginals is reported — including
+    ZERO-observed cells (χ² counts them; omitting them silently
+    understates association). With N rows, r_a = marginal of a,
+    c_b = marginal of b:
+
+        expected = r_a·c_b / N
+        contrib  = (O·N − r_a·c_b)² / (N·r_a·c_b)
+
+    — both ONE division over exact DECIMAL(38,0) integer operands
+    (O·N ≤ ~1e18 squared stays inside 38 digits for N up to ~1e9
+    per marginal product; documented bound), rounded at 6. NULL in
+    either column is excluded (a missing category is not a category).
+
+    Scale (100 TB): one (a, b) keyed aggregate over the corpus; the
+    marginals and the zero-cell cross run over the BOUNDED distinct
+    category domains (broadcast join back). Category domains are
+    assumed low-cardinality (flags, sources, langs — the contingency
+    use case); a high-cardinality pair would make the cross itself the
+    output size.
+
+    Output: (a, b, observed, n_a, n_b, n, expected, contrib).
+    """
+    base = df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    obs = base.groupBy("a", "b").agg(F.count("*").cast("long").alias("observed"))
+    ma = base.groupBy("a").agg(F.count("*").cast("long").alias("n_a"))
+    mb = base.groupBy("b").agg(F.count("*").cast("long").alias("n_b"))
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    # full cross of the bounded marginal tables (zero cells included),
+    # then the observed counts attach by equi-join
+    cells = (
+        ma.crossJoin(F.broadcast(mb))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+            "n_a",
+            "n_b",
+            "n",
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — local shorthand
+    rc = d(F.col("n_a")) * d(F.col("n_b"))
+    dev = d(F.col("observed")) * d(F.col("n")) - rc
+    return cells.select(
+        "a",
+        "b",
+        "observed",
+        "n_a",
+        "n_b",
+        "n",
+        F.round(rc.cast("double") / F.col("n"), 6).alias("expected"),
+        F.round(
+            (dev * dev).cast("double") / (d(F.col("n")) * rc).cast("double"), 6
+        ).alias("contrib"),
+    )

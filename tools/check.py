@@ -118,24 +118,25 @@ def value_hash(canon: list[str]) -> str:
 
 
 def staged_queries() -> dict:
-    """The CURRENT staged cohort's queries (r13 as of round 12). This
-    is the ONE place the staged-module pointer lives: main()'s
-    --staged merge AND the docs-consistency oracle sweeps import it,
-    so a registration round bumps exactly one import and the staged
-    oracles never escape the repo-wide meta-tests (a staged oracle
-    reintroducing a retired failure class — e.g. a fixed
+    """The CURRENT staged cohorts' queries (r13 + the pre-staged r14,
+    as of round 12). This is the ONE place the staged-module pointer
+    lives: main()'s --staged merge AND the docs-consistency oracle
+    sweeps import it, so a registration round bumps exactly one import
+    and the staged oracles never escape the repo-wide meta-tests (a
+    staged oracle reintroducing a retired failure class — e.g. a fixed
     generate_series position bound — must fail at staging time, not
-    after registration)."""
-    from database_collector_spark import workloads_r13
+    after registration). When r13 registers, drop it here and leave
+    r14 (plus whatever r15 stages)."""
+    from database_collector_spark import workloads_r13, workloads_r14
 
-    return dict(workloads_r13.QUERIES_R13)
+    return {**workloads_r13.QUERIES_R13, **workloads_r14.QUERIES_R14}
 
 
 def staged_oracles() -> dict:
     """Oracle twins of staged_queries() — same single-pointer contract."""
-    from database_collector_spark import workloads_r13
+    from database_collector_spark import workloads_r13, workloads_r14
 
-    return dict(workloads_r13.ORACLES_R13)
+    return {**workloads_r13.ORACLES_R13, **workloads_r14.ORACLES_R14}
 
 
 def main() -> int:
