@@ -544,3 +544,82 @@ def class_balance_plan(
             F.min("n").over(w).cast("double") / F.col("n"), 6
         ).alias("keep_frac"),
     )
+
+
+def pack_segments(
+    docs: DataFrame,
+    *,
+    budget_tokens: int = 512,
+    stream_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-SPLIT sequence packing: lay the token stream out per
+    stream in deterministic order and cut it every ``budget_tokens``,
+    letting documents STRADDLE chunk boundaries — the GPT-style packing
+    that wastes zero tokens (``pack_sequences`` above assigns whole
+    documents to the chunk holding their start offset; this operator
+    emits the exact per-chunk SEGMENTS a tokenizer-feeding job writes,
+    so every chunk is exactly full except each stream's last).
+
+    Output: one row per (document x chunk) overlap —
+    (stream, order, n_tokens, chunk_id, tok_from, tok_to) with
+    [tok_from, tok_to) the WITHIN-DOCUMENT token slice that lands in
+    chunk_id; segments of one document are contiguous, cover
+    [0, n_tokens) exactly, and a document spans
+    floor(start/budget)..floor((end−1)/budget) — all integer
+    arithmetic, so engines and re-runs agree exactly. Zero-token
+    documents are excluded (nothing to place). Token counts are
+    whitespace words (the repo's one word definition); swap in
+    ``text.subtoken_estimate`` for budget-accurate BPE-ish counts.
+
+    Scale (100 TB): one per-stream window (cumulative token sum in
+    (order) order — parallelism = stream count, the packing unit real
+    pipelines shard by) + an in-row ``sequence()`` explode bounded by
+    ceil(n_tokens/budget)+1 segments per document. No join, no second
+    shuffle.
+    """
+    if not (isinstance(budget_tokens, int) and budget_tokens >= 1):
+        raise ValueError(
+            f"pack_segments: budget_tokens must be a positive int, got "
+            f"{budget_tokens!r}"
+        )
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(
+        F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    ).cast("long")
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        docs.where(F.col(text_col).isNotNull() & F.col(stream_col).isNotNull())
+        .select(stream_col, order_col, n_tok.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("_end", F.sum("n_tokens").over(w))
+        .withColumn("_start", F.col("_end") - F.col("n_tokens"))
+    )
+    b = int(budget_tokens)
+    first = F.expr(f"_start div {b}")
+    last = F.expr(f"(_end - 1) div {b}")
+    seg = base.select(
+        stream_col,
+        order_col,
+        "n_tokens",
+        "_start",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    return seg.select(
+        stream_col,
+        order_col,
+        "n_tokens",
+        "chunk_id",
+        F.greatest(
+            F.col("chunk_id") * b - F.col("_start"), F.lit(0)
+        ).cast("long").alias("tok_from"),
+        F.least(
+            (F.col("chunk_id") + 1) * b - F.col("_start"), F.col("n_tokens")
+        ).cast("long").alias("tok_to"),
+    )

@@ -2139,3 +2139,194 @@ def chi2_association(
             (dev * dev).cast("double") / (d(F.col("n")) * rc).cast("double"), 6
         ).alias("contrib"),
     )
+
+
+def krippendorff_alpha(
+    votes: DataFrame,
+    *,
+    item_col: str = "item_id",
+    cat_col: str = "category",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal data) — chance-corrected agreement
+    that, unlike ``fleiss_kappa``, TOLERATES MISSING VOTES: items may
+    carry any number of votes (raters skip items, panels change
+    mid-corpus), and only items with >= 2 votes ("pairable") enter the
+    statistic. The annotation-ops read: real labeling campaigns never
+    produce a complete rater x item grid, and alpha is the standard
+    number reported over the grid you actually have.
+
+    Long-format anonymous votes (the fleiss_kappa input shape); NULL
+    item/category/group rows are excluded.
+
+    Closed form over exact integers: with m_i votes and n_ic per-category
+    counts on pairable item i, t_c = Σ_i n_ic, n_p = Σ_i m_i,
+
+        ΣA    = Σ_i (m_i² − Σ_c n_ic²) / (m_i − 1)
+        alpha = 1 − (n_p − 1)·ΣA / (n_p² − Σ_c t_c²)
+
+    (the observed-disagreement sum with n_p cancelled against D_e's
+    denominator). ΣA is computed by GROUPING ITEMS BY m_i — per
+    distinct vote count m, T_m = Σ(m² − Σn²) is an exact integer and
+    T_m/(m−1) ONE exact division — so ΣA is a <= |distinct m| (i.e.
+    <= max panel size) term tiny-sum of exact-rational doubles, the
+    accepted NDCG class, never a per-item float accumulation. The
+    remaining products run in DECIMAL(38,0) and the final division is
+    one double op, rounded at 6. alpha is NULL when n_p < 2 (nothing
+    pairable) or every pairable vote is one category (D_e = 0).
+
+    Scale (100 TB): one (group, item, cat) compressed aggregate
+    (lazily checkpointed — three consumers), an item-level fold, a
+    <= |m-domain|-row fold, and one (group, item) equi-join to restrict
+    the category marginals to pairable items. No window, no pair join.
+
+    Output: (group?, n_items, n_values, n_cats, alpha) — n_items/
+    n_values count PAIRABLE items and their votes.
+    """
+    gkeys = [group_col] if group_col else []
+    cond = F.col(item_col).isNotNull() & F.col(cat_col).isNotNull()
+    if group_col:
+        cond = cond & F.col(group_col).isNotNull()
+    base = votes.where(cond).select(
+        *gkeys, F.col(item_col).alias("_it"), F.col(cat_col).alias("_cat")
+    )
+    nij = (
+        base.groupBy(*gkeys, "_it", "_cat")
+        .agg(F.count("*").cast("long").alias("_nij"))
+        .localCheckpoint(eager=False)
+    )
+    per_item = nij.groupBy(*gkeys, "_it").agg(
+        F.sum("_nij").cast("long").alias("_mi"),
+        F.sum(F.col("_nij") * F.col("_nij")).cast("long").alias("_si"),
+    )
+    pairable = per_item.where(F.col("_mi") >= 2).localCheckpoint(eager=False)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — local shorthand
+    # ΣA via the m-grouped fold: T_m exact, ONE division per distinct m,
+    # tiny-sum over <= max-panel-size terms
+    per_m = pairable.groupBy(*gkeys, "_mi").agg(
+        F.sum(F.col("_mi") * F.col("_mi") - F.col("_si"))
+        .cast("long")
+        .alias("_tm")
+    )
+    sum_a = per_m.groupBy(*gkeys).agg(
+        F.sum(
+            F.col("_tm").cast("double") / (F.col("_mi") - 1).cast("double")
+        ).alias("_sum_a")
+    )
+    items = pairable.groupBy(*gkeys).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("_mi").cast("long").alias("n_values"),
+    )
+    # category marginals restricted to pairable items
+    pair_nij = nij.join(
+        pairable.select(*gkeys, "_it"), [*gkeys, "_it"]
+    )
+    per_cat = pair_nij.groupBy(*gkeys, "_cat").agg(
+        F.sum("_nij").cast("decimal(38,0)").alias("_tj")
+    )
+    cats = per_cat.groupBy(*gkeys).agg(
+        F.count("*").cast("long").alias("n_cats"),
+        F.sum(F.col("_tj") * F.col("_tj")).alias("_b"),
+    )
+    if gkeys:
+        joined = items.join(sum_a, gkeys).join(cats, gkeys)
+    else:
+        joined = items.crossJoin(sum_a).crossJoin(cats)
+    den = d(F.col("n_values")) * d(F.col("n_values")) - d(F.col("_b"))
+    alpha = F.lit(1.0) - (
+        (F.col("n_values") - 1).cast("double") * F.col("_sum_a")
+    ) / den.cast("double")
+    return joined.select(
+        *gkeys,
+        "n_items",
+        "n_values",
+        "n_cats",
+        F.round(
+            F.when((F.col("n_values") >= 2) & (den != 0), alpha), 6
+        ).alias("alpha"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    val_col: str,
+    *,
+    group_col: str | None = None,
+    coarse_buckets: int = 1024,
+) -> DataFrame:
+    """Exact Gini coefficient of a NON-NEGATIVE INTEGER value column per
+    group — the contribution-inequality number behind "do three domains
+    supply 90% of this source's tokens?": G = 0 when every document
+    contributes equally, → 1 when one contributor dominates. The
+    curation-governance twin of key_skew_profile (skew measures the
+    worst key; Gini prices the whole distribution).
+
+    G = Σ_{i,j} |x_i − x_j| / (2 n² μ), computed EXACTLY at corpus
+    scale via value-domain compression and the shared prefix core
+    (the ks_statistic shape): per distinct value v with count c_v,
+
+        ordered-pair sum Σ_{x_i > x_j} (x_i − x_j)
+          = Σ_v c_v·(v·below_cnt_v − below_sum_v)
+
+    with below_cnt / below_sum from TWO ``prefix_count_below`` passes
+    (counts, then v-weighted counts) over the SAME lazily-checkpointed
+    compressed table. All products in DECIMAL(38,0); G = num/(n·S) is
+    ONE division over exact operands, rounded at 6; NULL when S = 0
+    (all-zero values — inequality of nothing). Values must be >= 0
+    integers — ENFORCED in-plan (raise_error per row): a negative value
+    silently breaks the |x_i − x_j| identity, and a float value breaks
+    engine-exact compression. NULL values/groups are excluded.
+
+    Output: (group?, n, total, gini).
+    """
+    gkeys = [group_col] if group_col else []
+    gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
+    v = F.col(val_col).cast("long")
+    checked_v = F.when(
+        v < 0,
+        F.raise_error(
+            F.lit(
+                f"gini_by_group: negative value in {val_col!r} — the Gini "
+                "identity here requires non-negative integer values"
+            )
+        ),
+    ).otherwise(v)
+    base = df.where(v.isNotNull() & gfilter).select(
+        *gkeys, checked_v.alias("_v")
+    )
+    per_v = (
+        base.groupBy(*gkeys, "_v")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+        .withColumn("_w", (F.col("_v") * F.col("_cnt")).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    below = prefix_count_below(
+        per_v, gkeys, "_v", "_cnt", coarse_buckets=coarse_buckets,
+        out_col="_below_cnt",
+    ).localCheckpoint(eager=False)  # second pass re-derives otherwise
+    below = prefix_count_below(
+        below, gkeys, "_v", "_w", coarse_buckets=coarse_buckets,
+        out_col="_below_sum",
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — local shorthand
+    term = d(F.col("_cnt")) * (
+        d(F.col("_v")) * d(F.col("_below_cnt")) - d(F.col("_below_sum"))
+    )
+    agg = below.groupBy(*gkeys).agg(
+        F.sum("_cnt").cast("long").alias("n"),
+        F.sum("_w").cast("long").alias("total"),
+        F.sum(term).alias("_num"),
+    )
+    return agg.select(
+        *gkeys,
+        "n",
+        "total",
+        F.round(
+            F.when(
+                F.col("total") > 0,
+                F.col("_num").cast("double")
+                / (d(F.col("n")) * d(F.col("total"))).cast("double"),
+            ),
+            6,
+        ).alias("gini"),
+    )

@@ -940,3 +940,88 @@ def vocab_richness(
         "f2",
         F.round(chao1, 6).alias("chao1"),
     )
+
+
+def vocab_overlap_matrix(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus slices: for every
+    unordered pair of groups, the shared-type count, Jaccard similarity
+    and containment of the smaller vocabulary — the lexical-redundancy
+    governance read next to ``cross_source_dup_matrix`` (that one asks
+    "do these sources share DOCUMENTS?"; this asks "do they even speak
+    the same vocabulary?", the cheap first signal for merge/dedup
+    planning).
+
+    The FULL matrix is reported — zero-overlap pairs included (absent
+    rows read as "not measured"; an explicit 0 reads as "disjoint").
+    Tokenization is the shared ``nonempty_tokens_col`` definition; NULL
+    text/group rows are excluded.
+
+    Exactness: every count is an exact integer; jaccard =
+    inter/(a + b − inter) and containment = inter/min(a, b) are each
+    ONE division over identical exact integers (bit-equal
+    cross-engine), rounded at 6.
+
+    Scale (100 TB): one DISTINCT (group, token) aggregate — the df
+    shuffle TF-IDF pays — then a token-keyed self-join whose output is
+    Σ_token deg(token)² with deg <= |groups| (bounded by the group
+    domain, never corpus-sized), and a |groups|²-row broadcast cross
+    for the zero cells. Group domains are low-cardinality by use-case
+    contract (sources/langs).
+
+    Output: (g_a, g_b, vocab_a, vocab_b, inter, jaccard, containment)
+    with g_a < g_b.
+    """
+    base = docs.where(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.explode(nonempty_tokens_col(text_col)).alias("_tok"),
+    )
+    vocab = base.distinct().localCheckpoint(eager=False)
+    sizes = vocab.groupBy("_g").agg(F.count("*").cast("long").alias("_sz"))
+    a = vocab.select(F.col("_g").alias("g_a"), "_tok")
+    b = vocab.select(F.col("_g").alias("g_b"), "_tok")
+    inter = (
+        a.join(b, "_tok")
+        .where(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    pairs = (
+        sizes.select(F.col("_g").alias("g_a"), F.col("_sz").alias("vocab_a"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("_g").alias("g_b"), F.col("_sz").alias("vocab_b")
+                )
+            )
+        )
+        .where(F.col("g_a") < F.col("g_b"))
+        .join(inter, ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            "vocab_a",
+            "vocab_b",
+            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+        )
+    )
+    union_sz = F.col("vocab_a") + F.col("vocab_b") - F.col("inter")
+    return pairs.select(
+        "g_a",
+        "g_b",
+        "vocab_a",
+        "vocab_b",
+        "inter",
+        F.round(F.col("inter").cast("double") / union_sz, 6).alias("jaccard"),
+        F.round(
+            F.col("inter").cast("double")
+            / F.least(F.col("vocab_a"), F.col("vocab_b")),
+            6,
+        ).alias("containment"),
+    )

@@ -505,13 +505,14 @@ def q_fleiss_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.expr("filter(split(text, ' '), t -> t <> '')")) >= _FL_TOK),
         F.col("text").contains(" the "),
     ]
-    long_votes = None
-    for v in votes:
-        one = docs.select(
-            F.col("doc_id").alias("item_id"),
-            F.when(v, F.lit("keep")).otherwise(F.lit("drop")).alias("category"),
-        )
-        long_votes = one if long_votes is None else long_votes.unionAll(one)
+    # ONE corpus scan: the three raters' votes explode from an in-row
+    # array (a UNION of three projections would re-scan the corpus per
+    # rater — at 100 TB the panel must not multiply the read)
+    keep = lambda v: F.when(v, F.lit("keep")).otherwise(F.lit("drop"))  # noqa: E731
+    long_votes = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.explode(F.array(*[keep(v) for v in votes])).alias("category"),
+    )
     return ranking.fleiss_kappa(long_votes)
 
 
