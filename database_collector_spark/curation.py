@@ -568,10 +568,14 @@ def pack_segments(
     chunk_id; segments of one document are contiguous, cover
     [0, n_tokens) exactly, and a document spans
     floor(start/budget)..floor((end−1)/budget) — all integer
-    arithmetic, so engines and re-runs agree exactly. Zero-token
-    documents are excluded (nothing to place). Token counts are
-    whitespace words (the repo's one word definition); swap in
-    ``text.subtoken_estimate`` for budget-accurate BPE-ish counts.
+    arithmetic, so engines and re-runs agree exactly — and the
+    preconditions of that exactness are ENFORCED: NULL order keys are
+    excluded (no defined stream position) and a duplicate
+    (stream, order) key raises in-plan (ties would make every later
+    offset depend on physical row order). Zero-token documents are
+    excluded (nothing to place). Token counts are whitespace words via
+    ``text.nonempty_tokens_col`` (the repo's one word definition); swap
+    in ``text.subtoken_estimate`` for budget-accurate BPE-ish counts.
 
     Scale (100 TB): one per-stream window (cumulative token sum in
     (order) order — parallelism = stream count, the packing unit real
@@ -586,18 +590,38 @@ def pack_segments(
         )
     from pyspark.sql.window import Window
 
-    n_tok = F.size(
-        F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
-    ).cast("long")
+    n_tok = F.size(text.nonempty_tokens_col(text_col)).cast("long")
     w = (
         Window.partitionBy(stream_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # determinism is the whole contract, so its preconditions are
+    # ENFORCED: NULL order keys are excluded (they have no defined
+    # position in the stream — same stance as NULL text/stream), and a
+    # DUPLICATE (stream, order) key raises in-plan via lag() over the
+    # SAME window spec (shares the one sort, zero extra shuffle) —
+    # ties would make every later offset depend on physical row order
+    lagw = Window.partitionBy(stream_col).orderBy(order_col)
+    checked_n = F.when(
+        F.lag(order_col).over(lagw) == F.col(order_col),
+        F.raise_error(
+            F.lit(
+                f"pack_segments: duplicate ({stream_col}, {order_col}) key "
+                "— the token-stream layout is only deterministic under a "
+                "unique per-stream order; deduplicate or refine order_col"
+            )
+        ),
+    ).otherwise(F.col("n_tokens"))
     base = (
-        docs.where(F.col(text_col).isNotNull() & F.col(stream_col).isNotNull())
+        docs.where(
+            F.col(text_col).isNotNull()
+            & F.col(stream_col).isNotNull()
+            & F.col(order_col).isNotNull()
+        )
         .select(stream_col, order_col, n_tok.alias("n_tokens"))
         .where(F.col("n_tokens") > 0)
+        .withColumn("n_tokens", checked_n)
         .withColumn("_end", F.sum("n_tokens").over(w))
         .withColumn("_start", F.col("_end") - F.col("n_tokens"))
     )

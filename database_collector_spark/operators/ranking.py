@@ -1480,6 +1480,28 @@ def pr_curve(
     )
 
 
+def _int_domain_guard(
+    col_name: str, *, lo: int | None, hi: int | None, msg: str
+) -> F.Column:
+    """Checked integer read of ``col_name``: returns the value as a
+    long, raising in-plan (raise_error per row — zero cost on clean
+    data, the rank-guard pattern) when it falls outside [lo, hi] OR is
+    not an integer. The integrality check is the load-bearing half: a
+    real-valued column would otherwise ``cast('long')``-truncate INTO
+    the valid range (0.73 → 0) and silently distort the statistic the
+    range check exists to protect. NULLs pass through (callers filter
+    them under their own documented contract). One guard shared by
+    brier_score / ece_report / gini_by_group so the comparison
+    semantics cannot drift between them."""
+    v = F.col(col_name).cast("long")
+    bad = F.col(col_name).cast("double") != v.cast("double")
+    if lo is not None:
+        bad = bad | (v < lo)
+    if hi is not None:
+        bad = bad | (v > hi)
+    return F.when(bad, F.raise_error(F.lit(msg))).otherwise(v)
+
+
 def mcc(
     df: DataFrame,
     pred_col: str,
@@ -1595,15 +1617,16 @@ def brier_score(
     gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
     p = F.col(p_col).cast("long")
     y = F.col(label_col).cast("int")
-    checked_p = F.when(
-        (p < 0) | (p > scale),
-        F.raise_error(
-            F.lit(
-                f"brier_score: {p_col!r} outside [0, {scale}] — the column "
-                "must be an integer milli-probability on the declared scale"
-            )
+    checked_p = _int_domain_guard(
+        p_col,
+        lo=0,
+        hi=scale,
+        msg=(
+            f"brier_score: {p_col!r} outside [0, {scale}] or non-integer "
+            "— the column must be an integer milli-probability on the "
+            "declared scale (quantize a float probability first)"
         ),
-    ).otherwise(p)
+    )
     base = scored.where(p.isNotNull() & y.isNotNull() & gfilter).select(
         *gkeys, (checked_p - F.lit(scale) * y).alias("_e")
     )
@@ -1661,15 +1684,16 @@ def ece_report(
     gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
     p = F.col(p_col).cast("long")
     y = F.col(label_col).cast("int")
-    checked_p = F.when(
-        (p < 0) | (p > scale),
-        F.raise_error(
-            F.lit(
-                f"ece_report: {p_col!r} outside [0, {scale}] — the column "
-                "must be an integer milli-probability on the declared scale"
-            )
+    checked_p = _int_domain_guard(
+        p_col,
+        lo=0,
+        hi=scale,
+        msg=(
+            f"ece_report: {p_col!r} outside [0, {scale}] or non-integer "
+            "— the column must be an integer milli-probability on the "
+            "declared scale (quantize a float probability first)"
         ),
-    ).otherwise(p)
+    )
     base = scored.where(p.isNotNull() & y.isNotNull() & gfilter).select(
         *gkeys, checked_p.alias("_p"), y.alias("_y")
     )
@@ -2105,10 +2129,18 @@ def chi2_association(
     base = df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     )
-    obs = base.groupBy("a", "b").agg(F.count("*").cast("long").alias("observed"))
-    ma = base.groupBy("a").agg(F.count("*").cast("long").alias("n_a"))
-    mb = base.groupBy("b").agg(F.count("*").cast("long").alias("n_b"))
-    tot = base.agg(F.count("*").cast("long").alias("n"))
+    # ONE corpus scan: marginals and the total all derive from the
+    # bounded (a, b) cell table (lazily checkpointed — re-deriving them
+    # from `base` would read the corpus four times, the re-derivation
+    # class calibration_curve/_auc_core already paid for and fixed)
+    obs = (
+        base.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("observed"))
+        .localCheckpoint(eager=False)
+    )
+    ma = obs.groupBy("a").agg(F.sum("observed").cast("long").alias("n_a"))
+    mb = obs.groupBy("b").agg(F.sum("observed").cast("long").alias("n_b"))
+    tot = obs.agg(F.sum("observed").cast("long").alias("n"))
     # full cross of the bounded marginal tables (zero cells included),
     # then the observed counts attach by equi-join
     cells = (
@@ -2282,15 +2314,17 @@ def gini_by_group(
     gkeys = [group_col] if group_col else []
     gfilter = F.col(group_col).isNotNull() if group_col else F.lit(True)
     v = F.col(val_col).cast("long")
-    checked_v = F.when(
-        v < 0,
-        F.raise_error(
-            F.lit(
-                f"gini_by_group: negative value in {val_col!r} — the Gini "
-                "identity here requires non-negative integer values"
-            )
+    checked_v = _int_domain_guard(
+        val_col,
+        lo=0,
+        hi=None,
+        msg=(
+            f"gini_by_group: negative or non-integer value in "
+            f"{val_col!r} — the Gini identity here requires "
+            "non-negative integer values (scale floats to a fixed "
+            "integer grid first)"
         ),
-    ).otherwise(v)
+    )
     base = df.where(v.isNotNull() & gfilter).select(
         *gkeys, checked_v.alias("_v")
     )

@@ -108,9 +108,11 @@ def _clf_lang_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _p_milli() -> F.Column:
-    """Hard-sigmoid milli-probability: p = clamp(500 + logit/2, 0, 1000)
-    in millis — piecewise-linear, ALL-INTEGER (`div` truncates toward
-    zero on both engines), so the Brier/ECE accumulations stay exact.
+    """Hard-sigmoid milli-probability over the PER-FEATURE millilogit:
+    p = clamp(500 + (logit_milli div (2·n_feats)), 0, 1000) — i.e.
+    500 + half the millilogits-per-feature score, clamped — piecewise-
+    linear, ALL-INTEGER (`div` truncates toward zero on both engines),
+    so the Brier/ECE accumulations stay exact.
     (A real sigmoid's exp() is a libm call engines round differently —
     the hard form is the published approximation that keeps the gate
     hashable.) Built lazily: Column construction needs an active
@@ -302,7 +304,8 @@ FROM cells ORDER BY lang
 
 def q_brier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brier score per language of the hard-sigmoid milli-probability
-    (clamp(500 + logit/2, 0, 1000) — piecewise-linear, all-integer)
+    (clamp(500 + logit_milli div (2·n_feats), 0, 1000) — half the
+    millilogits-per-feature around 500, piecewise-linear, all-integer)
     against the embedding ground truth (operators/ranking.py::
     brier_score: exact DECIMAL numerator of squared integer errors, ONE
     final division). The proper-scoring-rule view the AUC gate cannot
@@ -484,7 +487,7 @@ ORDER BY 1
 
 # --------------------------------------------------------- Fleiss panel
 
-# the three cheap quality raters: byte length, word count, and an
+# the three cheap quality raters: character length, word count, and an
 # english-function-word cue — all-integer/deterministic, each defined on
 # every text-bearing document, so the panel is fixed at 3 by construction
 _FL_LEN = 200
@@ -492,8 +495,8 @@ _FL_TOK = 40
 
 
 def q_fleiss_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fleiss' kappa over a THREE-rater keep/drop panel (byte-length
-    gate, word-count gate, ' the '-cue gate) on every text-bearing
+    """Fleiss' kappa over a THREE-rater keep/drop panel (character-
+    length gate, word-count gate, ' the '-cue gate) on every text-bearing
     document (operators/ranking.py::fleiss_kappa — per-item category
     counts through the exact closed form; the fixed-panel precondition
     holds by construction and is still enforced in-plan). The curation
@@ -502,7 +505,7 @@ def q_fleiss_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     votes = [
         (F.length("text") >= _FL_LEN),
-        (F.size(F.expr("filter(split(text, ' '), t -> t <> '')")) >= _FL_TOK),
+        (F.size(text.nonempty_tokens_col("text")) >= _FL_TOK),
         F.col("text").contains(" the "),
     ]
     # ONE corpus scan: the three raters' votes explode from an in-row

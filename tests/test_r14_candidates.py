@@ -322,3 +322,14 @@ def test_class_balance_plan_matches_python_reference(spark):
         ("s2", "en"): (5, 5, 1.0),
         ("s2", "de"): (5, 5, 1.0),
     }
+
+
+def test_brier_and_ece_reject_float_probabilities(spark):
+    """A real-valued probability column must RAISE, not silently
+    truncate into the valid range (review finding: cast('long') mapped
+    0.73 -> 0, inside [0, 1000], so a range-only guard never fired)."""
+    df = spark.createDataFrame([(0.73, 1)], "p_milli double, label int")
+    with pytest.raises(Exception, match="non-integer"):
+        brier_score(df).collect()
+    with pytest.raises(Exception, match="non-integer"):
+        ece_report(df).collect()

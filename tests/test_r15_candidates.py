@@ -225,3 +225,26 @@ def test_vocab_overlap_matrix_matches_set_reference(spark):
         assert r["containment"] == round(
             inter / min(len(vocab[a]), len(vocab[b])), 6
         )
+
+
+def test_gini_rejects_float_values(spark):
+    """Float contributions must RAISE, not truncate to integers (review
+    finding: [0.4, 0.6] silently became [0, 0])."""
+    df = spark.createDataFrame([(0.4,), (0.6,)], "v double")
+    with pytest.raises(Exception, match="non-integer"):
+        gini_by_group(df, "v").collect()
+
+
+def test_pack_segments_duplicate_order_raises_and_null_order_excluded(spark):
+    dup = spark.createDataFrame(
+        [("en", 1, "a b"), ("en", 1, "c d")],
+        "lang string, doc_id int, text string",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        pack_segments(dup, budget_tokens=4).collect()
+    with_null = spark.createDataFrame(
+        [("en", 1, "a b c"), ("en", None, "x y z")],
+        "lang string, doc_id int, text string",
+    )
+    got = pack_segments(with_null, budget_tokens=4).collect()
+    assert [(r["doc_id"], r["tok_from"], r["tok_to"]) for r in got] == [(1, 0, 3)]
