@@ -78,3 +78,46 @@ def test_staged_plans_have_no_python_udfs_or_cartesians(spark):
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+_pq_spec = importlib.util.spec_from_file_location(
+    "plan_quality", "/root/repo/tests/test_plan_quality.py"
+)
+plan_quality = importlib.util.module_from_spec(_pq_spec)
+_pq_spec.loader.exec_module(plan_quality)
+
+
+def test_ks_separation_single_partitions_are_guard_only(spark):
+    """ks_statistic inherits auc_exact's whole scale argument; pin it
+    structurally — every SinglePartition exchange in the gate must be
+    the prefix core's bounded rng guard (count-over-() window above,
+    rng min/max aggregate below), never a corpus gather or sort."""
+    plan = (
+        workloads_r14.q_ks_separation(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    plan_quality._assert_single_partition_is_guard_only(plan)
+
+
+@pytest.mark.parametrize("gate", ["pr_curve_sweep", "lift_deciles"])
+def test_curve_gates_single_partitions_are_bounded_aggregates(spark, gate):
+    """The curve gates ride the ungrouped calibration core: legitimate
+    SinglePartition exchanges are bounded post-aggregate gathers (the
+    <=65536-row `_cell#` histogram, the <= n_bins `bin#` table, scalar
+    totals) — each occurrence's child must be an aggregate and any
+    sorted consumer must sort one of those bounded keys, so a
+    corpus-sized funnel fails structurally regardless of occurrence
+    count (the r11 ADVICE stance)."""
+    plan = (
+        workloads_r14.QUERIES_R14[gate](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    plan_quality._assert_single_partition_inputs_bounded(
+        plan,
+        child_markers=("HashAggregate",),
+        sorted_key_markers=("bin#", "_cell#"),
+    )
