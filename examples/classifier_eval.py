@@ -14,6 +14,18 @@ the engine's classifier-evaluation tier.
       -> Cohen's kappa               (ranking.cohen_kappa: does the
          model's hard keep/drop vote agree with ground truth beyond
          chance? — the number annotation-vendor reviews report)
+      -> KS separation               (ranking.ks_statistic: the single
+         best operating point's worth of pos/neg separation)
+      -> MCC per language            (ranking.mcc: the imbalance-honest
+         confusion summary of the hard vote)
+      -> Brier + ECE/MCE             (ranking.brier_score/ece_report
+         over the integer hard-sigmoid milli-probability: is the
+         model over-confident, and by how much per bin?)
+      -> PR sweep -> chosen cutoff   (ranking.pr_curve: the report a
+         gating run actually reads — pick the bin whose threshold
+         maximizes F1, know what it keeps and what it costs)
+      -> lift of the top decile      (ranking.lift_curve: how much
+         denser are positives in the top 10% than the base rate)
 
 Run:  python examples/classifier_eval.py [sf_dir] [n_bins]
 Defaults: /root/testdata/sf0.001 and 10 bins.
@@ -82,8 +94,54 @@ def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
         group_col="lang",
     ).orderBy("lang")
 
+    ks = ranking.ks_statistic(scored.select("score", "label")).collect()[0]
+    mcc = ranking.mcc(
+        scored.select(
+            "lang", (F.col("score") > 0).alias("keep"), (F.col("label") == 1).alias("truth")
+        ),
+        "keep",
+        "truth",
+        group_col="lang",
+    ).orderBy("lang")
+    # proper-scoring view over the QUANTIZED probability: hard-sigmoid
+    # milli-prob p = clamp(500 + score_milli/2, 0, 1000) — all-integer,
+    # so Brier/ECE accumulate exactly (the r14 gate idiom)
+    p_milli = F.least(
+        F.greatest(
+            F.lit(500) + (F.col("score") * 500).cast("long"), F.lit(0)
+        ),
+        F.lit(1000),
+    )
+    probed = scored.select(p_milli.alias("p_milli"), "label")
+    brier = ranking.brier_score(probed).collect()[0]
+    ece = ranking.ece_report(probed, n_bins=n_bins).collect()[0]
+    # the operating-point choice: sweep precision/recall per bin, pick
+    # the F1-max threshold driver-side over the <= n_bins-row table
+    pr = ranking.pr_curve(
+        scored.select("score", "label"), n_bins=n_bins
+    ).collect()
+    def _f1(r):
+        p, rec = r["precision"], r["recall"]
+        return 2 * p * rec / (p + rec) if p and rec and (p + rec) else 0.0
+    best = max(pr, key=_f1) if pr else None
+    lift_rows = ranking.lift_curve(
+        scored.select("score", "label"), n_bins=10
+    ).collect()
+    top_decile = max(lift_rows, key=lambda r: r["bin"]) if lift_rows else None
+
     report = {
         "overall": (overall["n_pos"], overall["n_neg"], overall["auc"]),
+        "ks": ks["ks"],
+        "mcc": [(r["lang"], r["mcc"]) for r in mcc.collect()],
+        "brier": (brier["n"], brier["brier"]),
+        "ece": (ece["ece"], ece["mce"]),
+        "best_cut": None
+        if best is None
+        else (
+            best["threshold"], best["pred_pos"], best["precision"],
+            best["recall"], round(_f1(best), 6),
+        ),
+        "top_decile_lift": None if top_decile is None else top_decile["lift"],
         "by_lang": [
             (r["lang"], r["n_pos"], r["n_neg"], r["auc"]) for r in by_lang.collect()
         ],
@@ -118,6 +176,21 @@ def main() -> None:
         print("keep-vote agreement vs truth (Cohen's kappa, per lang):")
         for lang, n, agree, kap in report["kappa"]:
             print(f"  {lang}: kappa={kap} (agree {agree}/{n})")
+        print(f"KS separation: {report['ks']}")
+        print("MCC of the hard keep vote (per lang):")
+        for lang, m in report["mcc"]:
+            print(f"  {lang}: mcc={m}")
+        bn, bs = report["brier"]
+        print(f"Brier score (hard-sigmoid milli-prob, n={bn}): {bs}")
+        e, m = report["ece"]
+        print(f"calibration error: ECE={e} MCE={m}")
+        if report["best_cut"] is not None:
+            thr, kept, prec, rec, f1 = report["best_cut"]
+            print(
+                f"chosen cutoff (F1-max over PR sweep): threshold={thr} "
+                f"keeps {kept} docs at precision={prec} recall={rec} f1={f1}"
+            )
+        print(f"lift of the top decile: {report['top_decile_lift']}")
     finally:
         spark.stop()
 
