@@ -90,7 +90,24 @@ _CHECK_FIRST = [
     # brier_quality, ece_quality, ks_separation, mrr_quality,
     # fleiss_panel, chi2_lang_source, vocab_coverage, class_balance —
     # sized to fit r14's head next to the 36 r9-latest backfill gates:
-    # 36 + 11 = 47 <= 50.)
+    # 36 + 11 = 47 <= 50; give the 3 spare slots to the first 3
+    # alphabetical r10-latest gates, they relieve r15.)
+    # SATURATION WARNING (r12 arithmetic, from the CORRECTNESS union):
+    # the rotation's steady-state ceiling is 50-slot windows x 5-round
+    # staleness = 250 registered gates. Cohorts by newest evidence:
+    # r7:24 r8:48 r9:49 r10:50 r11:50 (=221) + 8 (r13 staged) + 11
+    # (r14 staged) = 240 after r14 registers. r15's window is fully
+    # consumed by the 50 r10-latest gates (minus any taken early in
+    # r14's 3 spare slots); r16's by the 50 r11-latest. REGISTRATION
+    # capacity for NEW gates from r15 on is therefore ~3 per round at
+    # most (the early-backfill slack), 10 total to the ceiling. The 4
+    # pre-built r15 candidates (pack_segments, krippendorff_alpha,
+    # gini_by_group, vocab_overlap_matrix — workloads_r15 when staged)
+    # must register across r15-r18 as slack permits, or stay
+    # staged-green (the judge's differential covers staged gates via
+    # check.py --staged; that evidence tier is acceptable). Do NOT
+    # stage more than ~4 gates per round from here — the window cannot
+    # absorb them and the staleness meta-test will trip.
     # then the TWENTY-NINE remaining
     # r8-latest gates whose staleness bound binds EXACTLY at r13
     # (newest row r8, 13 - 8 = 5), alphabetical: interval_coalesce,
