@@ -101,8 +101,9 @@ _CHECK_FIRST = [
     # r14's 3 spare slots); r16's by the 50 r11-latest. REGISTRATION
     # capacity for NEW gates from r15 on is therefore ~3 per round at
     # most (the early-backfill slack), 10 total to the ceiling. The 4
-    # pre-built r15 candidates (pack_segments, krippendorff_alpha,
-    # gini_by_group, vocab_overlap_matrix — workloads_r15 when staged)
+    # STAGED r15 gates (workloads_r15.py: pack_chunks, agreement_alpha,
+    # token_gini, vocab_overlap — oracles pre-verified at
+    # sf0.001/0.01/0.1 + local[7])
     # must register across r15-r18 as slack permits, or stay
     # staged-green (the judge's differential covers staged gates via
     # check.py --staged; that evidence tier is acceptable). Do NOT

@@ -118,7 +118,7 @@ def value_hash(canon: list[str]) -> str:
 
 
 def staged_queries() -> dict:
-    """The CURRENT staged cohorts' queries (r13 + the pre-staged r14,
+    """The CURRENT staged cohorts' queries (r13 + the pre-staged r14/r15,
     as of round 12). This is the ONE place the staged-module pointer
     lives: main()'s --staged merge AND the docs-consistency oracle
     sweeps import it, so a registration round bumps exactly one import
@@ -127,16 +127,24 @@ def staged_queries() -> dict:
     generate_series position bound — must fail at staging time, not
     after registration). When r13 registers, drop it here and leave
     r14 (plus whatever r15 stages)."""
-    from database_collector_spark import workloads_r13, workloads_r14
+    from database_collector_spark import workloads_r13, workloads_r14, workloads_r15
 
-    return {**workloads_r13.QUERIES_R13, **workloads_r14.QUERIES_R14}
+    return {
+        **workloads_r13.QUERIES_R13,
+        **workloads_r14.QUERIES_R14,
+        **workloads_r15.QUERIES_R15,
+    }
 
 
 def staged_oracles() -> dict:
     """Oracle twins of staged_queries() — same single-pointer contract."""
-    from database_collector_spark import workloads_r13, workloads_r14
+    from database_collector_spark import workloads_r13, workloads_r14, workloads_r15
 
-    return {**workloads_r13.ORACLES_R13, **workloads_r14.ORACLES_R14}
+    return {
+        **workloads_r13.ORACLES_R13,
+        **workloads_r14.ORACLES_R14,
+        **workloads_r15.ORACLES_R15,
+    }
 
 
 def main() -> int:
