@@ -167,6 +167,7 @@ def prefix_count_below(
     max_key_groups: int = 256,
     refine_narrow_domains: bool = False,
     bucket_col: str | None = None,
+    extra: dict[str, str] | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = total ``cnt_col`` over rows of the same
     ``keys`` with STRICTLY smaller ``val_col`` — the running-count
@@ -236,6 +237,19 @@ def prefix_count_below(
     infinite and collapse every finite value into cell 0. The prefix
     sums are exact wherever the cuts land.
 
+    ``extra`` maps ADDITIONAL ``{out_col: cnt_col}`` prefix counters
+    computed in the SAME pass: the cell grid, bucket assignment and
+    within-bucket windows are shared, so a caller needing running
+    counts of two weight columns over the same value order (KS's
+    per-class CDFs, Gini's count + value-weighted prefix) pays ONE
+    bucket construction instead of chaining two calls — at corpus
+    scale with an ~all-distinct value domain the compressed table is
+    corpus-sized, so the second chained pass is a real second
+    corpus-wide shuffle this parameter removes. Bucket boundaries are
+    derived from the primary ``cnt_col``'s ROW counts exactly as
+    before (boundaries never affect results), so ``extra=None``
+    callers get a byte-identical plan.
+
     ``refine_narrow_domains=True`` arms the documented degenerate
     case's escape hatch: any cell holding more than 1/4 of a key's
     distinct values (at most three can) gets a second-level grid over
@@ -253,13 +267,26 @@ def prefix_count_below(
     their own data before committing a big job to either mode.
     """
     n_cells = 65536
-    if out_col in counts.columns:
+    extra = dict(extra or {})
+    all_out = [out_col, *extra.keys()]
+    if len(set(all_out)) != len(all_out):
         raise ValueError(
-            f"prefix_count_below: out_col {out_col!r} already exists in the "
-            "input; alias it first"
+            f"prefix_count_below: duplicate output columns in {all_out!r}"
         )
+    for oc in all_out:
+        if oc in counts.columns:
+            raise ValueError(
+                f"prefix_count_below: out_col {oc!r} already exists in the "
+                "input; alias it first"
+            )
+    for oc, cc in extra.items():
+        if cc not in counts.columns:
+            raise ValueError(
+                f"prefix_count_below: extra cnt_col {cc!r} (for {oc!r}) is "
+                "not an input column"
+            )
     if bucket_col is not None and (
-        bucket_col in counts.columns or bucket_col == out_col
+        bucket_col in counts.columns or bucket_col in all_out
     ):
         raise ValueError(
             f"prefix_count_below: bucket_col {bucket_col!r} collides with an "
@@ -425,14 +452,26 @@ def prefix_count_below(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_tot = Window.partitionBy(*keys)
+    x_ids = list(range(len(extra)))  # stable order for internal aliases
+    x_items = list(extra.items())
     cellmap = (
         celled.groupBy(*keys, "_cell")
-        .agg(F.sum(cnt_col).alias("_hc"), F.count("*").alias("_hn"))
+        .agg(
+            F.sum(cnt_col).alias("_hc"),
+            F.count("*").alias("_hn"),
+            *[F.sum(x_items[i][1]).alias(f"_hcx{i}") for i in x_ids],
+        )
         .select(
             *keys,
             "_cell",
             # weight-cumulative: feeds the below-count semantics
             F.coalesce(F.sum("_hc").over(w_cell), F.lit(0)).alias("_cum_before"),
+            *[
+                F.coalesce(F.sum(f"_hcx{i}").over(w_cell), F.lit(0)).alias(
+                    f"_cum_beforex{i}"
+                )
+                for i in x_ids
+            ],
             # ROW-cumulative: feeds the balance — the within-bucket
             # window sorts COMPRESSED rows, so buckets must equalize
             # distinct-value counts, not weights (and _tot_n >= 1
@@ -446,13 +485,22 @@ def prefix_count_below(
             *keys,
             "_cell",
             "_cum_before",
+            *[f"_cum_beforex{i}" for i in x_ids],
             F.expr(f"(_cum_n * {coarse_buckets}) div _tot_n").alias("_b"),
         )
     )
     # rows in strictly earlier buckets = cumulative count at the
-    # bucket's FIRST cell — no second corpus-wide aggregate needed
+    # bucket's FIRST cell — no second corpus-wide aggregate needed.
+    # The extra counters take the cumulative at the SAME first cell:
+    # min(_cum_before) and the min-_cell row coincide because every
+    # cumulative is non-decreasing in _cell, so min_by on _cell keeps
+    # the whole family consistent with the primary's min().
     before_bucket = cellmap.groupBy(*keys, "_b").agg(
-        F.min("_cum_before").alias("_before_b")
+        F.min("_cum_before").alias("_before_b"),
+        *[
+            F.min_by(f"_cum_beforex{i}", "_cell").alias(f"_before_bx{i}")
+            for i in x_ids
+        ],
     )
     bucketed = celled.join(
         F.broadcast(cellmap.select(*keys, "_cell", "_b")), [*keys, "_cell"]
@@ -467,6 +515,13 @@ def prefix_count_below(
         (F.col("_before_b") + F.coalesce(F.sum(cnt_col).over(ww), F.lit(0))).alias(
             out_col
         ),
+        *[
+            (
+                F.col(f"_before_bx{i}")
+                + F.coalesce(F.sum(x_items[i][1]).over(ww), F.lit(0))
+            ).alias(x_items[i][0])
+            for i in x_ids
+        ],
     ]
     if bucket_col is not None:
         out.append(F.col("_b").alias(bucket_col))
@@ -1831,10 +1886,11 @@ def ks_statistic(
     point's worth of it).
 
     EXACT at corpus scale, the ``auc_exact`` discipline: ONE groupBy
-    collapses the corpus to per-distinct-score (pos, neg) counts, the
-    running counts below each score come from ``prefix_count_below``'s
-    two-level distributed prefix sum (once per class over the SAME
-    compressed table), and the supremum is attained at a data point, so
+    collapses the corpus to per-distinct-score (pos, neg) counts, BOTH
+    per-class running counts come from a SINGLE shared
+    ``prefix_count_below`` pass (the ``extra`` counter rides the same
+    cell grid and bucket windows), and the supremum is attained at a
+    data point, so
 
         ks = max_s |cum_pos(s)·n_neg − cum_neg(s)·n_pos| / (n_pos·n_neg)
 
@@ -1866,14 +1922,14 @@ def ks_statistic(
         )
         .localCheckpoint(eager=False)
     )
+    # ONE shared pass for both per-class CDFs: the `extra` counter rides
+    # the same cell grid / bucket assignment / within-bucket windows —
+    # a chained second call would re-pay the whole bucket construction
+    # over the compressed table (corpus-sized when scores are
+    # ~all-distinct)
     below = prefix_count_below(
         per_score, gkeys, "s", "pos", coarse_buckets=coarse_buckets,
-        out_col="pos_below",
-    ).localCheckpoint(eager=False)  # the second pass's range/histogram/
-    # fold branches would otherwise each re-run the first pass
-    below = prefix_count_below(
-        below, gkeys, "s", "neg", coarse_buckets=coarse_buckets,
-        out_col="neg_below",
+        out_col="pos_below", extra={"neg_below": "neg"},
     )
     totw = Window.partitionBy(*gkeys) if gkeys else Window.partitionBy()
     d = lambda c: c.cast("decimal(18,0)")  # noqa: E731 — local shorthand
@@ -2300,9 +2356,9 @@ def gini_by_group(
         ordered-pair sum Σ_{x_i > x_j} (x_i − x_j)
           = Σ_v c_v·(v·below_cnt_v − below_sum_v)
 
-    with below_cnt / below_sum from TWO ``prefix_count_below`` passes
-    (counts, then v-weighted counts) over the SAME lazily-checkpointed
-    compressed table. All products in DECIMAL(38,0); G = num/(n·S) is
+    with below_cnt / below_sum from ONE shared ``prefix_count_below``
+    pass (count + v-weighted counters over the same cell grid) on the
+    lazily-checkpointed compressed table. All products in DECIMAL(38,0); G = num/(n·S) is
     ONE division over exact operands, rounded at 6; NULL when S = 0
     (all-zero values — inequality of nothing). Values must be >= 0
     integers — ENFORCED in-plan (raise_error per row): a negative value
@@ -2334,13 +2390,12 @@ def gini_by_group(
         .withColumn("_w", (F.col("_v") * F.col("_cnt")).cast("long"))
         .localCheckpoint(eager=False)
     )
+    # count + value-weighted prefixes in ONE shared pass (the ks
+    # single-pass rationale: a chained call re-pays the bucket
+    # construction over the compressed table)
     below = prefix_count_below(
         per_v, gkeys, "_v", "_cnt", coarse_buckets=coarse_buckets,
-        out_col="_below_cnt",
-    ).localCheckpoint(eager=False)  # second pass re-derives otherwise
-    below = prefix_count_below(
-        below, gkeys, "_v", "_w", coarse_buckets=coarse_buckets,
-        out_col="_below_sum",
+        out_col="_below_cnt", extra={"_below_sum": "_w"},
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — local shorthand
     term = d(F.col("_cnt")) * (
