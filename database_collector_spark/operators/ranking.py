@@ -1911,8 +1911,8 @@ def ks_statistic(
         F.col(score_col).alias("s"),
         F.col(label_col).cast("int").alias("y"),
     )
-    # lazily checkpointed: the range/histogram/fold branches of BOTH
-    # prefix passes re-derive this compressed table otherwise (the
+    # lazily checkpointed: the fused prefix pass's range / histogram /
+    # fold branches re-derive this compressed table otherwise (the
     # _auc_core rationale)
     per_score = (
         base.groupBy(*gkeys, "s")

@@ -177,8 +177,9 @@ FROM items, suma, cats
 
 def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gini of per-document whitespace-token counts per source
-    (ranking.gini_by_group — value-domain compression + two prefix
-    passes over one checkpointed table): which sources' token supply is
+    (ranking.gini_by_group — value-domain compression + ONE fused
+    prefix pass over one checkpointed table): which sources' token
+    supply is
     dominated by a few long documents, the governance number a
     sampling-budget review reads next to key_skew_profile."""
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())

@@ -87,8 +87,6 @@ def test_agreement_alpha_panel_really_is_uneven(spark):
     """The gate exists to exercise MISSING votes — if a fixture change
     ever made every document fully voted, the gate would silently
     degenerate into fleiss territory; pin genuine unevenness."""
-    from pyspark.sql import functions as F
-
     docs_votes = (
         workloads_r15.q_agreement_alpha(spark, SF).collect()
     )
