@@ -63,15 +63,27 @@ PICKS = [
     ("pack_sequences", "per-source packing cumsum (partitioned window)"),
 ]
 
-# staged r11 gates (workloads_r11.py) — not yet registered with the
-# driver. upsert_compaction is omitted: its plan is the final scd1_merge
-# read (the scd2_history family above); constructing it writes parquet
-# generations as a side effect, which a plan dump should not do.
-STAGED_PICKS = [
+# the r11 cohort, registered in round 11
+PICKS += [
     ("substring_dedup", "positioned-shingle DF join + islands window"),
     ("semdedup_prune", "trained-cell self-join + dominance semi-join"),
     ("dsir_weights", "bounded hashed-model shuffle + broadcast join-back"),
     ("bloom_decontaminate", "bit_or word build + broadcast probe bool_and"),
+]
+
+# current STAGED cohorts (tools/check.py::staged_queries, r13-r15) — one
+# representative per NEW plan family. bucketed_join_persist is omitted:
+# constructing it writes warehouse tables as a side effect, which a
+# plan dump should not do (its exchange-free SMJ plan is pinned in
+# tests/test_r13_staged_differential.py instead).
+STAGED_PICKS = [
+    ("calibration_fixed_bins", "all-integer fixed-bin reliability (streamable)"),
+    ("rule_attribution", "one-scan ordered rule funnel + stack unpivot"),
+    ("ks_separation", "fused dual-counter prefix core (per-class CDFs)"),
+    ("chi2_lang_source", "one-scan contingency: marginals from cell table"),
+    ("fleiss_panel", "in-row 3-rater vote explode + bounded folds"),
+    ("pack_chunks", "per-stream packing cumsum + sequence() segment explode"),
+    ("agreement_alpha", "m-grouped alpha folds over compressed votes"),
 ]
 
 
@@ -89,13 +101,18 @@ def main() -> None:
         "`tests/test_plan_quality.py`; this file is the human-readable half.",
         "",
     ]
-    from database_collector_spark import workloads_r11
+    import importlib.util
 
-    staged = {n: (workloads_r11.QUERIES_R11[n], True) for n, _ in STAGED_PICKS}
+    _spec = importlib.util.spec_from_file_location(
+        "check", os.path.join(os.path.dirname(os.path.abspath(__file__)), "check.py")
+    )
+    check = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(check)
+    staged = check.staged_queries()
     for name, why in PICKS + STAGED_PICKS:
-        if name in staged:
-            df = staged[name][0](spark, SF)
-            why = f"{why} [staged r11]"
+        if name in staged and name not in qs:
+            df = staged[name](spark, SF)
+            why = f"{why} [staged]"
         else:
             df = qs[name](spark, SF)
         buf = io.StringIO()
