@@ -1685,10 +1685,15 @@ def brier_score(
     base = scored.where(p.isNotNull() & y.isNotNull() & gfilter).select(
         *gkeys, (checked_p - F.lit(scale) * y).alias("_e")
     )
+    # square IN decimal — a BIGINT square of |_e| <= scale overflows
+    # int64 past scale ~ 3e9 under ANSI (the auc_exact overflow class);
+    # casting the factors first keeps the docstring's exactness claim
+    # true for any validated scale
+    e_dec = F.col("_e").cast("decimal(19,0)")
     return base.groupBy(*gkeys).agg(
         F.count("*").cast("long").alias("n"),
         F.round(
-            F.sum((F.col("_e") * F.col("_e")).cast("decimal(38,0)")).cast("double")
+            F.sum(e_dec * e_dec).cast("double")
             / (F.lit(float(scale * scale)) * F.count("*")),
             6,
         ).alias("brier"),
@@ -1931,14 +1936,28 @@ def ks_statistic(
         per_score, gkeys, "s", "pos", coarse_buckets=coarse_buckets,
         out_col="pos_below", extra={"neg_below": "neg"},
     )
-    totw = Window.partitionBy(*gkeys) if gkeys else Window.partitionBy()
+    # per-class totals via aggregate + broadcast join-back — NOT a
+    # partition-spanning window: a Window.partitionBy() total over the
+    # per-score table funnels it (corpus-sized when scores are
+    # ~all-distinct) through one task, the exact anti-pattern this
+    # operator's docstring rules out (review finding; the
+    # calibration_curve totals pattern)
+    tots = per_score.groupBy(*gkeys).agg(
+        F.sum("pos").cast("long").alias("_np"),
+        F.sum("neg").cast("long").alias("_nn"),
+    )
+    joined = (
+        below.join(F.broadcast(tots), gkeys)
+        if gkeys
+        else below.crossJoin(F.broadcast(tots))
+    )
     d = lambda c: c.cast("decimal(18,0)")  # noqa: E731 — local shorthand
-    cums = below.select(
+    cums = joined.select(
         *gkeys,
         "pos",
         "neg",
-        F.sum("pos").over(totw).cast("long").alias("_np"),
-        F.sum("neg").over(totw).cast("long").alias("_nn"),
+        "_np",
+        "_nn",
         (F.col("pos_below") + F.col("pos")).alias("_cp"),
         (F.col("neg_below") + F.col("neg")).alias("_cn"),
     )
@@ -1970,6 +1989,7 @@ def reciprocal_rank(
     id_col: str = "doc_id",
     rank_col: str = "rank",
     rel_col: str = "rel",
+    check_unique_judgments: bool = False,
 ) -> DataFrame:
     """Reciprocal rank at cutoff k — 1 / (rank of the FIRST relevant
     item in the top-k), the per-query term of MRR and the third number
@@ -1984,6 +2004,13 @@ def reciprocal_rank(
     groups with relevant items but no top-k hit score rr = 0.0 (the
     system MISSED, not unjudgeable), groups with n_rel = 0 get NULL
     (nothing to find), and ``rank >= 1`` is enforced in-plan.
+
+    Judgments must be UNIQUE per (group, id) — duplicates multiply
+    matched ranked rows through the left join, inflating n_ranked and
+    n_rel (the ndcg_at_k contract). The keyed count-window check costs
+    a judgment-table shuffle, so it is opt-in:
+    ``check_unique_judgments=True`` arms the same raise_error guard;
+    callers minting judgments from a unique key leave it off.
 
     Scale (100 TB): ranked lists are top-N per group by construction;
     one (group, id) equi-join, one keyed min — never touches the
@@ -2008,6 +2035,23 @@ def reciprocal_rank(
         F.col(id_col).alias("_id"),
         (F.col(rel_col) > 0).cast("int").alias("_hit"),
     ).where(F.col(rel_col).isNotNull() & gfilter)
+    if check_unique_judgments:
+        dupw = Window.partitionBy(*gkeys, "_id")
+        lab = lab.withColumn(
+            "_hit",
+            F.when(
+                F.count("*").over(dupw) > 1,
+                F.raise_error(
+                    F.lit(
+                        "reciprocal_rank: duplicate judgment rows for one "
+                        f"({', '.join([*gkeys, id_col])}) — duplicates "
+                        "multiply matched ranked rows via the left join "
+                        "and inflate n_ranked/n_rel; deduplicate the "
+                        "relevance table first"
+                    )
+                ),
+            ).otherwise(F.col("_hit")),
+        )
     n_rel = (
         lab.where(F.col("_hit") == 1)
         .groupBy(*gkeys)
@@ -2387,7 +2431,14 @@ def gini_by_group(
     per_v = (
         base.groupBy(*gkeys, "_v")
         .agg(F.count("*").cast("long").alias("_cnt"))
-        .withColumn("_w", (F.col("_v") * F.col("_cnt")).cast("long"))
+        # the weighted counter stays DECIMAL end-to-end: v*cnt in BIGINT
+        # overflows int64 for large-value domains (v ~ 1e12 byte sizes
+        # x 1e7 occurrences), the ANSI overflow class the docstring's
+        # exactness claim rules out
+        .withColumn(
+            "_w",
+            F.col("_v").cast("decimal(18,0)") * F.col("_cnt").cast("decimal(18,0)"),
+        )
         .localCheckpoint(eager=False)
     )
     # count + value-weighted prefixes in ONE shared pass (the ks

@@ -333,3 +333,24 @@ def test_brier_and_ece_reject_float_probabilities(spark):
         brier_score(df).collect()
     with pytest.raises(Exception, match="non-integer"):
         ece_report(df).collect()
+
+
+def test_reciprocal_rank_duplicate_judgment_guard(spark):
+    """Opt-in uniqueness guard (review finding: duplicates multiply
+    matched ranked rows via the left join, inflating n_ranked/n_rel)."""
+    ranked = spark.createDataFrame(
+        [("q", 1, 1), ("q", 3, 2)], "g string, doc_id int, rank int"
+    )
+    dup_rels = spark.createDataFrame(
+        [("q", 3, 1), ("q", 3, 1)], "g string, doc_id int, rel int"
+    )
+    with pytest.raises(Exception, match="duplicate judgment"):
+        reciprocal_rank(
+            ranked, dup_rels, group_col="g", check_unique_judgments=True
+        ).collect()
+    # clean input passes with the guard armed
+    rels = spark.createDataFrame([("q", 3, 1)], "g string, doc_id int, rel int")
+    [r] = reciprocal_rank(
+        ranked, rels, group_col="g", check_unique_judgments=True
+    ).collect()
+    assert r["first_rel_rank"] == 2 and r["rr"] == 0.5
