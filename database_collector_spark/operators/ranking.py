@@ -1149,6 +1149,33 @@ def quantiles_by_group(
     )
 
 
+def _unique_judgments_guard(
+    lab, gkeys: list[str], id_col: str, *, op_name: str, val_col: str,
+    inflates: str,
+):
+    """Opt-in in-plan duplicate-judgment check shared by ndcg_at_k /
+    map_at_k / reciprocal_rank (the same contract three ways — one
+    guard so the raise semantics cannot drift, the _int_domain_guard
+    stance): wraps ``val_col`` in raise_error when more than one
+    judgment row exists for a (group, id). Costs a keyed count-window
+    over the judgment table, which is why callers arm it explicitly."""
+    dupw = Window.partitionBy(*gkeys, "_id")
+    return lab.withColumn(
+        val_col,
+        F.when(
+            F.count("*").over(dupw) > 1,
+            F.raise_error(
+                F.lit(
+                    f"{op_name}: duplicate judgment rows for one "
+                    f"({', '.join([*gkeys, id_col])}) — duplicates "
+                    f"multiply ranked rows via the left join and inflate "
+                    f"{inflates}; deduplicate the relevance table first"
+                )
+            ),
+        ).otherwise(F.col(val_col)),
+    )
+
+
 def ndcg_at_k(
     ranked: DataFrame,
     rels: DataFrame,
@@ -1219,21 +1246,9 @@ def ndcg_at_k(
         *gkeys, F.col(id_col).alias("_id"), F.col(rel_col).cast("int").alias("_rel")
     ).where(F.col(rel_col).isNotNull() & gfilter)
     if check_unique_judgments:
-        dupw = Window.partitionBy(*gkeys, "_id")
-        lab = lab.withColumn(
-            "_rel",
-            F.when(
-                F.count("*").over(dupw) > 1,
-                F.raise_error(
-                    F.lit(
-                        "ndcg_at_k: duplicate judgment rows for one "
-                        f"({', '.join([*gkeys, id_col])}) — duplicates "
-                        "multiply ranked rows via the left join and "
-                        "inflate n_ranked/DCG/IDCG; deduplicate the "
-                        "relevance table first"
-                    )
-                ),
-            ).otherwise(F.col("_rel")),
+        lab = _unique_judgments_guard(
+            lab, gkeys, id_col, op_name="ndcg_at_k", val_col="_rel",
+            inflates="n_ranked/DCG/IDCG",
         )
     gain = F.pow(F.lit(2.0), F.col("_rel")) - 1
     disc = F.log(F.col("_rk") + 1) / F.log(F.lit(2.0))
@@ -1289,6 +1304,7 @@ def map_at_k(
     id_col: str = "doc_id",
     rank_col: str = "rank",
     rel_col: str = "rel",
+    check_unique_judgments: bool = False,
 ) -> DataFrame:
     """Binary set-retrieval metrics at cutoff k — Precision@k, Recall@k
     and Average Precision (the per-group term of MAP) — next to
@@ -1308,6 +1324,10 @@ def map_at_k(
     mirroring ndcg's NULL-on-IDCG=0); judged groups with NO ranked
     rows score 0.0 (a system returning nothing for a judged query is
     WRONG, not unjudgeable — same stance as ndcg_at_k).
+
+    Judgments must be UNIQUE per (group, id) — duplicates multiply
+    ranked rows through the left join (the ndcg_at_k contract);
+    ``check_unique_judgments=True`` arms the shared in-plan guard.
 
     Engine parity: hits/k and hits/n_rel are single divisions over
     identical exact integers (bit-equal cross-engine, r9 idiom); the AP
@@ -1342,6 +1362,11 @@ def map_at_k(
         F.col(id_col).alias("_id"),
         (F.col(rel_col) > 0).cast("int").alias("_hit"),
     ).where(F.col(rel_col).isNotNull() & gfilter)
+    if check_unique_judgments:
+        lab = _unique_judgments_guard(
+            lab, gkeys, id_col, op_name="map_at_k", val_col="_hit",
+            inflates="hits/n_ranked/n_rel/AP",
+        )
     n_rel = (
         lab.where(F.col("_hit") == 1)
         .groupBy(*gkeys)
@@ -1946,8 +1971,13 @@ def ks_statistic(
         F.sum("pos").cast("long").alias("_np"),
         F.sum("neg").cast("long").alias("_nn"),
     )
+    # no broadcast HINT on the grouped join: tots' lineage bypasses
+    # prefix_count_below's 256-group guard, so forcing a broadcast
+    # could hit a driver OOM before the guard's clean raise on a
+    # high-cardinality group column; AQE broadcasts small sides anyway
+    # (review finding). The ungrouped total is one row by construction.
     joined = (
-        below.join(F.broadcast(tots), gkeys)
+        below.join(tots, gkeys)
         if gkeys
         else below.crossJoin(F.broadcast(tots))
     )
@@ -2036,21 +2066,9 @@ def reciprocal_rank(
         (F.col(rel_col) > 0).cast("int").alias("_hit"),
     ).where(F.col(rel_col).isNotNull() & gfilter)
     if check_unique_judgments:
-        dupw = Window.partitionBy(*gkeys, "_id")
-        lab = lab.withColumn(
-            "_hit",
-            F.when(
-                F.count("*").over(dupw) > 1,
-                F.raise_error(
-                    F.lit(
-                        "reciprocal_rank: duplicate judgment rows for one "
-                        f"({', '.join([*gkeys, id_col])}) — duplicates "
-                        "multiply matched ranked rows via the left join "
-                        "and inflate n_ranked/n_rel; deduplicate the "
-                        "relevance table first"
-                    )
-                ),
-            ).otherwise(F.col("_hit")),
+        lab = _unique_judgments_guard(
+            lab, gkeys, id_col, op_name="reciprocal_rank", val_col="_hit",
+            inflates="n_ranked/n_rel",
         )
     n_rel = (
         lab.where(F.col("_hit") == 1)
@@ -2434,10 +2452,12 @@ def gini_by_group(
         # the weighted counter stays DECIMAL end-to-end: v*cnt in BIGINT
         # overflows int64 for large-value domains (v ~ 1e12 byte sizes
         # x 1e7 occurrences), the ANSI overflow class the docstring's
-        # exactness claim rules out
+        # exactness claim rules out. decimal(19,0) covers the FULL
+        # int64 range — 18 digits would itself overflow on valid
+        # v >= 1e18 inputs (review finding)
         .withColumn(
             "_w",
-            F.col("_v").cast("decimal(18,0)") * F.col("_cnt").cast("decimal(18,0)"),
+            F.col("_v").cast("decimal(19,0)") * F.col("_cnt").cast("decimal(19,0)"),
         )
         .localCheckpoint(eager=False)
     )
@@ -2452,9 +2472,12 @@ def gini_by_group(
     term = d(F.col("_cnt")) * (
         d(F.col("_v")) * d(F.col("_below_cnt")) - d(F.col("_below_sum"))
     )
+    # `total` stays DECIMAL(38,0): casting it back to long would re-hit
+    # the very overflow the decimal counter exists to avoid (the
+    # motivating 1e12-value x 1e7-count domain sums past int64)
     agg = below.groupBy(*gkeys).agg(
         F.sum("_cnt").cast("long").alias("n"),
-        F.sum("_w").cast("long").alias("total"),
+        F.sum("_w").cast("decimal(38,0)").alias("total"),
         F.sum(term).alias("_num"),
     )
     return agg.select(
@@ -2465,7 +2488,7 @@ def gini_by_group(
             F.when(
                 F.col("total") > 0,
                 F.col("_num").cast("double")
-                / (d(F.col("n")) * d(F.col("total"))).cast("double"),
+                / (d(F.col("n")) * F.col("total")).cast("double"),
             ),
             6,
         ).alias("gini"),

@@ -209,7 +209,10 @@ below AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bs
   FROM per_v
 )
-SELECT source, CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS total,
+SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+       -- DECIMAL(38,0) matches the operator's overflow-proof total
+       -- (both engines then canonicalize the column identically)
+       CAST(SUM(w) AS DECIMAL(38,0)) AS total,
        CASE WHEN SUM(w) > 0 THEN
          round(CAST(SUM(cnt * (v * bc - bs)) AS DOUBLE)
                / CAST(SUM(cnt) * SUM(w) AS DOUBLE), 6) END AS gini

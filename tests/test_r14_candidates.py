@@ -354,3 +354,26 @@ def test_reciprocal_rank_duplicate_judgment_guard(spark):
         ranked, rels, group_col="g", check_unique_judgments=True
     ).collect()
     assert r["first_rel_rank"] == 2 and r["rr"] == 0.5
+
+
+def test_map_at_k_duplicate_judgment_guard(spark):
+    """map_at_k now shares the uniqueness guard with ndcg/rr (review
+    finding: the trio reports together, so all three must be able to
+    arm the same check)."""
+    from database_collector_spark.operators.ranking import map_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 1), ("q", 3, 2)], "g string, doc_id int, rank int"
+    )
+    dup_rels = spark.createDataFrame(
+        [("q", 3, 1), ("q", 3, 1)], "g string, doc_id int, rel int"
+    )
+    with pytest.raises(Exception, match="duplicate judgment"):
+        map_at_k(
+            ranked, dup_rels, group_col="g", check_unique_judgments=True
+        ).collect()
+    rels = spark.createDataFrame([("q", 3, 1)], "g string, doc_id int, rel int")
+    [r] = map_at_k(
+        ranked, rels, group_col="g", check_unique_judgments=True
+    ).collect()
+    assert r["hits"] == 1 and r["n_rel"] == 1
