@@ -140,3 +140,98 @@ def test_fleiss_fuzz_matches_reference(spark, data):
     [r] = fleiss_kappa(df).collect()
     assert r["n_items"] == n_items and r["n_raters"] == n_raters
     assert r["kappa"] == _fleiss_ref(table)
+
+
+def _cal_ref(rows, n_bins):
+    """Percentile bins with tie classes whole (the calibration_curve
+    rule): bin = (strictly-below count) * B div n, per distinct score."""
+    from collections import Counter
+
+    per = Counter()
+    pos = Counter()
+    for s, y in rows:
+        per[s] += 1
+        pos[s] += y
+    n = len(rows)
+    out = {}
+    below = 0
+    for s in sorted(per):
+        b = below * n_bins // n
+        nd, np_ = out.get(b, (0, 0))
+        out[b] = (nd + per[s], np_ + pos[s])
+        below += per[s]
+    return out
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=12), st.integers(0, 1)),
+        min_size=1,
+        max_size=60,
+    ),
+    n_bins=st.sampled_from([1, 3, 8]),
+)
+def test_lift_and_pr_fuzz_match_bin_reference(spark, rows, n_bins):
+    """lift_curve and pr_curve suffix arithmetic vs a plain-Python
+    reference built on the same tie-classes-whole binning rule."""
+    from database_collector_spark.operators.ranking import lift_curve, pr_curve
+
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], "score double, label int"
+    )
+    bins = _cal_ref(rows, n_bins)
+    n_all = sum(nd for nd, _ in bins.values())
+    p_all = sum(np_ for _, np_ in bins.values())
+    lifts = {r["bin"]: r for r in lift_curve(df, n_bins=n_bins).collect()}
+    assert set(lifts) == set(bins)
+    for b, (nd, np_) in bins.items():
+        r = lifts[b]
+        assert (r["n_docs"], r["n_pos"]) == (nd, np_)
+        cum_n = sum(v[0] for bb, v in bins.items() if bb >= b)
+        cum_pos = sum(v[1] for bb, v in bins.items() if bb >= b)
+        assert (r["cum_n"], r["cum_pos"]) == (cum_n, cum_pos)
+        if p_all:
+            assert r["lift"] == round((np_ * n_all) / (nd * p_all), 6)
+            assert r["cum_lift"] == round((cum_pos * n_all) / (cum_n * p_all), 6)
+        else:
+            assert r["lift"] is None and r["cum_lift"] is None
+    prs = {r["bin"]: r for r in pr_curve(df, n_bins=n_bins).collect()}
+    for b in bins:
+        r = prs[b]
+        tp = sum(v[1] for bb, v in bins.items() if bb >= b)
+        pred = sum(v[0] for bb, v in bins.items() if bb >= b)
+        assert (r["pred_pos"], r["tp"]) == (pred, tp)
+        assert r["precision"] == round(tp / pred, 6)
+        assert r["recall"] == (round(tp / p_all, 6) if p_all else None)
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(0, 2)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_chi2_fuzz_matches_reference(spark, rows):
+    from collections import Counter
+
+    from database_collector_spark.operators.ranking import chi2_association
+
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {(r["a"], r["b"]): r for r in chi2_association(df, "a", "b").collect()}
+    n = len(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    obs = Counter(rows)
+    assert set(got) == {(a, b) for a in ra for b in cb}
+    for (a, b), r in got.items():
+        o = obs.get((a, b), 0)
+        assert r["observed"] == o and (r["n_a"], r["n_b"], r["n"]) == (
+            ra[a], cb[b], n
+        )
+        assert r["expected"] == round(ra[a] * cb[b] / n, 6)
+        assert r["contrib"] == round(
+            (o * n - ra[a] * cb[b]) ** 2 / (n * ra[a] * cb[b]), 6
+        )
