@@ -14,13 +14,22 @@ from the engine's governance tier.
       -> integer token-budget quotas      (curation.
          token_budget_allocation: Hamilton apportionment over the
          SURVIVORS' token counts — quotas sum to the budget exactly)
+      -> contribution inequality          (ranking.gini_by_group: is a
+         source's token supply dominated by a few huge documents?)
+      -> lexical redundancy               (text.vocab_overlap_matrix:
+         do two sources even speak the same vocabulary — the cheap
+         first signal before any document-level dedup)
+      -> class-balance plan               (curation.class_balance_plan:
+         the per-(source, lang) keep fractions a balanced sampler
+         applies)
 
 Run:  python examples/source_governance.py [sf_dir] [token_budget]
 Defaults: /root/testdata/sf0.001 and 100_000 tokens.
 
 Every step is the same public API the driver gates exercise
 (cross_source_dup_matrix, source_percentile_filter, dsir_weights,
-token_budget_alloc); this file adds no logic — it shows the
+token_budget_alloc, token_gini, vocab_overlap, class_balance); this
+file adds no logic — it shows the
 composition a source-triage report actually runs.
 """
 
@@ -34,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from database_collector_spark import curation
-from database_collector_spark.operators import dedup, text
+from database_collector_spark.operators import dedup, ranking, text
 from database_collector_spark.session import get_spark
 from database_collector_spark.workloads import _t
 
@@ -98,6 +107,21 @@ def run_triage(spark, sf_dir: str, token_budget: int) -> dict:
     )
     quotas = curation.token_budget_allocation(survivor_toks, token_budget)
 
+    # 5. contribution inequality: exact Gini of per-doc token counts —
+    #    a high-Gini source's budget is really a few huge documents.
+    counted = docs.where(F.col("text").isNotNull()).select(
+        "source", F.size(text.nonempty_tokens_col("text")).alias("n_tok")
+    )
+    gini = ranking.gini_by_group(counted, "n_tok", group_col="source")
+
+    # 6. lexical redundancy: pairwise vocabulary overlap (top pairs).
+    overlap = text.vocab_overlap_matrix(docs, group_col="source").orderBy(
+        F.col("jaccard").desc()
+    )
+
+    # 7. the balanced-sampling decision table per (source, lang).
+    balance = curation.class_balance_plan(docs)
+
     report = {
         "top_mirror_pairs": [
             (r["src_lo"], r["src_hi"], r["pair_count"], r["docs_involved"])
@@ -111,6 +135,13 @@ def run_triage(spark, sf_dir: str, token_budget: int) -> dict:
             r["source"]: r["dsir_mean"] for r in likeness.collect()
         },
         "token_quotas": {r["source"]: r["quota"] for r in quotas.collect()},
+        "token_gini": {r["source"]: r["gini"] for r in gini.collect()},
+        "top_vocab_overlap": [
+            (r["g_a"], r["g_b"], r["jaccard"]) for r in overlap.limit(5).collect()
+        ],
+        "min_keep_frac": min(
+            (r["keep_frac"] for r in balance.collect()), default=None
+        ),
     }
     assert sum(report["token_quotas"].values()) == token_budget
     return report
@@ -129,6 +160,11 @@ def main() -> None:
         print("kept per source (top-60% quality):", report["kept_per_source"])
         print("DSIR target-likeness per source:", report["dsir_mean_per_source"])
         print(f"token quotas (sum == {budget}):", report["token_quotas"])
+        print("token-supply Gini per source:", report["token_gini"])
+        print("most lexically redundant source pairs:")
+        for a, b, j in report["top_vocab_overlap"]:
+            print(f"  {a} <-> {b}: jaccard={j}")
+        print("harshest class-balance keep fraction:", report["min_keep_frac"])
     finally:
         spark.stop()
 
