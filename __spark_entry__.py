@@ -32,6 +32,7 @@ from database_collector_spark import (
     workloads_r10,
     workloads_r11,
     workloads_r12,
+    workloads_r13,
     workloads_ts,
 )
 
@@ -49,83 +50,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # Round-12 rotation, part 1 — NEW GATES: CORRECTNESS_r11 was 50/50
-    # green (zero red rows anywhere, second consecutive fully-green
-    # window), so the head goes straight to the SEVEN r12 gates staged
-    # in workloads_r12.py since round 11 (oracles pre-verified by the
+    # Round-13 rotation, part 1 — NEW GATES: CORRECTNESS_r12 was 50/50
+    # green (zero red rows anywhere, third consecutive fully-green
+    # window), so the head goes straight to the EIGHT r13 gates staged
+    # in workloads_r13.py since round 12 (oracles pre-verified by the
     # driver-identical staged differential at sf0.001/0.01/0.1 +
-    # local[7], judge-re-run green; registered this round).
-    "auc_by_group", "calibration_curve", "calibration_by_source",
-    "kendall_tau_banded", "ndcg_quality", "quantiles_by_group",
-    "source_governance",
-    # part 2 — staleness-bound backfill: the TWENTY-FOUR r7-latest
-    # gates (newest driver row = round 7; 12 - 7 = 5, the max-staleness
+    # local[7], judge-re-run green in the r12 VERDICT; registered this
+    # round).
+    "ndcg_by_source", "quantiles_refined", "calibration_fixed_bins",
+    "rule_attribution", "bucketed_join_persist", "map_quality",
+    "cohen_kappa", "hard_negatives",
+    # part 2 — staleness-bound backfill: the TWENTY-NINE r8-latest
+    # gates (newest driver row = round 8; 13 - 8 = 5, the max-staleness
     # bound binds THIS round). Computed from the CORRECTNESS_r*.json
-    # union, alphabetical (key_skew_profile .. zorder_layout).
-    "key_skew_profile", "leakage_safe_split", "lsh_recall_report",
-    "mad_outliers", "multimodal_audio", "null_funcs", "pagerank_exact",
-    "pii_scrub", "posexplode_tokens", "profile_table", "quantile_norm",
-    "retention_cohorts", "rolling_median", "rolling_zscore",
-    "seasonal_profile", "theil_sen_slope", "token_postings",
-    "trend_slope", "trimmed_mean", "try_arith", "unigram_logppl",
-    "url_dedup", "weighted_sample", "zorder_layout",
-    # part 3 — oldest-evidence backfill: the first 19 (alphabetical) of
-    # the 48 r8-latest gates (newest driver row = round 8; their bound
-    # binds at r13, taken early here to keep r13's arithmetic solvable).
-    "ann_sq8_topk", "bag_set_ops", "benford_audit", "bigram_logppl",
-    "capped_balance", "chunk_documents", "cms_join_size",
-    "corpus_shuffle", "corr_matrix", "decayed_counts",
-    "dedup_containment", "dist_drift", "embedding_covariance",
-    "embedding_dedup_clusters", "entity_resolution", "error_impact",
-    "filter_funnel", "freshness_audit", "interpolate_linear",
+    # union, alphabetical (interval_coalesce .. weighted_median).
+    "interval_coalesce", "jaccard_join_exact", "kcore_peel",
+    "kfold_split", "kmv_intersection", "long_running_sessions",
+    "m4_downsample", "map_funcs", "multimodal_png", "null_safe_join",
+    "oov_rate", "pattern_detect", "pit_join", "pmi_collocations",
+    "prorate_daily", "psi_drift", "rollup_cascade", "rrf_fusion",
+    "session_paths", "skyline_orders", "supplier_diversity",
+    "table_checksum", "time_to_convert", "time_weighted_avg",
+    "triangle_count", "value_histogram", "variant_json",
+    "waiting_suppliers", "weighted_median",
+    # part 3 — oldest-evidence backfill: the first 13 (alphabetical) of
+    # the 49 r9-latest gates (newest driver row = round 9; their bound
+    # binds at r14, taken early here per the r12 directive to keep
+    # r14's arithmetic solvable: the other 36 MUST take r14's head).
+    "ann_ivf_multiprobe", "ann_pq_adc", "ann_pq_codes",
+    "approx_distinct", "approx_quantiles", "argmax_customer",
+    "array_funcs", "asof_join", "auc_scores", "bfs_hops",
+    "bpe_fertility", "case_having", "corpus_diff",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r13 MANDATORY HEAD: any red r12 rows first, then the EIGHT r13
-    # gates staged in workloads_r13.py with pre-verified oracles
-    # (ndcg_by_source, quantiles_refined, calibration_fixed_bins,
-    # rule_attribution, bucketed_join_persist, map_quality,
-    # cohen_kappa, hard_negatives; registration = import
-    # QUERIES_R13/ORACLES_R13 into the dicts below + list them here),
-    # (r14 NOTE: workloads_r14.py already holds ELEVEN pre-staged,
-    # oracle-verified gates — pr_curve_sweep, lift_deciles, mcc_by_lang,
-    # brier_quality, ece_quality, ks_separation, mrr_quality,
-    # fleiss_panel, chi2_lang_source, vocab_coverage, class_balance —
-    # sized to fit r14's head next to the 36 r9-latest backfill gates:
-    # 36 + 11 = 47 <= 50; give the 3 spare slots to the first 3
-    # alphabetical r10-latest gates, they relieve r15.)
-    # SATURATION WARNING (r12 arithmetic, from the CORRECTNESS union):
-    # the rotation's steady-state ceiling is 50-slot windows x 5-round
-    # staleness = 250 registered gates. Cohorts by newest evidence:
-    # r7:24 r8:48 r9:49 r10:50 r11:50 (=221) + 8 (r13 staged) + 11
-    # (r14 staged) = 240 after r14 registers. r15's window is fully
-    # consumed by the 50 r10-latest gates (minus any taken early in
-    # r14's 3 spare slots); r16's by the 50 r11-latest. REGISTRATION
-    # capacity for NEW gates from r15 on is therefore ~3 per round at
-    # most (the early-backfill slack), 10 total to the ceiling. The 4
-    # STAGED r15 gates (workloads_r15.py: pack_chunks, agreement_alpha,
-    # token_gini, vocab_overlap — oracles pre-verified at
-    # sf0.001/0.01/0.1 + local[7])
-    # must register across r15-r18 as slack permits, or stay
-    # staged-green (the judge's differential covers staged gates via
-    # check.py --staged; that evidence tier is acceptable). Do NOT
-    # stage more than ~4 gates per round from here — the window cannot
-    # absorb them and the staleness meta-test will trip.
-    # then the TWENTY-NINE remaining
-    # r8-latest gates whose staleness bound binds EXACTLY at r13
-    # (newest row r8, 13 - 8 = 5), alphabetical: interval_coalesce,
-    # jaccard_join_exact, kcore_peel, kfold_split, kmv_intersection,
-    # long_running_sessions, m4_downsample, map_funcs, multimodal_png,
-    # null_safe_join, oov_rate, pattern_detect, pit_join,
-    # pmi_collocations, prorate_daily, psi_drift, rollup_cascade,
-    # rrf_fusion, session_paths, skyline_orders, supplier_diversity,
-    # table_checksum, time_to_convert, time_weighted_avg,
-    # triangle_count, value_histogram, variant_json, waiting_suppliers,
-    # weighted_median. That is red + 8 + 29 = 37+red, leaving 13 slots
-    # (assuming 0 reds) for r9-latest backfill — the 49-gate r9-latest
-    # cohort's staleness bound lands at r14, so its first 13
-    # (alphabetical) take r13's remaining slots and the other 36 MUST
-    # take r14's head (36 + r14-staged <= 50 caps the r14 cohort at
-    # ~14). Any red r12 row displaces from the END of the
-    # 13. Always recompute cohorts from the CORRECTNESS_r*.json union
+    # r14 MANDATORY HEAD: any red r13 rows first, then the 36 remaining
+    # r9-latest gates (newest row r9, 14 - 9 = 5, bound binds at r14),
+    # alphabetical (corpus_stats .. zscore_anomaly — recompute from the
+    # CORRECTNESS union, do not trust this parenthetical), then the
+    # ELEVEN r14 gates staged in workloads_r14.py with pre-verified
+    # oracles (pr_curve_sweep, lift_deciles, mcc_by_lang, brier_quality,
+    # ece_quality, ks_separation, mrr_quality, fleiss_panel,
+    # chi2_lang_source, vocab_coverage, class_balance; registration =
+    # import QUERIES_R14/ORACLES_R14 + list them here). That is
+    # red + 36 + 11 = 47+red; give the remaining 3 slots (assuming 0
+    # reds) to the first 3 alphabetical r10-latest gates — they relieve
+    # r15, whose window is otherwise fully consumed by the 50-gate
+    # r10-latest cohort.
+    # r15/r16 SLACK ALLOCATION (decided r13, per the r12 VERDICT #5):
+    # r15's head = any reds + the 47 remaining r10-latest gates
+    # (50 - 3 taken early in r14) = 47+red, leaving ~3 slots. Those 3
+    # go to STAGED r15 gates in this order: (1) agreement_alpha,
+    # (2) token_gini, (3) pack_chunks (its packing window was
+    # two-leveled in r13 — see curation.py — so it is registration-
+    # ready). vocab_overlap stays staged-green until r16, taking r16
+    # slack alongside the r16 candidates (embedding_drift first). The
+    # judge's check.py --staged differential remains the evidence tier
+    # for whatever has not yet ridden a slack slot.
+    # SATURATION ARITHMETIC (r13 recompute, from the CORRECTNESS
+    # union): cohorts by newest evidence after r12: r8:29 r9:49 r10:50
+    # r11:50 r12:50 (=228 registered) + 8 r13 = 236 after THIS round
+    # registers; + 11 r14 staged = 247 after r14. Steady-state ceiling
+    # = 50-slot window x 5-round staleness = 250. Registration capacity
+    # for NEW gates from r15 on is the early-backfill slack (~3/round).
+    # Do NOT stage more than ~3 gates per round from here — the window
+    # cannot absorb them and the staleness meta-test will trip.
+    # Always recompute cohorts from the CORRECTNESS_r*.json union
     # (tests/test_docs_consistency.py::test_rotation_debt_cannot_drift)
     # rather than trusting name lists written from memory — the r11
     # directive's expanded r7 name list was stale; only its computed
@@ -157,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads_r10.QUERIES_R10,
         **workloads_r11.QUERIES_R11,
         **workloads_r12.QUERIES_R12,
+        **workloads_r13.QUERIES_R13,
         **workloads_ts.QUERIES_TS,
     })
 
@@ -176,5 +165,6 @@ def oracle_sql() -> dict[str, str]:
         **workloads_r10.ORACLES_R10,
         **workloads_r11.ORACLES_R11,
         **workloads_r12.ORACLES_R12,
+        **workloads_r13.ORACLES_R13,
         **workloads_ts.ORACLES_TS,
     })

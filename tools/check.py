@@ -118,19 +118,18 @@ def value_hash(canon: list[str]) -> str:
 
 
 def staged_queries() -> dict:
-    """The CURRENT staged cohorts' queries (r13 + the pre-staged r14/r15,
-    as of round 12). This is the ONE place the staged-module pointer
-    lives: main()'s --staged merge AND the docs-consistency oracle
-    sweeps import it, so a registration round bumps exactly one import
-    and the staged oracles never escape the repo-wide meta-tests (a
-    staged oracle reintroducing a retired failure class — e.g. a fixed
-    generate_series position bound — must fail at staging time, not
-    after registration). When r13 registers, drop it here and leave
-    r14 (plus whatever r15 stages)."""
-    from database_collector_spark import workloads_r13, workloads_r14, workloads_r15
+    """The CURRENT staged cohorts' queries (the pre-staged r14/r15, as
+    of round 13 — r13 registered in round 13). This is the ONE place
+    the staged-module pointer lives: main()'s --staged merge AND the
+    docs-consistency oracle sweeps import it, so a registration round
+    bumps exactly one import and the staged oracles never escape the
+    repo-wide meta-tests (a staged oracle reintroducing a retired
+    failure class — e.g. a fixed generate_series position bound — must
+    fail at staging time, not after registration). When r14 registers,
+    drop it here and leave r15 (plus whatever r16 stages)."""
+    from database_collector_spark import workloads_r14, workloads_r15
 
     return {
-        **workloads_r13.QUERIES_R13,
         **workloads_r14.QUERIES_R14,
         **workloads_r15.QUERIES_R15,
     }
@@ -138,10 +137,9 @@ def staged_queries() -> dict:
 
 def staged_oracles() -> dict:
     """Oracle twins of staged_queries() — same single-pointer contract."""
-    from database_collector_spark import workloads_r13, workloads_r14, workloads_r15
+    from database_collector_spark import workloads_r14, workloads_r15
 
     return {
-        **workloads_r13.ORACLES_R13,
         **workloads_r14.ORACLES_R14,
         **workloads_r15.ORACLES_R15,
     }
