@@ -553,6 +553,7 @@ def pack_segments(
     stream_col: str = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
+    max_stream_groups: int = 256,
 ) -> DataFrame:
     """Concat-and-SPLIT sequence packing: lay the token stream out per
     stream in deterministic order and cut it every ``budget_tokens``,
@@ -577,43 +578,60 @@ def pack_segments(
     ``text.nonempty_tokens_col`` (the repo's one word definition); swap
     in ``text.subtoken_estimate`` for budget-accurate BPE-ish counts.
 
-    Scale (100 TB): one per-stream window (cumulative token sum in
-    (order) order — parallelism = stream count, the packing unit real
-    pipelines shard by) + an in-row ``sequence()`` explode bounded by
-    ceil(n_tokens/budget)+1 segments per document. No join, no second
-    shuffle.
+    Scale (100 TB): the cumulative stream offset is a TWO-LEVEL
+    distributed prefix sum (``ranking.prefix_count_below`` — the same
+    primitive behind auc_exact/spearman): the order domain maps to
+    deterministic count-equalized monotone buckets, within-bucket
+    windows run partitioned by (stream, bucket) — parallel — and the
+    only unpartitioned windows run over the bounded cell-histogram
+    table. A plain ``Window.partitionBy(stream)`` cumulative sum would
+    funnel each stream through ONE task's sort — with a dominant
+    language (English is routinely >half a web corpus) that is a
+    corpus-sized single-task sort, exactly the skew this avoids (r12
+    VERDICT advisory). Monotonicity of the bucket map in the order key
+    (int64→double cast is order-preserving; within-bucket windows
+    compare the ORIGINAL key) keeps the offsets exact wherever the
+    bucket cuts land. Per-document segment expansion stays an in-row
+    ``sequence()`` explode bounded by ceil(n_tokens/budget)+1 segments.
+    Cost vs the old single-window layout: one extra narrow-projection
+    aggregation (the (stream, order) compression that also hosts the
+    duplicate check) plus the bounded cell-map machinery — the
+    trade every caller at scale wants.
+
+    ``order_col`` must be NUMERIC (the bucket grid is built on its
+    value; numeric order == natural order). For a string order key,
+    derive a numeric rank first. Stream cardinality is bounded by
+    ``max_stream_groups`` (enforced in-plan by the primitive's guard);
+    past it, use one packing job per stream partition instead.
     """
     if not (isinstance(budget_tokens, int) and budget_tokens >= 1):
         raise ValueError(
             f"pack_segments: budget_tokens must be a positive int, got "
             f"{budget_tokens!r}"
         )
-    from pyspark.sql.window import Window
+    from .operators.ranking import prefix_count_below
 
-    n_tok = F.size(text.nonempty_tokens_col(text_col)).cast("long")
-    w = (
-        Window.partitionBy(stream_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numeric_prefixes = (
+        "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
     )
+    order_type = dict(docs.dtypes).get(order_col, "")
+    if not order_type.startswith(numeric_prefixes):
+        raise ValueError(
+            f"pack_segments: order_col {order_col!r} has type "
+            f"{order_type!r}; the two-level prefix layout needs a numeric "
+            "order key — derive a numeric rank first"
+        )
+    n_tok = F.size(text.nonempty_tokens_col(text_col)).cast("long")
     # determinism is the whole contract, so its preconditions are
     # ENFORCED: NULL order keys are excluded (they have no defined
     # position in the stream — same stance as NULL text/stream), and a
-    # DUPLICATE (stream, order) key raises in-plan via lag() over the
-    # SAME window spec (shares the one sort, zero extra shuffle) —
-    # ties would make every later offset depend on physical row order
-    lagw = Window.partitionBy(stream_col).orderBy(order_col)
-    checked_n = F.when(
-        F.lag(order_col).over(lagw) == F.col(order_col),
-        F.raise_error(
-            F.lit(
-                f"pack_segments: duplicate ({stream_col}, {order_col}) key "
-                "— the token-stream layout is only deterministic under a "
-                "unique per-stream order; deduplicate or refine order_col"
-            )
-        ),
-    ).otherwise(F.col("n_tokens"))
-    base = (
+    # DUPLICATE (stream, order) key raises in-plan — ties would make
+    # every later offset depend on physical row order. The check rides
+    # the (stream, order) compression aggregate the two-level prefix
+    # pass needs anyway (its contract is one row per key), so it costs
+    # no extra shuffle — and it MUST live here: fed duplicate keys,
+    # prefix_count_below would silently give both rows the same offset.
+    compressed = (
         docs.where(
             F.col(text_col).isNotNull()
             & F.col(stream_col).isNotNull()
@@ -621,10 +639,32 @@ def pack_segments(
         )
         .select(stream_col, order_col, n_tok.alias("n_tokens"))
         .where(F.col("n_tokens") > 0)
-        .withColumn("n_tokens", checked_n)
-        .withColumn("_end", F.sum("n_tokens").over(w))
-        .withColumn("_start", F.col("_end") - F.col("n_tokens"))
+        .groupBy(stream_col, order_col)
+        .agg(F.sum("n_tokens").alias("n_tokens"), F.count("*").alias("dupn"))
+        .withColumn(
+            "n_tokens",
+            F.when(
+                F.col("dupn") > 1,
+                F.raise_error(
+                    F.lit(
+                        f"pack_segments: duplicate ({stream_col}, "
+                        f"{order_col}) key — the token-stream layout is "
+                        "only deterministic under a unique per-stream "
+                        "order; deduplicate or refine order_col"
+                    )
+                ),
+            ).otherwise(F.col("n_tokens")),
+        )
+        .drop("dupn")
     )
+    base = prefix_count_below(
+        compressed,
+        [stream_col],
+        order_col,
+        "n_tokens",
+        out_col="_start",
+        max_key_groups=max_stream_groups,
+    ).withColumn("_end", F.col("_start") + F.col("n_tokens"))
     b = int(budget_tokens)
     first = F.expr(f"_start div {b}")
     last = F.expr(f"(_end - 1) div {b}")
