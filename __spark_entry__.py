@@ -101,10 +101,15 @@ _CHECK_FIRST = [
     # go to STAGED r15 gates in this order: (1) agreement_alpha,
     # (2) token_gini, (3) pack_chunks (its packing window was
     # two-leveled in r13 — see curation.py — so it is registration-
-    # ready). vocab_overlap stays staged-green until r16, taking r16
-    # slack alongside the r16 candidates (embedding_drift first). The
-    # judge's check.py --staged differential remains the evidence tier
-    # for whatever has not yet ridden a slack slot.
+    # ready). NOTE the post-saturation reality: once 250 registers
+    # (end of r15), EVERY later window is exactly consumed by the
+    # 50-gate cohort from 5 rounds back — r16+ has ZERO structural
+    # slack, so vocab_overlap and the r16 staged cohort
+    # (workloads_r16.py) stay at the staged-green evidence tier
+    # PERMANENTLY (the judge's check.py --staged differential covers
+    # them; that tier is acceptable per the r12 VERDICT) unless a
+    # registered gate is deliberately RETIRED in a 1-for-1 swap —
+    # record any such swap here with its rationale.
     # SATURATION ARITHMETIC (r13 recompute, from the CORRECTNESS
     # union): cohorts by newest evidence after r12: r8:29 r9:49 r10:50
     # r11:50 r12:50 (=228 registered) + 8 r13 = 236 after THIS round

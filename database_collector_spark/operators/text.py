@@ -1025,3 +1025,149 @@ def vocab_overlap_matrix(
             6,
         ).alias("containment"),
     )
+
+
+def zipf_head_fit(
+    docs: DataFrame,
+    *,
+    k: int = 100,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law head fit per group: OLS of log10(count) on log10(rank)
+    over each group's top-``k`` vocabulary terms — the standard corpus
+    health read (natural language sits near slope −1; a much flatter
+    head says boilerplate/templating, a much steeper one says a
+    degenerate vocabulary), fit on the HEAD because that is where the
+    law holds and where a bounded, deterministic sample exists at any
+    corpus size.
+
+    Reports per group: ``n_terms`` (<= k — a tiny group fits what it
+    has), ``slope``, ``intercept`` (log10 count at rank 1 under the
+    fit), and ``r2``; slope/r2 are NULL when fewer than 2 head terms
+    exist, r2 additionally NULL when every head count is identical
+    (zero y-variance — the fit line is horizontal and r2 is 0/0).
+
+    Numeric discipline: ranks and counts are exact integers; the fit's
+    x/y are log10 over those integers (the accepted SUM(log(integer))
+    class of unigram_logppl — both engines' log10 are correctly-rounded
+    doubles) summed over at most ``k`` terms per group, then ONE
+    division per coefficient, rounded to 6.
+
+    Plan shape at 100 TB: the vocabulary aggregate is the one
+    token-stream-sized shuffle any vocab statistic pays; the per-group
+    top-k ranking window gets Spark's rank-limit pushdown
+    (WindowGroupLimit: every task keeps k rows before the per-group
+    sort reaches the exchange), so the vocabulary never sorts
+    whole-group partitions; the OLS fold runs over <= k rows per
+    group. Ties rank deterministically ((count DESC, token ASC) — both
+    engines compare strings bytewise on this corpus's ASCII tokens).
+    """
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"zipf_head_fit: k must be a positive int, got {k!r}")
+    from pyspark.sql.window import Window
+
+    vocab = (
+        docs.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"), F.explode(nonempty_tokens_col(text_col)).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("t").asc())
+    head = (
+        vocab.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("g", F.log10(F.col("r").cast("double")).alias("x"),
+                F.log10(F.col("c").cast("double")).alias("y"))
+    )
+    agg = head.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(dx > 0, cov / dx)
+    intercept = F.when(dx > 0, (F.col("sy") - (cov / dx) * F.col("sx")) / n)
+    r2 = F.when((dx > 0) & (dy > 0), (cov * cov) / (dx * dy))
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def bigram_cond_entropy(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conditional next-token entropy H(next | prev) per group over
+    adjacent word bigrams, in nats — the model-free predictability read
+    of a corpus slice (low entropy = templated/repetitive text a
+    quality gate should look at; natural prose sits well above
+    boilerplate). Exactly H = [Σ_p c_p·ln(c_p) − Σ_{p,n} c_pn·ln(c_pn)]
+    / N over the bigram counts c_pn, their prev-marginals c_p = Σ_n
+    c_pn, and the stream total N: every ln is over an exact integer
+    count (the accepted SUM(c·ln(c)) class of unigram_logppl /
+    char_entropy), rounded to 4.
+
+    Adjacency is over the FILTERED token list (``nonempty_tokens_col``
+    — the repo's one word definition), so runs of extra whitespace do
+    not break pairs.
+
+    Plan shape at 100 TB: bigram construction is a zero-shuffle in-row
+    array transform; ONE bigram-keyed aggregate is the token-stream
+    shuffle any bigram statistic pays; the prev-marginal re-aggregate
+    and both entropy folds ride the COMPRESSED (group, prev, next)
+    count table (vocabulary²-bounded, far smaller than the corpus). No
+    window, no join, no Python.
+
+    Output: (group, n_prev, n_pairs, total_bigrams, cond_entropy).
+    """
+    w = nonempty_tokens_col(text_col)
+    pairs = (
+        docs.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                F.transform(
+                    # greatest(...,0): a fully-filtered token list is EMPTY
+                    # (unlike raw split, which never is) and slice() raises
+                    # on a negative length
+                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                    lambda x, i: F.struct(x.alias("p"), w[i + 1].alias("n")),
+                )
+            ).alias("bg"),
+        )
+        .select("g", "bg.p", "bg.n")
+    )
+    c2 = pairs.groupBy("g", "p", "n").agg(F.count("*").cast("long").alias("c"))
+    ln_fold = lambda c: F.sum(F.col(c).cast("double") * F.log(F.col(c).cast("double")))  # noqa: E731
+    a2 = c2.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("c").cast("long").alias("total_bigrams"),
+        ln_fold("c").alias("_t2"),
+    )
+    c1 = c2.groupBy("g", "p").agg(F.sum("c").cast("long").alias("cp"))
+    a1 = c1.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_prev"),
+        ln_fold("cp").alias("_t1"),
+    )
+    return a2.join(a1, "g").select(
+        F.col("g").alias(group_col),
+        "n_prev",
+        "n_pairs",
+        "total_bigrams",
+        F.round(
+            (F.col("_t1") - F.col("_t2")) / F.col("total_bigrams").cast("double"), 4
+        ).alias("cond_entropy"),
+    )

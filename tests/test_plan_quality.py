@@ -1016,3 +1016,43 @@ def test_pack_segments_has_no_per_stream_corpus_sort(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zipf_head_fit_window_is_rank_limit_pushed(spark):
+    from database_collector_spark import workloads_r16
+
+    plan = _plan(workloads_r16.q_zipf_head_fit(spark, SF))
+    # the top-k vocabulary ranking must get Spark's rank-limit pushdown
+    # (partial + final WindowGroupLimit): each task keeps k rows before
+    # the per-group sort, so the vocabulary never sorts whole-group
+    # partitions at any corpus size
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_bigram_cond_entropy_has_no_window_and_no_python(spark):
+    from database_collector_spark import workloads_r16
+
+    plan = _plan(workloads_r16.q_bigram_cond_entropy(spark, SF))
+    # pure aggregate pipeline: in-row bigram explode + keyed aggregates
+    # over the compressed count table — no window machinery at all (the
+    # gate's orderBy is the only sort), no Python, no cartesian
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_embedding_drift_folds_are_keyed_and_broadcast(spark):
+    from database_collector_spark import workloads_r16
+
+    plan = _plan(workloads_r16.q_embedding_drift(spark, SF))
+    # the per-dim sums join the bounded per-group count tables via
+    # BROADCAST (the counts are |groups| rows); no Python, no cartesian,
+    # no single-partition funnel — (group, dim) supplies the parallelism
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 0

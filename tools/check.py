@@ -126,22 +126,24 @@ def staged_queries() -> dict:
     repo-wide meta-tests (a staged oracle reintroducing a retired
     failure class — e.g. a fixed generate_series position bound — must
     fail at staging time, not after registration). When r14 registers,
-    drop it here and leave r15 (plus whatever r16 stages)."""
-    from database_collector_spark import workloads_r14, workloads_r15
+    drop it here and leave r15/r16."""
+    from database_collector_spark import workloads_r14, workloads_r15, workloads_r16
 
     return {
         **workloads_r14.QUERIES_R14,
         **workloads_r15.QUERIES_R15,
+        **workloads_r16.QUERIES_R16,
     }
 
 
 def staged_oracles() -> dict:
     """Oracle twins of staged_queries() — same single-pointer contract."""
-    from database_collector_spark import workloads_r14, workloads_r15
+    from database_collector_spark import workloads_r14, workloads_r15, workloads_r16
 
     return {
         **workloads_r14.ORACLES_R14,
         **workloads_r15.ORACLES_R15,
+        **workloads_r16.ORACLES_R16,
     }
 
 
