@@ -1,10 +1,12 @@
-"""Round-13 STAGED gates (not yet imported by ``__spark_entry__``).
+"""Round-13 gates — REGISTERED in the round-13 window (staged round 12).
 
 The r8-proven staging pattern: each gate ships with its DuckDB oracle
 twin and runs through the driver-identical differential in
 ``tests/test_r13_staged_differential.py`` at sf0.001 (plus the LIMIT-0
 Arrow-portability sweep) the round BEFORE registration, so window
-registration next round is a two-line import.
+registration next round is a two-line import — executed in round 13
+(``__spark_entry__`` imports QUERIES_R13/ORACLES_R13 and heads the
+check window with this cohort).
 
 Cohort (the r11 verdict's item-2 list plus the Spark-first layout gate):
 

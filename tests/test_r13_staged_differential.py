@@ -251,24 +251,31 @@ def test_fixed_bin_calibration_stream_end_state_matches_batch(spark):
 
 
 def test_every_staged_gate_is_documented_and_window_headed():
-    # staged-gate bookkeeping (the r8-proven pattern): every r13 gate
-    # appears in the r13 window-head directive comment and has exactly
-    # one "queued r13" COVERAGE row mentioning it by name
+    # staged-gate bookkeeping (the r8-proven pattern), post-registration
+    # form: every r13 gate sits in the live _CHECK_FIRST window and has
+    # exactly one "REGISTERED r13" COVERAGE row mentioning it by name
+    import __spark_entry__ as entrymod
+
     cov = open("/root/repo/COVERAGE.md").read()
-    entry_src = open("/root/repo/__spark_entry__.py").read()
     for name in workloads_r13.QUERIES_R13:
-        assert name in entry_src, f"{name} missing from the r13 window-head comment"
+        assert name in entrymod._CHECK_FIRST, f"{name} not in the r13 window"
         assert f"`{name}`" in cov, f"{name} missing a COVERAGE row"
-    assert cov.count("queued r13") == len(workloads_r13.QUERIES_R13), (
-        "queued-r13 COVERAGE rows must be 1:1 with the r13 staged cohort"
+    assert cov.count("REGISTERED r13") == len(workloads_r13.QUERIES_R13), (
+        "REGISTERED r13 COVERAGE rows must be 1:1 with the r13 cohort"
     )
 
 
-def test_staged_names_do_not_shadow_registered_gates():
+def test_r13_cohort_is_fully_registered():
+    # the inverse of the pre-registration shadow check: since round 13
+    # every r13 name must resolve in the REGISTERED surface with the
+    # module's own callable/SQL (the _ordered merge must not have
+    # dropped or shadowed any)
     import __spark_entry__ as entrymod
 
-    overlap = set(workloads_r13.QUERIES_R13) & set(entrymod.queries())
-    assert not overlap, f"staged names shadow registered gates: {overlap}"
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    for name in workloads_r13.QUERIES_R13:
+        assert qs[name] is workloads_r13.QUERIES_R13[name], name
+        assert os_[name] == workloads_r13.ORACLES_R13[name], name
 
 
 def test_r13_registration_dry_run_composes(spark):
