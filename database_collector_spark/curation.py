@@ -611,11 +611,19 @@ def pack_segments(
         )
     from .operators.ranking import prefix_count_below
 
-    numeric_prefixes = (
-        "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
-    )
-    order_type = dict(docs.dtypes).get(order_col, "")
-    if not order_type.startswith(numeric_prefixes):
+    dtypes = dict(docs.dtypes)
+    if order_col not in dtypes:
+        raise ValueError(
+            f"pack_segments: order_col {order_col!r} is not a column of the "
+            f"input (columns: {sorted(dtypes)})"
+        )
+    # EXACT type-name match (plus the parameterized decimal family):
+    # a prefix test would let 'interval day to second' pass as 'int'
+    # and die later inside prefix_count_below with an error that never
+    # mentions order_col (review finding)
+    numeric_types = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    order_type = dtypes[order_col]
+    if order_type not in numeric_types and not order_type.startswith("decimal("):
         raise ValueError(
             f"pack_segments: order_col {order_col!r} has type "
             f"{order_type!r}; the two-level prefix layout needs a numeric "

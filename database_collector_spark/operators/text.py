@@ -1052,7 +1052,18 @@ def zipf_head_fit(
     x/y are log10 over those integers (the accepted SUM(log(integer))
     class of unigram_logppl — both engines' log10 are correctly-rounded
     doubles) summed over at most ``k`` terms per group, then ONE
-    division per coefficient, rounded to 6.
+    division per coefficient, rounded to 6. Both NULL-ness guards run
+    on EXACT operands, never on the float sums (review finding — the
+    cancelled float ``n·syy − sy²`` can flip sign with summation order
+    when head counts are nearly log-equal, and a NULL-vs-number flip
+    is a cross-engine red no rounding can absorb): slope/intercept
+    guard on ``n_terms >= 2`` (ranks 1..n are distinct, so the true
+    x-variance is positive exactly when n >= 2) and r2 additionally on
+    the exact integer ``min(count) < max(count)``. The r2 VALUE keeps
+    the documented residual float class: with a genuinely-varying but
+    nearly-log-equal head the cancelled numerator/denominator are
+    noise-dominated — real corpus heads span decades of counts, and
+    the NULL boundary itself can no longer flip.
 
     Plan shape at 100 TB: the vocabulary aggregate is the one
     token-stream-sized shuffle any vocab statistic pays; the per-group
@@ -1077,11 +1088,14 @@ def zipf_head_fit(
     head = (
         vocab.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= k)
-        .select("g", F.log10(F.col("r").cast("double")).alias("x"),
+        .select("g", F.col("c"),
+                F.log10(F.col("r").cast("double")).alias("x"),
                 F.log10(F.col("c").cast("double")).alias("y"))
     )
     agg = head.groupBy("g").agg(
         F.count("*").cast("long").alias("n_terms"),
+        F.min("c").cast("long").alias("c_min"),
+        F.max("c").cast("long").alias("c_max"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
@@ -1092,9 +1106,13 @@ def zipf_head_fit(
     dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     dy = n * F.col("syy") - F.col("sy") * F.col("sy")
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    slope = F.when(dx > 0, cov / dx)
-    intercept = F.when(dx > 0, (F.col("sy") - (cov / dx) * F.col("sx")) / n)
-    r2 = F.when((dx > 0) & (dy > 0), (cov * cov) / (dx * dy))
+    # EXACT guards (see docstring): fittable iff n >= 2; y-variance
+    # nonzero iff the exact integer counts are not all equal
+    fittable = F.col("n_terms") >= 2
+    varies = F.col("c_min") < F.col("c_max")
+    slope = F.when(fittable, cov / dx)
+    intercept = F.when(fittable, (F.col("sy") - (cov / dx) * F.col("sx")) / n)
+    r2 = F.when(fittable & varies, (cov * cov) / (dx * dy))
     return agg.select(
         F.col("g").alias(group_col),
         "n_terms",
@@ -1133,18 +1151,27 @@ def bigram_cond_entropy(
 
     Output: (group, n_prev, n_pairs, total_bigrams, cond_entropy).
     """
-    w = nonempty_tokens_col(text_col)
+    # bind the filtered token array ONCE per row: referencing the
+    # nonempty_tokens_col expression inside the transform lambda would
+    # re-evaluate the whole filter(split(...)) per bigram element —
+    # O(tokens²) per document (review finding); against a bound column
+    # w[i+1] is an O(1) array access
+    wref = F.col("_w")
     pairs = (
         docs.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
         .select(
             F.col(group_col).alias("g"),
+            nonempty_tokens_col(text_col).alias("_w"),
+        )
+        .select(
+            "g",
             F.explode(
                 F.transform(
                     # greatest(...,0): a fully-filtered token list is EMPTY
                     # (unlike raw split, which never is) and slice() raises
                     # on a negative length
-                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-                    lambda x, i: F.struct(x.alias("p"), w[i + 1].alias("n")),
+                    F.slice(wref, 1, F.greatest(F.size(wref) - 1, F.lit(0))),
+                    lambda x, i: F.struct(x.alias("p"), wref[i + 1].alias("n")),
                 )
             ).alias("bg"),
         )

@@ -139,24 +139,28 @@ ranked AS (
   FROM vocab
 ),
 head AS (
-  SELECT lang, log10(CAST(r AS DOUBLE)) AS x, log10(CAST(c AS DOUBLE)) AS y
+  SELECT lang, c,
+         log10(CAST(r AS DOUBLE)) AS x, log10(CAST(c AS DOUBLE)) AS y
   FROM ranked WHERE r <= {_ZIPF_K}
 ),
 s AS (
   SELECT lang, COUNT(*)::BIGINT AS n_terms,
+         MIN(c)::BIGINT AS c_min, MAX(c)::BIGINT AS c_max,
          SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
          SUM(x * x) AS sxx, SUM(y * y) AS syy
   FROM head GROUP BY lang
 )
+-- NULL-ness guards on EXACT operands, mirroring the operator: fittable
+-- iff n_terms >= 2, y-variance nonzero iff the integer counts differ
 SELECT lang, n_terms,
-       CASE WHEN n_terms * sxx - sx * sx > 0 THEN
+       CASE WHEN n_terms >= 2 THEN
          round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
        END AS slope,
-       CASE WHEN n_terms * sxx - sx * sx > 0 THEN
+       CASE WHEN n_terms >= 2 THEN
          round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
                / n_terms, 6)
        END AS intercept,
-       CASE WHEN n_terms * sxx - sx * sx > 0 AND n_terms * syy - sy * sy > 0 THEN
+       CASE WHEN n_terms >= 2 AND c_min < c_max THEN
          round((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
                / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
        END AS r2

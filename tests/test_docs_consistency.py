@@ -122,3 +122,27 @@ def test_no_oracle_enumerates_positions_with_a_fixed_bound():
                 "bound silently truncates on long documents; derive the "
                 "bound from the row (len(t)-based) instead"
             )
+
+
+def test_staged_cohorts_never_shadow_registered_gates():
+    """check.py's --staged merge applies the staged dicts AFTER the
+    registered surface, so a staged gate reusing a registered name
+    would silently REPLACE the registered gate in every staged
+    differential run — the registered oracle comparison would stop
+    executing while still reporting green (review finding: the r13
+    cohort's pre-registration shadow check used to pin this class;
+    this is its cohort-agnostic, always-live replacement, importing
+    the ONE staged-module pointer so new cohorts are covered the
+    moment they stage)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check", os.path.join(ROOT, "tools", "check.py")
+    )
+    check = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(check)
+    staged = set(check.staged_queries())
+    overlap = staged & set(entrymod.queries())
+    assert not overlap, f"staged names shadow registered gates: {overlap}"
+    # and the staged surface itself must stay 1:1 with its oracles
+    assert staged == set(check.staged_oracles())

@@ -53,12 +53,18 @@ def _assert_single_partition_inputs_bounded(
             f"  line:  {ln.strip()[:120]}\n"
             f"  below: {[b.strip()[:90] for b in below]}"
         )
-        for above in lines[max(0, i - 3) : i]:
-            if "Sort [" in above:
-                assert any(m in above for m in sorted_key_markers), (
-                    f"sorted single-partition consumer on an unexpected "
+        # Sorts on BOTH sides of the exchange must be on bounded-domain
+        # keys: above = a sorted single-partition consumer, below = a
+        # per-partition sort feeding the gather (review finding — the
+        # child prong alone would admit 'Exchange / Sort [data col] /
+        # HashAggregate', a sorted corpus funnel with an aggregate in
+        # window range)
+        for near in [*lines[max(0, i - 3) : i], *below]:
+            if "Sort [" in near:
+                assert any(m in near for m in sorted_key_markers), (
+                    f"sorted single-partition neighbor on an unexpected "
                     f"key (corpus-funnel signature):\n"
-                    f"  sort: {above.strip()[:120]}"
+                    f"  sort: {near.strip()[:120]}"
                 )
 
 
@@ -973,6 +979,18 @@ def test_bounded_inputs_helper_still_fails_a_corpus_funnel():
     with pytest.raises(AssertionError, match="corpus-funnel"):
         _assert_single_partition_inputs_bounded(
             sorted_data_key, sorted_key_markers=("_cell#",)
+        )
+    # sorted BELOW the exchange (per-partition sort feeding the gather)
+    # with an aggregate inside the 3-line window: the child prong is
+    # satisfied, the sort-key prong must still catch the data-column key
+    sorted_below = "\n".join([
+        "Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]",
+        "+- Sort [score#3 ASC NULLS FIRST], false, 0",
+        "   +- HashAggregate(keys=[score#3], functions=[count(1)])",
+    ])
+    with pytest.raises(AssertionError, match="corpus-funnel"):
+        _assert_single_partition_inputs_bounded(
+            sorted_below, sorted_key_markers=("_cell#",)
         )
     bounded_with_wrapper = "\n".join([
         "Sort [_cell#11L ASC NULLS FIRST], false, 0",
