@@ -44,13 +44,28 @@ def _assert_single_partition_inputs_bounded(
     no aggregate line to satisfy the child prong, and a sorted consumer
     on a data column still trips the key prong."""
     lines = plan.splitlines()
+    # wrapper nodes that forward their child's rows 1:1 — only these may
+    # sit between the exchange and its aggregate child; anything else
+    # (Generate/explode, Expand, joins, Project-with-explode) can change
+    # the row volume, so an aggregate further down no longer bounds what
+    # the exchange gathers (second-pass review: the any-marker-in-window
+    # form admitted 'Exchange / Generate explode / HashAggregate')
+    _PASSTHROUGH = ("AQEShuffleRead", "ShuffleQueryStage", "InputAdapter",
+                    "ReusedExchange", "TableCacheQueryStage", "InMemoryTableScan")
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
         below = lines[i + 1 : i + 4]
-        assert any(m in b for b in below for m in child_markers), (
+        effective_child = ""
+        for b in below:
+            if any(w in b for w in _PASSTHROUGH):
+                continue
+            effective_child = b
+            break
+        assert any(m in effective_child for m in child_markers), (
             f"SinglePartition exchange over un-aggregated input:\n"
             f"  line:  {ln.strip()[:120]}\n"
+            f"  child: {effective_child.strip()[:90]}\n"
             f"  below: {[b.strip()[:90] for b in below]}"
         )
         # Sorts on BOTH sides of the exchange must be on bounded-domain
@@ -980,6 +995,17 @@ def test_bounded_inputs_helper_still_fails_a_corpus_funnel():
         _assert_single_partition_inputs_bounded(
             sorted_data_key, sorted_key_markers=("_cell#",)
         )
+    # a row-multiplying operator between the exchange and the aggregate:
+    # the aggregate bounds ITS OWN output, not the exploded rows the
+    # exchange actually gathers — must fail the child prong even though
+    # an aggregate marker sits within the 3-line window
+    exploded = "\n".join([
+        "Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]",
+        "+- Generate explode(tokens#9), [lang#2], false, [t#12]",
+        "   +- HashAggregate(keys=[lang#2], functions=[collect_list(t#5)])",
+    ])
+    with pytest.raises(AssertionError, match="un-aggregated input"):
+        _assert_single_partition_inputs_bounded(exploded)
     # sorted BELOW the exchange (per-partition sort feeding the gather)
     # with an aggregate inside the 3-line window: the child prong is
     # satisfied, the sort-key prong must still catch the data-column key

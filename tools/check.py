@@ -118,8 +118,8 @@ def value_hash(canon: list[str]) -> str:
 
 
 def staged_queries() -> dict:
-    """The CURRENT staged cohorts' queries (the pre-staged r14/r15, as
-    of round 13 — r13 registered in round 13). This is the ONE place
+    """The CURRENT staged cohorts' queries (r14 + r15 + r16, as of
+    round 13 — r13 registered in round 13). This is the ONE place
     the staged-module pointer lives: main()'s --staged merge AND the
     docs-consistency oracle sweeps import it, so a registration round
     bumps exactly one import and the staged oracles never escape the
