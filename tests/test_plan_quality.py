@@ -1006,15 +1006,17 @@ def test_bounded_inputs_helper_still_fails_a_corpus_funnel():
     ])
     with pytest.raises(AssertionError, match="un-aggregated input"):
         _assert_single_partition_inputs_bounded(exploded)
-    # sorted BELOW the exchange (per-partition sort feeding the gather)
-    # with an aggregate inside the 3-line window: the child prong is
-    # satisfied, the sort-key prong must still catch the data-column key
+    # sorted BELOW the exchange (per-partition sort feeding the gather):
+    # the effective-child prong fires first — a Sort is not a 1:1
+    # passthrough wrapper, so the shape fails as un-aggregated input
+    # (and even if Sort were ever whitelisted, the sort-key prong would
+    # still catch the data-column key)
     sorted_below = "\n".join([
         "Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]",
         "+- Sort [score#3 ASC NULLS FIRST], false, 0",
         "   +- HashAggregate(keys=[score#3], functions=[count(1)])",
     ])
-    with pytest.raises(AssertionError, match="corpus-funnel"):
+    with pytest.raises(AssertionError, match="un-aggregated input"):
         _assert_single_partition_inputs_bounded(
             sorted_below, sorted_key_markers=("_cell#",)
         )
