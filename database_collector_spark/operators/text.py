@@ -407,15 +407,27 @@ def pmi_collocations(
     broadcast hash joins, and N is a one-row broadcast. Nothing
     |corpus|-sized shuffles more than once.
     """
+    # bind the token array ONCE per row before the lambda: referencing
+    # the split(...) expression inside it would re-split the document
+    # per bigram element — O(tokens²) per doc in the corpus-scan hot
+    # path (same review finding as bigram_cond_entropy); against a
+    # bound column w[i+1] is an O(1) array access, and CollapseProject
+    # keeps the non-cheap multi-referenced alias in its own project
     w = tokens_col(text_col)
-    bigrams = docs.select(
-        F.explode(
-            F.transform(
-                F.slice(w, 1, F.size(w) - 1),
-                lambda x, i: F.struct(x.alias("x"), w[i + 1].alias("y")),
-            )
-        ).alias("bg")
-    ).select("bg.x", "bg.y").where((F.col("x") != "") & (F.col("y") != ""))
+    wref = F.col("_w")
+    bigrams = (
+        docs.select(w.alias("_w"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(wref, 1, F.size(wref) - 1),
+                    lambda x, i: F.struct(x.alias("x"), wref[i + 1].alias("y")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.x", "bg.y")
+        .where((F.col("x") != "") & (F.col("y") != ""))
+    )
     c_xy = bigrams.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
     uni = (
         docs.select(F.explode(w).alias("t"))
@@ -451,18 +463,23 @@ def pmi_collocations(
     )
 
 
-def _feature_col(text_col: str, bigrams: bool) -> F.Column:
-    """Unigram (and optionally word-bigram) feature array, in-row."""
-    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+def _feature_col(tok_col: str, bigrams: bool) -> F.Column:
+    """Unigram (and optionally word-bigram) feature array over an
+    ALREADY-BOUND token-array column (callers select
+    ``nonempty_tokens_col`` under a name first): referencing the
+    filter(split(...)) expression inside the transform lambda would
+    re-tokenize the document per bigram element — O(tokens²) per doc
+    (review finding, same class as bigram_cond_entropy) — while against
+    a bound column every ``element_at`` is O(1)."""
     if not bigrams:
-        return F.expr(toks)
+        return F.col(tok_col)
     # bigram i joins token i with token i+1; element_at is 1-based and the
     # slice bounds keep i+2 in range. slice length is floored at 0 so
     # single-token and empty docs yield an empty bigram array, not an error.
     return F.expr(
-        f"concat({toks}, transform("
-        f" slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
-        f" (x, i) -> concat(x, '_', element_at({toks}, i + 2))))"
+        f"concat({tok_col}, transform("
+        f" slice({tok_col}, 1, greatest(size({tok_col}) - 1, 0)),"
+        f" (x, i) -> concat(x, '_', element_at({tok_col}, i + 2))))"
     )
 
 
@@ -542,12 +559,16 @@ def hashed_classifier(
     label = 'keep' iff the mean feature weight is strictly positive.
     """
     _check_clf_params(n_buckets, salt)
-    feats = _feature_col(text_col, bigrams)
-    # feature array materialized ONCE: lambda-bearing expressions get no
-    # common-subexpression elimination (see readability), so deriving the
-    # fold and size() from a shared column avoids re-running the per-word
-    # regex/concat work per consumer.
-    base = docs.select("doc_id", feats.alias("_feats"))
+    # TWO-step binding: tokens once, then the feature array once —
+    # lambda-bearing expressions get no common-subexpression
+    # elimination (see readability), so the bigram lambda must read a
+    # bound token column (O(1) element_at, not a per-element
+    # re-tokenization) and every later consumer (fold, size) reads the
+    # bound feature column.
+    base = (
+        docs.select("doc_id", nonempty_tokens_col(text_col).alias("_toks"))
+        .select("doc_id", _feature_col("_toks", bigrams).alias("_feats"))
+    )
     if weights is None:
         w_sql = _hash_weight_sql("f", n_buckets, salt)
         scored = base.select(
