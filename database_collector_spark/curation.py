@@ -77,15 +77,18 @@ def curate(
         .drop("quality_score")
     )
     if repetition_max is not None:
-        # fused scalar filter, not a join against a stats table: the gram
-        # array materializes as its own projection (CollapseProject keeps
-        # non-cheap expressions single-evaluation), the fraction derives
-        # from it, and the whole gate rides the same scan — zero shuffle
-        toks = F.split(F.col("text"), " ")
+        # fused scalar filter, not a join against a stats table: the
+        # TOKEN array binds first (grams_of's lambda referencing an
+        # unbound split(...) re-splits the text per gram — review
+        # finding class), then the gram array materializes as its own
+        # projection (CollapseProject keeps non-cheap expressions
+        # single-evaluation), the fraction derives from it, and the
+        # whole gate rides the same scan — zero shuffle
         kept = (
-            kept.withColumn("__rep_grams", text.grams_of(toks))
+            kept.withColumn("__toks", F.split(F.col("text"), " "))
+            .withColumn("__rep_grams", text.grams_of(F.col("__toks")))
             .filter(text.dup_gram_frac(F.col("__rep_grams")) <= repetition_max)
-            .drop("__rep_grams")
+            .drop("__toks", "__rep_grams")
         )
     # exact tier: keep one doc per identical text (canonical = min doc_id)
     canon = dedup.exact_dedup(kept).select(

@@ -104,17 +104,21 @@ def span_dedup(
     Output: (doc_id, n_spans, kept_spans, text_dedup) where text_dedup
     is the document with duplicated spans dropped.
     """
-    words = F.split(F.col(text_col), " ")
-    segs = docs.select(
+    # bind the split array ONCE per row: a lambda referencing the
+    # split(...) expression re-splits the document per span (review
+    # finding class — O(tokens · spans) per doc); against the bound
+    # column each slice is an O(span) copy of an existing array
+    wref = F.col("_w")
+    segs = docs.select("doc_id", F.split(F.col(text_col), " ").alias("_w")).select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(
                     F.lit(0),
-                    F.ceil(F.size(words) / span_words).cast("int") - 1,
+                    F.ceil(F.size(wref) / span_words).cast("int") - 1,
                 ),
                 lambda i: F.array_join(
-                    F.slice(words, i * span_words + 1, span_words), " "
+                    F.slice(wref, i * span_words + 1, span_words), " "
                 ),
             )
         ).alias("span_idx", "seg"),
@@ -138,7 +142,9 @@ def span_dedup(
         .join(
             docs.select(
                 "doc_id",
-                F.ceil(F.size(words) / span_words).cast("long").alias("n_spans"),
+                F.ceil(
+                    F.size(F.split(F.col(text_col), " ")) / span_words
+                ).cast("long").alias("n_spans"),
             ),
             "doc_id",
         )
@@ -815,24 +821,29 @@ def set_similarity_join(
     """
     t = threshold_num / threshold_den
     assert 0 < t <= 1, "threshold must be in (0, 1]"
-    w = F.split(F.col(text_col), " ")
+    # bind the split array ONCE per row (review finding class): the
+    # shingle lambda referencing the split(...) expression re-splits
+    # the document per shingle position — O(tokens²) per doc on the
+    # corpus scan; against the bound column each slice is O(shingle)
+    wref = F.col("_w")
     if shingle_words:
-        n_sh = F.size(w) - (shingle_words - 1)
+        n_sh = F.size(wref) - (shingle_words - 1)
         elems = F.when(
             n_sh >= 1,
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-                    lambda i: F.array_join(F.slice(w, i, shingle_words), " "),
+                    lambda i: F.array_join(F.slice(wref, i, shingle_words), " "),
                 )
             ),
         ).otherwise(F.array().cast("array<string>"))
     else:
-        elems = F.array_distinct(w)
-    toks = docs.select(
-        "doc_id",
-        F.explode(elems).alias("tok"),
-    ).where(F.col("tok") != "")
+        elems = F.array_distinct(wref)
+    toks = (
+        docs.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+        .select("doc_id", F.explode(elems).alias("tok"))
+        .where(F.col("tok") != "")
+    )
     df_tok = toks.groupBy("tok").agg(F.count("*").alias("df"))
     ordered = (
         toks.join(F.broadcast(df_tok), "tok")

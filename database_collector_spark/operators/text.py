@@ -355,7 +355,11 @@ def chunk_documents(
     expansion, so it composes with downstream dedup/packing at scan
     speed; chunk_id is (doc_id, chunk_idx), deterministic for re-runs.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    # bind the filtered token array ONCE per row (review finding class):
+    # a lambda referencing the filter(split(...)) expression re-tokenizes
+    # the document per chunk; against the bound column each slice is an
+    # O(chunk) copy
+    toks = F.col("_toks")
     n = F.size(toks)
     # chunk starts: 0, stride, 2*stride, ... while start < n
     n_chunks = F.greatest(
@@ -372,6 +376,11 @@ def chunk_documents(
         ),
     )
     return docs.select(
+        "doc_id",
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit("")).alias(
+            "_toks"
+        ),
+    ).select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
     ).select(
         "doc_id",
