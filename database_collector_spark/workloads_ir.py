@@ -702,36 +702,56 @@ SQL_BPE_ENCODE = _sql_bpe_encode()
 
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority trimmed (5%/95%) mean of order value: robust-mean
-    aggregation with an INTEGER rank cut — rn over the total order
-    (cents, orderkey) with the trim boundary floor(n/20), so the kept
+    aggregation with an INTEGER rank cut at floor(n/20), so the kept
     set is engine-exact (no percentile interpolation enters the gate).
-    One shuffle on the group key; rank and count share the window
-    exchange."""
+
+    Scale shape (r13 rewrite): the old form ranked EVERY order row in a
+    per-priority window — 5 priority groups means ~1/5 of the orders
+    table sorted in ONE task, the per-group corpus funnel this repo's
+    prefix machinery exists to avoid. Now: value-domain compression to
+    (priority, cents) counts (the one corpus-sized shuffle), the
+    running strictly-below count from ``prefix_count_below``'s
+    two-level pass, and the trim becomes pure interval arithmetic —
+    the occurrences of value v occupy ranks [below+1, below+cnt], so
+    kept_v = clamp([below+1, below+cnt] ∩ (lo, hi]) with lo = n div 20,
+    hi = n − n div 20. Row-level tie-breaks (orderkey) are
+    unnecessary: equal-cents rows are interchangeable for a sum/count
+    over the kept band. Sum accumulates in DECIMAL(38,0); one float
+    division, round 4 — values identical to the windowed form."""
     orders = _t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
 
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "cents", "o_orderkey"
+    comp = (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority", "cents")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = orders.select(
-        "o_orderpriority", "o_orderkey", cents.alias("cents")
-    ).select(
-        "o_orderpriority",
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    below = ranking.prefix_count_below(
+        comp, ["o_orderpriority"], "cents", "cnt", out_col="below"
     )
-    kept = ranked.where(
-        (F.col("rn") > F.floor(F.col("n") / 20))
-        & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 20))
+    totals = comp.groupBy("o_orderpriority").agg(
+        F.sum("cnt").cast("long").alias("n")
     )
-    return kept.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_kept"),
-        F.round(F.sum("cents") / (F.lit(100.0) * F.count("*")), 4).alias(
-            "trimmed_mean"
-        ),
+    j = below.join(F.broadcast(totals), "o_orderpriority")
+    lo = F.floor(F.col("n") / 20)
+    hi = F.col("n") - F.floor(F.col("n") / 20)
+    kept_v = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("below") + F.col("cnt"), hi)
+        - F.greatest(F.col("below"), lo),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        j.select("o_orderpriority", "cents", kept_v.alias("kept"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.round(
+                F.sum(dec(F.col("cents")) * dec(F.col("kept"))).cast("double")
+                / (F.lit(100.0) * F.sum("kept").cast("double")),
+                4,
+            ).alias("trimmed_mean"),
+        )
     )
 
 

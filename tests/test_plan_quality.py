@@ -1102,3 +1102,31 @@ def test_embedding_drift_folds_are_keyed_and_broadcast(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_trimmed_mean_has_no_per_priority_corpus_sort(spark):
+    from database_collector_spark import workloads_ir
+
+    plan = _plan(workloads_ir.q_trimmed_mean(spark, SF))
+    # the r13 rewrite: the trim rides value-domain compression + the
+    # two-level prefix pass — the only SinglePartition exchanges are
+    # the bounded cardinality guard, and EVERY ordered window's first
+    # two spec args are (priority, cell-or-bucket); the old form's
+    # per-priority corpus rank window would show
+    # windowspecdefinition(o_orderpriority#, cents# ...) and fail here
+    import re
+
+    _assert_single_partition_is_guard_only(plan)
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", plan)
+    assert specs, "no windows found — pin is vacuous"
+    for first_arg, second_arg in specs:
+        assert first_arg == "o_orderpriority", (
+            f"window not partitioned by priority: {first_arg}"
+        )
+        assert second_arg in ("_b", "_cell"), (
+            f"window's second spec arg is {second_arg}, not a bounded "
+            "cell/bucket key — the per-priority corpus rank window has "
+            "returned"
+        )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
