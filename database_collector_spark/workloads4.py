@@ -802,32 +802,47 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts; Gini's closed form over ascending-sorted counts
     G = (2·Σ rank·c − (n+1)·Σc) / (n·Σc) has an exact BIGINT numerator
     and denominator, so the rounded double agrees across engines.
-    Plan: one (type,user) count aggregate, then windows + final agg on
-    the SAME type partitioning — two exchanges total, both carrying
-    per-key counts, never raw rows."""
+    Plan (r13 rewrite): one (type,user) count aggregate — the only
+    corpus-sized shuffle — then everything rides COMPRESSED tables. The
+    old form ranked every per-key count row in per-type windows: with a
+    handful of event types that is a |keys|-row single-task sort per
+    type, the exact funnel this gate exists to warn about. Now the
+    ascending rank mass comes from count-value compression + the
+    two-level ``prefix_count_below`` pass — keys sharing count c occupy
+    the contiguous rank run [below+1, below+m], so
+    Σ rank·c = c·(m·below + m(m+1)/2) per distinct count — and the
+    top-10 branch keeps Spark's rank-limit pushdown (row_number +
+    filter ≤ 10 → WindowGroupLimit: each task keeps 10 rows before the
+    per-type sort). Values identical to the windowed form."""
+    from database_collector_spark.operators import ranking as _ranking
+
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
-    w_rank = Window.partitionBy("event_type").orderBy(
-        F.asc("c"), F.asc("user_id")
+    cc = counts.groupBy("event_type", "c").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    below = _ranking.prefix_count_below(
+        cc, ["event_type"], "c", "m", out_col="below"
+    )
+    run_mass = F.col("c") * (
+        F.col("m") * F.col("below") + F.expr("m * (m + 1) div 2")
+    )
+    agg_main = below.groupBy("event_type").agg(
+        F.sum("m").cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("n_rows"),
+        F.max("c").alias("max_n"),
+        F.sum(run_mass).cast("long").alias("rank_mass"),
     )
     w_desc = Window.partitionBy("event_type").orderBy(
         F.desc("c"), F.asc("user_id")
     )
-    ranked = counts.select(
-        "event_type",
-        "c",
-        F.row_number().over(w_rank).alias("rk_asc"),
-        F.row_number().over(w_desc).alias("rk_desc"),
+    top10 = (
+        counts.withColumn("rk_desc", F.row_number().over(w_desc))
+        .where(F.col("rk_desc") <= 10)
+        .groupBy("event_type")
+        .agg(F.sum("c").cast("long").alias("top10_n"))
     )
-    agg = ranked.groupBy("event_type").agg(
-        F.count("*").alias("n_keys"),
-        F.sum("c").alias("n_rows"),
-        F.max("c").alias("max_n"),
-        F.sum(F.when(F.col("rk_desc") <= 10, F.col("c")).otherwise(0)).alias(
-            "top10_n"
-        ),
-        F.sum(F.col("rk_asc") * F.col("c")).alias("rank_mass"),
-    )
+    agg = agg_main.join(F.broadcast(top10), "event_type")
     gini = (
         (2 * F.col("rank_mass") - (F.col("n_keys") + 1) * F.col("n_rows"))
         .cast("double")
@@ -873,28 +888,39 @@ FROM agg
 def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization of a feature column — the standard ML
     preprocessing step mapping each value to its within-group quantile
-    rank: pr = (rank − 1) / (n − 1), RANK() so ties share a rank.
-    Exact rational from integer rank/count → one identical double
-    division per row on both engines. One exchange: rank window and
-    count window share the event_type partitioning."""
+    rank: pr = (rank − 1) / (n − 1), RANK() semantics so ties share a
+    rank. Exact rational from integer rank/count → one identical double
+    division per row on both engines.
+
+    Scale shape (r13 rewrite): the old form ranked EVERY event row in a
+    per-event_type window — a handful of types means whole-corpus
+    fractions sorted in single tasks. RANK() over (type, v) is exactly
+    ``1 + (rows with strictly smaller v)``, so the rank table now comes
+    from value-domain compression + ``prefix_count_below``'s two-level
+    pass, and the per-row output is a (type, v)-keyed equi-join back to
+    the rows — high-cardinality join keys supply the parallelism, no
+    per-type corpus sort anywhere. Values identical (rank() = below+1,
+    same n), pinned by the unchanged oracle."""
+    from database_collector_spark.operators import ranking
+
     ev = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    w = Window.partitionBy("event_type").orderBy(F.asc("v"))
-    wg = Window.partitionBy("event_type")
     base = ev.select("event_id", "event_type", cents.alias("v"))
-    ranked = base.select(
-        "event_id",
-        "event_type",
-        "v",
-        F.rank().over(w).alias("rk"),
-        F.count("*").over(wg).alias("n"),
+    comp = base.groupBy("event_type", "v").agg(
+        F.count("*").cast("long").alias("cnt")
     )
-    return ranked.select(
+    below = ranking.prefix_count_below(
+        comp, ["event_type"], "v", "cnt", out_col="below"
+    )
+    totals = comp.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    ranks = below.join(F.broadcast(totals), "event_type").select(
+        "event_type", "v", F.col("below").alias("rk0"), "n"
+    )
+    return base.join(ranks, ["event_type", "v"]).select(
         "event_id",
         "event_type",
         F.round(
-            (F.col("rk") - 1).cast("double") / (F.col("n") - 1).cast("double"),
-            6,
+            F.col("rk0").cast("double") / (F.col("n") - 1).cast("double"), 6
         ).alias("pr"),
     )
 

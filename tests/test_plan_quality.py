@@ -1130,3 +1130,49 @@ def test_trimmed_mean_has_no_per_priority_corpus_sort(spark):
         )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_norm_has_no_per_type_corpus_sort(spark):
+    from database_collector_spark import workloads4
+
+    plan = _plan(workloads4.q_quantile_norm(spark, SF))
+    # the r13 rewrite: RANK() = below+1 from the two-level prefix pass,
+    # joined back to rows on (type, v) — every ordered window's first
+    # two spec args are (event_type, cell-or-bucket); the old per-type
+    # corpus rank would show windowspecdefinition(event_type#, v# ...)
+    import re
+
+    _assert_single_partition_is_guard_only(plan)
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", plan)
+    assert specs, "no windows found — pin is vacuous"
+    for first_arg, second_arg in specs:
+        assert first_arg == "event_type", (
+            f"window not partitioned by type: {first_arg}"
+        )
+        assert second_arg in ("_b", "_cell"), (
+            f"window's second spec arg is {second_arg} — the per-type "
+            "corpus rank window has returned"
+        )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_key_skew_profile_rank_mass_is_compressed_and_top10_limit_pushed(spark):
+    from database_collector_spark import workloads4
+
+    plan = _plan(workloads4.q_key_skew_profile(spark, SF))
+    # the r13 rewrite: rank mass rides count-value compression + the
+    # prefix pass (guard-only single partitions); the only remaining
+    # per-type ordered window is the top-10 branch, which must carry
+    # Spark's rank-limit pushdown (each task keeps 10 rows pre-sort)
+    _assert_single_partition_is_guard_only(plan)
+    assert plan.count("WindowGroupLimit") >= 2
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", plan)
+    for first_arg, second_arg in specs:
+        assert first_arg == "event_type"
+        # c DESC (top-10) or the prefix core's bounded keys
+        assert second_arg in ("_b", "_cell", "c"), second_arg
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
