@@ -813,10 +813,14 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ rank·c = c·(m·below + m(m+1)/2) per distinct count — and the
     top-10 branch keeps Spark's rank-limit pushdown (row_number +
     filter ≤ 10 → WindowGroupLimit: each task keeps 10 rows before the
-    per-type sort). Values identical to the windowed form."""
+    per-type sort). Values identical to the windowed form. NULL
+    event_type rows are ACTIVELY EXCLUDED on BOTH sides (third-pass
+    review: the prefix pass drops NULL keys, so the old form's NULL-type
+    output row would vanish from the Spark side only; NULL user_id
+    stays — it is a legitimate key VALUE in both engines' grouping)."""
     from database_collector_spark.operators import ranking as _ranking
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
     cc = counts.groupBy("event_type", "c").agg(
         F.count("*").cast("long").alias("m")
@@ -861,7 +865,10 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KEY_SKEW_PROFILE = """
 WITH counts AS (
   SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2
+  FROM events
+  -- NULL-type exclusion mirrors the Spark side's active filter
+  WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
 ),
 ranked AS (
   SELECT event_type, c,
@@ -900,10 +907,16 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, and the per-row output is a (type, v)-keyed equi-join back to
     the rows — high-cardinality join keys supply the parallelism, no
     per-type corpus sort anywhere. Values identical (rank() = below+1,
-    same n), pinned by the unchanged oracle."""
+    same n). NULL type/value rows are ACTIVELY EXCLUDED on BOTH sides
+    (third-pass review: the prefix pass drops NULL keys/values and a
+    NULL join key never matches, so without the explicit shared filter
+    a NULL row would vanish from the Spark side only the first time
+    real data carried one — the theil_sen contract stance)."""
     from database_collector_spark.operators import ranking
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
     cents = F.round(F.col("value") * 100).cast("long")
     base = ev.select("event_id", "event_type", cents.alias("v"))
     comp = base.groupBy("event_type", "v").agg(
@@ -929,6 +942,8 @@ SQL_QUANTILE_NORM = """
 WITH base AS (
   SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
   FROM events
+  -- NULL exclusion mirrors the Spark side's active filter (contract)
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
 )
 SELECT event_id, event_type,
        round(CAST(RANK() OVER (PARTITION BY event_type ORDER BY v ASC) - 1 AS DOUBLE)

@@ -717,8 +717,16 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = n − n div 20. Row-level tie-breaks (orderkey) are
     unnecessary: equal-cents rows are interchangeable for a sum/count
     over the kept band. Sum accumulates in DECIMAL(38,0); one float
-    division, round 4 — values identical to the windowed form."""
-    orders = _t(spark, sf_dir, "orders")
+    division, round 4 — values identical to the windowed form on
+    NULL-free inputs. NULL priority/price rows are ACTIVELY EXCLUDED on
+    BOTH sides (the prefix_count_below / theil_sen contract stance —
+    third-pass review: counting NULLs into n while the rank table drops
+    them would silently shift the trim band the first time real data
+    carried a NULL; TPC-H o_totalprice is NOT NULL so fixtures cannot
+    catch it)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
 
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     comp = (
@@ -764,6 +772,8 @@ WITH ranked AS (
                                      o_orderkey) AS rn,
          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
   FROM orders
+  -- NULL exclusion mirrors the Spark side's active filter (contract)
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
 ),
 kept AS (
   SELECT * FROM ranked

@@ -257,15 +257,10 @@ def test_every_staged_gate_is_documented_and_window_headed():
     # window-membership-only assertion breaks the round the cohort
     # rotates out; bitten at the r10->r11 AND r12->r13 transitions) —
     # and have a REGISTERED r13 COVERAGE row naming it
-    import glob
-    import json
-
     import __spark_entry__ as entrymod
+    from conftest import driver_evidenced_gates
 
-    seen: set[str] = set()
-    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        with open(f) as fh:
-            seen |= set(json.load(fh))
+    seen = driver_evidenced_gates()
     cov = open("/root/repo/COVERAGE.md").read()
     for name in workloads_r13.QUERIES_R13:
         assert name in seen or name in entrymod._CHECK_FIRST, (
