@@ -611,13 +611,27 @@ def _shingle_buckets(
         F.size("sh_arr").cast("long").alias("n_sh"),
         F.explode("sh_arr").alias("shingle"),
     )
+    if df_max is not None:
+        # drop hot shingles BEFORE collecting their bucket arrays (r13
+        # scale audit): the old order built the full per-shingle array
+        # first and filtered on its size after — a stopword-gram with
+        # 1e8 docs materializes a multi-GB aggregation buffer before
+        # being thrown away. The pre-count costs one extra map-side-
+        # combinable aggregate over the shingle stream (only on the
+        # capped path — df_max=None keeps the single-pass shape) and
+        # produces the identical bucket set.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > df_max)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     buckets = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    if df_max is not None:
-        buckets = buckets.filter(F.size("ds") <= df_max)
     return buckets
 
 

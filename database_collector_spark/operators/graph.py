@@ -34,6 +34,7 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # minlabel rounds before auto-escalating to the star variant: dedup
 # similarity graphs are cliques/short chains (diameter 2-4, SURVEY §2 ext),
@@ -250,19 +251,41 @@ def _star_components(
     )
 
 
-def cluster_summary(components: DataFrame) -> DataFrame:
-    """(component, n_docs, doc_ids sorted) — the dedup-cluster report:
-    every doc except the component id itself is a candidate for removal.
+def cluster_summary(components: DataFrame, *, head: int = 64) -> DataFrame:
+    """(component, n_docs, doc_ids) — the dedup-cluster report: every
+    doc except the component id itself is a candidate for removal.
     ``doc_ids`` is the numerically-sorted id list joined with ',' — a
     scalar column, so differential harnesses (and lake formats without
-    nested-type support) consume it directly."""
-    return components.groupBy("component").agg(
-        F.count("*").alias("n_docs"),
-        F.array_join(
-            F.expr("transform(sort_array(collect_list(node)), x -> CAST(x AS STRING))"),
-            ",",
-        ).alias("doc_ids"),
+    nested-type support) consume it directly.
+
+    CONTRACT (r13 scale audit): the listing is CAPPED at the first
+    ``head`` ids (n_docs stays exact). The old form collect_list'd the
+    FULL membership per component — a boilerplate mega-cluster (the
+    common worst case real dedup runs hit) makes one aggregation buffer
+    corpus-sized. The head now comes from a per-component
+    row_number <= head, which rides Spark's rank-limit pushdown
+    (WindowGroupLimit keeps ``head`` rows per task before the sort), so
+    no unbounded array exists; membership counts come from a separate
+    exact aggregate joined back on the component key. A report reader
+    who needs a mega-cluster's full roster queries the components frame
+    for that one component — the summary's job is the overview."""
+    counts = components.groupBy("component").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("component").orderBy("node")
+    heads = (
+        components.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= head)
+        .groupBy("component")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", "node"))),
+                    lambda s: s["node"].cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids")
+        )
     )
+    return counts.join(heads, "component").select("component", "n_docs", "doc_ids")
 
 
 def pagerank(

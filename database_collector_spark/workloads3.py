@@ -473,7 +473,8 @@ reach AS (
 comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 SELECT component,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       array_to_string(list_sort(list(node)), ',') AS doc_ids
+       -- head-capped listing mirrors cluster_summary's bounded contract
+       array_to_string(list_sort(list(node))[1:64], ',') AS doc_ids
 FROM comp
 GROUP BY component
 """

@@ -850,26 +850,48 @@ def q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as a comma-joined string so the hash compares postings
     order-exactly. Capped postings keep the row bounded for stop-like
     tokens (the documented head-truncation every real index applies to
-    its hottest terms); df >= 5 bounds output to real vocabulary. One
-    shuffle keyed by token; collect_set dedups in-group, the sort is
-    in-row."""
+    its hottest terms); df >= 5 bounds output to real vocabulary.
+
+    Scale shape (r13 audit): the old form collect_set EVERY posting per
+    token and sliced the head afterwards — a stop word's aggregation
+    buffer is corpus-sized before the slice ever runs. Now the
+    (token, doc_id) dedup is a distinct aggregate, df is an exact
+    count, and the head is a per-token row_number <= 20 — Spark's
+    rank-limit pushdown (WindowGroupLimit) keeps 20 rows per task
+    before the sort, so no unbounded array exists anywhere. Output
+    identical (same df, same first-20 ascending postings)."""
+    from pyspark.sql.window import Window
+
     from database_collector_spark.operators.text import tokens_col
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col()).alias("token")
-    ).where(F.col("token") != "")
-    return (
-        toks.groupBy("token")
-        .agg(F.collect_set("doc_id").alias("docs"))
-        .select(
-            "token",
-            F.size("docs").cast("long").alias("df"),
+    toks = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.lit(1))
+        .select("token", "doc_id")
+    )
+    dfs = toks.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    heads = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .groupBy("token")
+        .agg(
             F.array_join(
-                F.slice(F.array_sort("docs"), 1, 20), ","
-            ).alias("postings_head"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
         )
-        .where(F.col("df") >= 5)
+    )
+    return (
+        dfs.where(F.col("df") >= 5)
+        .join(heads, "token")
+        .select("token", "df", "postings_head")
     )
 
 
@@ -1259,7 +1281,8 @@ reach AS (
 comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 SELECT component,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       array_to_string(list_sort(list(node)), ',') AS doc_ids
+       -- head-capped listing mirrors cluster_summary's bounded contract
+       array_to_string(list_sort(list(node))[1:64], ',') AS doc_ids
 FROM comp
 GROUP BY component
 """
