@@ -269,6 +269,10 @@ def cluster_summary(components: DataFrame, *, head: int = 64) -> DataFrame:
     exact aggregate joined back on the component key. A report reader
     who needs a mega-cluster's full roster queries the components frame
     for that one component — the summary's job is the overview."""
+    # lazy localCheckpoint: the exact count and the head ranking both
+    # consume the components frame, whose upstream is the full iterative
+    # CC computation — without it each branch re-runs that lineage
+    components = components.localCheckpoint(eager=False)
     counts = components.groupBy("component").agg(F.count("*").alias("n_docs"))
     w = Window.partitionBy("component").orderBy("node")
     heads = (

@@ -822,9 +822,12 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    # lazy localCheckpoint: counts feeds BOTH the compressed rank-mass
+    # path and the top-10 branch; cc feeds the prefix branches
+    counts = counts.localCheckpoint(eager=False)
     cc = counts.groupBy("event_type", "c").agg(
         F.count("*").cast("long").alias("m")
-    )
+    ).localCheckpoint(eager=False)
     below = _ranking.prefix_count_below(
         cc, ["event_type"], "c", "m", out_col="below"
     )
@@ -919,9 +922,11 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.round(F.col("value") * 100).cast("long")
     base = ev.select("event_id", "event_type", cents.alias("v"))
+    # lazy localCheckpoint (the auc/_ks pattern): the prefix branches +
+    # totals + the join back each reference the compressed table
     comp = base.groupBy("event_type", "v").agg(
         F.count("*").cast("long").alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     below = ranking.prefix_count_below(
         comp, ["event_type"], "v", "cnt", out_col="below"
     )

@@ -871,6 +871,9 @@ def q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "doc_id")
         .agg(F.lit(1))
         .select("token", "doc_id")
+        # lazy localCheckpoint: the df count and the head ranking both
+        # consume the distinct table
+        .localCheckpoint(eager=False)
     )
     dfs = toks.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     w = Window.partitionBy("token").orderBy("doc_id")

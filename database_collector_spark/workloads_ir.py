@@ -729,10 +729,15 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # lazy localCheckpoint (the auc/_ks pattern): the prefix pass's
+    # branches (rng, cells, bucket map, within-bucket windows) plus the
+    # totals each reference this table — without the checkpoint every
+    # branch re-derives it from a full orders scan
     comp = (
         orders.select("o_orderpriority", cents.alias("cents"))
         .groupBy("o_orderpriority", "cents")
         .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     below = ranking.prefix_count_below(
         comp, ["o_orderpriority"], "cents", "cnt", out_col="below"
