@@ -33,6 +33,7 @@ from database_collector_spark import (
     workloads_r11,
     workloads_r12,
     workloads_r13,
+    workloads_r14,
     workloads_ts,
 )
 
@@ -50,74 +51,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # Round-13 rotation, part 1 — NEW GATES: CORRECTNESS_r12 was 50/50
-    # green (zero red rows anywhere, third consecutive fully-green
-    # window), so the head goes straight to the EIGHT r13 gates staged
-    # in workloads_r13.py since round 12 (oracles pre-verified by the
-    # driver-identical staged differential at sf0.001/0.01/0.1 +
-    # local[7], judge-re-run green in the r12 VERDICT; registered this
-    # round).
-    "ndcg_by_source", "quantiles_refined", "calibration_fixed_bins",
-    "rule_attribution", "bucketed_join_persist", "map_quality",
-    "cohen_kappa", "hard_negatives",
-    # part 2 — staleness-bound backfill: the TWENTY-NINE r8-latest
-    # gates (newest driver row = round 8; 13 - 8 = 5, the max-staleness
-    # bound binds THIS round). Computed from the CORRECTNESS_r*.json
-    # union, alphabetical (interval_coalesce .. weighted_median).
-    "interval_coalesce", "jaccard_join_exact", "kcore_peel",
-    "kfold_split", "kmv_intersection", "long_running_sessions",
-    "m4_downsample", "map_funcs", "multimodal_png", "null_safe_join",
-    "oov_rate", "pattern_detect", "pit_join", "pmi_collocations",
-    "prorate_daily", "psi_drift", "rollup_cascade", "rrf_fusion",
-    "session_paths", "skyline_orders", "supplier_diversity",
-    "table_checksum", "time_to_convert", "time_weighted_avg",
-    "triangle_count", "value_histogram", "variant_json",
-    "waiting_suppliers", "weighted_median",
-    # part 3 — oldest-evidence backfill: the first 13 (alphabetical) of
-    # the 49 r9-latest gates (newest driver row = round 9; their bound
-    # binds at r14, taken early here per the r12 directive to keep
-    # r14's arithmetic solvable: the other 36 MUST take r14's head).
-    "ann_ivf_multiprobe", "ann_pq_adc", "ann_pq_codes",
-    "approx_distinct", "approx_quantiles", "argmax_customer",
-    "array_funcs", "asof_join", "auc_scores", "bfs_hops",
-    "bpe_fertility", "case_having", "corpus_diff",
+    # Round-14 rotation, part 1 — staleness-bound backfill:
+    # CORRECTNESS_r13 was 50/50 green (fourth consecutive fully-green
+    # window, zero reds to re-check), so the head goes to the
+    # THIRTY-SIX r9-latest gates (newest driver row = round 9;
+    # 14 - 9 = 5, the max-staleness bound binds THIS round). Computed
+    # from the CORRECTNESS_r*.json union, alphabetical
+    # (correlated_avg_filter .. weighted_sample_by).
+    "correlated_avg_filter", "cube_counts", "cust_order_distribution",
+    "date_funcs", "date_rollup", "dedup_embedding_lsh_multi",
+    "dedup_spans", "embedding_outliers", "engine_dispatch",
+    "events_sliding", "gap_detect", "grouped_counter", "grouping_sets",
+    "interval_outages", "label_enrich", "lang_confusion", "limit_cap",
+    "quality_classifier", "range_join_buckets", "readability_scores",
+    "sample_stratified", "semi_anti_orders", "sessionization",
+    "set_ops", "shard_overlap", "shipping_priority", "skew_salted_join",
+    "sliding_unique_approx", "sliding_unique_users", "stats_moments",
+    "string_funcs", "temperature_mixture", "text_token_stats",
+    "tfidf_top_terms", "ttl_expiry_counts", "weighted_sample_by",
+    # part 2 — NEW GATES: the ELEVEN r14 gates staged in
+    # workloads_r14.py since round 13 (oracles pre-verified by the
+    # driver-identical staged differential at sf0.001/0.01 and
+    # judge-re-run green in the r13 VERDICT; registered this round).
+    "pr_curve_sweep", "lift_deciles", "mcc_by_lang", "brier_quality",
+    "ece_quality", "ks_separation", "mrr_quality", "fleiss_panel",
+    "chi2_lang_source", "vocab_coverage", "class_balance",
+    # part 3 — oldest-evidence backfill: the first 3 (alphabetical) of
+    # the 50 r10-latest gates (newest driver row = round 10; their
+    # bound binds at r15, taken early here per the r13 directive so
+    # r15's window has ~3 slots of slack for the staged r15 gates).
+    "ann_index_roundtrip", "ann_ivf_probe", "ann_ivfpq_adc",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r14 MANDATORY HEAD: any red r13 rows first, then the 36 remaining
-    # r9-latest gates (newest row r9, 14 - 9 = 5, bound binds at r14),
-    # alphabetical (corpus_stats .. zscore_anomaly — recompute from the
-    # CORRECTNESS union, do not trust this parenthetical), then the
-    # ELEVEN r14 gates staged in workloads_r14.py with pre-verified
-    # oracles (pr_curve_sweep, lift_deciles, mcc_by_lang, brier_quality,
-    # ece_quality, ks_separation, mrr_quality, fleiss_panel,
-    # chi2_lang_source, vocab_coverage, class_balance; registration =
-    # import QUERIES_R14/ORACLES_R14 + list them here). That is
-    # red + 36 + 11 = 47+red; give the remaining 3 slots (assuming 0
-    # reds) to the first 3 alphabetical r10-latest gates — they relieve
-    # r15, whose window is otherwise fully consumed by the 50-gate
-    # r10-latest cohort.
-    # r15/r16 SLACK ALLOCATION (decided r13, per the r12 VERDICT #5):
-    # r15's head = any reds + the 47 remaining r10-latest gates
-    # (50 - 3 taken early in r14) = 47+red, leaving ~3 slots. Those 3
-    # go to STAGED r15 gates in this order: (1) agreement_alpha,
-    # (2) token_gini, (3) pack_chunks (its packing window was
-    # two-leveled in r13 — see curation.py — so it is registration-
-    # ready). NOTE the post-saturation reality: once 250 registers
-    # (end of r15), EVERY later window is exactly consumed by the
-    # 50-gate cohort from 5 rounds back — r16+ has ZERO structural
-    # slack, so vocab_overlap and the r16 staged cohort
-    # (workloads_r16.py) stay at the staged-green evidence tier
-    # PERMANENTLY (the judge's check.py --staged differential covers
-    # them; that tier is acceptable per the r12 VERDICT) unless a
-    # registered gate is deliberately RETIRED in a 1-for-1 swap —
-    # record any such swap here with its rationale.
-    # SATURATION ARITHMETIC (r13 recompute, from the CORRECTNESS
-    # union): cohorts by newest evidence after r12: r8:29 r9:49 r10:50
-    # r11:50 r12:50 (=228 registered) + 8 r13 = 236 after THIS round
-    # registers; + 11 r14 staged = 247 after r14. Steady-state ceiling
-    # = 50-slot window x 5-round staleness = 250. Registration capacity
-    # for NEW gates from r15 on is the early-backfill slack (~3/round).
-    # Do NOT stage more than ~3 gates per round from here — the window
-    # cannot absorb them and the staleness meta-test will trip.
+    # r15 MANDATORY HEAD: any red r14 rows first, then the 47 remaining
+    # r10-latest gates (newest row r10, 15 - 10 = 5, bound binds at
+    # r15; recompute alphabetically from the CORRECTNESS union — do
+    # not trust memory), then the 3 slack slots (assuming 0 reds) go
+    # to the STAGED r15 gates in the order decided in r13 per the r12
+    # VERDICT #5: (1) agreement_alpha, (2) token_gini, (3) pack_chunks
+    # (registration = import QUERIES_R15/ORACLES_R15 + list them).
+    # r16: head = the 50 r11-latest gates — ZERO structural slack.
+    # r17: head = the 50 r12-latest gates. NOTE (r13 VERDICT #4 + r14
+    # changes): that cohort includes gates whose IMPLEMENTATION changed
+    # after their newest driver row — trimmed_mean / quantile_norm /
+    # key_skew_profile (rewritten r13) and dedup_clusters /
+    # embedding_dedup_clusters (roster_truncated flag column added r14,
+    # oracles updated in lockstep) — their r17 rows are the
+    # highest-value fresh evidence in that window; do not displace
+    # them. sequence_pack / pack_sequences (rewritten r14 onto the
+    # two-level prefix pass, oracles unchanged) have newest rows
+    # r10/r11 and re-check at r15/r16 naturally.
+    # POST-SATURATION: once 250 registers (end of r15), EVERY later
+    # window is exactly consumed by the 50-gate cohort from 5 rounds
+    # back, so vocab_overlap and the r16 staged cohort
+    # (workloads_r16.py: embedding_drift, zipf_head_fit,
+    # bigram_cond_entropy) stay at the staged-green evidence tier
+    # PERMANENTLY — decided and documented in COVERAGE.md §staged-tier
+    # (r13 VERDICT #5); the judge's check.py --staged differential
+    # covers them every round. Any 1-for-1 retirement swap must be
+    # recorded here with its rationale.
+    # SATURATION ARITHMETIC (r14 recompute, from the CORRECTNESS
+    # union): cohorts by newest evidence after r13: r9:36 r10:50
+    # r11:50 r12:50 r13:50 (=236 registered) + 11 r14 staged = 247
+    # after THIS round registers. Steady-state ceiling = 50-slot
+    # window x 5-round staleness = 250 (reached end of r15 when the 3
+    # staged r15 gates register). Do NOT stage more than ~3 gates per
+    # round — the window cannot absorb them and the staleness meta-test
+    # will trip.
     # Always recompute cohorts from the CORRECTNESS_r*.json union
     # (tests/test_docs_consistency.py::test_rotation_debt_cannot_drift)
     # rather than trusting name lists written from memory — the r11
@@ -151,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads_r11.QUERIES_R11,
         **workloads_r12.QUERIES_R12,
         **workloads_r13.QUERIES_R13,
+        **workloads_r14.QUERIES_R14,
         **workloads_ts.QUERIES_TS,
     })
 
@@ -171,5 +171,6 @@ def oracle_sql() -> dict[str, str]:
         **workloads_r11.ORACLES_R11,
         **workloads_r12.ORACLES_R12,
         **workloads_r13.ORACLES_R13,
+        **workloads_r14.ORACLES_R14,
         **workloads_ts.ORACLES_TS,
     })

@@ -252,23 +252,31 @@ def _star_components(
 
 
 def cluster_summary(components: DataFrame, *, head: int = 64) -> DataFrame:
-    """(component, n_docs, doc_ids) — the dedup-cluster report: every
-    doc except the component id itself is a candidate for removal.
-    ``doc_ids`` is the numerically-sorted id list joined with ',' — a
-    scalar column, so differential harnesses (and lake formats without
-    nested-type support) consume it directly.
+    """(component, n_docs, doc_ids, roster_truncated) — the dedup-
+    cluster report: every doc except the component id itself is a
+    candidate for removal. ``doc_ids`` is the numerically-sorted id
+    list joined with ',' — a scalar column, so differential harnesses
+    (and lake formats without nested-type support) consume it directly.
 
     CONTRACT (r13 scale audit): the listing is CAPPED at the first
-    ``head`` ids (n_docs stays exact). The old form collect_list'd the
-    FULL membership per component — a boilerplate mega-cluster (the
-    common worst case real dedup runs hit) makes one aggregation buffer
-    corpus-sized. The head now comes from a per-component
+    ``head`` ids (n_docs stays exact), and ``roster_truncated``
+    (= n_docs > head) says so PER ROW, so a consumer can detect a
+    capped roster without parsing the string (r13 ADVICE: the cap was
+    silent — an output-contract change external readers could only
+    discover by counting commas). The old form collect_list'd the FULL
+    membership per component — a boilerplate mega-cluster (the common
+    worst case real dedup runs hit) makes one aggregation buffer
+    corpus-sized. The head comes from a per-component
     row_number <= head, which rides Spark's rank-limit pushdown
     (WindowGroupLimit keeps ``head`` rows per task before the sort), so
     no unbounded array exists; membership counts come from a separate
     exact aggregate joined back on the component key. A report reader
     who needs a mega-cluster's full roster queries the components frame
     for that one component — the summary's job is the overview."""
+    if not (isinstance(head, int) and head >= 1):
+        raise ValueError(
+            f"cluster_summary: head must be a positive int, got {head!r}"
+        )
     # lazy localCheckpoint: the exact count and the head ranking both
     # consume the components frame, whose upstream is the full iterative
     # CC computation — without it each branch re-runs that lineage
@@ -289,7 +297,12 @@ def cluster_summary(components: DataFrame, *, head: int = 64) -> DataFrame:
             ).alias("doc_ids")
         )
     )
-    return counts.join(heads, "component").select("component", "n_docs", "doc_ids")
+    return counts.join(heads, "component").select(
+        "component",
+        "n_docs",
+        "doc_ids",
+        (F.col("n_docs") > head).alias("roster_truncated"),
+    )
 
 
 def pagerank(

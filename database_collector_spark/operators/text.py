@@ -1089,11 +1089,12 @@ def zipf_head_fit(
     is a cross-engine red no rounding can absorb): slope/intercept
     guard on ``n_terms >= 2`` (ranks 1..n are distinct, so the true
     x-variance is positive exactly when n >= 2) and r2 additionally on
-    the exact integer ``min(count) < max(count)``. The r2 VALUE keeps
-    the documented residual float class: with a genuinely-varying but
-    nearly-log-equal head the cancelled numerator/denominator are
-    noise-dominated — real corpus heads span decades of counts, and
-    the NULL boundary itself can no longer flip.
+    the exact integer ``min(count) < max(count)``. The r2 VALUE is
+    additionally clamped to its mathematical range [0, 1] on both
+    engines, so summation-order noise in the cancelled denominator can
+    produce neither Inf/NaN nor a negative (r13 ADVICE); the residual
+    float class shrinks to round-6 INTERIOR noise on a
+    nearly-log-equal head — real corpus heads span decades of counts.
 
     Plan shape at 100 TB: the vocabulary aggregate is the one
     token-stream-sized shuffle any vocab statistic pays; the per-group
@@ -1142,7 +1143,18 @@ def zipf_head_fit(
     varies = F.col("c_min") < F.col("c_max")
     slope = F.when(fittable, cov / dx)
     intercept = F.when(fittable, (F.col("sy") - (cov / dx) * F.col("sx")) / n)
-    r2 = F.when(fittable & varies, (cov * cov) / (dx * dy))
+    # the r2 VALUE is clamped to its mathematical range [0, 1] (r13
+    # ADVICE): with a genuinely-varying but nearly-log-equal head the
+    # cancelled float dy can round to 0 or flip sign with summation
+    # order, sending the raw ratio to Inf/NaN/negative — the clamp maps
+    # every such noise value to the boundary on BOTH engines (Spark and
+    # DuckDB both order NaN greater than any number, so least(·, 1.0)
+    # lands NaN and Inf on 1.0; greatest(·, 0.0) lands negatives on
+    # 0.0), leaving only the documented round-6 interior-noise residual
+    r2 = F.when(
+        fittable & varies,
+        F.least(F.greatest((cov * cov) / (dx * dy), F.lit(0.0)), F.lit(1.0)),
+    )
     return agg.select(
         F.col("g").alias(group_col),
         "n_terms",

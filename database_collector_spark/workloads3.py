@@ -474,7 +474,8 @@ comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 SELECT component,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        -- head-capped listing mirrors cluster_summary's bounded contract
-       array_to_string(list_sort(list(node))[1:64], ',') AS doc_ids
+       array_to_string(list_sort(list(node))[1:64], ',') AS doc_ids,
+       COUNT(*) > 64 AS roster_truncated
 FROM comp
 GROUP BY component
 """

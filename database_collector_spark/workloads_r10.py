@@ -481,14 +481,34 @@ _PACK_SEQ_LEN = 512
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk sequence packing map: within each
-    source (the packing domain — sources pack independently so the
-    window stays PARTITIONED at any corpus size), documents are laid
-    end-to-end in a deterministic md5-shuffled order and the token
-    stream is cut into _PACK_SEQ_LEN-token (512) training sequences.
-    Output per doc: its token span [start_tok, start_tok + n_toks) in
-    the domain stream and the first/last sequence ids it lands in — the
-    materialized packing plan a trainer's data loader executes. One
-    window cumsum per source, exact integers throughout."""
+    source (the packing domain), documents are laid end-to-end in a
+    deterministic md5-shuffled order and the token stream is cut into
+    _PACK_SEQ_LEN-token (512) training sequences. Output per doc: its
+    token span [start_tok, start_tok + n_toks) in the domain stream and
+    the first/last sequence ids it lands in — the materialized packing
+    plan a trainer's data loader executes. Exact integers throughout.
+
+    Scale (100 TB): sources are FEW (a handful of crawl/corpus labels),
+    so ``Window.partitionBy(source)`` funnels each source's whole
+    stream through ONE task's sort — the per-low-cardinality-group
+    corpus-cumsum shape the r13 audit killed elsewhere (r13 VERDICT #3:
+    this gate was one of the two misses). The cumulative offset is now
+    a TWO-LEVEL prefix sum specialized to the HASH order key: the
+    bucket map is simply the first 4 hex chars of the md5 key
+    (``_b = conv(substr(k,1,4),16,10)``) — MONOTONE in the (k, doc_id)
+    lexicographic order because ``_b`` is a prefix of the fixed-length
+    lowercase-hex ``k``, and count-equalized BY CONSTRUCTION because
+    md5 is uniform (the general-domain ``prefix_count_below`` needs its
+    log-cell histogram exactly because arbitrary value domains are NOT
+    uniform; a uniform hash key gets the equalization for free, and —
+    unlike the numeric cell grid — this form is exact for the
+    COMPOSITE (k, doc_id) tie-broken order). Within-bucket running
+    sums partition by (source, _b) — 65536-way parallel per source;
+    the carry-in offsets ride a window over the bounded
+    |sources| x 65536 bucket-total table, which then BROADCASTS back
+    onto the stream. At 100 TB / 50 TB-dominant-source this turns one
+    50 TB single-task sort into 65536 ~800 MB sorts plus a 65536-row
+    bounded pass."""
     docs = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pack")))
     sized = docs.select(
@@ -499,26 +519,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_toks"),
     ).where(F.col("n_toks") > 0)
-    w = (
-        Window.partitionBy("source")
+    sized = sized.withColumn(
+        "_b", F.conv(F.substring("k", 1, 4), 16, 10).cast("int")
+    )
+    wb = (
+        Window.partitionBy("source", "_b")
         .orderBy("k", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = sized.select(
+    within = sized.withColumn("_cum", F.sum("n_toks").over(wb))
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        sized.groupBy("source", "_b")
+        .agg(F.sum("n_toks").alias("_bt"))
+        .select(
+            "source",
+            "_b",
+            F.coalesce(F.sum("_bt").over(wc), F.lit(0)).cast("long").alias("_carry"),
+        )
+    )
+    packed = within.join(F.broadcast(carry), ["source", "_b"]).select(
         "doc_id",
         "source",
         "n_toks",
-        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_tok"),
+        (F.col("_carry") + F.col("_cum") - F.col("n_toks")).alias("start_tok"),
     )
     return packed.select(
         "doc_id",
         "source",
         "n_toks",
         "start_tok",
-        (F.col("start_tok") / _PACK_SEQ_LEN).cast("long").alias("seq_first"),
-        ((F.col("start_tok") + F.col("n_toks") - 1) / _PACK_SEQ_LEN)
-        .cast("long")
-        .alias("seq_last"),
+        F.expr(f"start_tok div {_PACK_SEQ_LEN}").alias("seq_first"),
+        F.expr(f"(start_tok + n_toks - 1) div {_PACK_SEQ_LEN}").alias("seq_last"),
     )
 
 

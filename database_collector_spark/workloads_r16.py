@@ -160,9 +160,15 @@ SELECT lang, n_terms,
          round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
                / n_terms, 6)
        END AS intercept,
+       -- r2 clamped to [0, 1] in lockstep with the operator (r13
+       -- ADVICE: the cancelled dy can round to 0 / flip sign on a
+       -- nearly-log-equal head; both engines land NaN/Inf on 1.0 and
+       -- negatives on 0.0 because both order NaN above all numbers)
        CASE WHEN n_terms >= 2 AND c_min < c_max THEN
-         round((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
-               / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
+         round(least(greatest(
+               (n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+               / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)),
+               0.0), 1.0), 6)
        END AS r2
 FROM s ORDER BY lang
 """

@@ -128,6 +128,125 @@ def test_pack_sequences_streams_are_independent(spark):
     assert got == {("en", 0): 0, ("de", 1): 0}
 
 
+def test_pack_sequences_windowed_escape_matches_prefix_path(spark):
+    """The high-cardinality window escape and the two-level prefix path
+    compute the identical pure function of (stream, order, counts)."""
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(["w"] * (1 + (i * 7) % 13)), lang=l)
+            for i in range(40)
+            for l in (["en"] if i % 3 else ["en", "de"])
+        ][:55]
+    )
+    kw = {"budget_tokens": 16}
+    prefix = sorted(
+        map(tuple, curation.pack_sequences(docs, **kw).collect())
+    )
+    windowed = sorted(
+        map(
+            tuple,
+            curation.pack_sequences(docs, windowed_streams=True, **kw).collect(),
+        )
+    )
+    assert prefix == windowed and len(prefix) > 0
+
+
+def test_pack_segments_windowed_escape_matches_prefix_path(spark):
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(chr(97 + j % 5) for j in range(1 + i % 9)), lang=l)
+            for i in range(30)
+            for l in (["en"] if i % 2 else ["fr"])
+        ]
+    )
+    kw = {"budget_tokens": 7}
+    prefix = sorted(map(tuple, curation.pack_segments(docs, **kw).collect()))
+    windowed = sorted(
+        map(
+            tuple,
+            curation.pack_segments(docs, windowed_streams=True, **kw).collect(),
+        )
+    )
+    assert prefix == windowed and len(prefix) > 0
+
+
+def test_pack_sequences_timestamp_order_key_promotes(spark):
+    """date/timestamp order keys ride the prefix path via the monotone
+    epoch promotion; values match the windowed form on the same key."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    base = dt.datetime(2026, 1, 1)
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                ts=base + dt.timedelta(seconds=i * 37 % 101, microseconds=i),
+                text=" ".join(["t"] * (1 + i % 6)),
+                lang="en" if i % 2 else "de",
+            )
+            for i in range(24)
+        ]
+    )
+    kw = {"budget_tokens": 5, "order_col": "ts"}
+    prefix = sorted(
+        map(tuple, curation.pack_sequences(docs, **kw).collect())
+    )
+    windowed = sorted(
+        map(
+            tuple,
+            curation.pack_sequences(docs, windowed_streams=True, **kw).collect(),
+        )
+    )
+    assert prefix == windowed and len(prefix) == 24
+
+
+def test_pack_sequences_string_order_key_raises_naming_escape(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    docs = spark.createDataFrame(
+        [Row(doc_id="a", text="x y", lang="en")]
+    )
+    with pytest.raises(ValueError, match="windowed_streams=True"):
+        curation.pack_sequences(docs, order_col="doc_id")
+    # and the named escape actually works for the same input
+    got = curation.pack_sequences(
+        docs, order_col="doc_id", windowed_streams=True
+    ).collect()
+    assert [(r["doc_id"], r["chunk_id"]) for r in got] == [("a", 0)]
+
+
+def test_pack_sequences_duplicate_order_raises(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    dup = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b", lang="en"),
+            Row(doc_id=1, text="c d", lang="en"),
+        ]
+    )
+    for kw in ({}, {"windowed_streams": True}):
+        with pytest.raises(Exception, match="duplicate"):
+            curation.pack_sequences(dup, **kw).collect()
+
+
 def test_leakage_safe_split_keeps_duplicates_together(spark):
     from pyspark.sql import Row
 

@@ -98,10 +98,28 @@ def test_cc_star_truncation_warns(spark):
 def test_cluster_summary_shapes(spark):
     comp = graph.connected_components(_pairs(spark, [(1, 2), (2, 3), (5, 6)]))
     rows = {
-        r["component"]: (r["n_docs"], r["doc_ids"])
+        r["component"]: (r["n_docs"], r["doc_ids"], r["roster_truncated"])
         for r in graph.cluster_summary(comp).collect()
     }
-    assert rows == {1: (3, "1,2,3"), 5: (2, "5,6")}
+    assert rows == {1: (3, "1,2,3", False), 5: (2, "5,6", False)}
+
+
+def test_cluster_summary_flags_truncated_roster_and_rejects_bad_head(spark):
+    import pytest
+
+    # a 5-member cluster with head=3: roster holds the first 3 ids,
+    # n_docs stays exact, and the truncation is FLAGGED per row
+    # (r13 ADVICE: the cap was silent)
+    comp = graph.connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)])
+    )
+    rows = {
+        r["component"]: (r["n_docs"], r["doc_ids"], r["roster_truncated"])
+        for r in graph.cluster_summary(comp, head=3).collect()
+    }
+    assert rows == {1: (5, "1,2,3", True), 8: (2, "8,9", False)}
+    with pytest.raises(ValueError, match="head must be a positive int"):
+        graph.cluster_summary(comp, head=0)
 
 
 def test_cc_explicit_minlabel_never_escalates(spark):

@@ -159,6 +159,38 @@ def _assert_prefix_core_windows(
     _assert_single_partition_is_guard_only(plan)
     specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", plan)
     assert specs, "no windows found — pin is vacuous"
+    # every windowspecdefinition must be accounted for: captured by the
+    # two-arg regex above, the arg-less count(1) guard form
+    # (windowspecdefinition(specifiedwindowframe...)), or a
+    # PARTITION-ONLY window (windowspecdefinition(col#,
+    # specifiedwindowframe...) — the prefix core's sort-free per-key
+    # aggregates over its bounded tables, whose key must still be the
+    # pinned partition column). An UNPARTITIONED ordered window — the
+    # corpus-funnel shape, rendered as windowspecdefinition(col# ASC
+    # ..., specifiedwindowframe...) — matches none of the three and
+    # fails here loudly instead of silently escaping the per-spec check
+    # below (r13 ADVICE: the second-arg pin was partially vacuous for
+    # exactly that shape)
+    part_only = re.findall(
+        r"windowspecdefinition\((\w+)#\d+L?, specifiedwindowframe", plan
+    )
+    for first_arg in part_only:
+        assert first_arg == partition_col, (
+            f"partition-only window keyed by {first_arg}, not "
+            f"{partition_col}"
+        )
+    uncaptured = (
+        plan.count("windowspecdefinition(")
+        - plan.count("windowspecdefinition(specifiedwindowframe")
+        - len(part_only)
+        - len(specs)
+    )
+    assert uncaptured == 0, (
+        f"{uncaptured} windowspecdefinition occurrence(s) not captured by "
+        "the two-arg pin regex, the arg-less guard form, or the "
+        "partition-only form — an unpartitioned ordered window "
+        "(corpus-funnel signature) is in the plan"
+    )
     allowed = ("_b", "_cell", *extra_second_args)
     for first_arg, second_arg in specs:
         assert first_arg == partition_col, (
@@ -338,13 +370,32 @@ def test_repetition_stats_zero_shuffle(spark):
     assert "Generate explode" not in plan
 
 
-def test_pack_sequences_single_stream_shuffle(spark):
+def test_pack_sequences_has_no_per_stream_corpus_sort(spark):
     from database_collector_spark import curation
     from database_collector_spark.workloads import _t
 
     plan = _plan(curation.pack_sequences(_t(spark, SF, "documents")))
-    # one exchange on the stream key feeding the running-sum window
+    # the cumulative stream offset rides the two-level prefix core
+    # (r13 VERDICT #3: this operator was the audit's miss) — a reverted
+    # per-stream cumulative sum would show
+    # windowspecdefinition(lang#, doc_id# ...) and fail the shared
+    # pin's second-arg check
+    _assert_prefix_core_windows(plan, "lang")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_windowed_escape_is_single_shuffle(spark):
+    from database_collector_spark import curation
+    from database_collector_spark.workloads import _t
+
+    plan = _plan(
+        curation.pack_sequences(_t(spark, SF, "documents"), windowed_streams=True)
+    )
+    # the documented high-cardinality escape keeps the classic shape:
+    # exactly one exchange on the stream key feeding the running-sum
+    # window (cumsum + duplicate-lag share ONE sort), no prefix core
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -1085,6 +1136,23 @@ def test_pack_segments_has_no_per_stream_corpus_sort(spark):
     # would show windowspecdefinition(lang#, doc_id# ...) and fail the
     # shared pin's second-arg check; the segment explode adds no join
     _assert_prefix_core_windows(plan, "lang")
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_gate_has_no_per_source_corpus_sort(spark):
+    from database_collector_spark import workloads_r10
+
+    plan = _plan(workloads_r10.q_pack_sequences(spark, SF))
+    # the source-domain packing offsets ride the hash-bucketed
+    # two-level prefix pass (r13 VERDICT #3: this gate was the second
+    # miss): every ordered window is (source, _b)-keyed — the
+    # within-bucket running sum on the stream and the carry-in window
+    # over the bounded bucket-total table — and the carry table comes
+    # back via BROADCAST; a reverted per-source corpus cumsum would
+    # render windowspecdefinition(source#, k# ...) and fail the shared
+    # pin's second-arg check
+    _assert_prefix_core_windows(plan, "source")
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 

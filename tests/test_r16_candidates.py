@@ -164,6 +164,23 @@ def test_zipf_head_fit_k_truncates_and_single_term_is_null(spark):
         zipf_head_fit(df, k=0)
 
 
+def test_zipf_head_fit_r2_is_clamped_to_unit_interval(spark):
+    from database_collector_spark.operators.text import zipf_head_fit
+
+    # the r13 ADVICE clamp: with a varying but nearly-log-equal head
+    # the cancelled float dy is noise-dominated and the raw
+    # cov²/(dx·dy) ratio can leave [0, 1] (or hit Inf/NaN when dy
+    # rounds to 0); the reported r2 must stay inside the mathematical
+    # range, with NULL still reserved for the EXACT all-counts-equal
+    # guard. Counts (5, 4, 4): varying, nearly equal in log space.
+    df = spark.createDataFrame(
+        [("en", 1, "a a a a b b b b c c c c c")],
+        "lang string, doc_id int, text string",
+    )
+    r = zipf_head_fit(df, k=10).collect()[0]
+    assert r["r2"] is not None and 0.0 <= r["r2"] <= 1.0
+
+
 def test_zipf_head_fit_rank_ties_break_on_token(spark):
     from database_collector_spark.operators.text import zipf_head_fit
 

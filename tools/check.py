@@ -118,19 +118,19 @@ def value_hash(canon: list[str]) -> str:
 
 
 def staged_queries() -> dict:
-    """The CURRENT staged cohorts' queries (r14 + r15 + r16, as of
-    round 13 — r13 registered in round 13). This is the ONE place
-    the staged-module pointer lives: main()'s --staged merge AND the
+    """The CURRENT staged cohorts' queries (r15 + r16, as of round 14 —
+    r14 registered in round 14). This is the ONE place the
+    staged-module pointer lives: main()'s --staged merge AND the
     docs-consistency oracle sweeps import it, so a registration round
     bumps exactly one import and the staged oracles never escape the
     repo-wide meta-tests (a staged oracle reintroducing a retired
     failure class — e.g. a fixed generate_series position bound — must
-    fail at staging time, not after registration). When r14 registers,
-    drop it here and leave r15/r16."""
-    from database_collector_spark import workloads_r14, workloads_r15, workloads_r16
+    fail at staging time, not after registration). When the r15 trio
+    registers, drop workloads_r15 here and leave r16 (permanently
+    staged-tier — see COVERAGE.md §staged-tier)."""
+    from database_collector_spark import workloads_r15, workloads_r16
 
     return {
-        **workloads_r14.QUERIES_R14,
         **workloads_r15.QUERIES_R15,
         **workloads_r16.QUERIES_R16,
     }
@@ -138,10 +138,9 @@ def staged_queries() -> dict:
 
 def staged_oracles() -> dict:
     """Oracle twins of staged_queries() — same single-pointer contract."""
-    from database_collector_spark import workloads_r14, workloads_r15, workloads_r16
+    from database_collector_spark import workloads_r15, workloads_r16
 
     return {
-        **workloads_r14.ORACLES_R14,
         **workloads_r15.ORACLES_R15,
         **workloads_r16.ORACLES_R16,
     }
