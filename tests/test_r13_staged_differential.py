@@ -117,6 +117,59 @@ def test_bucketed_join_is_exchange_free_when_smj_forced(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_bucketed_layout_serves_second_consumers_exchange_free(spark):
+    """The layout is SHARED infrastructure (r13 VERDICT #6): after
+    ensure_bucketed_tables builds the pair once, OTHER consumers —
+    the nightly label report (a different aggregate over the same
+    join) and the coverage anti-join — also run with ZERO doc_id
+    exchange under their joins, and their values match the raw-parquet
+    computation."""
+    from pyspark.sql import functions as F
+
+    from examples.nightly_join import coverage_gaps, label_report
+    from database_collector_spark.workloads import _t
+    from database_collector_spark.workloads_r13 import ensure_bucketed_tables
+
+    dt, et = ensure_bucketed_tables(spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        report = label_report(spark, dt, et)
+        gaps = coverage_gaps(spark, dt, et)
+        rplan = report._jdf.queryExecution().executedPlan().toString()
+        gplan = gaps._jdf.queryExecution().executedPlan().toString()
+        got = [tuple(r) for r in report.collect()]
+        n_gaps = gaps.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for plan in (rplan, gplan):
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        assert "Exchange hashpartitioning(doc_id" not in plan
+    # the label report's only shuffles: label aggregate + its ordering
+    assert rplan.count("Exchange hashpartitioning") == 1
+    # the anti join itself is completely exchange-free
+    assert "Exchange" not in gplan.split("SortMergeJoin")[1]
+    # values match the raw-parquet computation
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    raw = (
+        _t(spark, SF, "documents")
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id")
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("label")
+    )
+    assert got == [tuple(r) for r in raw.collect()]
+    n_raw_gaps = (
+        _t(spark, SF, "documents")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .count()
+    )
+    assert n_gaps == n_raw_gaps
+
+
 def test_quantiles_refined_regrids_the_degenerate_cell(spark):
     """The reason this gate exists: on the 1e12-bulk + zero-outlier
     domain the UNREFINED core maps (nearly) every distinct value of a
