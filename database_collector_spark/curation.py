@@ -120,17 +120,23 @@ def _numeric_order_key(
     """Order-preserving numeric image of ``order_col`` for the two-level
     prefix layout, or None when the column is already numeric.
 
-    date/timestamp/timestamp_ntz promote to their epoch value (cast
-    through timestamp to double — strictly monotone, and exact: a
-    microsecond epoch stays under double's 2^53 integer range until
-    ~2255, and equal instants map to equal doubles so the duplicate-key
-    check sees exactly the original ties). Anything else (string,
-    binary, array) has no order-preserving numeric image and raises,
-    naming the ``windowed_streams=True`` escape — the per-stream window
-    form orders by ANY comparable type, and when streams are many and
-    small the streams themselves supply the parallelism (r13 ADVICE:
-    rejecting these keys outright was a capability regression vs the
-    pre-r13 window form)."""
+    Promotions are TIMEZONE-FREE by construction (r14 review: casting a
+    date/ntz wall time through the session-zone ``timestamp`` is not
+    injective — a spring-forward DST gap maps two distinct wall times
+    to one instant, silently violating prefix_count_below's
+    one-row-per-key contract AFTER the duplicate check passed on the
+    distinct originals): ``date`` promotes via calendar ``datediff``
+    from the epoch (1 day = 1 unit, injective, monotone, no zone
+    involved); ``timestamp`` — an absolute instant — promotes via
+    ``unix_micros`` (injective and monotone regardless of zone; exact
+    in double until ~2255, far under 2^53 micros). ``timestamp_ntz``
+    has NO zone-free numeric image a cast can build and raises.
+    Anything else (string, binary, array) also has no order-preserving
+    numeric image and raises, naming the ``windowed_streams=True``
+    escape — the per-stream window form orders by ANY comparable type,
+    and when streams are many and small the streams themselves supply
+    the parallelism (r13 ADVICE: rejecting these keys outright was a
+    capability regression vs the pre-r13 window form)."""
     if order_col not in dtypes:
         raise ValueError(
             f"{op}: order_col {order_col!r} is not a column of the "
@@ -143,16 +149,99 @@ def _numeric_order_key(
     t = dtypes[order_col]
     if t in _NUMERIC_ORDER_TYPES or t.startswith("decimal("):
         return None
-    if t in ("date", "timestamp", "timestamp_ntz"):
-        return F.col(order_col).cast("timestamp").cast("double")
+    if t == "date":
+        return F.datediff(F.col(order_col), F.lit("1970-01-01")).cast("double")
+    if t == "timestamp":
+        return F.unix_micros(F.col(order_col)).cast("double")
     raise ValueError(
         f"{op}: order_col {order_col!r} has type {t!r}; the two-level "
-        "prefix layout needs a numeric (or date/timestamp) order key — "
+        "prefix layout needs a numeric, date, or timestamp order key — "
         "derive a numeric rank first, or pass windowed_streams=True for "
         "the per-stream window form (correct for any comparable order "
-        "type, and the RIGHT plan when streams are many and small — "
-        "high stream cardinality is itself the parallelism)"
+        "type — including timestamp_ntz, whose wall times have no "
+        "zone-free numeric image — and the RIGHT plan when streams are "
+        "many and small: high stream cardinality is itself the "
+        "parallelism)"
     )
+
+
+def _stream_start_offsets(
+    sized: DataFrame,
+    stream_col: str,
+    order_col: str,
+    op: str,
+    *,
+    dtypes: dict[str, str],
+    max_stream_groups: int,
+    windowed_streams: bool,
+) -> DataFrame:
+    """Shared offsets core for both packing operators (r14 review: the
+    two siblings had drifted line-for-line copies): compress ``sized``
+    (columns exactly [stream, order, n_tokens], pre-filtered of NULLs)
+    to one row per (stream, order) — the compression hosts the
+    DUPLICATE-key raise, which must live here because fed duplicate
+    keys prefix_count_below would silently give both rows the same
+    offset — then attach ``_start`` = total n_tokens over
+    strictly-earlier rows of the same stream.
+
+    Default path: the two-level ``prefix_count_below`` pass (promoted
+    numeric order key when needed), with the compressed table lazily
+    localCheckpoint'ed first — the primitive consumes its input from
+    two plan branches (the rng min/max aggregate and the celled main
+    path), and without the checkpoint each branch re-derives the
+    compression from a full corpus scan (the r13 aggregation-buffer
+    audit's repeated-scan class). ``windowed_streams=True``: a plain
+    per-stream cumulative window over the compressed table — correct
+    for any comparable order type, and the right plan when stream
+    cardinality exceeds the prefix core's broadcast budget. Both paths
+    compute the identical pure function."""
+    dup_err = F.raise_error(
+        F.lit(
+            f"{op}: duplicate ({stream_col}, {order_col}) key — "
+            "the token-stream layout is only deterministic under a unique "
+            "per-stream order; deduplicate or refine order_col"
+        )
+    )
+    compressed = (
+        sized.groupBy(stream_col, order_col)
+        .agg(F.sum("n_tokens").alias("n_tokens"), F.count("*").alias("dupn"))
+        .withColumn(
+            "n_tokens",
+            F.when(F.col("dupn") > 1, dup_err).otherwise(F.col("n_tokens")),
+        )
+        .drop("dupn")
+    )
+    if windowed_streams:
+        from pyspark.sql.window import Window
+
+        cum = (
+            Window.partitionBy(stream_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return compressed.withColumn(
+            "_start", F.sum("n_tokens").over(cum) - F.col("n_tokens")
+        )
+    from .operators.ranking import prefix_count_below
+
+    promoted = _numeric_order_key(dtypes, order_col, op)
+    compressed = compressed.localCheckpoint(eager=False)
+    val = order_col
+    if promoted is not None:
+        # no leading underscore: prefix_count_below reserves that
+        # namespace for its internals (r14 review); the compressed
+        # frame holds exactly three known columns, so no collision
+        val = f"{order_col}__num"
+        compressed = compressed.withColumn(val, promoted)
+    base = prefix_count_below(
+        compressed,
+        [stream_col],
+        val,
+        "n_tokens",
+        out_col="_start",
+        max_key_groups=max_stream_groups,
+    )
+    return base.drop(val) if promoted is not None else base
 
 
 def pack_sequences(
@@ -192,13 +281,16 @@ def pack_sequences(
     through ONE task's sort, and with a dominant language (English is
     routinely >half a web corpus) that is a corpus-sized single-task
     sort (r13 VERDICT: this operator was the audit's miss). date and
-    timestamp order keys promote to their epoch value (monotone ⇒
-    offsets unchanged); ``windowed_streams=True`` keeps the classic
-    one-window form for HIGH-cardinality streams (> ``max_stream_groups``
-    — where per-stream windows are genuinely well-parallelized and the
-    prefix core's broadcast cell map would be the bottleneck instead)
-    and for order keys with no numeric image; both paths compute the
-    identical pure function, so switching never changes values.
+    timestamp order keys promote to a zone-free monotone numeric image
+    (``_numeric_order_key`` — offsets unchanged); ``windowed_streams=
+    True`` keeps the classic per-stream-window form for
+    HIGH-cardinality streams (> ``max_stream_groups`` — where
+    per-stream windows are genuinely well-parallelized and the prefix
+    core's broadcast cell map would be the bottleneck instead) and for
+    order keys with no numeric image; both paths run through the SAME
+    compression + duplicate guard (``_stream_start_offsets``) and
+    compute the identical pure function, so switching never changes
+    values.
     """
     if not (isinstance(budget_tokens, int) and budget_tokens >= 1):
         raise ValueError(
@@ -212,61 +304,14 @@ def pack_sequences(
         & F.col(stream_col).isNotNull()
         & F.col(order_col).isNotNull()
     ).select(stream_col, order_col, n_tok.alias("n_tokens"))
-    dup_err = F.raise_error(
-        F.lit(
-            f"pack_sequences: duplicate ({stream_col}, {order_col}) key — "
-            "the token-stream layout is only deterministic under a unique "
-            "per-stream order; deduplicate or refine order_col"
-        )
-    )
-    if windowed_streams:
-        from pyspark.sql.window import Window
-
-        # the high-cardinality path: one per-stream window; the
-        # duplicate check rides the SAME sort via lag (no extra
-        # shuffle — a groupBy check would add one)
-        w = Window.partitionBy(stream_col).orderBy(order_col)
-        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        start = F.sum("n_tokens").over(cum) - F.col("n_tokens")
-        is_dup = F.lag(F.col(order_col)).over(w) == F.col(order_col)
-        return sized.select(
-            stream_col,
-            order_col,
-            "n_tokens",
-            F.when(is_dup, dup_err).otherwise(start).alias("_start"),
-        ).select(
-            stream_col,
-            order_col,
-            "n_tokens",
-            F.expr(f"_start div {b}").cast("long").alias("chunk_id"),
-        )
-    from .operators.ranking import prefix_count_below
-
-    promoted = _numeric_order_key(dict(docs.dtypes), order_col, "pack_sequences")
-    # the (stream, order) compression the prefix pass needs anyway (its
-    # contract is one row per key) hosts the duplicate check for free —
-    # and it MUST live here: fed duplicate keys, prefix_count_below
-    # would silently give both rows the same offset
-    compressed = (
-        sized.groupBy(stream_col, order_col)
-        .agg(F.sum("n_tokens").alias("n_tokens"), F.count("*").alias("dupn"))
-        .withColumn(
-            "n_tokens",
-            F.when(F.col("dupn") > 1, dup_err).otherwise(F.col("n_tokens")),
-        )
-        .drop("dupn")
-    )
-    val = order_col
-    if promoted is not None:
-        val = "_ordk"
-        compressed = compressed.withColumn(val, promoted)
-    base = prefix_count_below(
-        compressed,
-        [stream_col],
-        val,
-        "n_tokens",
-        out_col="_start",
-        max_key_groups=max_stream_groups,
+    base = _stream_start_offsets(
+        sized,
+        stream_col,
+        order_col,
+        "pack_sequences",
+        dtypes=dict(docs.dtypes),
+        max_stream_groups=max_stream_groups,
+        windowed_streams=windowed_streams,
     )
     return base.select(
         stream_col,
@@ -740,22 +785,14 @@ def pack_segments(
             f"pack_segments: budget_tokens must be a positive int, got "
             f"{budget_tokens!r}"
         )
-    promoted = (
-        None
-        if windowed_streams
-        else _numeric_order_key(dict(docs.dtypes), order_col, "pack_segments")
-    )
     n_tok = F.size(text.nonempty_tokens_col(text_col)).cast("long")
     # determinism is the whole contract, so its preconditions are
     # ENFORCED: NULL order keys are excluded (they have no defined
     # position in the stream — same stance as NULL text/stream), and a
-    # DUPLICATE (stream, order) key raises in-plan — ties would make
-    # every later offset depend on physical row order. The check rides
-    # the (stream, order) compression aggregate the two-level prefix
-    # pass needs anyway (its contract is one row per key), so it costs
-    # no extra shuffle — and it MUST live here: fed duplicate keys,
-    # prefix_count_below would silently give both rows the same offset.
-    compressed = (
+    # DUPLICATE (stream, order) key raises in-plan inside the shared
+    # offsets core (_stream_start_offsets) — ties would make every
+    # later offset depend on physical row order.
+    sized = (
         docs.where(
             F.col(text_col).isNotNull()
             & F.col(stream_col).isNotNull()
@@ -763,56 +800,16 @@ def pack_segments(
         )
         .select(stream_col, order_col, n_tok.alias("n_tokens"))
         .where(F.col("n_tokens") > 0)
-        .groupBy(stream_col, order_col)
-        .agg(F.sum("n_tokens").alias("n_tokens"), F.count("*").alias("dupn"))
-        .withColumn(
-            "n_tokens",
-            F.when(
-                F.col("dupn") > 1,
-                F.raise_error(
-                    F.lit(
-                        f"pack_segments: duplicate ({stream_col}, "
-                        f"{order_col}) key — the token-stream layout is "
-                        "only deterministic under a unique per-stream "
-                        "order; deduplicate or refine order_col"
-                    )
-                ),
-            ).otherwise(F.col("n_tokens")),
-        )
-        .drop("dupn")
     )
-    if windowed_streams:
-        from pyspark.sql.window import Window
-
-        # the high-cardinality path: compressed is one row per
-        # (stream, order) — the dup check above guarantees it — so a
-        # plain per-stream running sum is exact, and with many small
-        # streams it is also well-parallelized
-        cum = (
-            Window.partitionBy(stream_col)
-            .orderBy(order_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        base = compressed.withColumn(
-            "_start", F.sum("n_tokens").over(cum) - F.col("n_tokens")
-        )
-    else:
-        from .operators.ranking import prefix_count_below
-
-        val = order_col
-        if promoted is not None:
-            val = "_ordk"
-            compressed = compressed.withColumn(val, promoted)
-        base = prefix_count_below(
-            compressed,
-            [stream_col],
-            val,
-            "n_tokens",
-            out_col="_start",
-            max_key_groups=max_stream_groups,
-        )
-        if promoted is not None:
-            base = base.drop(val)
+    base = _stream_start_offsets(
+        sized,
+        stream_col,
+        order_col,
+        "pack_segments",
+        dtypes=dict(docs.dtypes),
+        max_stream_groups=max_stream_groups,
+        windowed_streams=windowed_streams,
+    )
     base = base.withColumn("_end", F.col("_start") + F.col("n_tokens"))
     b = int(budget_tokens)
     first = F.expr(f"_start div {b}")

@@ -1146,14 +1146,19 @@ def zipf_head_fit(
     # the r2 VALUE is clamped to its mathematical range [0, 1] (r13
     # ADVICE): with a genuinely-varying but nearly-log-equal head the
     # cancelled float dy can round to 0 or flip sign with summation
-    # order, sending the raw ratio to Inf/NaN/negative — the clamp maps
-    # every such noise value to the boundary on BOTH engines (Spark and
-    # DuckDB both order NaN greater than any number, so least(·, 1.0)
-    # lands NaN and Inf on 1.0; greatest(·, 0.0) lands negatives on
-    # 0.0), leaving only the documented round-6 interior-noise residual
+    # order. try_divide is load-bearing under ANSI (r14 review): a
+    # plain Divide THROWS DIVIDE_BY_ZERO when dx·dy rounds to exactly
+    # 0.0 — try_divide yields NULL there, DuckDB's division yields NULL
+    # natively, and BOTH engines' greatest() skips NULLs (probed), so a
+    # zero denominator lands on 0.0 symmetrically; negatives clamp to
+    # 0.0 and overflow-Inf to 1.0, leaving only the documented residual
+    # of summation-order sign noise near the boundary
     r2 = F.when(
         fittable & varies,
-        F.least(F.greatest((cov * cov) / (dx * dy), F.lit(0.0)), F.lit(1.0)),
+        F.least(
+            F.greatest(F.try_divide(cov * cov, dx * dy), F.lit(0.0)),
+            F.lit(1.0),
+        ),
     )
     return agg.select(
         F.col("g").alias(group_col),

@@ -482,7 +482,10 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (lang, chunk): how many docs and tokens each training chunk
     holds. Chunk id = floor(start offset / budget) over the per-language
     doc_id-ordered token stream — deterministic concat-then-split
-    packing, one window shuffle."""
+    packing. The offsets ride the two-level prefix core since r14
+    (plan-pinned: no per-language corpus window); NULL text/lang/doc_id
+    rows are excluded and duplicate keys raise, mirrored in the oracle's
+    WHERE clause."""
     from database_collector_spark import curation
 
     packed = curation.pack_sequences(
@@ -498,6 +501,10 @@ SQL_SEQUENCE_PACK = """
 WITH sized AS (
   SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
+  -- lockstep with pack_sequences' enforced determinism preconditions
+  -- (r14 review): NULL stream/order/text rows have no defined stream
+  -- position and are excluded on BOTH engines
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id IS NOT NULL
 ),
 packed AS (
   SELECT lang, n_tokens,

@@ -161,9 +161,10 @@ SELECT lang, n_terms,
                / n_terms, 6)
        END AS intercept,
        -- r2 clamped to [0, 1] in lockstep with the operator (r13
-       -- ADVICE: the cancelled dy can round to 0 / flip sign on a
-       -- nearly-log-equal head; both engines land NaN/Inf on 1.0 and
-       -- negatives on 0.0 because both order NaN above all numbers)
+       -- ADVICE): DuckDB division by zero yields NULL natively, the
+       -- Spark side uses try_divide — and BOTH engines' greatest()
+       -- skips NULLs (probed), so a zero denominator lands on 0.0
+       -- symmetrically; negatives clamp to 0.0, overflow-Inf to 1.0
        CASE WHEN n_terms >= 2 AND c_min < c_max THEN
          round(least(greatest(
                (n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)

@@ -212,6 +212,38 @@ def test_pack_sequences_timestamp_order_key_promotes(spark):
     assert prefix == windowed and len(prefix) == 24
 
 
+def test_pack_sequences_date_order_key_promotes_zone_free(spark):
+    """date keys promote via calendar datediff (no session-zone cast —
+    r14 review: a DST-gap zone can collapse distinct wall times under a
+    timestamp cast); values match the windowed form on the same key."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from database_collector_spark import curation
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                d=dt.date(2026, 1, 1) + dt.timedelta(days=(i * 13) % 29),
+                text=" ".join(["t"] * (1 + i % 4)),
+                lang="en" if i % 2 else "de",
+            )
+            for i in range(20)
+        ]
+    )
+    kw = {"budget_tokens": 3, "order_col": "d"}
+    prefix = sorted(map(tuple, curation.pack_sequences(docs, **kw).collect()))
+    windowed = sorted(
+        map(
+            tuple,
+            curation.pack_sequences(docs, windowed_streams=True, **kw).collect(),
+        )
+    )
+    assert prefix == windowed and len(prefix) == 20
+
+
 def test_pack_sequences_string_order_key_raises_naming_escape(spark):
     import pytest
     from pyspark.sql import Row
