@@ -190,11 +190,15 @@ def _stream_start_offsets(
     two plan branches (the rng min/max aggregate and the celled main
     path), and without the checkpoint each branch re-derives the
     compression from a full corpus scan (the r13 aggregation-buffer
-    audit's repeated-scan class). ``windowed_streams=True``: a plain
-    per-stream cumulative window over the compressed table — correct
-    for any comparable order type, and the right plan when stream
-    cardinality exceeds the prefix core's broadcast budget. Both paths
-    compute the identical pure function."""
+    audit's repeated-scan class). ``windowed_streams=True``: ONE
+    per-stream cumulative window directly over ``sized`` — the
+    duplicate check rides the window's own sort via lag (Spark's
+    NaN = NaN is TRUE, probed, so NaN order keys cannot slip past it),
+    costing zero extra shuffles (second-pass review: routing this
+    branch through the compression aggregate doubled the shuffle
+    volume for the exact high-cardinality case the escape exists
+    for) — correct for any comparable order type. Both paths compute
+    the identical pure function."""
     dup_err = F.raise_error(
         F.lit(
             f"{op}: duplicate ({stream_col}, {order_col}) key — "
@@ -202,6 +206,24 @@ def _stream_start_offsets(
             "per-stream order; deduplicate or refine order_col"
         )
     )
+    if windowed_streams:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(stream_col).orderBy(order_col)
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        is_dup = F.lag(F.col(order_col)).over(w) == F.col(order_col)
+        return sized.withColumn(
+            "_start",
+            F.when(is_dup, dup_err).otherwise(
+                F.sum("n_tokens").over(cum) - F.col("n_tokens")
+            ),
+        )
+    from .operators.ranking import prefix_count_below
+
+    # the (stream, order) compression the prefix pass needs anyway (its
+    # contract is one row per key) hosts the duplicate check — and it
+    # MUST live here: fed duplicate keys, prefix_count_below would
+    # silently give both rows the same offset
     compressed = (
         sized.groupBy(stream_col, order_col)
         .agg(F.sum("n_tokens").alias("n_tokens"), F.count("*").alias("dupn"))
@@ -211,27 +233,18 @@ def _stream_start_offsets(
         )
         .drop("dupn")
     )
-    if windowed_streams:
-        from pyspark.sql.window import Window
-
-        cum = (
-            Window.partitionBy(stream_col)
-            .orderBy(order_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return compressed.withColumn(
-            "_start", F.sum("n_tokens").over(cum) - F.col("n_tokens")
-        )
-    from .operators.ranking import prefix_count_below
-
     promoted = _numeric_order_key(dtypes, order_col, op)
     compressed = compressed.localCheckpoint(eager=False)
     val = order_col
     if promoted is not None:
         # no leading underscore: prefix_count_below reserves that
-        # namespace for its internals (r14 review); the compressed
-        # frame holds exactly three known columns, so no collision
+        # namespace for its internals (r14 review); stream_col and
+        # order_col are caller-chosen, so probe for collisions instead
+        # of assuming them away (second-pass review: stream_col =
+        # f"{order_col}__num" would have been silently overwritten)
         val = f"{order_col}__num"
+        while val in compressed.columns:
+            val += "_"
         compressed = compressed.withColumn(val, promoted)
     base = prefix_count_below(
         compressed,

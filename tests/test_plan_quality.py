@@ -391,11 +391,11 @@ def test_pack_sequences_windowed_escape_is_single_shuffle(spark):
     plan = _plan(
         curation.pack_sequences(_t(spark, SF, "documents"), windowed_streams=True)
     )
-    # the documented high-cardinality escape: the shared (stream, order)
-    # compression aggregate (hosting the duplicate guard) + one
-    # per-stream running-sum window over the compressed rows — two
-    # keyed exchanges, no prefix core, no single-partition funnel
-    assert plan.count("Exchange hashpartitioning") == 2
+    # the documented high-cardinality escape keeps the classic shape:
+    # exactly ONE exchange on the stream key feeding the running-sum
+    # window (cumsum + the duplicate-lag guard share that window's
+    # sort), no compression aggregate, no prefix core
+    assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
