@@ -176,13 +176,14 @@ def _stream_start_offsets(
     windowed_streams: bool,
 ) -> DataFrame:
     """Shared offsets core for both packing operators (r14 review: the
-    two siblings had drifted line-for-line copies): compress ``sized``
-    (columns exactly [stream, order, n_tokens], pre-filtered of NULLs)
-    to one row per (stream, order) — the compression hosts the
-    DUPLICATE-key raise, which must live here because fed duplicate
-    keys prefix_count_below would silently give both rows the same
-    offset — then attach ``_start`` = total n_tokens over
-    strictly-earlier rows of the same stream.
+    two siblings had drifted line-for-line copies): given ``sized``
+    (columns exactly [stream, order, n_tokens], pre-filtered of NULLs),
+    attach ``_start`` = total n_tokens over strictly-earlier rows of
+    the same stream, with the DUPLICATE-(stream, order)-key raise
+    enforced in-plan on BOTH paths — on the prefix path it rides the
+    (stream, order) compression aggregate the pass needs anyway; on
+    the windowed path it rides the window's own sort via a null-safe
+    lag compare (no compression there — see below).
 
     Default path: the two-level ``prefix_count_below`` pass (promoted
     numeric order key when needed), with the compressed table lazily
@@ -211,7 +212,15 @@ def _stream_start_offsets(
 
         w = Window.partitionBy(stream_col).orderBy(order_col)
         cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        is_dup = F.lag(F.col(order_col)).over(w) == F.col(order_col)
+        # null-safe equality: callers pre-filter NULL order keys, but a
+        # plain == would let duplicate NULLs through silently if one
+        # ever forgot (NULL == NULL is NULL); eqNullSafe keeps both
+        # paths enforcing the identical invariant (third-pass review).
+        # Side effect accepted: a partition-FIRST row with a NULL order
+        # key also trips the guard (lag is NULL there) — any NULL order
+        # key is already a precondition violation, and a loud raise
+        # beats order-dependent offsets
+        is_dup = F.lag(F.col(order_col)).over(w).eqNullSafe(F.col(order_col))
         return sized.withColumn(
             "_start",
             F.when(is_dup, dup_err).otherwise(
@@ -242,8 +251,12 @@ def _stream_start_offsets(
         # order_col are caller-chosen, so probe for collisions instead
         # of assuming them away (second-pass review: stream_col =
         # f"{order_col}__num" would have been silently overwritten)
+        # case-INSENSITIVE probe: Spark resolves names case-
+        # insensitively by default, so a case-variant collision would
+        # still overwrite (third-pass review, reproduced)
+        taken = {c.lower() for c in compressed.columns}
         val = f"{order_col}__num"
-        while val in compressed.columns:
+        while val.lower() in taken:
             val += "_"
         compressed = compressed.withColumn(val, promoted)
     base = prefix_count_below(
@@ -300,10 +313,10 @@ def pack_sequences(
     HIGH-cardinality streams (> ``max_stream_groups`` — where
     per-stream windows are genuinely well-parallelized and the prefix
     core's broadcast cell map would be the bottleneck instead) and for
-    order keys with no numeric image; both paths run through the SAME
-    compression + duplicate guard (``_stream_start_offsets``) and
-    compute the identical pure function, so switching never changes
-    values.
+    order keys with no numeric image; both paths share one offsets core
+    (``_stream_start_offsets``) enforcing the identical duplicate
+    guard and computing the identical pure function, so switching
+    never changes values.
     """
     if not (isinstance(budget_tokens, int) and budget_tokens >= 1):
         raise ValueError(
