@@ -102,9 +102,11 @@ _CHECK_FIRST = [
     # r10/r11 and re-check at r15/r16 naturally.
     # POST-SATURATION: once 250 registers (end of r15), EVERY later
     # window is exactly consumed by the 50-gate cohort from 5 rounds
-    # back, so vocab_overlap and the r16 staged cohort
+    # back, so vocab_overlap, the r16 staged cohort
     # (workloads_r16.py: embedding_drift, zipf_head_fit,
-    # bigram_cond_entropy) stay at the staged-green evidence tier
+    # bigram_cond_entropy) and the r17 data-quality cohort
+    # (workloads_r17.py: table_profile, fk_integrity, key_uniqueness,
+    # staged r14) stay at the staged-green evidence tier
     # PERMANENTLY — decided and documented in COVERAGE.md §staged-tier
     # (r13 VERDICT #5); the judge's check.py --staged differential
     # covers them every round. Any 1-for-1 retirement swap must be

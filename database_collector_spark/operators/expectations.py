@@ -1,0 +1,179 @@
+"""Data-quality expectations: the Deequ/Great-Expectations surface.
+
+Any pipeline feeding a 100 TB training run gates its inputs on three
+bread-and-butter checks before anything else runs: per-column profiles
+(null rates, cardinalities — "did an upstream schema change blank out a
+column?"), referential integrity between fact and dimension tables
+("did the nightly ingest drop parent rows?"), and candidate-key
+uniqueness ("is doc_id still a key after the merge?"). The reference's
+collector republishes whatever it scraped (SURVEY §2.1) and relies on
+the warehouse to notice damage; this module makes the checks
+first-class, exact, and cross-engine (every statistic is an integer
+count or ONE division over exact integers, so DuckDB twins hash-match).
+
+Scale notes per operator are in the docstrings; the common theme is
+that every check reduces the corpus ONCE (a single aggregate pass, or
+a distinct-key compression before any join) and never sorts, so the
+plans are partial-aggregate shapes that survive a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SAFE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: (col_name, n_rows, n_nulls, null_frac,
+    n_distinct) — the first look at any new table drop.
+
+    ONE aggregate pass computes every column's COUNT(col) and exact
+    COUNT(DISTINCT col) together (Spark plans the multi-distinct
+    aggregate with an Expand — one shuffle carrying a |columns|-fold
+    row expansion, the standard price of an exact profile; swap in
+    approx_count_distinct when |columns| x rows makes that expansion
+    the bottleneck and a ~2% cardinality error is acceptable). The
+    per-column rows then unpivot from the single result row via an
+    in-row stack — adding a column never adds a pass. ``null_frac`` is
+    ONE division over exact integers (NULL on an empty table, guarded
+    — ANSI division would throw).
+
+    Column names are interpolated into the stack() SQL string, so they
+    are enforced to a safe identifier charset first (the
+    rule_attribution stance: never let a caller-supplied name become
+    SQL).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("column_profile: no columns to profile")
+    for c in cols:
+        if not _SAFE_NAME.match(c):
+            raise ValueError(
+                f"column_profile: column name {c!r} is outside the safe "
+                "identifier charset [A-Za-z0-9_] — rename/alias it first"
+            )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"nn_{i}"))
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"nd_{i}"))
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{c}', nn_{i}, nd_{i}" for i, c in enumerate(cols))
+    long = one.selectExpr(
+        "n_rows", f"stack({len(cols)}, {pairs}) as (col_name, n_nonnull, n_distinct)"
+    )
+    n_nulls = (F.col("n_rows") - F.col("n_nonnull")).cast("long")
+    return long.select(
+        "col_name",
+        "n_rows",
+        n_nulls.alias("n_nulls"),
+        F.when(
+            F.col("n_rows") > 0,
+            F.round(n_nulls.cast("double") / F.col("n_rows"), 6),
+        ).alias("null_frac"),
+        "n_distinct",
+    )
+
+
+def referential_integrity(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    relationship: str | None = None,
+) -> DataFrame:
+    """One-row report for a foreign-key relationship: (relationship,
+    n_child_rows, n_child_keyed, n_orphan_rows, n_orphan_keys,
+    orphan_frac) — "how many fact rows point at a missing parent?".
+
+    NULL child keys are reported separately (n_child_rows −
+    n_child_keyed) rather than counted as orphans — SQL equality can
+    never match them, and conflating "unkeyed" with "dangling" hides
+    which upstream broke. Plan: the child compresses to one row per
+    DISTINCT key (with its row count) before anything joins — at 100 TB
+    the anti join runs on two distinct-key tables, never on the fact
+    table — and the two scalar totals attach via bounded 1-row
+    crossJoins (the documented no-group scalar-branch shape).
+    ``orphan_frac`` = n_orphan_rows / n_child_keyed, ONE division over
+    exact integers, NULL when no child row carries a key.
+    """
+    rel = relationship or f"{child_key}->{parent_key}"
+    ck = (
+        child.where(F.col(child_key).isNotNull())
+        .groupBy(F.col(child_key).alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    pk = (
+        parent.where(F.col(parent_key).isNotNull())
+        .select(F.col(parent_key).alias("k"))
+        .distinct()
+    )
+    orphans = ck.join(pk, "k", "left_anti").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orphan_rows"),
+        F.count("*").cast("long").alias("n_orphan_keys"),
+    )
+    totals = child.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+        F.count(F.col(child_key)).cast("long").alias("n_child_keyed"),
+    )
+    return totals.crossJoin(orphans).select(
+        F.lit(rel).alias("relationship"),
+        "n_child_rows",
+        "n_child_keyed",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        F.when(
+            F.col("n_child_keyed") > 0,
+            F.round(
+                F.col("n_orphan_rows").cast("double") / F.col("n_child_keyed"), 6
+            ),
+        ).alias("orphan_frac"),
+    )
+
+
+def key_uniqueness(
+    df: DataFrame, key_sets: dict[str, list[str | Column]]
+) -> DataFrame:
+    """Candidate-key audit: one row per named key set — (key_name,
+    n_rows, n_keys, n_dup_keys, n_dup_rows, is_unique) — the check run
+    before anyone joins on, dedups by, or upserts on a "key".
+
+    Each key set costs ONE groupBy pass over the table (a count-per-key
+    compression — map-side partials, no sort) folded to a single row;
+    key expressions (e.g. ``F.md5("text")`` for content identity) are
+    allowed alongside plain column names. NULL key values group under
+    SQL GROUP BY semantics on BOTH engines — two NULL-keyed rows ARE
+    duplicates of each other, which is exactly what a dedup or upsert
+    keyed on that column would do to them.
+    """
+    if not key_sets:
+        raise ValueError("key_uniqueness: no key sets given")
+    outs = []
+    for name, cols in key_sets.items():
+        counts = df.groupBy(
+            *[F.col(c) if isinstance(c, str) else c for c in cols]
+        ).agg(F.count("*").alias("n"))
+        dup_n = F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))
+        dup_k = F.when(F.col("n") > 1, F.lit(1)).otherwise(F.lit(0))
+        outs.append(
+            counts.agg(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.coalesce(F.sum(dup_k), F.lit(0)).cast("long").alias("n_dup_keys"),
+                F.coalesce(F.sum(dup_n), F.lit(0)).cast("long").alias("n_dup_rows"),
+            ).select(
+                F.lit(name).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "n_dup_keys",
+                "n_dup_rows",
+                (F.col("n_dup_keys") == 0).alias("is_unique"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

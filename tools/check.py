@@ -128,21 +128,23 @@ def staged_queries() -> dict:
     fail at staging time, not after registration). When the r15 trio
     registers, drop workloads_r15 here and leave r16 (permanently
     staged-tier — see COVERAGE.md §staged-tier)."""
-    from database_collector_spark import workloads_r15, workloads_r16
+    from database_collector_spark import workloads_r15, workloads_r16, workloads_r17
 
     return {
         **workloads_r15.QUERIES_R15,
         **workloads_r16.QUERIES_R16,
+        **workloads_r17.QUERIES_R17,
     }
 
 
 def staged_oracles() -> dict:
     """Oracle twins of staged_queries() — same single-pointer contract."""
-    from database_collector_spark import workloads_r15, workloads_r16
+    from database_collector_spark import workloads_r15, workloads_r16, workloads_r17
 
     return {
         **workloads_r15.ORACLES_R15,
         **workloads_r16.ORACLES_R16,
+        **workloads_r17.ORACLES_R17,
     }
 
 
