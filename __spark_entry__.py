@@ -105,8 +105,9 @@ _CHECK_FIRST = [
     # back, so vocab_overlap, the r16 staged cohort
     # (workloads_r16.py: embedding_drift, zipf_head_fit,
     # bigram_cond_entropy) and the r17 data-quality cohort
-    # (workloads_r17.py: table_profile, fk_integrity, key_uniqueness,
-    # staged r14) stay at the staged-green evidence tier
+    # (workloads_r17.py: table_profile, fk_orphan_report,
+    # key_uniqueness, staged r14) stay at the staged-green evidence
+    # tier
     # PERMANENTLY — decided and documented in COVERAGE.md §staged-tier
     # (r13 VERDICT #5); the judge's check.py --staged differential
     # covers them every round. Any 1-for-1 retirement swap must be

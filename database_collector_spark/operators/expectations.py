@@ -92,32 +92,44 @@ def referential_integrity(
     NULL child keys are reported separately (n_child_rows −
     n_child_keyed) rather than counted as orphans — SQL equality can
     never match them, and conflating "unkeyed" with "dangling" hides
-    which upstream broke. Plan: the child compresses to one row per
-    DISTINCT key (with its row count) before anything joins — at 100 TB
-    the anti join runs on two distinct-key tables, never on the fact
-    table — and the two scalar totals attach via bounded 1-row
-    crossJoins (the documented no-group scalar-branch shape).
-    ``orphan_frac`` = n_orphan_rows / n_child_keyed, ONE division over
-    exact integers, NULL when no child row carries a key.
+    which upstream broke. Plan: the child is scanned ONCE into a
+    per-key count compression (NULL keys included as their own group,
+    so the row/keyed totals also fold from the compressed table — a
+    separate child.agg would be a second fact-table scan, second-pass
+    review); the compression is lazily localCheckpoint'ed because both
+    the totals fold and the anti join consume it. At 100 TB the anti
+    join runs on two distinct-key tables, never on the fact table, and
+    the two scalar totals attach via bounded 1-row crossJoins (the
+    documented no-group scalar-branch shape). ``orphan_frac`` =
+    n_orphan_rows / n_child_keyed, ONE division over exact integers,
+    NULL when no child row carries a key.
     """
     rel = relationship or f"{child_key}->{parent_key}"
-    ck = (
-        child.where(F.col(child_key).isNotNull())
-        .groupBy(F.col(child_key).alias("k"))
+    ck_all = (
+        child.groupBy(F.col(child_key).alias("k"))
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     pk = (
         parent.where(F.col(parent_key).isNotNull())
         .select(F.col(parent_key).alias("k"))
         .distinct()
     )
-    orphans = ck.join(pk, "k", "left_anti").agg(
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orphan_rows"),
-        F.count("*").cast("long").alias("n_orphan_keys"),
+    orphans = (
+        ck_all.where(F.col("k").isNotNull())
+        .join(pk, "k", "left_anti")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orphan_rows"),
+            F.count("*").cast("long").alias("n_orphan_keys"),
+        )
     )
-    totals = child.agg(
-        F.count(F.lit(1)).cast("long").alias("n_child_rows"),
-        F.count(F.col(child_key)).cast("long").alias("n_child_keyed"),
+    totals = ck_all.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_child_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("k").isNotNull(), F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_child_keyed"),
     )
     return totals.crossJoin(orphans).select(
         F.lit(rel).alias("relationship"),
@@ -153,14 +165,23 @@ def key_uniqueness(
         raise ValueError("key_uniqueness: no key sets given")
     outs = []
     for name, cols in key_sets.items():
+        if not cols:
+            # groupBy() would silently collapse to one global group and
+            # report "massively duplicated" for a caller typo (review)
+            raise ValueError(
+                f"key_uniqueness: key set {name!r} has no key columns"
+            )
+        # reserved count alias: a key column literally named 'n' made
+        # F.col('n') ambiguous (review, reproduced)
         counts = df.groupBy(
             *[F.col(c) if isinstance(c, str) else c for c in cols]
-        ).agg(F.count("*").alias("n"))
-        dup_n = F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))
-        dup_k = F.when(F.col("n") > 1, F.lit(1)).otherwise(F.lit(0))
+        ).agg(F.count("*").alias("_kq_n"))
+        n = F.col("_kq_n")
+        dup_n = F.when(n > 1, n).otherwise(F.lit(0))
+        dup_k = F.when(n > 1, F.lit(1)).otherwise(F.lit(0))
         outs.append(
             counts.agg(
-                F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum(n), F.lit(0)).cast("long").alias("n_rows"),
                 F.count(F.lit(1)).cast("long").alias("n_keys"),
                 F.coalesce(F.sum(dup_k), F.lit(0)).cast("long").alias("n_dup_keys"),
                 F.coalesce(F.sum(dup_n), F.lit(0)).cast("long").alias("n_dup_rows"),

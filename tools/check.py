@@ -118,16 +118,16 @@ def value_hash(canon: list[str]) -> str:
 
 
 def staged_queries() -> dict:
-    """The CURRENT staged cohorts' queries (r15 + r16, as of round 14 —
-    r14 registered in round 14). This is the ONE place the
+    """The CURRENT staged cohorts' queries (r15 + r16 + r17, as of
+    round 14 — r14 registered in round 14). This is the ONE place the
     staged-module pointer lives: main()'s --staged merge AND the
     docs-consistency oracle sweeps import it, so a registration round
     bumps exactly one import and the staged oracles never escape the
     repo-wide meta-tests (a staged oracle reintroducing a retired
     failure class — e.g. a fixed generate_series position bound — must
     fail at staging time, not after registration). When the r15 trio
-    registers, drop workloads_r15 here and leave r16 (permanently
-    staged-tier — see COVERAGE.md §staged-tier)."""
+    registers, drop workloads_r15 here and leave BOTH r16 and r17
+    (permanently staged-tier — see COVERAGE.md §staged-tier)."""
     from database_collector_spark import workloads_r15, workloads_r16, workloads_r17
 
     return {
