@@ -60,7 +60,7 @@ PICKS = [
     ("ann_ivfpq_adc", "IVFADC composite: broadcast cell equi-join ADC"),
     ("minhash_persist_incremental", "persisted-signature reuse band join"),
     ("token_budget_alloc", "all-integer largest-remainder apportionment"),
-    ("pack_sequences", "per-source packing cumsum (partitioned window)"),
+    ("pack_sequences", "hash-bucketed two-level packing prefix sum (r14)"),
 ]
 
 # the r11 cohort, registered in round 11
@@ -71,7 +71,8 @@ PICKS += [
     ("bloom_decontaminate", "bit_or word build + broadcast probe bool_and"),
 ]
 
-# current STAGED cohorts (tools/check.py::staged_queries, r13-r15) — one
+# current STAGED cohorts (tools/check.py::staged_queries, r15-r17,
+# plus registered r13/r14 representatives) — one
 # representative per NEW plan family. bucketed_join_persist is omitted:
 # constructing it writes warehouse tables as a side effect, which a
 # plan dump should not do (its exchange-free SMJ plan is pinned in
@@ -82,8 +83,10 @@ STAGED_PICKS = [
     ("ks_separation", "fused dual-counter prefix core (per-class CDFs)"),
     ("chi2_lang_source", "one-scan contingency: marginals from cell table"),
     ("fleiss_panel", "in-row 3-rater vote explode + bounded folds"),
-    ("pack_chunks", "per-stream packing cumsum + sequence() segment explode"),
+    ("pack_chunks", "two-level prefix offsets + sequence() segment explode"),
     ("agreement_alpha", "m-grouped alpha folds over compressed votes"),
+    ("table_profile", "one-scan multi-distinct Expand profile + stack unpivot"),
+    ("fk_orphan_report", "distinct-key compression anti join (no fact-row join)"),
 ]
 
 
