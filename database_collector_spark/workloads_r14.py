@@ -98,13 +98,20 @@ scored AS (
 def _clf_lang_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, doc_id, n_feats, logit_milli, y) — clf_truth_frame joined
     with the document language, the shared input of the per-lang eval
-    gates below (NULL langs excluded, the grouped-operator contract)."""
-    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return (
-        clf_truth_frame(spark, sf_dir)
-        .join(lang, "doc_id")
-        .where(F.col("lang").isNotNull())
-    )
+    gates below (NULL langs excluded, the grouped-operator contract).
+    Memoized + persisted like its base (workloads_r12._session_memo):
+    the lang join's documents re-scan is paid once, not per gate."""
+    from database_collector_spark.workloads_r12 import _session_memo
+
+    def build() -> DataFrame:
+        lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+        return (
+            clf_truth_frame(spark, sf_dir)
+            .join(lang, "doc_id")
+            .where(F.col("lang").isNotNull())
+        )
+
+    return _session_memo(spark, f"clf_lang:{sf_dir}", build)
 
 
 def _p_milli() -> F.Column:
