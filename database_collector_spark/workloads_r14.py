@@ -61,7 +61,7 @@ from database_collector_spark import curation
 from database_collector_spark.operators import ranking, text
 from database_collector_spark.workloads import _t
 from database_collector_spark.workloads_r9 import SQL_QUALITY_CLASSIFIER
-from database_collector_spark.workloads_r12 import clf_truth_frame
+from database_collector_spark.workloads_r12 import _session_memo, clf_truth_frame
 
 # ---------------------------------------------------------- shared frames
 
@@ -101,7 +101,6 @@ def _clf_lang_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates below (NULL langs excluded, the grouped-operator contract).
     Memoized + persisted like its base (workloads_r12._session_memo):
     the lang join's documents re-scan is paid once, not per gate."""
-    from database_collector_spark.workloads_r12 import _session_memo
 
     def build() -> DataFrame:
         lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")

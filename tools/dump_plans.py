@@ -112,7 +112,13 @@ def main() -> None:
     check = importlib.util.module_from_spec(_spec)
     _spec.loader.exec_module(check)
     staged = check.staged_queries()
+    from database_collector_spark.workloads_r12 import clear_session_memo
+
     for name, why in PICKS + STAGED_PICKS:
+        # evict the session feature-frame memo per pick: every dumped
+        # plan is the canonical COLD plan, not an InMemoryRelation
+        # wrapper whose shape depends on PICKS order (r14 review)
+        clear_session_memo(spark)
         if name in staged and name not in qs:
             df = staged[name](spark, SF)
             why = f"{why} [staged]"
