@@ -149,30 +149,64 @@ _CAL_BINS = 10
 # path in the same session must clear first or later gates read the
 # stale persisted frame. Values and oracles are untouched — pure reuse.
 _FRAME_MEMO: dict[tuple[int, str], DataFrame] = {}
+_FRAME_MEMO_LOCK = None  # created lazily; threading import stays cold
+
+
+def _memo_lock():
+    global _FRAME_MEMO_LOCK
+    if _FRAME_MEMO_LOCK is None:
+        import threading
+
+        # REENTRANT: _clf_lang_frame's build() calls clf_truth_frame,
+        # which re-enters _session_memo under the same lock — a plain
+        # Lock self-deadlocked there (found via a hung dump_plans run,
+        # futex-wait stack)
+        _FRAME_MEMO_LOCK = threading.RLock()
+    return _FRAME_MEMO_LOCK
 
 
 def _session_memo(spark: SparkSession, key: str, build) -> DataFrame:
     from pyspark import StorageLevel
 
     # id(spark) cannot be recycled while entries exist: the cached
-    # frames keep the session strongly referenced
+    # frames keep the session strongly referenced. The whole
+    # check-build-insert runs under a lock (third-pass review: two
+    # concurrent first callers would each persist a copy and the
+    # loser's cache entry would leak with no handle to unpersist it);
+    # build() only constructs the plan — persist is lazy — so the lock
+    # is held for analysis time, never execution time.
     k = (id(spark), key)
-    if k not in _FRAME_MEMO:
-        _FRAME_MEMO[k] = build().persist(StorageLevel.MEMORY_AND_DISK)
-    return _FRAME_MEMO[k]
+    with _memo_lock():
+        if k not in _FRAME_MEMO:
+            _FRAME_MEMO[k] = build().persist(StorageLevel.MEMORY_AND_DISK)
+        return _FRAME_MEMO[k]
 
 
 def clear_session_memo(spark: SparkSession) -> None:
     """Unpersist and evict this session's memoized feature frames (see
     the lifetime contract above): call on session teardown in
     multi-session processes, and before re-scoring after regenerating
-    parquet under a previously-scored sf_dir."""
-    for k in [k for k in _FRAME_MEMO if k[0] == id(spark)]:
-        df = _FRAME_MEMO.pop(k)
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped; eviction is what matters
+    parquet under a previously-scored sf_dir.
+
+    unpersist failures are suppressed ONLY when the session is actually
+    stopped — on a LIVE session a failed unpersist is re-raised, because
+    evicting the memo entry while the JVM CacheManager still holds the
+    old InMemoryRelation would let a rebuilt identical plan silently
+    serve the stale cache (third-pass review): the exact staleness this
+    function exists to prevent."""
+    with _memo_lock():
+        mine = [k for k in _FRAME_MEMO if k[0] == id(spark)]
+        for k in mine:
+            df = _FRAME_MEMO.pop(k)
+            try:
+                df.unpersist()
+            except Exception:
+                try:
+                    stopped = spark.sparkContext._jsc.sc().isStopped()
+                except Exception:
+                    stopped = True
+                if not stopped:
+                    raise
 
 
 def clf_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

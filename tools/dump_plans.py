@@ -115,19 +115,23 @@ def main() -> None:
     from database_collector_spark.workloads_r12 import clear_session_memo
 
     for name, why in PICKS + STAGED_PICKS:
-        # evict the session feature-frame memo per pick: every dumped
-        # plan is the canonical COLD plan, not an InMemoryRelation
-        # wrapper whose shape depends on PICKS order (r14 review)
-        clear_session_memo(spark)
         if name in staged and name not in qs:
             df = staged[name](spark, SF)
             why = f"{why} [staged]"
         else:
             df = qs[name](spark, SF)
+        # evict the session feature-frame memo AFTER constructing the
+        # pick (construction itself may register a persist with the
+        # CacheManager) and BEFORE explain, so every dumped plan is the
+        # canonical COLD plan, not an InMemoryRelation wrapper whose
+        # shape depends on PICKS order (r14 review, two passes: the
+        # clear-before-build form still dumped the pick's own cache)
+        clear_session_memo(spark)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"## {name} — {why}\n\n```\n{buf.getvalue().strip()}\n```\n")
+        print(f"  dumped {name}", file=sys.stderr)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
