@@ -34,6 +34,7 @@ from database_collector_spark import (
     workloads_r12,
     workloads_r13,
     workloads_r14,
+    workloads_r15,
     workloads_ts,
 )
 
@@ -51,75 +52,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # green row in a prior round sort last (their implementations are
 # unchanged and pinned by pytest).
 _CHECK_FIRST = [
-    # Round-14 rotation, part 1 — staleness-bound backfill:
-    # CORRECTNESS_r13 was 50/50 green (fourth consecutive fully-green
+    # Round-15 rotation, part 1 — staleness-bound backfill:
+    # CORRECTNESS_r14 was 50/50 green (fifth consecutive fully-green
     # window, zero reds to re-check), so the head goes to the
-    # THIRTY-SIX r9-latest gates (newest driver row = round 9;
-    # 14 - 9 = 5, the max-staleness bound binds THIS round). Computed
+    # FORTY-SEVEN r10-latest gates (newest driver row = round 10;
+    # 15 - 10 = 5, the max-staleness bound binds THIS round). Computed
     # from the CORRECTNESS_r*.json union, alphabetical
-    # (correlated_avg_filter .. weighted_sample_by).
-    "correlated_avg_filter", "cube_counts", "cust_order_distribution",
-    "date_funcs", "date_rollup", "dedup_embedding_lsh_multi",
-    "dedup_spans", "embedding_outliers", "engine_dispatch",
-    "events_sliding", "gap_detect", "grouped_counter", "grouping_sets",
-    "interval_outages", "label_enrich", "lang_confusion", "limit_cap",
-    "quality_classifier", "range_join_buckets", "readability_scores",
-    "sample_stratified", "semi_anti_orders", "sessionization",
-    "set_ops", "shard_overlap", "shipping_priority", "skew_salted_join",
-    "sliding_unique_approx", "sliding_unique_users", "stats_moments",
-    "string_funcs", "temperature_mixture", "text_token_stats",
-    "tfidf_top_terms", "ttl_expiry_counts", "weighted_sample_by",
-    # part 2 — NEW GATES: the ELEVEN r14 gates staged in
-    # workloads_r14.py since round 13 (oracles pre-verified by the
-    # driver-identical staged differential at sf0.001/0.01 and
-    # judge-re-run green in the r13 VERDICT; registered this round).
-    "pr_curve_sweep", "lift_deciles", "mcc_by_lang", "brier_quality",
-    "ece_quality", "ks_separation", "mrr_quality", "fleiss_panel",
-    "chi2_lang_source", "vocab_coverage", "class_balance",
-    # part 3 — oldest-evidence backfill: the first 3 (alphabetical) of
-    # the 50 r10-latest gates (newest driver row = round 10; their
-    # bound binds at r15, taken early here per the r13 directive so
-    # r15's window has ~3 slots of slack for the staged r15 gates).
-    "ann_index_roundtrip", "ann_ivf_probe", "ann_ivfpq_adc",
+    # (ann_lsh_buckets .. window_running). This cohort carries the two
+    # highest-value fresh-evidence rows of the round: pack_sequences
+    # (rewritten r14 onto the two-level prefix pass — first
+    # post-rewrite driver row) and dedup_clusters (roster_truncated
+    # column added r14, oracle updated in lockstep).
+    "ann_lsh_buckets", "cdc_apply", "conditional_agg", "crossmodal_join",
+    "curation_full", "curation_pipeline", "decile_stats",
+    "decontaminate", "dedup_clusters", "dedup_embedding",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "doc_fingerprint", "engine_rejects",
+    "events_hourly", "exact_percentiles", "hash_split",
+    "histogram_metrics", "hll_mergeable_rollup", "hll_sliding_windows",
+    "incremental_agg", "interval_join_events", "jl_projection",
+    "json_struct_parse", "kv_numeric_parse", "kv_pivot_wide", "lang_id",
+    "length_trim", "lexical_diversity", "market_share",
+    "minhash_persist_incremental", "mixture_sample", "ngram_novelty",
+    "pack_sequences", "source_percentile_filter", "source_quota_sample",
+    "token_budget_alloc", "top_supplier", "unpivot_melt",
+    "vocab_drift_kl", "window_frames", "window_running",
+    # part 2 — NEW GATES: the three staged r15 gates register in the
+    # order decided in r13 per the r12 VERDICT #5 (oracles
+    # pre-verified by the driver-identical staged differential at
+    # sf0.001/0.01/0.1 and judge-re-run green in the r14 VERDICT).
+    # This lands SATURATION: 247 + 3 = 250 registered = the 50-slot x
+    # 5-round-staleness ceiling. vocab_overlap (the 4th r15 candidate)
+    # stays permanently staged-tier per COVERAGE.md §staged-tier.
+    "agreement_alpha", "token_gini", "pack_chunks",
     # Window is EXACTLY 50 — entries past 50 get no driver row.
-    # r15 MANDATORY HEAD: any red r14 rows first, then the 47 remaining
-    # r10-latest gates (newest row r10, 15 - 10 = 5, bound binds at
-    # r15; recompute alphabetically from the CORRECTNESS union — do
-    # not trust memory), then the 3 slack slots (assuming 0 reds) go
-    # to the STAGED r15 gates in the order decided in r13 per the r12
-    # VERDICT #5: (1) agreement_alpha, (2) token_gini, (3) pack_chunks
-    # (registration = import QUERIES_R15/ORACLES_R15 + list them).
-    # r16: head = the 50 r11-latest gates — ZERO structural slack.
+    # r16 MANDATORY HEAD: any red r15 rows first, then the 50
+    # r11-latest gates (newest row r11, 16 - 11 = 5; recompute
+    # alphabetically from the CORRECTNESS union — do not trust
+    # memory) — ZERO structural slack. That cohort includes
+    # sequence_pack (rewritten r14, newest row r11): its first
+    # post-rewrite driver row rides the r16 window — do not displace.
     # r17: head = the 50 r12-latest gates. NOTE (r13 VERDICT #4 + r14
     # changes): that cohort includes gates whose IMPLEMENTATION changed
     # after their newest driver row — trimmed_mean / quantile_norm /
-    # key_skew_profile (rewritten r13) and dedup_clusters /
-    # embedding_dedup_clusters (roster_truncated flag column added r14,
-    # oracles updated in lockstep) — their r17 rows are the
-    # highest-value fresh evidence in that window; do not displace
-    # them. sequence_pack / pack_sequences (rewritten r14 onto the
-    # two-level prefix pass, oracles unchanged) have newest rows
-    # r10/r11 and re-check at r15/r16 naturally.
-    # POST-SATURATION: once 250 registers (end of r15), EVERY later
-    # window is exactly consumed by the 50-gate cohort from 5 rounds
-    # back, so vocab_overlap, the r16 staged cohort
-    # (workloads_r16.py: embedding_drift, zipf_head_fit,
-    # bigram_cond_entropy) and the r17 data-quality cohort
-    # (workloads_r17.py: table_profile, fk_orphan_report,
-    # key_uniqueness, staged r14) stay at the staged-green evidence
-    # tier
-    # PERMANENTLY — decided and documented in COVERAGE.md §staged-tier
-    # (r13 VERDICT #5); the judge's check.py --staged differential
-    # covers them every round. Any 1-for-1 retirement swap must be
-    # recorded here with its rationale.
-    # SATURATION ARITHMETIC (r14 recompute, from the CORRECTNESS
-    # union): cohorts by newest evidence after r13: r9:36 r10:50
-    # r11:50 r12:50 r13:50 (=236 registered) + 11 r14 staged = 247
-    # after THIS round registers. Steady-state ceiling = 50-slot
-    # window x 5-round staleness = 250 (reached end of r15 when the 3
-    # staged r15 gates register). Do NOT stage more than ~3 gates per
-    # round — the window cannot absorb them and the staleness meta-test
-    # will trip.
+    # key_skew_profile (rewritten r13) and embedding_dedup_clusters
+    # (roster_truncated flag column added r14, oracle updated in
+    # lockstep) — their r17 rows are the highest-value fresh evidence
+    # in that window; do not displace them. (dedup_clusters, the other
+    # roster_truncated gate, is r10-latest and re-checks in THIS
+    # round's head above.)
+    # POST-SATURATION (in force from r16 on): 250 registered = the
+    # ceiling, so EVERY later window is exactly consumed by the
+    # 50-gate cohort from 5 rounds back. vocab_overlap
+    # (workloads_r15.py), the r16 staged cohort (workloads_r16.py:
+    # embedding_drift, zipf_head_fit, bigram_cond_entropy) and the r17
+    # data-quality cohort (workloads_r17.py: table_profile,
+    # fk_orphan_report, key_uniqueness, staged r14) stay at the
+    # staged-green evidence tier PERMANENTLY — decided and documented
+    # in COVERAGE.md §staged-tier (r13 VERDICT #5, playbook expanded
+    # r15 per the r14 VERDICT #3); the judge's check.py --staged
+    # differential covers them every round. Any 1-for-1 retirement
+    # swap must be recorded here with its rationale; the pre-agreed
+    # swap candidates live in COVERAGE.md §staged-tier.
+    # SATURATION ARITHMETIC (r15 recompute, from the CORRECTNESS
+    # union): cohorts by newest evidence after r14: r10:47 r11:50
+    # r12:50 r13:50 r14:50 (=247 registered) + 3 r15 staged = 250
+    # after THIS round registers — the 50-slot window x 5-round
+    # staleness ceiling, reached. Do NOT register new gates from here
+    # without a 1-for-1 retirement — the window cannot absorb them and
+    # the staleness meta-test will trip.
     # Always recompute cohorts from the CORRECTNESS_r*.json union
     # (tests/test_docs_consistency.py::test_rotation_debt_cannot_drift)
     # rather than trusting name lists written from memory — the r11
@@ -154,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **workloads_r12.QUERIES_R12,
         **workloads_r13.QUERIES_R13,
         **workloads_r14.QUERIES_R14,
+        **workloads_r15.QUERIES_R15_REGISTERED,
         **workloads_ts.QUERIES_TS,
     })
 
@@ -175,5 +178,6 @@ def oracle_sql() -> dict[str, str]:
         **workloads_r12.ORACLES_R12,
         **workloads_r13.ORACLES_R13,
         **workloads_r14.ORACLES_R14,
+        **workloads_r15.ORACLES_R15_REGISTERED,
         **workloads_ts.ORACLES_TS,
     })

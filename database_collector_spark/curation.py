@@ -51,8 +51,21 @@ def curate(
     repetition_max: float | None = None,
     near_dup: bool = False,
     extra_drop: DataFrame | None = None,
+    expectations: dict | None = None,
 ) -> DataFrame:
     """documents → curated, split-labeled documents.
+
+    ``expectations``: optional data-quality gate run BEFORE the DAG —
+    keyword arguments for :func:`operators.expectations.verify`
+    (``max_null_frac`` / ``unique_keys`` / ``references``). Deequ's
+    check semantics: a violated expectation raises
+    ``ExpectationViolation`` with the measured report attached and
+    nothing downstream runs — a poisoned ingest (nulled column,
+    duplicated doc_id, orphaned foreign keys) aborts at the audit, not
+    three shuffles later inside the dedup tier. This makes curate()
+    EAGER when the gate is on (the audit is an action by design); the
+    audit costs one aggregate pass per check family, bounded report
+    rows (see expectations.py scale notes).
 
     ``repetition_max``: optional Gopher-style repetition gate — drop docs
     whose duplicate-bigram fraction exceeds the bound (boilerplate/spam).
@@ -70,6 +83,10 @@ def curate(
     removals — e.g. an externally computed block list — applied last as
     a left-anti join.
     """
+    if expectations:
+        from database_collector_spark.operators import expectations as exp
+
+        exp.verify(docs, **expectations)
     scored = text.quality_score(docs).select("doc_id", "quality_score")
     kept = (
         docs.join(scored, "doc_id")

@@ -172,11 +172,21 @@ def key_uniqueness(
                 f"key_uniqueness: key set {name!r} has no key columns"
             )
         # reserved count alias: a key column literally named 'n' made
-        # F.col('n') ambiguous (review, reproduced)
-        counts = df.groupBy(
-            *[F.col(c) if isinstance(c, str) else c for c in cols]
-        ).agg(F.count("*").alias("_kq_n"))
-        n = F.col("_kq_n")
+        # F.col('n') ambiguous (review, reproduced). The reserved name
+        # itself can still collide — a key column (or a caller-aliased
+        # key expression) literally named '_kq_n', in any case variant
+        # since Spark resolves names case-insensitively — so probe the
+        # grouped frame's OWN columns and uniquify (the curation.py
+        # promoted-key collision probe, applied here per r14 ADVICE)
+        grouped = [F.col(c) if isinstance(c, str) else c for c in cols]
+        alias = "_kq_n"
+        while True:
+            counts = df.groupBy(*grouped).agg(F.count("*").alias(alias))
+            lowered = [c.lower() for c in counts.columns]
+            if lowered.count(alias.lower()) == 1:
+                break
+            alias = "_" + alias
+        n = F.col(alias)
         dup_n = F.when(n > 1, n).otherwise(F.lit(0))
         dup_k = F.when(n > 1, F.lit(1)).otherwise(F.lit(0))
         outs.append(
@@ -198,3 +208,117 @@ def key_uniqueness(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+class ExpectationViolation(ValueError):
+    """Raised by :func:`verify` when an expectation fails.
+
+    Deequ's check semantics: the run ABORTS and the full violation
+    report travels with the exception (``.violations`` — a list of
+    dicts, one per failed expectation, each carrying the measured
+    report row), so the operator on call can read exactly which
+    upstream broke without re-running the audit.
+    """
+
+    def __init__(self, violations: list[dict]):
+        self.violations = violations
+        heads = "; ".join(
+            f"{v['check']}[{v['subject']}]: {v['detail']}" for v in violations
+        )
+        super().__init__(f"expectations violated ({len(violations)}): {heads}")
+
+
+def verify(
+    df: DataFrame,
+    *,
+    max_null_frac: dict[str, float] | None = None,
+    unique_keys: dict[str, list[str | Column]] | None = None,
+    references: (
+        dict[str, tuple[str, DataFrame, str, float]] | None
+    ) = None,
+) -> list[dict]:
+    """Deequ-style fail-fast verification over the three expectation
+    operators; the gate a pipeline runs BEFORE any expensive work.
+
+    - ``max_null_frac``: {column: bound} — each named column's observed
+      null fraction (``column_profile``, ONE aggregate pass for ALL
+      named columns together) must be <= bound. ``0.0`` means
+      completeness (Deequ ``isComplete``).
+    - ``unique_keys``: {name: key columns/expressions} — each named key
+      set must be unique (``key_uniqueness``, one groupBy pass per set,
+      Deequ ``isUnique``/``hasUniqueness``).
+    - ``references``: {name: (child_key, parent_df, parent_key,
+      max_orphan_frac)} — each relationship's orphan fraction
+      (``referential_integrity``) must be <= the bound; ``0.0`` means
+      every keyed child row finds its parent.
+
+    This is deliberately an EAGER action (the checks collect their
+    bounded reports — one row per column/key set/relationship): the
+    whole point of a gate is to fail BEFORE the DAG behind it runs. At
+    100 TB each check is a single partial-aggregate pass or a
+    distinct-key-compressed join (see the operator docstrings) — the
+    audit costs O(scans), never O(shuffle-the-corpus).
+
+    Returns the full measured report (passed AND failed rows, as
+    dicts) when everything holds; raises :class:`ExpectationViolation`
+    carrying the failed subset otherwise.
+    """
+    report: list[dict] = []
+    violations: list[dict] = []
+
+    def _record(check: str, subject: str, row: dict, ok: bool, detail: str):
+        entry = {
+            "check": check,
+            "subject": subject,
+            "passed": bool(ok),
+            "detail": detail,
+            "measured": row,
+        }
+        report.append(entry)
+        if not ok:
+            violations.append(entry)
+
+    if max_null_frac:
+        prof = {
+            r["col_name"]: r.asDict()
+            for r in column_profile(df, list(max_null_frac)).collect()
+        }
+        for col, bound in max_null_frac.items():
+            row = prof[col]
+            # empty table -> null_frac NULL; treat as vacuously complete
+            frac = row["null_frac"] if row["null_frac"] is not None else 0.0
+            _record(
+                "max_null_frac",
+                col,
+                row,
+                frac <= bound,
+                f"null_frac={frac} bound={bound}",
+            )
+    if unique_keys:
+        for r in key_uniqueness(df, unique_keys).collect():
+            row = r.asDict()
+            _record(
+                "unique_key",
+                row["key_name"],
+                row,
+                row["is_unique"],
+                f"n_dup_keys={row['n_dup_keys']} n_dup_rows={row['n_dup_rows']}",
+            )
+    if references:
+        for name, (child_key, parent, parent_key, bound) in references.items():
+            [r] = referential_integrity(
+                df, child_key, parent, parent_key, relationship=name
+            ).collect()
+            row = r.asDict()
+            frac = row["orphan_frac"] if row["orphan_frac"] is not None else 0.0
+            _record(
+                "referential_integrity",
+                name,
+                row,
+                frac <= bound,
+                f"orphan_frac={frac} bound={bound} "
+                f"n_orphan_rows={row['n_orphan_rows']}",
+            )
+    if violations:
+        raise ExpectationViolation(violations)
+    return report

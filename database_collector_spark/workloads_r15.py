@@ -1,4 +1,6 @@
-"""Round-15 STAGED gates (not yet imported by ``__spark_entry__``).
+"""Round-15 gates: three REGISTERED in round 15 (``agreement_alpha``,
+``token_gini``, ``pack_chunks`` — via ``QUERIES_R15_REGISTERED``) plus
+``vocab_overlap``, permanently staged-tier (COVERAGE.md §staged-tier).
 
 The staging pattern of workloads_r13/r14: each gate ships with its
 DuckDB oracle twin and runs through the driver-identical differential in
@@ -274,4 +276,22 @@ ORACLES_R15 = {
     "agreement_alpha": SQL_AGREEMENT_ALPHA,
     "token_gini": SQL_TOKEN_GINI,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
+}
+
+# Round-15 registration split (COVERAGE.md §staged-tier): the trio below
+# registered via ``__spark_entry__`` in round 15 — the window's 3 slack
+# slots, per the r13/r14 directives — while ``vocab_overlap`` (the 4th
+# candidate; the slack holds only 3) stays PERMANENTLY staged-tier and is
+# covered every round by ``tools/check.py --staged`` plus
+# ``tests/test_r15_staged_differential.py`` (which sweeps the full
+# QUERIES_R15, registered and staged alike).
+_REGISTERED_R15 = ("agreement_alpha", "token_gini", "pack_chunks")
+
+QUERIES_R15_REGISTERED = {k: QUERIES_R15[k] for k in _REGISTERED_R15}
+ORACLES_R15_REGISTERED = {k: ORACLES_R15[k] for k in _REGISTERED_R15}
+QUERIES_R15_STAGED = {
+    k: v for k, v in QUERIES_R15.items() if k not in _REGISTERED_R15
+}
+ORACLES_R15_STAGED = {
+    k: v for k, v in ORACLES_R15.items() if k not in _REGISTERED_R15
 }

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from database_collector_spark import curation
@@ -101,3 +103,37 @@ def test_curate_repetition_gate_drops_boilerplate(spark):
         ).collect()
     }
     assert gated == {1}
+
+
+def test_curate_expectations_gate_aborts_on_poisoned_fixture(spark):
+    # Deequ check semantics one level up: curate() with the expectations
+    # gate on must abort BEFORE the quality/dedup/split DAG runs when
+    # the ingest is poisoned, and the measured report must travel with
+    # the exception (r14 VERDICT #5).
+    from database_collector_spark.operators import expectations
+
+    docs = _docs(spark)
+    gate = {
+        "max_null_frac": {"text": 0.0},
+        "unique_keys": {"doc_id": ["doc_id"]},
+    }
+    # clean fixture: the gate passes and the DAG output is unchanged
+    clean = curation.curate(docs, expectations=gate)
+    assert clean.count() == curation.curate(docs).count()
+
+    # poison 1: nulled-out text column
+    nulled = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("text"))
+    )
+    with pytest.raises(expectations.ExpectationViolation) as exc:
+        curation.curate(nulled, expectations=gate)
+    [v] = exc.value.violations
+    assert v["check"] == "max_null_frac" and v["subject"] == "text"
+    assert v["measured"]["n_nulls"] > 0
+
+    # poison 2: duplicated doc_id (a re-ingested shard)
+    duped = docs.unionByName(docs.limit(3))
+    with pytest.raises(expectations.ExpectationViolation) as exc:
+        curation.curate(duped, expectations=gate)
+    [v] = exc.value.violations
+    assert v["check"] == "unique_key" and v["measured"]["n_dup_keys"] == 3

@@ -91,3 +91,70 @@ def test_key_uniqueness_accepts_expression_keys(spark):
         2,
         False,
     )
+
+
+def test_key_uniqueness_count_alias_survives_reserved_name_collisions(spark):
+    # a key column literally named _kq_n (or a case variant — Spark
+    # resolves names case-insensitively) used to make the internal count
+    # alias ambiguous; the probe-and-uniquify loop must keep the audit
+    # correct regardless of the caller's column names (r14 ADVICE)
+    df = spark.createDataFrame(
+        [Row(_kq_n="a"), Row(_kq_n="a"), Row(_kq_n="b")]
+    )
+    r = expectations.key_uniqueness(df, {"k": ["_kq_n"]}).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["n_dup_keys"], r["n_dup_rows"]) == (
+        3,
+        2,
+        1,
+        2,
+    )
+    assert r["is_unique"] is False
+    df2 = spark.createDataFrame([Row(_KQ_N=1, v=1), Row(_KQ_N=1, v=2)])
+    r2 = expectations.key_uniqueness(df2, {"k": ["_KQ_N"]}).collect()[0]
+    assert (r2["n_keys"], r2["n_dup_rows"], r2["is_unique"]) == (1, 2, False)
+
+
+def test_verify_passes_and_returns_full_report(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, fk=10), Row(id=2, fk=20), Row(id=3, fk=None)]
+    )
+    parent = spark.createDataFrame([Row(pk=10), Row(pk=20)])
+    report = expectations.verify(
+        df,
+        max_null_frac={"id": 0.0, "fk": 0.5},
+        unique_keys={"id": ["id"]},
+        references={"fk->pk": ("fk", parent, "pk", 0.0)},
+    )
+    assert all(e["passed"] for e in report)
+    assert {e["check"] for e in report} == {
+        "max_null_frac",
+        "unique_key",
+        "referential_integrity",
+    }
+    # measured rows travel with the report
+    fk_row = next(e for e in report if e["subject"] == "fk")
+    assert fk_row["measured"]["n_nulls"] == 1
+
+
+def test_verify_fails_fast_with_violations_attached(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, fk=99), Row(id=1, fk=10), Row(id=2, fk=None)]
+    )
+    parent = spark.createDataFrame([Row(pk=10)])
+    with pytest.raises(expectations.ExpectationViolation) as exc:
+        expectations.verify(
+            df,
+            max_null_frac={"fk": 0.1},
+            unique_keys={"id": ["id"]},
+            references={"fk->pk": ("fk", parent, "pk", 0.0)},
+        )
+    v = exc.value.violations
+    assert {e["check"] for e in v} == {
+        "max_null_frac",
+        "unique_key",
+        "referential_integrity",
+    }
+    dup = next(e for e in v if e["check"] == "unique_key")
+    assert dup["measured"]["n_dup_keys"] == 1
+    orphan = next(e for e in v if e["check"] == "referential_integrity")
+    assert orphan["measured"]["n_orphan_rows"] == 1

@@ -1,8 +1,10 @@
-"""Differential verification of the STAGED r15 gates (workloads_r15.py)
-against their DuckDB oracles — the exact comparison tools/check.py (and
-the external driver) runs: row count, sorted column names,
-order-insensitive canonical value hash, at sf0.001; the staging rounds
-re-run at sf0.01/sf0.1 through `tools/check.py --staged`.
+"""Differential verification of the r15 gates (workloads_r15.py) against
+their DuckDB oracles — the exact comparison tools/check.py (and the
+external driver) runs: row count, sorted column names, order-insensitive
+canonical value hash, at sf0.001; re-run at sf0.01/sf0.1 through
+`tools/check.py --staged`. The trio registered in round 15; this sweep
+deliberately keeps covering the FULL cohort (registered trio +
+permanently-staged vocab_overlap) so the staged tier never rots.
 
 Also LIMIT-0-sweeps the staged oracles through the shared portability
 predicate and applies the blanket no-Python-UDF / no-CartesianProduct

@@ -118,20 +118,21 @@ def value_hash(canon: list[str]) -> str:
 
 
 def staged_queries() -> dict:
-    """The CURRENT staged cohorts' queries (r15 + r16 + r17, as of
-    round 14 — r14 registered in round 14). This is the ONE place the
-    staged-module pointer lives: main()'s --staged merge AND the
-    docs-consistency oracle sweeps import it, so a registration round
-    bumps exactly one import and the staged oracles never escape the
-    repo-wide meta-tests (a staged oracle reintroducing a retired
-    failure class — e.g. a fixed generate_series position bound — must
-    fail at staging time, not after registration). When the r15 trio
-    registers, drop workloads_r15 here and leave BOTH r16 and r17
-    (permanently staged-tier — see COVERAGE.md §staged-tier)."""
+    """The CURRENT staged cohorts' queries — as of round 15, the
+    PERMANENTLY staged-tier set (COVERAGE.md §staged-tier): the r15
+    trio registered in round 15, leaving vocab_overlap (via
+    QUERIES_R15_STAGED) plus the full r16 and r17 cohorts. This is the
+    ONE place the staged-module pointer lives: main()'s --staged merge
+    AND the docs-consistency oracle sweeps import it, so a
+    registration round bumps exactly one import and the staged oracles
+    never escape the repo-wide meta-tests (a staged oracle
+    reintroducing a retired failure class — e.g. a fixed
+    generate_series position bound — must fail at staging time, not
+    after registration)."""
     from database_collector_spark import workloads_r15, workloads_r16, workloads_r17
 
     return {
-        **workloads_r15.QUERIES_R15,
+        **workloads_r15.QUERIES_R15_STAGED,
         **workloads_r16.QUERIES_R16,
         **workloads_r17.QUERIES_R17,
     }
@@ -142,7 +143,7 @@ def staged_oracles() -> dict:
     from database_collector_spark import workloads_r15, workloads_r16, workloads_r17
 
     return {
-        **workloads_r15.ORACLES_R15,
+        **workloads_r15.ORACLES_R15_STAGED,
         **workloads_r16.ORACLES_R16,
         **workloads_r17.ORACLES_R17,
     }
