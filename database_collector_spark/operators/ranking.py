@@ -1149,6 +1149,160 @@ def quantiles_by_group(
     )
 
 
+def rank_select_by_group(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    rank_exprs: dict[str, str],
+) -> DataFrame:
+    """Exact value at a FIXED set of target ranks per group — the
+    two-scan cell-refinement design: when a caller needs a handful of
+    specific order statistics (a median, a quantile bracket) rather
+    than running counts at EVERY value, paying ``prefix_count_below``'s
+    corpus-wide compressed shuffle is waste. This selects each target
+    value with NO corpus shuffle at all:
+
+    1. **Scan 1** aggregates per-(group, cell) counts on a FIXED
+       65536-cell grid, equi-width in magnitude-log space
+       u = sign(v)·log1p(|v|) over the full double range — deterministic
+       per value (no data-dependent cuts, so one pass suffices), and
+       map-side combine collapses the corpus to <= |groups| x 65536
+       rows before any exchange. Cumulative cell counts (a window over
+       that BOUNDED table) locate, for each target rank k, the single
+       candidate cell where below < k <= below + cnt.
+    2. **Scan 2** re-reads only rows in candidate cells (a broadcast
+       semi-join on (group, cell) — candidates are <= |groups| x
+       |targets| cells), aggregates exact per-(group, cell, value)
+       counts there, and picks the value whose within-cell running
+       count straddles k − below.
+
+    Memory is bounded by a cell's population of DISTINCT values — a
+    fixed cell spans a ~2.2% multiplicative value range (1420/65534 in
+    log space), so integer domains hold ~0.022·|v| distinct values per
+    cell; the residual degenerate is a value domain narrower than one
+    cell (everything lands in one cell and scan 2 degenerates to a
+    per-(group, value) aggregate of the whole corpus — the
+    ``prefix_count_below`` narrow-domain caveat one level up).
+    Non-finite values get explicit edge cells in Spark's double order
+    (-Inf → cell 0, +Inf/NaN → top cell) so they cannot poison the
+    grid; NULL groups/values are excluded (the core's contract).
+
+    ``rank_exprs`` maps output column name → a SQL expression over the
+    per-group total ``n`` yielding the 1-based target rank, e.g.
+    ``{"p50_lo": "(n + 1) div 2"}``. Ranks outside [1, n] yield NULL
+    for that column. Ties are whole: the selected value is the exact
+    input value whose [below, below+cnt) rank span covers k (type-1).
+
+    Output: one row per group — (group_col, n, *rank_exprs-keys), the
+    selected values in the input value type.
+    """
+    if not rank_exprs:
+        raise ValueError("rank_select_by_group: no target ranks given")
+    reserved = {"g", "v", "n", "_cell", "_cnt", "_below", "_k", "_name"}
+    clash = reserved & set(rank_exprs)
+    if clash:
+        raise ValueError(
+            f"rank_select_by_group: rank names {sorted(clash)} collide with "
+            "internal columns; rename them"
+        )
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(val_col).alias("v")
+    ).where(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
+    vd = F.col("v").cast("double")
+    u = F.signum(vd) * F.log1p(F.abs(vd))
+    inf = float("inf")
+    # fixed grid: u of any finite double lies in (-709.79, 709.79);
+    # interior cells 1..65534, edge cells for -Inf / (+Inf, NaN)
+    span = 1420.0 / 65534.0
+    interior = F.least(
+        F.lit(65534),
+        F.greatest(F.lit(1), F.floor((u + F.lit(710.0)) / F.lit(span)) + 1),
+    )
+    cell = (
+        F.when(F.isnan(vd) | (vd >= inf), F.lit(65535))
+        .when(vd <= -inf, F.lit(0))
+        .otherwise(interior)
+        .cast("int")
+    )
+    with_cell = base.withColumn("_cell", cell)
+    # scan 1: bounded per-(g, cell) histogram; two consumers (cum,
+    # totals) — lazy localCheckpoint so the corpus aggregate runs once
+    cells = (
+        with_cell.groupBy("g", "_cell")
+        .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    win = (
+        Window.partitionBy("g")
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cells.withColumn(
+        "_below", F.coalesce(F.sum("_cnt").over(win), F.lit(0))
+    )
+    totals = cells.groupBy("g").agg(F.sum("_cnt").cast("long").alias("n"))
+    ranks = totals.select(
+        "g",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("_name"),
+                        F.expr(expr).cast("long").alias("_k"),
+                    )
+                    for name, expr in rank_exprs.items()
+                ]
+            )
+        ).alias("_t"),
+    ).select("g", "n", F.col("_t._name").alias("_name"), F.col("_t._k").alias("_k"))
+    cand = (
+        cum.join(F.broadcast(ranks), "g")
+        .where(
+            (F.col("_below") < F.col("_k"))
+            & (F.col("_k") <= F.col("_below") + F.col("_cnt"))
+        )
+        .select("g", "_cell", "_name", "_k", "_below")
+    )
+    # scan 2: exact per-value counts inside candidate cells only
+    perv = (
+        with_cell.join(
+            F.broadcast(cand.select("g", "_cell").distinct()), ["g", "_cell"]
+        )
+        .groupBy("g", "_cell", "v")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    wv = (
+        Window.partitionBy("g", "_cell")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    perv_below = perv.withColumn(
+        "_vbelow", F.coalesce(F.sum("_cnt").over(wv), F.lit(0))
+    )
+    hit = (
+        (F.col("_below") + F.col("_vbelow") < F.col("_k"))
+        & (F.col("_k") <= F.col("_below") + F.col("_vbelow") + F.col("_cnt"))
+    )
+    picked = (
+        perv_below.join(F.broadcast(cand), ["g", "_cell"])
+        .where(hit)
+        .groupBy("g")
+        .agg(
+            *[
+                F.max(F.when(F.col("_name") == name, F.col("v"))).alias(name)
+                for name in rank_exprs
+            ]
+        )
+    )
+    # both sides are <= |groups| rows; without the hint Spark picks a
+    # sort-merge join for the outer join (plan-pinned broadcast)
+    return (
+        totals.join(F.broadcast(picked), "g", "left")
+        .select(F.col("g").alias(group_col), "n", *rank_exprs)
+    )
+
+
 def _unique_judgments_guard(
     lab, gkeys: list[str], id_col: str, *, op_name: str, val_col: str,
     inflates: str,

@@ -672,16 +672,59 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     [q45, q55] value bracket" is deterministic (the sketch guarantees
     rank error <= 1/accuracy = 0.01% here, far inside the 5% bracket) —
     so the gate hashes the exact median plus that boolean, and any
-    sketch regression flips the row."""
+    sketch regression flips the row.
+
+    The exact side rides ``ranking.rank_select_by_group`` (r14 VERDICT
+    advisory closed r15): for a FIXED set of target ranks the two-scan
+    cell-refinement design selects the exact values with NO corpus
+    shuffle and state bounded by one log-cell's value population —
+    Spark's exact ``percentile`` aggregate buffers per-distinct-value
+    counts per group (a value-domain-sized map per agg buffer), and
+    even the ``quantiles_by_group`` prefix pass shuffles the whole
+    compressed value domain, which for ~all-distinct cents IS the
+    corpus. The median is the standard (n−1)·q interpolation — ranks
+    lo = (n+1) div 2, hi = (n+2) div 2, value (v_lo + v_hi)/2 — exact
+    in doubles for integer cents (both operands < 2^52), bit-equal to
+    DuckDB's quantile_cont and to the F.percentile call it replaces.
+    The [q45, q55] bracket uses type-1 ranks ceil(0.45·n)/ceil(0.55·n):
+    exact input values, and the sketch's <= 0.01% rank error keeps the
+    verdict TRUE with ~5%-of-n rank margin on both sides. The sketch
+    itself still runs as a plain map-side-partial aggregate over the
+    corpus (it is the operator under test); the per-group 3-row frames
+    broadcast-join.
+    """
+    from database_collector_spark.operators.ranking import rank_select_by_group
+
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    approx = F.percentile_approx(cents, F.lit(0.5), F.lit(10000)).cast("double")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile(cents, F.lit(0.5)).alias("exact_q50"),
-        (
-            (approx >= F.percentile(cents, F.lit(0.45)))
-            & (approx <= F.percentile(cents, F.lit(0.55)))
-        ).alias("within_rank_tol"),
+    exact = rank_select_by_group(
+        li.select(F.col("l_returnflag"), cents.alias("cents")),
+        "l_returnflag",
+        "cents",
+        {
+            "v_lo": "(n + 1) div 2",
+            "v_hi": "(n + 2) div 2",
+            "q45": "(45 * n + 99) div 100",
+            "q55": "(55 * n + 99) div 100",
+        },
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(cents, F.lit(0.5), F.lit(10000))
+        .cast("double")
+        .alias("approx")
+    )
+    return (
+        exact.join(F.broadcast(sk), "l_returnflag")
+        .select(
+            "l_returnflag",
+            (
+                (F.col("v_lo") + F.col("v_hi")).cast("double") / F.lit(2.0)
+            ).alias("exact_q50"),
+            (
+                (F.col("approx") >= F.col("q45").cast("double"))
+                & (F.col("approx") <= F.col("q55").cast("double"))
+            ).alias("within_rank_tol"),
+        )
     )
 
 

@@ -1227,3 +1227,19 @@ def test_key_skew_profile_rank_mass_is_compressed_and_top10_limit_pushed(spark):
     # rank-limit pushdown (each task keeps 10 rows pre-sort)
     _assert_prefix_core_windows(plan, "event_type", extra_second_args=("c",))
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_approx_quantiles_exact_side_never_buffers_percentile(spark):
+    # r14 VERDICT advisory closed r15: the gate's exact q50/bracket used
+    # three buffered Percentile aggregates (per-distinct-value maps in
+    # every agg buffer — a memory cliff when the value domain is wide).
+    # It now rides ranking.rank_select_by_group's two-scan cell
+    # refinement; the only sketch left in the plan must be the
+    # percentile_approx UNDER TEST, and the candidate joins broadcast.
+    from database_collector_spark import workloads_ts
+
+    plan = _plan(workloads_ts.q_approx_quantiles(spark, SF))
+    assert "percentile(" not in plan, "buffered exact Percentile returned"
+    assert "percentile_approx" in plan  # the operator under test stays
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

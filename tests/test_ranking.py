@@ -671,3 +671,86 @@ def test_pr_curve_grouped_equals_per_slice(spark):
             for r in pr_curve(df.where(F.col("g") == g), n_bins=3).collect()
         }
         assert {k: v for k, v in grouped.items() if k[0] == g} == solo
+
+
+# ------------------------------------------------------ rank_select_by_group
+
+
+def _rank_ref(vals, k):
+    """Type-1 order statistic: k-th smallest (1-based), None out of range."""
+    if not 1 <= k <= len(vals):
+        return None
+    return sorted(vals)[k - 1]
+
+
+def test_rank_select_matches_sorted_reference_with_ties(spark):
+    vals = {"a": [5, 1, 3, 3, 3, 9, 1, 7], "b": [2, 2, 2, 2], "c": [42]}
+    rows = [Row(g=g, v=v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["g"]: r.asDict()
+        for r in ranking.rank_select_by_group(
+            df,
+            "g",
+            "v",
+            {"lo": "1", "med": "(n + 1) div 2", "hi": "n"},
+        ).collect()
+    }
+    for g, vs in vals.items():
+        assert got[g]["n"] == len(vs)
+        assert got[g]["lo"] == _rank_ref(vs, 1)
+        assert got[g]["med"] == _rank_ref(vs, (len(vs) + 1) // 2)
+        assert got[g]["hi"] == _rank_ref(vs, len(vs))
+
+
+def test_rank_select_negative_values_and_wide_magnitudes(spark):
+    # spans many log-grid cells on both sides of zero
+    vs = [-1_000_000, -3, -3, 0, 1, 250, 10**12, 7]
+    df = spark.createDataFrame([Row(g="x", v=v) for v in vs])
+    got = ranking.rank_select_by_group(
+        df, "g", "v", {f"k{k}": str(k) for k in range(1, 9)}
+    ).collect()[0]
+    ref = sorted(vs)
+    for k in range(1, 9):
+        assert got[f"k{k}"] == ref[k - 1], k
+
+
+def test_rank_select_out_of_range_rank_is_null_and_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [Row(g="x", v=1), Row(g="x", v=None), Row(g=None, v=5), Row(g="x", v=2)]
+    )
+    [r] = ranking.rank_select_by_group(
+        df, "g", "v", {"ok": "n", "over": "n + 1", "zero": "0"}
+    ).collect()
+    assert r["n"] == 2 and r["ok"] == 2
+    assert r["over"] is None and r["zero"] is None
+
+
+def test_rank_select_narrow_domain_single_cell(spark):
+    # every value identical: the documented degenerate (one populous
+    # cell) must still select correctly
+    df = spark.createDataFrame([Row(g="x", v=7)] * 50)
+    [r] = ranking.rank_select_by_group(
+        df, "g", "v", {"med": "(n + 1) div 2"}
+    ).collect()
+    assert (r["n"], r["med"]) == (50, 7)
+
+
+def test_rank_select_nonfinite_edge_cells(spark):
+    inf, nan = float("inf"), float("nan")
+    vs = [-inf, -2.5, 0.5, inf, nan, 3.25]
+    df = spark.createDataFrame([Row(g="x", v=float(v)) for v in vs])
+    got = ranking.rank_select_by_group(
+        df, "g", "v", {f"k{k}": str(k) for k in range(1, 7)}
+    ).collect()[0]
+    # Spark double order: -Inf < finite < +Inf < NaN
+    assert got["k1"] == -inf and got["k2"] == -2.5 and got["k3"] == 0.5
+    assert got["k4"] == 3.25 and got["k5"] == inf and math.isnan(got["k6"])
+
+
+def test_rank_select_validates_rank_names(spark):
+    df = spark.createDataFrame([Row(g="x", v=1)])
+    with pytest.raises(ValueError, match="no target ranks"):
+        ranking.rank_select_by_group(df, "g", "v", {})
+    with pytest.raises(ValueError, match="collide with"):
+        ranking.rank_select_by_group(df, "g", "v", {"n": "1"})
