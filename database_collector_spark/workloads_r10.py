@@ -519,9 +519,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_toks"),
     ).where(F.col("n_toks") > 0)
+    # TWO consumers (within-bucket window + carry-in bucket totals)
+    # read `sized` — lazily localCheckpoint it so the md5 + tokenize
+    # corpus scan runs ONCE (r14 ADVICE; the _stream_start_offsets
+    # precedent: the materialized frame is the NARROW post-tokenize
+    # projection — no text column — so the checkpoint trades a repeat
+    # scan of the corpus text for a compact local write)
     sized = sized.withColumn(
         "_b", F.conv(F.substring("k", 1, 4), 16, 10).cast("int")
-    )
+    ).localCheckpoint(eager=False)
     wb = (
         Window.partitionBy("source", "_b")
         .orderBy("k", "doc_id")

@@ -165,7 +165,29 @@ def _memo_lock():
     return _FRAME_MEMO_LOCK
 
 
+_ATEXIT_REGISTERED = False
+
+
+def _atexit_clear_memo() -> None:
+    """Process-exit safety net (r14 ADVICE: teardown eviction should be
+    automatic, not contract-only — the ensure_bucketed_tables atexit
+    precedent): evict every remaining memo entry so the strong session
+    references release even when a long-lived host forgot
+    ``clear_session_memo``. Unpersist failures are suppressed here —
+    unlike the live-session clear, staleness cannot matter at process
+    exit and the JVM may already be gone."""
+    with _memo_lock():
+        while _FRAME_MEMO:
+            _, df = _FRAME_MEMO.popitem()
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def _session_memo(spark: SparkSession, key: str, build) -> DataFrame:
+    import atexit
+
     from pyspark import StorageLevel
 
     # id(spark) cannot be recycled while entries exist: the cached
@@ -177,6 +199,10 @@ def _session_memo(spark: SparkSession, key: str, build) -> DataFrame:
     # is held for analysis time, never execution time.
     k = (id(spark), key)
     with _memo_lock():
+        global _ATEXIT_REGISTERED
+        if not _ATEXIT_REGISTERED:
+            _ATEXIT_REGISTERED = True
+            atexit.register(_atexit_clear_memo)
         if k not in _FRAME_MEMO:
             _FRAME_MEMO[k] = build().persist(StorageLevel.MEMORY_AND_DISK)
         return _FRAME_MEMO[k]

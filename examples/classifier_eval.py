@@ -158,6 +158,44 @@ def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
     return report
 
 
+def demo_feature_store_memo(spark, sf_dir: str) -> list[tuple[str, float, int]]:
+    """The feature-store pattern one level up (r14 VERDICT #5): run
+    four memo-consuming DRIVER GATES against one SparkSession and time
+    them. Every one of these evaluates the SAME hashed-classifier
+    scored frame (workloads_r12.clf_truth_frame); the session memo
+    scores it ONCE — the first gate pays the cold corpus fold
+    (classifier tokenization + truth join, persisted MEMORY_AND_DISK),
+    every later gate reads the materialized features, exactly like a
+    production feature store where evaluations read a scored table
+    instead of re-running the model.
+
+    Returns [(gate, seconds, rows)] in execution order — the first
+    entry is the cold fold, the rest are warm reads. Teardown contract:
+    the CALLER evicts via ``clear_session_memo(spark)`` when the
+    session retires (``main()`` below does; a process that forgets
+    gets the atexit safety net, but in a long-lived multi-session
+    service that means holding the frames until exit).
+    """
+    import time
+
+    from database_collector_spark.workloads_r12 import QUERIES_R12
+    from database_collector_spark.workloads_r13 import QUERIES_R13
+    from database_collector_spark.workloads_r14 import QUERIES_R14
+
+    gates = [
+        ("calibration_curve", QUERIES_R12["calibration_curve"]),
+        ("cohen_kappa", QUERIES_R13["cohen_kappa"]),
+        ("ks_separation", QUERIES_R14["ks_separation"]),
+        ("mcc_by_lang", QUERIES_R14["mcc_by_lang"]),
+    ]
+    timings = []
+    for name, fn in gates:
+        t0 = time.time()
+        rows = fn(spark, sf_dir).collect()
+        timings.append((name, time.time() - t0, len(rows)))
+    return timings
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     n_bins = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -191,7 +229,24 @@ def main() -> None:
                 f"keeps {kept} docs at precision={prec} recall={rec} f1={f1}"
             )
         print(f"lift of the top decile: {report['top_decile_lift']}")
+        print("== feature-store memo: one cold fold, warm reads ==")
+        timings = demo_feature_store_memo(spark, sf_dir)
+        (first, t0, _), rest = timings[0], timings[1:]
+        for name, sec, rows in timings:
+            tag = "cold fold" if name == first else "warm read"
+            print(f"  {name}: {sec:.2f}s ({rows} rows) [{tag}]")
+        warm_max = max(sec for _, sec, _ in rest)
+        print(
+            f"  cold {t0:.2f}s vs slowest warm {warm_max:.2f}s — the "
+            "scored frame was built once and served from the persisted "
+            "feature store"
+        )
     finally:
+        # documented memo lifetime contract: evict this session's
+        # feature frames on teardown (workloads_r12.clear_session_memo)
+        from database_collector_spark.workloads_r12 import clear_session_memo
+
+        clear_session_memo(spark)
         spark.stop()
 
 

@@ -127,3 +127,32 @@ def test_classifier_eval_example_composes(spark):
         # round-half-even can disagree by 1 ulp at the 6th decimal on
         # half-boundary ratios (e.g. k/640)
         assert abs(rate - np_ / nd) <= 5e-7
+
+
+def test_classifier_eval_memo_demo_cold_then_warm(spark):
+    """The feature-store memo demo (r14 VERDICT #5): four driver gates
+    against one session — the first pays the classifier fold, the rest
+    read the persisted frame; teardown eviction via clear_session_memo
+    leaves no entry behind for this session."""
+    from examples.classifier_eval import demo_feature_store_memo
+    from database_collector_spark import workloads_r12
+
+    # start from a clean slate so the first gate is genuinely cold even
+    # when another test already folded this (session, sf_dir)
+    workloads_r12.clear_session_memo(spark)
+    timings = demo_feature_store_memo(spark, SF)
+    assert [name for name, _, _ in timings] == [
+        "calibration_curve",
+        "cohen_kappa",
+        "ks_separation",
+        "mcc_by_lang",
+    ]
+    assert all(rows > 0 for _, _, rows in timings)
+    # the memo now holds this session's frames (cold fold happened here)
+    sid = id(spark)
+    assert any(k[0] == sid for k in workloads_r12._FRAME_MEMO)
+    # documented teardown: eviction clears every entry for the session
+    workloads_r12.clear_session_memo(spark)
+    assert not any(k[0] == sid for k in workloads_r12._FRAME_MEMO)
+    # the atexit safety net is armed once the memo has ever been used
+    assert workloads_r12._ATEXIT_REGISTERED
