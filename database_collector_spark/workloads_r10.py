@@ -479,6 +479,28 @@ SQL_MINHASH_PERSIST_INCREMENTAL = _sql_minhash_persist_incremental()
 _PACK_SEQ_LEN = 512
 
 
+def _pack_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate's pre-checkpoint corpus projection: (doc_id, source,
+    md5 order key, n_toks, hash bucket) — factored out so the plan pin
+    can assert the UN-truncated upstream plan (scan-fused tokenize, no
+    sort, no single-partition exchange) that q_pack_sequences'
+    localCheckpoint otherwise hides behind an ExistingRDD leaf."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pack")))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            key.alias("k"),
+            F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))
+            .cast("long")
+            .alias("n_toks"),
+        )
+        .where(F.col("n_toks") > 0)
+        .withColumn("_b", F.conv(F.substring("k", 1, 4), 16, 10).cast("int"))
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk sequence packing map: within each
     source (the packing domain), documents are laid end-to-end in a
@@ -509,25 +531,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the stream. At 100 TB / 50 TB-dominant-source this turns one
     50 TB single-task sort into 65536 ~800 MB sorts plus a 65536-row
     bounded pass."""
-    docs = _t(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pack")))
-    sized = docs.select(
-        "doc_id",
-        "source",
-        key.alias("k"),
-        F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))
-        .cast("long")
-        .alias("n_toks"),
-    ).where(F.col("n_toks") > 0)
     # TWO consumers (within-bucket window + carry-in bucket totals)
     # read `sized` — lazily localCheckpoint it so the md5 + tokenize
     # corpus scan runs ONCE (r14 ADVICE; the _stream_start_offsets
     # precedent: the materialized frame is the NARROW post-tokenize
     # projection — no text column — so the checkpoint trades a repeat
-    # scan of the corpus text for a compact local write)
-    sized = sized.withColumn(
-        "_b", F.conv(F.substring("k", 1, 4), 16, 10).cast("int")
-    ).localCheckpoint(eager=False)
+    # scan of the corpus text for a compact local write). The
+    # pre-checkpoint plan is pinned separately via _pack_sized (review:
+    # the checkpoint renders downstream plans as an ExistingRDD leaf,
+    # which would otherwise hide a reintroduced upstream funnel from
+    # the plan pin).
+    sized = _pack_sized(spark, sf_dir).localCheckpoint(eager=False)
     wb = (
         Window.partitionBy("source", "_b")
         .orderBy("k", "doc_id")

@@ -169,30 +169,41 @@ def demo_feature_store_memo(spark, sf_dir: str) -> list[tuple[str, float, int]]:
     production feature store where evaluations read a scored table
     instead of re-running the model.
 
-    Returns [(gate, seconds, rows)] in execution order — the first
-    entry is the cold fold, the rest are warm reads. Teardown contract:
-    the CALLER evicts via ``clear_session_memo(spark)`` when the
-    session retires (``main()`` below does; a process that forgets
-    gets the atexit safety net, but in a long-lived multi-session
-    service that means holding the frames until exit).
+    TWO memoized frames are exercised, each folded exactly once: the
+    truth frame (classifier fold — gate 1 cold, gate 2 warm) and the
+    lang-joined frame built ON TOP of the warm truth frame (gate 3
+    pays the lang join, gate 4 reads it warm). The memo is cleared at
+    entry so the labels are honest even when the session already
+    scored this sf_dir. Returns [(gate, label, seconds, rows)] in
+    execution order. Teardown contract: the CALLER evicts via
+    ``clear_session_memo(spark)`` when the session retires (``main()``
+    below does; a process that forgets gets the atexit safety net, but
+    in a long-lived multi-session service that means holding the
+    frames until exit).
     """
     import time
 
-    from database_collector_spark.workloads_r12 import QUERIES_R12
+    from database_collector_spark.workloads_r12 import (
+        QUERIES_R12,
+        clear_session_memo,
+    )
     from database_collector_spark.workloads_r13 import QUERIES_R13
     from database_collector_spark.workloads_r14 import QUERIES_R14
 
+    # cold-start guarantee: without this, a session that already ran
+    # any memo-consuming gate would make the 'cold fold' label a lie
+    clear_session_memo(spark)
     gates = [
-        ("calibration_curve", QUERIES_R12["calibration_curve"]),
-        ("cohen_kappa", QUERIES_R13["cohen_kappa"]),
-        ("ks_separation", QUERIES_R14["ks_separation"]),
-        ("mcc_by_lang", QUERIES_R14["mcc_by_lang"]),
+        ("calibration_curve", "cold: classifier fold", QUERIES_R12["calibration_curve"]),
+        ("cohen_kappa", "warm read", QUERIES_R13["cohen_kappa"]),
+        ("ks_separation", "cold: + lang join on the warm frame", QUERIES_R14["ks_separation"]),
+        ("mcc_by_lang", "warm read", QUERIES_R14["mcc_by_lang"]),
     ]
     timings = []
-    for name, fn in gates:
+    for name, label, fn in gates:
         t0 = time.time()
         rows = fn(spark, sf_dir).collect()
-        timings.append((name, time.time() - t0, len(rows)))
+        timings.append((name, label, time.time() - t0, len(rows)))
     return timings
 
 
@@ -229,25 +240,27 @@ def main() -> None:
                 f"keeps {kept} docs at precision={prec} recall={rec} f1={f1}"
             )
         print(f"lift of the top decile: {report['top_decile_lift']}")
-        print("== feature-store memo: one cold fold, warm reads ==")
+        print("== feature-store memo: each frame folds once ==")
         timings = demo_feature_store_memo(spark, sf_dir)
-        (first, t0, _), rest = timings[0], timings[1:]
-        for name, sec, rows in timings:
-            tag = "cold fold" if name == first else "warm read"
-            print(f"  {name}: {sec:.2f}s ({rows} rows) [{tag}]")
-        warm_max = max(sec for _, sec, _ in rest)
+        for name, label, sec, rows in timings:
+            print(f"  {name}: {sec:.2f}s ({rows} rows) [{label}]")
+        cold0 = timings[0][2]
+        warm_max = max(sec for _, label, sec, _ in timings if label == "warm read")
         print(
-            f"  cold {t0:.2f}s vs slowest warm {warm_max:.2f}s — the "
-            "scored frame was built once and served from the persisted "
-            "feature store"
+            f"  classifier fold {cold0:.2f}s vs slowest pure-warm read "
+            f"{warm_max:.2f}s — each frame was built once and later "
+            "gates read the persisted feature store"
         )
     finally:
         # documented memo lifetime contract: evict this session's
         # feature frames on teardown (workloads_r12.clear_session_memo)
         from database_collector_spark.workloads_r12 import clear_session_memo
 
-        clear_session_memo(spark)
-        spark.stop()
+        try:
+            clear_session_memo(spark)
+        finally:
+            # a strict-unpersist re-raise must not skip the stop
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -137,17 +137,16 @@ def test_classifier_eval_memo_demo_cold_then_warm(spark):
     from examples.classifier_eval import demo_feature_store_memo
     from database_collector_spark import workloads_r12
 
-    # start from a clean slate so the first gate is genuinely cold even
-    # when another test already folded this (session, sf_dir)
-    workloads_r12.clear_session_memo(spark)
+    # the demo itself clears at entry (review: the cold label must be
+    # honest even on a session that already scored this sf_dir)
     timings = demo_feature_store_memo(spark, SF)
-    assert [name for name, _, _ in timings] == [
+    assert [name for name, _, _, _ in timings] == [
         "calibration_curve",
         "cohen_kappa",
         "ks_separation",
         "mcc_by_lang",
     ]
-    assert all(rows > 0 for _, _, rows in timings)
+    assert all(rows > 0 for _, _, _, rows in timings)
     # the memo now holds this session's frames (cold fold happened here)
     sid = id(spark)
     assert any(k[0] == sid for k in workloads_r12._FRAME_MEMO)

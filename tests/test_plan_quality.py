@@ -1157,6 +1157,22 @@ def test_pack_sequences_gate_has_no_per_source_corpus_sort(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_pack_sequences_prestage_scan_stays_funnel_free(spark):
+    from database_collector_spark import workloads_r10
+
+    # the shared `sized` frame localCheckpoints (r14 ADVICE: one
+    # tokenize scan feeds both the window and the carry aggregate), so
+    # q_pack_sequences' own plan shows an ExistingRDD leaf — pin the
+    # PRE-checkpoint projection separately: the tokenize must stay
+    # fused into the parquet scan with no sort and no single-partition
+    # exchange upstream of the checkpoint
+    plan = _plan(workloads_r10._pack_sized(spark, SF))
+    assert "Scan parquet" in plan
+    assert "SortExec" not in plan and "Sort " not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_zipf_head_fit_window_is_rank_limit_pushed(spark):
     from database_collector_spark import workloads_r16
 
