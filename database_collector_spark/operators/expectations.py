@@ -252,6 +252,11 @@ def verify(
       (``referential_integrity``) must be <= the bound; ``0.0`` means
       every keyed child row finds its parent.
 
+    Every bound is tested on the EXACT integer counts (e.g.
+    n_nulls <= bound·n_rows), never on the report's 6-decimal rounded
+    fractions — a 0.0 bound means literally zero violations at any
+    scale.
+
     This is deliberately an EAGER action (the checks collect their
     bounded reports — one row per column/key set/relationship): the
     whole point of a gate is to fail BEFORE the DAG behind it runs. At
@@ -285,14 +290,20 @@ def verify(
         }
         for col, bound in max_null_frac.items():
             row = prof[col]
-            # empty table -> null_frac NULL; treat as vacuously complete
-            frac = row["null_frac"] if row["null_frac"] is not None else 0.0
+            # compare on the EXACT integers, never the report's rounded
+            # null_frac (review: round(4e-7, 6) = 0.0 would let a
+            # 0.0-completeness bound pass with real nulls present —
+            # Deequ's isComplete fails on a single null). The exact
+            # test n_nulls <= bound·n_rows is empty-table-vacuous by
+            # construction (0 <= 0).
+            ok = row["n_nulls"] <= bound * row["n_rows"]
             _record(
                 "max_null_frac",
                 col,
                 row,
-                frac <= bound,
-                f"null_frac={frac} bound={bound}",
+                ok,
+                f"n_nulls={row['n_nulls']} n_rows={row['n_rows']} "
+                f"bound={bound}",
             )
     if unique_keys:
         for r in key_uniqueness(df, unique_keys).collect():
@@ -310,14 +321,17 @@ def verify(
                 df, child_key, parent, parent_key, relationship=name
             ).collect()
             row = r.asDict()
-            frac = row["orphan_frac"] if row["orphan_frac"] is not None else 0.0
+            # exact-integer comparison, same rationale as max_null_frac
+            # (the report's orphan_frac is rounded to 6 decimals); a
+            # keyless child (n_child_keyed = 0) is vacuously intact
+            ok = row["n_orphan_rows"] <= bound * row["n_child_keyed"]
             _record(
                 "referential_integrity",
                 name,
                 row,
-                frac <= bound,
-                f"orphan_frac={frac} bound={bound} "
-                f"n_orphan_rows={row['n_orphan_rows']}",
+                ok,
+                f"n_orphan_rows={row['n_orphan_rows']} "
+                f"n_child_keyed={row['n_child_keyed']} bound={bound}",
             )
     if violations:
         raise ExpectationViolation(violations)

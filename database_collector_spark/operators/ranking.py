@@ -1205,6 +1205,26 @@ def rank_select_by_group(
             f"rank_select_by_group: rank names {sorted(clash)} collide with "
             "internal columns; rename them"
         )
+    # output columns are (group_col, n, *rank names) — a group column
+    # named 'n' or shadowed by a rank name would emit duplicate names
+    # and every downstream reference throws AMBIGUOUS_REFERENCE
+    # (review: prefix_count_below validates this class; so must this)
+    if group_col == "n" or group_col in rank_exprs:
+        raise ValueError(
+            f"rank_select_by_group: group_col {group_col!r} collides with an "
+            "output column ('n' or a rank name); alias it first"
+        )
+    # the cell grid orders by the DOUBLE image of v; for non-numeric
+    # types the cast silently NULLs (every such row would land in cell
+    # 1 via greatest() while the within-cell sort uses the raw type's
+    # own order — plausible wrong answers). Fail fast instead.
+    vtype = {c.lower(): t for c, t in df.dtypes}.get(val_col.lower(), "")
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    if not (vtype in numeric or vtype.startswith("decimal")):
+        raise ValueError(
+            f"rank_select_by_group: val_col {val_col!r} has non-numeric type "
+            f"{vtype}; the log-cell grid is defined for numeric values only"
+        )
     base = df.select(
         F.col(group_col).alias("g"), F.col(val_col).alias("v")
     ).where(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())

@@ -695,7 +695,14 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from database_collector_spark.operators.ranking import rank_select_by_group
 
-    li = _t(spark, sf_dir, "lineitem")
+    # NULL-group stance made explicit on BOTH sides (review):
+    # rank_select_by_group excludes NULL groups by contract, so the
+    # sketch aggregate and the oracle filter them too — on TPC-H
+    # l_returnflag is non-null and nothing changes, but a nullable
+    # group column must not silently drop a row only on the Spark side
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isNotNull()
+    )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     exact = rank_select_by_group(
         li.select(F.col("l_returnflag"), cents.alias("cents")),
@@ -732,7 +739,7 @@ SQL_APPROX_QUANTILES = """
 SELECT l_returnflag,
        quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5) AS exact_q50,
        TRUE AS within_rank_tol
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
 """
 
 

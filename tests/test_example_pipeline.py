@@ -142,9 +142,9 @@ def test_classifier_eval_memo_demo_cold_then_warm(spark):
     timings = demo_feature_store_memo(spark, SF)
     assert [name for name, _, _, _ in timings] == [
         "calibration_curve",
-        "cohen_kappa",
         "ks_separation",
         "mcc_by_lang",
+        "ece_quality",
     ]
     assert all(rows > 0 for _, _, _, rows in timings)
     # the memo now holds this session's frames (cold fold happened here)

@@ -158,3 +158,30 @@ def test_verify_fails_fast_with_violations_attached(spark):
     assert dup["measured"]["n_dup_keys"] == 1
     orphan = next(e for e in v if e["check"] == "referential_integrity")
     assert orphan["measured"]["n_orphan_rows"] == 1
+
+
+def test_verify_zero_bound_is_exact_not_rounded(spark):
+    # review: round(n_nulls/n_rows, 6) = 0.0 for tiny fractions must
+    # NOT let a 0.0 completeness/integrity bound pass — the comparison
+    # rides the exact integers
+    from pyspark.sql import functions as F
+
+    big = spark.range(3_000_000).select(
+        F.col("id"),
+        F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("v"),
+        F.when(F.col("id") == 7, -1).otherwise(F.lit(1)).alias("fk"),
+    )
+    parent = spark.createDataFrame([Row(pk=1)])
+    with pytest.raises(expectations.ExpectationViolation) as exc:
+        expectations.verify(big, max_null_frac={"v": 0.0})
+    [v] = exc.value.violations
+    assert v["measured"]["n_nulls"] == 1
+    # the rounded report fraction IS 0.0 — which is exactly why the
+    # check must not use it
+    assert v["measured"]["null_frac"] == 0.0
+    with pytest.raises(expectations.ExpectationViolation) as exc:
+        expectations.verify(
+            big, references={"fk->pk": ("fk", parent, "pk", 0.0)}
+        )
+    [v] = exc.value.violations
+    assert v["measured"]["n_orphan_rows"] == 1

@@ -754,3 +754,14 @@ def test_rank_select_validates_rank_names(spark):
         ranking.rank_select_by_group(df, "g", "v", {})
     with pytest.raises(ValueError, match="collide with"):
         ranking.rank_select_by_group(df, "g", "v", {"n": "1"})
+
+
+def test_rank_select_rejects_output_collisions_and_nonnumeric(spark):
+    df = spark.createDataFrame([Row(n="x", v=1, s="a")])
+    with pytest.raises(ValueError, match="collides with an output"):
+        ranking.rank_select_by_group(df, "n", "v", {"med": "1"})
+    df2 = spark.createDataFrame([Row(grp="x", v=1)])
+    with pytest.raises(ValueError, match="collides with an output"):
+        ranking.rank_select_by_group(df2, "grp", "v", {"grp": "1"})
+    with pytest.raises(ValueError, match="non-numeric type"):
+        ranking.rank_select_by_group(df, "v", "s", {"med": "1"})
