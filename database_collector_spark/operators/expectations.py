@@ -252,10 +252,10 @@ def verify(
       (``referential_integrity``) must be <= the bound; ``0.0`` means
       every keyed child row finds its parent.
 
-    Every bound is tested on the EXACT integer counts (e.g.
-    n_nulls <= bound·n_rows), never on the report's 6-decimal rounded
-    fractions — a 0.0 bound means literally zero violations at any
-    scale.
+    Every bound is tested on the UNROUNDED fraction of the exact
+    integer counts (n_nulls/n_rows <= bound), never on the report's
+    6-decimal rounded fractions — a 0.0 bound means literally zero
+    violations at any scale, and an exactly-at-bound table passes.
 
     This is deliberately an EAGER action (the checks collect their
     bounded reports — one row per column/key set/relationship): the
@@ -290,13 +290,19 @@ def verify(
         }
         for col, bound in max_null_frac.items():
             row = prof[col]
-            # compare on the EXACT integers, never the report's rounded
-            # null_frac (review: round(4e-7, 6) = 0.0 would let a
-            # 0.0-completeness bound pass with real nulls present —
-            # Deequ's isComplete fails on a single null). The exact
-            # test n_nulls <= bound·n_rows is empty-table-vacuous by
-            # construction (0 <= 0).
-            ok = row["n_nulls"] <= bound * row["n_rows"]
+            # compare on the UNROUNDED fraction, never the report's
+            # 6-decimal null_frac (review: round(4e-7, 6) = 0.0 would
+            # let a 0.0-completeness bound pass with real nulls
+            # present — Deequ's isComplete fails on a single null).
+            # Division, not bound*n_rows: 0.29*100 rounds to
+            # 28.999... in doubles and would fail an exactly-at-bound
+            # table (second review pass); n_nulls/n_rows <= bound
+            # keeps 0.0 exact (any n_nulls > 0 is a positive
+            # fraction) and matches the fraction<=bound semantics.
+            # Empty table is vacuously complete.
+            ok = row["n_rows"] == 0 or (
+                row["n_nulls"] / row["n_rows"] <= bound
+            )
             _record(
                 "max_null_frac",
                 col,
@@ -321,10 +327,13 @@ def verify(
                 df, child_key, parent, parent_key, relationship=name
             ).collect()
             row = r.asDict()
-            # exact-integer comparison, same rationale as max_null_frac
-            # (the report's orphan_frac is rounded to 6 decimals); a
-            # keyless child (n_child_keyed = 0) is vacuously intact
-            ok = row["n_orphan_rows"] <= bound * row["n_child_keyed"]
+            # unrounded-fraction comparison, same rationale as
+            # max_null_frac (the report's orphan_frac is rounded to 6
+            # decimals; bound*count would mis-fail exact boundaries);
+            # a keyless child (n_child_keyed = 0) is vacuously intact
+            ok = row["n_child_keyed"] == 0 or (
+                row["n_orphan_rows"] / row["n_child_keyed"] <= bound
+            )
             _record(
                 "referential_integrity",
                 name,

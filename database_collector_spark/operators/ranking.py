@@ -1198,27 +1198,44 @@ def rank_select_by_group(
     """
     if not rank_exprs:
         raise ValueError("rank_select_by_group: no target ranks given")
+    # every name comparison is CASEFOLDED: Spark resolves column names
+    # case-insensitively by default, so 'N' vs 'n' is the same
+    # AMBIGUOUS_REFERENCE the guards exist to prevent (second review
+    # pass; the key_uniqueness probe precedent)
     reserved = {"g", "v", "n", "_cell", "_cnt", "_below", "_k", "_name"}
-    clash = reserved & set(rank_exprs)
+    lowered_names = {name.lower() for name in rank_exprs}
+    clash = reserved & lowered_names
     if clash:
         raise ValueError(
             f"rank_select_by_group: rank names {sorted(clash)} collide with "
-            "internal columns; rename them"
+            "internal/output columns (case-insensitively); rename them"
+        )
+    if len(lowered_names) != len(rank_exprs):
+        raise ValueError(
+            "rank_select_by_group: rank names collide with each other "
+            "case-insensitively; rename them"
         )
     # output columns are (group_col, n, *rank names) — a group column
     # named 'n' or shadowed by a rank name would emit duplicate names
     # and every downstream reference throws AMBIGUOUS_REFERENCE
     # (review: prefix_count_below validates this class; so must this)
-    if group_col == "n" or group_col in rank_exprs:
+    if group_col.lower() == "n" or group_col.lower() in lowered_names:
         raise ValueError(
             f"rank_select_by_group: group_col {group_col!r} collides with an "
-            "output column ('n' or a rank name); alias it first"
+            "output column ('n' or a rank name, case-insensitively); alias "
+            "it first"
         )
     # the cell grid orders by the DOUBLE image of v; for non-numeric
     # types the cast silently NULLs (every such row would land in cell
     # 1 via greatest() while the within-cell sort uses the raw type's
     # own order — plausible wrong answers). Fail fast instead.
-    vtype = {c.lower(): t for c, t in df.dtypes}.get(val_col.lower(), "")
+    dtypes = {c.lower(): t for c, t in df.dtypes}
+    if val_col.lower() not in dtypes:
+        raise ValueError(
+            f"rank_select_by_group: val_col {val_col!r} is not a column of "
+            f"the input (columns: {df.columns})"
+        )
+    vtype = dtypes[val_col.lower()]
     numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
     if not (vtype in numeric or vtype.startswith("decimal")):
         raise ValueError(

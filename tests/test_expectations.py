@@ -163,9 +163,7 @@ def test_verify_fails_fast_with_violations_attached(spark):
 def test_verify_zero_bound_is_exact_not_rounded(spark):
     # review: round(n_nulls/n_rows, 6) = 0.0 for tiny fractions must
     # NOT let a 0.0 completeness/integrity bound pass — the comparison
-    # rides the exact integers
-    from pyspark.sql import functions as F
-
+    # rides the unrounded fraction of the exact integers
     big = spark.range(3_000_000).select(
         F.col("id"),
         F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("v"),
@@ -185,3 +183,14 @@ def test_verify_zero_bound_is_exact_not_rounded(spark):
         )
     [v] = exc.value.violations
     assert v["measured"]["n_orphan_rows"] == 1
+
+
+def test_verify_exact_boundary_bound_passes(spark):
+    # second review pass: bound*count in doubles (0.29*100 = 28.999...)
+    # mis-failed an exactly-at-bound table; the unrounded-fraction
+    # comparison must accept 29 nulls in 100 rows at bound 0.29
+    rows = [Row(v=None if i < 29 else i) for i in range(100)]
+    df = spark.createDataFrame(rows, "v int")
+    report = expectations.verify(df, max_null_frac={"v": 0.29})
+    [e] = report
+    assert e["passed"] and e["measured"]["n_nulls"] == 29

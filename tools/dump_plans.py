@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -130,7 +131,17 @@ def main() -> None:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        out.append(f"## {name} — {why}\n\n```\n{buf.getvalue().strip()}\n```\n")
+        # scrub per-process artifact suffixes (workloads_r10's
+        # _artifact_dir embeds os.getpid() in persisted-signature
+        # paths) so regeneration never produces a meaningless diff —
+        # PLANS.md is a reviewed artifact and must churn only when a
+        # plan SHAPE changes (second review pass)
+        text = re.sub(r"(_sf[0-9._]+)_\d+", r"\1_PID", buf.getvalue().strip())
+        # plan_id is a process-global monotone counter: any upstream
+        # construction (even a validation-time df.dtypes) shifts every
+        # later id, churning hundreds of lines with zero shape change
+        text = re.sub(r"plan_id=\d+", "plan_id=N", text)
+        out.append(f"## {name} — {why}\n\n```\n{text}\n```\n")
         print(f"  dumped {name}", file=sys.stderr)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
