@@ -322,11 +322,22 @@ def verify(
                 f"n_dup_keys={row['n_dup_keys']} n_dup_rows={row['n_dup_rows']}",
             )
     if references:
-        for name, (child_key, parent, parent_key, bound) in references.items():
-            [r] = referential_integrity(
+        # one action for ALL relationships: union the 1-row reports
+        # before collecting (the key_uniqueness shape — N sequential
+        # driver round-trips at gate time would serialize N child
+        # compressions; review pass 4)
+        frames = [
+            referential_integrity(
                 df, child_key, parent, parent_key, relationship=name
-            ).collect()
-            row = r.asDict()
+            )
+            for name, (child_key, parent, parent_key, _) in references.items()
+        ]
+        union = frames[0]
+        for f in frames[1:]:
+            union = union.unionByName(f)
+        by_rel = {r["relationship"]: r.asDict() for r in union.collect()}
+        for name, (_, _, _, bound) in references.items():
+            row = by_rel[name]
             # unrounded-fraction comparison, same rationale as
             # max_null_frac (the report's orphan_frac is rounded to 6
             # decimals; bound*count would mis-fail exact boundaries);

@@ -720,16 +720,24 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("approx")
     )
+    # sketch side is the LEFT of the join: a group whose cents are all
+    # NULL is absent from the rank_select frame (NULL values excluded)
+    # but present in the sketch groupBy and in the oracle's GROUP BY —
+    # an inner join would drop the row only on the Spark side (review).
+    # For such a group every operand is NULL, so within_rank_tol
+    # coalesces to the oracle's literal TRUE and exact_q50 stays NULL
+    # on both engines.
     return (
-        exact.join(F.broadcast(sk), "l_returnflag")
+        sk.join(F.broadcast(exact), "l_returnflag", "left")
         .select(
             "l_returnflag",
             (
                 (F.col("v_lo") + F.col("v_hi")).cast("double") / F.lit(2.0)
             ).alias("exact_q50"),
-            (
+            F.coalesce(
                 (F.col("approx") >= F.col("q45").cast("double"))
-                & (F.col("approx") <= F.col("q55").cast("double"))
+                & (F.col("approx") <= F.col("q55").cast("double")),
+                F.lit(True),
             ).alias("within_rank_tol"),
         )
     )

@@ -158,7 +158,9 @@ def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
     return report
 
 
-def demo_feature_store_memo(spark, sf_dir: str) -> list[tuple[str, float, int]]:
+def demo_feature_store_memo(
+    spark, sf_dir: str
+) -> list[tuple[str, str, float, int]]:
     """The feature-store pattern one level up (r14 VERDICT #5): run
     four memo-consuming DRIVER GATES against one SparkSession and time
     them. Every one of these evaluates the SAME hashed-classifier

@@ -137,10 +137,20 @@ def main() -> None:
         # PLANS.md is a reviewed artifact and must churn only when a
         # plan SHAPE changes (second review pass)
         text = re.sub(r"(_sf[0-9._]+)_\d+", r"\1_PID", buf.getvalue().strip())
-        # plan_id is a process-global monotone counter: any upstream
+        # plan_id / RDD ids are process-global monotone counters and
+        # expression ids (#123) ride a global counter too: any upstream
         # construction (even a validation-time df.dtypes) shifts every
         # later id, churning hundreds of lines with zero shape change
+        # (review passes 3+4). Canonicalize per section: first-seen
+        # expression id -> sequential, absolute counters -> N.
         text = re.sub(r"plan_id=\d+", "plan_id=N", text)
+        text = re.sub(r"(MapPartitionsRDD|ParallelCollectionRDD)\[\d+\]", r"\1[N]", text)
+        ids: dict[str, str] = {}
+        text = re.sub(
+            r"#(\d+)",
+            lambda m: ids.setdefault(m.group(1), f"#{len(ids)}"),
+            text,
+        )
         out.append(f"## {name} — {why}\n\n```\n{text}\n```\n")
         print(f"  dumped {name}", file=sys.stderr)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
