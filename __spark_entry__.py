@@ -108,8 +108,10 @@ _CHECK_FIRST = [
     # (workloads_r15.py), the r16 staged cohort (workloads_r16.py:
     # embedding_drift, zipf_head_fit, bigram_cond_entropy) and the r17
     # data-quality cohort (workloads_r17.py: table_profile,
-    # fk_orphan_report, key_uniqueness, staged r14) stay at the
-    # staged-green evidence tier PERMANENTLY — decided and documented
+    # fk_orphan_report, key_uniqueness, staged r14) and the r15-
+    # staged order-statistics cohort (workloads_r18.py:
+    # rank_quartiles, range_splitters, token_mass_median) stay at
+    # the staged-green evidence tier PERMANENTLY — decided and documented
     # in COVERAGE.md §staged-tier (r13 VERDICT #5, playbook expanded
     # r15 per the r14 VERDICT #3); the judge's check.py --staged
     # differential covers them every round. Any 1-for-1 retirement

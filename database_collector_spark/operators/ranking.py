@@ -1154,6 +1154,7 @@ def rank_select_by_group(
     group_col: str,
     val_col: str,
     rank_exprs: dict[str, str],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact value at a FIXED set of target ranks per group — the
     two-scan cell-refinement design: when a caller needs a handful of
@@ -1193,6 +1194,17 @@ def rank_select_by_group(
     for that column. Ties are whole: the selected value is the exact
     input value whose [below, below+cnt) rank span covers k (type-1).
 
+    ``weight_col`` switches to WEIGHTED rank selection: every count in
+    both scans becomes a weight sum, ``n`` is the group's total weight,
+    and a target rank k selects the smallest value whose cumulative
+    weight reaches k (the weighted-median family: k = (n + 1) div 2).
+    Weights must be NON-NEGATIVE INTEGERS — enforced in-plan with the
+    shared ``_int_domain_guard`` (a negative weight would silently
+    break the monotone cumulative; a fractional one would truncate) —
+    and NULL-weight rows are excluded like NULL values. Zero-weight
+    rows are valid and never selected (their rank span is empty),
+    exactly as if absent.
+
     Output: one row per group — (group_col, n, *rank_exprs-keys), the
     selected values in the input value type.
     """
@@ -1202,7 +1214,7 @@ def rank_select_by_group(
     # case-insensitively by default, so 'N' vs 'n' is the same
     # AMBIGUOUS_REFERENCE the guards exist to prevent (second review
     # pass; the key_uniqueness probe precedent)
-    reserved = {"g", "v", "n", "_cell", "_cnt", "_below", "_k", "_name"}
+    reserved = {"g", "v", "n", "_w", "_cell", "_cnt", "_below", "_k", "_name"}
     lowered_names = {name.lower() for name in rank_exprs}
     clash = reserved & lowered_names
     if clash:
@@ -1242,9 +1254,31 @@ def rank_select_by_group(
             f"rank_select_by_group: val_col {val_col!r} has non-numeric type "
             f"{vtype}; the log-cell grid is defined for numeric values only"
         )
+    if weight_col is not None and weight_col.lower() not in dtypes:
+        raise ValueError(
+            f"rank_select_by_group: weight_col {weight_col!r} is not a "
+            f"column of the input (columns: {df.columns})"
+        )
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        w = _int_domain_guard(
+            weight_col,
+            lo=0,
+            hi=None,
+            msg=(
+                "rank_select_by_group: weights must be non-negative "
+                "integers — a negative weight breaks the monotone "
+                "cumulative silently, a fractional one would truncate"
+            ),
+        )
     base = df.select(
-        F.col(group_col).alias("g"), F.col(val_col).alias("v")
-    ).where(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
+        F.col(group_col).alias("g"), F.col(val_col).alias("v"), w.alias("_w")
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(val_col).isNotNull()
+        & F.col("_w").isNotNull()
+    )
     vd = F.col("v").cast("double")
     u = F.signum(vd) * F.log1p(F.abs(vd))
     inf = float("inf")
@@ -1266,7 +1300,7 @@ def rank_select_by_group(
     # totals) — lazy localCheckpoint so the corpus aggregate runs once
     cells = (
         with_cell.groupBy("g", "_cell")
-        .agg(F.count("*").alias("_cnt"))
+        .agg(F.sum("_w").cast("long").alias("_cnt"))
         .localCheckpoint(eager=False)
     )
     win = (
@@ -1307,7 +1341,7 @@ def rank_select_by_group(
             F.broadcast(cand.select("g", "_cell").distinct()), ["g", "_cell"]
         )
         .groupBy("g", "_cell", "v")
-        .agg(F.count("*").alias("_cnt"))
+        .agg(F.sum("_w").cast("long").alias("_cnt"))
     )
     wv = (
         Window.partitionBy("g", "_cell")

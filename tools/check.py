@@ -121,7 +121,7 @@ def staged_queries() -> dict:
     """The CURRENT staged cohorts' queries — as of round 15, the
     PERMANENTLY staged-tier set (COVERAGE.md §staged-tier): the r15
     trio registered in round 15, leaving vocab_overlap (via
-    QUERIES_R15_STAGED) plus the full r16 and r17 cohorts. This is the
+    QUERIES_R15_STAGED) plus the full r16, r17 and r18 cohorts. This is the
     ONE place the staged-module pointer lives: main()'s --staged merge
     AND the docs-consistency oracle sweeps import it, so a
     registration round bumps exactly one import and the staged oracles
@@ -129,23 +129,35 @@ def staged_queries() -> dict:
     reintroducing a retired failure class — e.g. a fixed
     generate_series position bound — must fail at staging time, not
     after registration)."""
-    from database_collector_spark import workloads_r15, workloads_r16, workloads_r17
+    from database_collector_spark import (
+        workloads_r15,
+        workloads_r16,
+        workloads_r17,
+        workloads_r18,
+    )
 
     return {
         **workloads_r15.QUERIES_R15_STAGED,
         **workloads_r16.QUERIES_R16,
         **workloads_r17.QUERIES_R17,
+        **workloads_r18.QUERIES_R18,
     }
 
 
 def staged_oracles() -> dict:
     """Oracle twins of staged_queries() — same single-pointer contract."""
-    from database_collector_spark import workloads_r15, workloads_r16, workloads_r17
+    from database_collector_spark import (
+        workloads_r15,
+        workloads_r16,
+        workloads_r17,
+        workloads_r18,
+    )
 
     return {
         **workloads_r15.ORACLES_R15_STAGED,
         **workloads_r16.ORACLES_R16,
         **workloads_r17.ORACLES_R17,
+        **workloads_r18.ORACLES_R18,
     }
 
 

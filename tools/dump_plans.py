@@ -88,6 +88,7 @@ STAGED_PICKS = [
     ("agreement_alpha", "m-grouped alpha folds over compressed votes"),
     ("table_profile", "one-scan multi-distinct Expand profile + stack unpivot"),
     ("fk_orphan_report", "distinct-key compression anti join (no fact-row join)"),
+    ("range_splitters", "two-scan cell-refined equi-depth splitters (r18)"),
 ]
 
 
