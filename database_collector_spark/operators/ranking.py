@@ -1259,26 +1259,39 @@ def rank_select_by_group(
             f"rank_select_by_group: weight_col {weight_col!r} is not a "
             f"column of the input (columns: {df.columns})"
         )
-    if weight_col is None:
-        w = F.lit(1).cast("long")
-    else:
-        w = _int_domain_guard(
-            weight_col,
-            lo=0,
-            hi=None,
-            msg=(
-                "rank_select_by_group: weights must be non-negative "
-                "integers — a negative weight breaks the monotone "
-                "cumulative silently, a fractional one would truncate"
-            ),
-        )
+    raw_w = (
+        F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
+    )
+    # the NULL exclusions apply BEFORE the weight guard (review: a
+    # row the contract excludes — NULL group/value/weight — must never
+    # trip the raise, and predicate evaluation order inside one select
+    # gives no short-circuit guarantee), so filter first, guard second
     base = df.select(
-        F.col(group_col).alias("g"), F.col(val_col).alias("v"), w.alias("_w")
+        F.col(group_col).alias("g"),
+        F.col(val_col).alias("v"),
+        raw_w.alias("_wraw"),
     ).where(
         F.col(group_col).isNotNull()
         & F.col(val_col).isNotNull()
-        & F.col("_w").isNotNull()
+        & F.col("_wraw").isNotNull()
     )
+    if weight_col is None:
+        base = base.select("g", "v", F.col("_wraw").alias("_w"))
+    else:
+        base = base.select(
+            "g",
+            "v",
+            _int_domain_guard(
+                "_wraw",
+                lo=0,
+                hi=None,
+                msg=(
+                    "rank_select_by_group: weights must be non-negative "
+                    "integers — a negative weight breaks the monotone "
+                    "cumulative silently, a fractional one would truncate"
+                ),
+            ).alias("_w"),
+        )
     vd = F.col("v").cast("double")
     u = F.signum(vd) * F.log1p(F.abs(vd))
     inf = float("inf")

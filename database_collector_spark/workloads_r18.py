@@ -124,8 +124,12 @@ def q_range_splitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RANGE_SPLITTERS = f"""
 WITH counted AS (
+  -- the price filter mirrors the operator's NULL-value exclusion: a
+  -- NULL price would count into n (NULLS LAST under row_number) and
+  -- shift every splitter rank only on the oracle side (review)
   SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
-  FROM lineitem WHERE l_returnflag IS NOT NULL
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
 ),
 ranked AS (
   SELECT l_returnflag, v,
@@ -187,7 +191,12 @@ ranked AS (
   FROM perv
 )
 SELECT source, CAST(MAX(tw) AS BIGINT) AS total_tokens,
-       MIN(CASE WHEN cw >= (tw + 1) // 2 THEN v END) AS wmed_tokens
+       -- tw > 0 mirrors the operator's rank domain [1, n]: a source of
+       -- only zero-token docs has k = 0, out of range, NULL on BOTH
+       -- engines (review: the bare cw >= 0 form picked the zero-weight
+       -- v = 0 row and diverged from Spark's NULL)
+       MIN(CASE WHEN tw > 0 AND cw >= (tw + 1) // 2 THEN v END)
+         AS wmed_tokens
 FROM ranked GROUP BY source ORDER BY source
 """
 

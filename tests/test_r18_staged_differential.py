@@ -85,12 +85,32 @@ def test_staged_plans_have_no_python_or_cartesian_or_corpus_funnel(spark):
 def test_range_splitters_are_monotone_and_bounded(spark):
     """Split points must be usable as a range partitioner: per group,
     non-decreasing across s1..s7 and inside the group's value range."""
+    from pyspark.sql import functions as F
+
+    from database_collector_spark.workloads import _t
+
+    li = _t(spark, SF, "lineitem").where(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    bounds = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("lo"),
+            F.max(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("hi"),
+        )
+        .collect()
+    }
     rows = workloads_r18.q_range_splitters(spark, SF).collect()
     assert rows
     for r in rows:
         ss = [r[f"s{i}"] for i in range(1, 8)]
         assert all(s is not None for s in ss), r
         assert ss == sorted(ss), f"non-monotone splitters: {r}"
+        lo, hi = bounds[r["l_returnflag"]]
+        assert lo <= ss[0] and ss[-1] <= hi, (
+            f"splitters escape the group's value range: {r} vs [{lo}, {hi}]"
+        )
 
 
 def test_token_mass_median_dominates_row_median(spark):
@@ -113,5 +133,10 @@ def test_token_mass_median_dominates_row_median(spark):
         .collect()
     }
     for src in q:
+        # NULL only in the zero-total-mass degenerate, which the
+        # fixture must not silently become (a None would otherwise
+        # crash the >= with a TypeError instead of a diagnostic)
+        assert m[src]["total_tokens"] > 0, f"{src}: zero token mass"
+        assert m[src]["wmed_tokens"] is not None, src
         assert m[src]["wmed_tokens"] >= q[src]["p50"], src
         assert m[src]["total_tokens"] == totals[src], src
