@@ -37,11 +37,20 @@ from database_collector_spark.workloads import _t
 def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     docs = _t(spark, sf_dir, "documents")
 
+    # 0. data-quality gate BEFORE anything expensive runs (Deequ check
+    #    semantics — operators/expectations.py via curate(): a poisoned
+    #    ingest aborts at the audit with the measured report attached,
+    #    not three shuffles later inside the dedup tier)
+    gate = {
+        "max_null_frac": {"doc_id": 0.0, "text": 0.0},
+        "unique_keys": {"doc_id": ["doc_id"]},
+    }
+
     # 1. quality tier: composite score + char-entropy + unigram floor.
     #    (entropy < 1.5 bits ~ degenerate/repetitive text)
     entropy = text.char_entropy(docs).select("doc_id", "entropy")
     kept = (
-        curation.curate(docs, quality_min=0.3, near_dup=True)
+        curation.curate(docs, quality_min=0.3, near_dup=True, expectations=gate)
         .join(entropy, "doc_id")
         .filter(F.col("entropy") >= 1.5)
         .drop("entropy")
