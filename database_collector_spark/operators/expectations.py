@@ -241,9 +241,11 @@ def verify(
     operators; the gate a pipeline runs BEFORE any expensive work.
 
     - ``max_null_frac``: {column: bound} — each named column's observed
-      null fraction (``column_profile``, ONE aggregate pass for ALL
-      named columns together) must be <= bound. ``0.0`` means
-      completeness (Deequ ``isComplete``).
+      null fraction must be <= bound (ONE dedicated count(col)
+      aggregate pass for ALL named columns together — deliberately NOT
+      ``column_profile``, whose exact COUNT(DISTINCT) Expand would
+      shuffle the corpus for a statistic the check never reads).
+      ``0.0`` means completeness (Deequ ``isComplete``).
     - ``unique_keys``: {name: key columns/expressions} — each named key
       set must be unique (``key_uniqueness``, one groupBy pass per set,
       Deequ ``isUnique``/``hasUniqueness``).
@@ -268,6 +270,23 @@ def verify(
     dicts) when everything holds; raises :class:`ExpectationViolation`
     carrying the failed subset otherwise.
     """
+    for label, bounds in (
+        ("max_null_frac", max_null_frac or {}),
+        (
+            "references",
+            {k: v[3] for k, v in (references or {}).items()},
+        ),
+    ):
+        for subject, bound in bounds.items():
+            # a typo'd bound silently disables (5 meaning 5%) or
+            # inverts (negative) the expectation — gate theater, the
+            # opposite of fail-fast (review)
+            if not 0.0 <= bound <= 1.0:
+                raise ValueError(
+                    f"verify: {label}[{subject!r}] bound {bound} is outside "
+                    "[0, 1] — bounds are fractions, not percentages"
+                )
+
     report: list[dict] = []
     violations: list[dict] = []
 
@@ -284,10 +303,34 @@ def verify(
             violations.append(entry)
 
     if max_null_frac:
-        prof = {
-            r["col_name"]: r.asDict()
-            for r in column_profile(df, list(max_null_frac)).collect()
-        }
+        # dedicated null-count pass, NOT column_profile: the profile's
+        # exact COUNT(DISTINCT) pays an Expand + distinct-value shuffle
+        # per column that a completeness check never reads — at 100 TB
+        # that made the "cheap gate" a corpus-wide distinct shuffle
+        # (review). count(1)/count(col) fold map-side in one pass.
+        cols = list(max_null_frac)
+        for c in cols:
+            if not _SAFE_NAME.match(c):
+                raise ValueError(
+                    f"verify: column name {c!r} is outside the safe "
+                    "identifier charset [A-Za-z0-9_] — rename/alias it first"
+                )
+        [counts] = df.agg(
+            F.count(F.lit(1)).cast("long").alias("_vr_n"),
+            *[F.count(F.col(c)).cast("long").alias(f"_vr_{i}") for i, c in enumerate(cols)],
+        ).collect()
+        n_rows = counts["_vr_n"]
+        prof = {}
+        for i, c in enumerate(cols):
+            n_nulls = n_rows - counts[f"_vr_{i}"]
+            prof[c] = {
+                "col_name": c,
+                "n_rows": n_rows,
+                "n_nulls": n_nulls,
+                "null_frac": (
+                    round(n_nulls / n_rows, 6) if n_rows > 0 else None
+                ),
+            }
         for col, bound in max_null_frac.items():
             row = prof[col]
             # compare on the UNROUNDED fraction, never the report's

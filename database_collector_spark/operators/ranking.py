@@ -1262,18 +1262,22 @@ def rank_select_by_group(
     raw_w = (
         F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
     )
-    # the NULL exclusions apply BEFORE the weight guard (review: a
-    # row the contract excludes — NULL group/value/weight — must never
-    # trip the raise, and predicate evaluation order inside one select
-    # gives no short-circuit guarantee), so filter first, guard second
-    base = df.select(
+    # the NULL exclusions apply BEFORE the projection (sixth review
+    # pass, live-reproduced: a .where() AFTER .select() resolves
+    # original column names against the Project's OWN aliases, so an
+    # input column literally named 'g' or 'v' shadowed the filter and
+    # NULL rows leaked into the ranks) and BEFORE the weight guard (a
+    # contractually-excluded row must never trip the raise; predicate
+    # order inside one select gives no short-circuit guarantee)
+    filtered = df.where(
+        F.col(group_col).isNotNull() & F.col(val_col).isNotNull()
+    )
+    if weight_col is not None:
+        filtered = filtered.where(F.col(weight_col).isNotNull())
+    base = filtered.select(
         F.col(group_col).alias("g"),
         F.col(val_col).alias("v"),
         raw_w.alias("_wraw"),
-    ).where(
-        F.col(group_col).isNotNull()
-        & F.col(val_col).isNotNull()
-        & F.col("_wraw").isNotNull()
     )
     if weight_col is None:
         base = base.select("g", "v", F.col("_wraw").alias("_w"))

@@ -87,9 +87,13 @@ def write_range_layout(spark, sf_dir: str, out_dir: str, splitters: list[int]):
 
 def price_band_ranges(splitters: list[int], lo: int, hi: int) -> list[int]:
     """CONSUME-side planning: which range ids can hold cents in
-    [lo, hi]? Driver-side over the tiny boundary list."""
+    [lo, hi]? Driver-side over the tiny boundary list. A value v lives
+    in range_id = #{s : s < v}, so the inclusive band spans
+    n_below(lo) .. n_below(hi) exactly — n_below(hi + 1) would
+    over-select one all-greater partition whenever hi equals a
+    splitter (review)."""
     n_below = lambda v: sum(1 for s in splitters if s < v)  # noqa: E731
-    return list(range(n_below(lo), n_below(hi + 1) + 1))
+    return list(range(n_below(lo), n_below(hi) + 1))
 
 
 def main() -> None:

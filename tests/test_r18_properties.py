@@ -15,6 +15,8 @@ from pyspark.sql import Row
 
 from database_collector_spark.operators.ranking import rank_select_by_group
 
+from rankrefs import rank_ref, wrank_ref
+
 _settings = settings(
     max_examples=8,
     deadline=None,
@@ -28,22 +30,8 @@ _values = st.one_of(
 )
 
 
-def _rank_ref(vals, k):
-    if not 1 <= k <= len(vals):
-        return None
-    return sorted(vals)[k - 1]
 
 
-def _wrank_ref(pairs, k):
-    total = sum(w for _, w in pairs)
-    if not 1 <= k <= total:
-        return None
-    c = 0
-    for v, w in sorted(pairs):
-        c += w
-        if c >= k:
-            return v
-    return None
 
 
 @_settings
@@ -71,10 +59,10 @@ def test_rank_select_fuzz_matches_sorted_reference(spark, groups):
     for g, vs in groups.items():
         n = len(vs)
         assert got[g]["n"] == n
-        assert got[g]["lo"] == _rank_ref(vs, 1)
-        assert got[g]["q1"] == _rank_ref(vs, (n + 3) // 4)
-        assert got[g]["med"] == _rank_ref(vs, (n + 1) // 2)
-        assert got[g]["hi"] == _rank_ref(vs, n)
+        assert got[g]["lo"] == rank_ref(vs, 1)
+        assert got[g]["q1"] == rank_ref(vs, (n + 3) // 4)
+        assert got[g]["med"] == rank_ref(vs, (n + 1) // 2)
+        assert got[g]["hi"] == rank_ref(vs, n)
 
 
 @_settings
@@ -107,6 +95,6 @@ def test_rank_select_weighted_fuzz_matches_cumweight_reference(spark, groups):
     for g, ps in groups.items():
         total = sum(w for _, w in ps)
         assert got[g]["n"] == total
-        assert got[g]["wmed"] == _wrank_ref(ps, (total + 1) // 2)
-        assert got[g]["wlo"] == _wrank_ref(ps, 1)
-        assert got[g]["whi"] == _wrank_ref(ps, total)
+        assert got[g]["wmed"] == wrank_ref(ps, (total + 1) // 2)
+        assert got[g]["wlo"] == wrank_ref(ps, 1)
+        assert got[g]["whi"] == wrank_ref(ps, total)

@@ -10,6 +10,8 @@ from pyspark.sql import Row
 
 from database_collector_spark.operators import ranking
 
+from rankrefs import rank_ref, wrank_ref
+
 DOCS = [
     Row(doc_id=0, text="hash join hash scan"),
     Row(doc_id=1, text="vector scan scan scan scan scan"),
@@ -676,11 +678,6 @@ def test_pr_curve_grouped_equals_per_slice(spark):
 # ------------------------------------------------------ rank_select_by_group
 
 
-def _rank_ref(vals, k):
-    """Type-1 order statistic: k-th smallest (1-based), None out of range."""
-    if not 1 <= k <= len(vals):
-        return None
-    return sorted(vals)[k - 1]
 
 
 def test_rank_select_matches_sorted_reference_with_ties(spark):
@@ -698,9 +695,9 @@ def test_rank_select_matches_sorted_reference_with_ties(spark):
     }
     for g, vs in vals.items():
         assert got[g]["n"] == len(vs)
-        assert got[g]["lo"] == _rank_ref(vs, 1)
-        assert got[g]["med"] == _rank_ref(vs, (len(vs) + 1) // 2)
-        assert got[g]["hi"] == _rank_ref(vs, len(vs))
+        assert got[g]["lo"] == rank_ref(vs, 1)
+        assert got[g]["med"] == rank_ref(vs, (len(vs) + 1) // 2)
+        assert got[g]["hi"] == rank_ref(vs, len(vs))
 
 
 def test_rank_select_negative_values_and_wide_magnitudes(spark):
@@ -767,18 +764,6 @@ def test_rank_select_rejects_output_collisions_and_nonnumeric(spark):
         ranking.rank_select_by_group(df, "v", "s", {"med": "1"})
 
 
-def _wrank_ref(pairs, k):
-    """Weighted type-1 selection: smallest v whose cumulative weight
-    (in ascending v order) reaches k; None when k out of (0, total]."""
-    total = sum(w for _, w in pairs)
-    if not 1 <= k <= total:
-        return None
-    c = 0
-    for v, w in sorted(pairs):
-        c += w
-        if c >= k:
-            return v
-    return None
 
 
 def test_rank_select_weighted_matches_reference(spark):
@@ -798,9 +783,9 @@ def test_rank_select_weighted_matches_reference(spark):
     for g, ps in pairs.items():
         total = sum(w for _, w in ps)
         assert got[g]["n"] == total
-        assert got[g]["wmed"] == _wrank_ref(ps, (total + 1) // 2)
-        assert got[g]["first"] == _wrank_ref(ps, 1)
-        assert got[g]["last"] == _wrank_ref(ps, total)
+        assert got[g]["wmed"] == wrank_ref(ps, (total + 1) // 2)
+        assert got[g]["first"] == wrank_ref(ps, 1)
+        assert got[g]["last"] == wrank_ref(ps, total)
     # the zero-weight value (3, w=0) must never be selected: rank 2 in
     # group a falls strictly inside value 5's span, not on 3
     assert got["a"]["wmed"] == 5
@@ -819,3 +804,22 @@ def test_rank_select_weighted_rejects_bad_weights(spark):
         ).collect()
     with pytest.raises(ValueError, match="not a column"):
         ranking.rank_select_by_group(df, "g", "v", {"m": "1"}, weight_col="nope")
+
+
+def test_rank_select_input_columns_named_g_or_v_do_not_shadow_filters(spark):
+    # sixth review pass (live-reproduced): a .where() placed after the
+    # g/v/_wraw projection resolved original names against the
+    # projection's own aliases, so an input column literally named 'g'
+    # or 'v' shadowed the NULL-exclusion filter
+    df = spark.createDataFrame(
+        [Row(grp="x", g=1), Row(grp="x", g=None), Row(grp="x", g=5)]
+    )
+    [r] = ranking.rank_select_by_group(
+        df, "grp", "g", {"med": "(n + 1) div 2", "hi": "n"}
+    ).collect()
+    assert (r["n"], r["med"], r["hi"]) == (2, 1, 5)
+    df2 = spark.createDataFrame(
+        [Row(v=1, grp="x"), Row(v=2, grp=None), Row(v=3, grp="x")]
+    )
+    rows = ranking.rank_select_by_group(df2, "grp", "v", {"m": "1"}).collect()
+    assert len(rows) == 1 and rows[0]["grp"] == "x" and rows[0]["n"] == 2
