@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 _SAFE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
-def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def column_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    with_distinct: bool = True,
+) -> DataFrame:
     """Per-column profile: (col_name, n_rows, n_nulls, null_frac,
     n_distinct) — the first look at any new table drop.
 
@@ -41,6 +46,14 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     in-row stack — adding a column never adds a pass. ``null_frac`` is
     ONE division over exact integers (NULL on an empty table, guarded
     — ANSI division would throw).
+
+    ``with_distinct=False`` drops the COUNT(DISTINCT) half —
+    ``n_distinct`` comes back NULL and the pass collapses to plain
+    map-side count partials with NO Expand and no distinct shuffle.
+    ``verify``'s completeness check uses this mode: a null audit that
+    shuffles the corpus for cardinalities it never reads would defeat
+    the cheap-gate-first placement (r15 review; one implementation so
+    the two modes cannot drift).
 
     Column names are interpolated into the stack() SQL string, so they
     are enforced to a safe identifier charset first (the
@@ -59,9 +72,11 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for i, c in enumerate(cols):
         aggs.append(F.count(F.col(c)).cast("long").alias(f"nn_{i}"))
-        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"nd_{i}"))
+        if with_distinct:
+            aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"nd_{i}"))
     one = df.agg(*aggs)
-    pairs = ", ".join(f"'{c}', nn_{i}, nd_{i}" for i, c in enumerate(cols))
+    nd = (lambda i: f"nd_{i}") if with_distinct else (lambda i: "CAST(NULL AS BIGINT)")
+    pairs = ", ".join(f"'{c}', nn_{i}, {nd(i)}" for i, c in enumerate(cols))
     long = one.selectExpr(
         "n_rows", f"stack({len(cols)}, {pairs}) as (col_name, n_nonnull, n_distinct)"
     )
@@ -241,10 +256,11 @@ def verify(
     operators; the gate a pipeline runs BEFORE any expensive work.
 
     - ``max_null_frac``: {column: bound} — each named column's observed
-      null fraction must be <= bound (ONE dedicated count(col)
-      aggregate pass for ALL named columns together — deliberately NOT
-      ``column_profile``, whose exact COUNT(DISTINCT) Expand would
-      shuffle the corpus for a statistic the check never reads).
+      null fraction must be <= bound (ONE
+      ``column_profile(with_distinct=False)`` pass for ALL named
+      columns together: plain count partials, no COUNT(DISTINCT)
+      Expand — the profile's distinct shuffle would make the "cheap
+      gate" corpus-wide for a statistic the check never reads).
       ``0.0`` means completeness (Deequ ``isComplete``).
     - ``unique_keys``: {name: key columns/expressions} — each named key
       set must be unique (``key_uniqueness``, one groupBy pass per set,
@@ -270,22 +286,29 @@ def verify(
     dicts) when everything holds; raises :class:`ExpectationViolation`
     carrying the failed subset otherwise.
     """
-    for label, bounds in (
-        ("max_null_frac", max_null_frac or {}),
-        (
-            "references",
-            {k: v[3] for k, v in (references or {}).items()},
-        ),
-    ):
-        for subject, bound in bounds.items():
-            # a typo'd bound silently disables (5 meaning 5%) or
-            # inverts (negative) the expectation — gate theater, the
-            # opposite of fail-fast (review)
-            if not 0.0 <= bound <= 1.0:
-                raise ValueError(
-                    f"verify: {label}[{subject!r}] bound {bound} is outside "
-                    "[0, 1] — bounds are fractions, not percentages"
-                )
+    def _check_bound(label: str, subject: str, bound) -> None:
+        # a typo'd bound silently disables (5 meaning 5%) or inverts
+        # (negative) the expectation — gate theater, the opposite of
+        # fail-fast (review)
+        if not isinstance(bound, (int, float)) or not 0.0 <= bound <= 1.0:
+            raise ValueError(
+                f"verify: {label}[{subject!r}] bound {bound!r} is not a "
+                "number in [0, 1] — bounds are fractions, not percentages"
+            )
+
+    for col, bound in (max_null_frac or {}).items():
+        _check_bound("max_null_frac", col, bound)
+    for name, spec in (references or {}).items():
+        # shape-check BEFORE indexing so a malformed spec gets a
+        # located error, not a bare IndexError (review)
+        if not isinstance(spec, (tuple, list)) or len(spec) != 4:
+            raise ValueError(
+                f"verify: references[{name!r}] must be a 4-tuple "
+                "(child_key, parent_df, parent_key, max_orphan_frac); "
+                f"got {type(spec).__name__} of length "
+                f"{len(spec) if isinstance(spec, (tuple, list)) else 'n/a'}"
+            )
+        _check_bound("references", name, spec[3])
 
     report: list[dict] = []
     violations: list[dict] = []
@@ -303,34 +326,15 @@ def verify(
             violations.append(entry)
 
     if max_null_frac:
-        # dedicated null-count pass, NOT column_profile: the profile's
-        # exact COUNT(DISTINCT) pays an Expand + distinct-value shuffle
-        # per column that a completeness check never reads — at 100 TB
-        # that made the "cheap gate" a corpus-wide distinct shuffle
-        # (review). count(1)/count(col) fold map-side in one pass.
-        cols = list(max_null_frac)
-        for c in cols:
-            if not _SAFE_NAME.match(c):
-                raise ValueError(
-                    f"verify: column name {c!r} is outside the safe "
-                    "identifier charset [A-Za-z0-9_] — rename/alias it first"
-                )
-        [counts] = df.agg(
-            F.count(F.lit(1)).cast("long").alias("_vr_n"),
-            *[F.count(F.col(c)).cast("long").alias(f"_vr_{i}") for i, c in enumerate(cols)],
-        ).collect()
-        n_rows = counts["_vr_n"]
-        prof = {}
-        for i, c in enumerate(cols):
-            n_nulls = n_rows - counts[f"_vr_{i}"]
-            prof[c] = {
-                "col_name": c,
-                "n_rows": n_rows,
-                "n_nulls": n_nulls,
-                "null_frac": (
-                    round(n_nulls / n_rows, 6) if n_rows > 0 else None
-                ),
-            }
+        # with_distinct=False: the completeness audit must not pay the
+        # profile's COUNT(DISTINCT) Expand/shuffle for cardinalities it
+        # never reads (review) — plain count partials, one pass
+        prof = {
+            r["col_name"]: r.asDict()
+            for r in column_profile(
+                df, list(max_null_frac), with_distinct=False
+            ).collect()
+        }
         for col, bound in max_null_frac.items():
             row = prof[col]
             # compare on the UNROUNDED fraction, never the report's

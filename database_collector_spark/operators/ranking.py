@@ -568,9 +568,13 @@ def auc_exact(
     Output: one row (n_pos, n_neg, auc).
     """
     lab = F.col(label_col).cast("int")
-    base = scored.select(F.col(score_col).alias("s"), lab.alias("y")).where(
+    # filter BEFORE the projection: a .where() after .select() resolves
+    # original names against the projection's own aliases, so an input
+    # column literally named 's'/'y' would shadow the exclusion
+    # (r15 review sweep — the rank_select_by_group class)
+    base = scored.where(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-    )
+    ).select(F.col(score_col).alias("s"), lab.alias("y"))
     return _auc_core(base, [], coarse_buckets)
 
 
@@ -674,12 +678,13 @@ def spearman_by_group(
     verbatim); this extends the engine's stats tier (stats_moments'
     linear corr) to rank correlation.
     """
-    base = df.select(
-        F.col(group_col).alias("g"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
-    ).where(
+    # filter before projecting (the alias-shadowing class, r15 sweep)
+    base = df.where(
         F.col(group_col).isNotNull()
         & F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
     )
     # three downstream branches (two marginals + the final join) reuse
     # the compressed joint table; without the checkpoint each branch
@@ -765,14 +770,15 @@ def auc_by_group(
     the parallelism.
     """
     lab = F.col(label_col).cast("int")
-    base = scored.select(
-        F.col(group_col).alias("g"),
-        F.col(score_col).alias("s"),
-        lab.alias("y"),
-    ).where(
+    # filter before projecting (the alias-shadowing class, r15 sweep)
+    base = scored.where(
         F.col(group_col).isNotNull()
         & F.col(score_col).isNotNull()
         & F.col(label_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(score_col).alias("s"),
+        lab.alias("y"),
     )
     return _auc_core(base, ["g"], coarse_buckets).withColumnRenamed("g", group_col)
 
@@ -820,7 +826,8 @@ def calibration_curve(
     if group_col:
         sel.insert(0, F.col(group_col).alias("g"))
         cond = cond & F.col(group_col).isNotNull()
-    base = scored.select(*sel).where(cond)
+    # filter before projecting (the alias-shadowing class, r15 sweep)
+    base = scored.where(cond).select(*sel)
     # localCheckpoint (lazy): the compressed per-score table feeds the
     # prefix core's branches PLUS the totals and the bin join-back —
     # without it every branch re-derives `scored`'s whole upstream (the
@@ -1112,9 +1119,10 @@ def quantiles_by_group(
     inherits the whole bulk; the keyed-domain ceiling shrinks to
     ``max_key_groups // 4`` per the core's contract.
     """
-    base = df.select(
-        F.col(group_col).alias("g"), F.col(val_col).alias("v")
-    ).where(F.col(group_col).isNotNull() & F.col(val_col).isNotNull())
+    # filter before projecting (the alias-shadowing class, r15 sweep)
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), F.col(val_col).alias("v"))
     # lazy localCheckpoint for the same reason as _auc_core /
     # calibration_curve: the compressed table has multiple consumers
     # (prefix branches, totals, quartile join-back) and must not
@@ -1481,12 +1489,14 @@ def ndcg_at_k(
             )
         ),
     ).otherwise(F.col(rank_col))
-    r = ranked.select(
+    # filter before projecting (the alias-shadowing class, r15 sweep);
+    # the rank guard also now computes only on contract-included rows
+    r = ranked.where((F.col(rank_col) <= k) & gfilter).select(
         *gkeys, F.col(id_col).alias("_id"), checked_rank.alias("_rk")
-    ).where((F.col(rank_col) <= k) & gfilter)
-    lab = rels.select(
+    )
+    lab = rels.where(F.col(rel_col).isNotNull() & gfilter).select(
         *gkeys, F.col(id_col).alias("_id"), F.col(rel_col).cast("int").alias("_rel")
-    ).where(F.col(rel_col).isNotNull() & gfilter)
+    )
     if check_unique_judgments:
         lab = _unique_judgments_guard(
             lab, gkeys, id_col, op_name="ndcg_at_k", val_col="_rel",
@@ -1596,14 +1606,16 @@ def map_at_k(
             )
         ),
     ).otherwise(F.col(rank_col))
-    r = ranked.select(
+    # filter before projecting (the alias-shadowing class, r15 sweep);
+    # the rank guard also now computes only on contract-included rows
+    r = ranked.where((F.col(rank_col) <= k) & gfilter).select(
         *gkeys, F.col(id_col).alias("_id"), checked_rank.alias("_rk")
-    ).where((F.col(rank_col) <= k) & gfilter)
-    lab = rels.select(
+    )
+    lab = rels.where(F.col(rel_col).isNotNull() & gfilter).select(
         *gkeys,
         F.col(id_col).alias("_id"),
         (F.col(rel_col) > 0).cast("int").alias("_hit"),
-    ).where(F.col(rel_col).isNotNull() & gfilter)
+    )
     if check_unique_judgments:
         lab = _unique_judgments_guard(
             lab, gkeys, id_col, op_name="map_at_k", val_col="_hit",
@@ -2299,14 +2311,16 @@ def reciprocal_rank(
             )
         ),
     ).otherwise(F.col(rank_col))
-    r = ranked.select(
+    # filter before projecting (the alias-shadowing class, r15 sweep);
+    # the rank guard also now computes only on contract-included rows
+    r = ranked.where((F.col(rank_col) <= k) & gfilter).select(
         *gkeys, F.col(id_col).alias("_id"), checked_rank.alias("_rk")
-    ).where((F.col(rank_col) <= k) & gfilter)
-    lab = rels.select(
+    )
+    lab = rels.where(F.col(rel_col).isNotNull() & gfilter).select(
         *gkeys,
         F.col(id_col).alias("_id"),
         (F.col(rel_col) > 0).cast("int").alias("_hit"),
-    ).where(F.col(rel_col).isNotNull() & gfilter)
+    )
     if check_unique_judgments:
         lab = _unique_judgments_guard(
             lab, gkeys, id_col, op_name="reciprocal_rank", val_col="_hit",

@@ -194,3 +194,40 @@ def test_verify_exact_boundary_bound_passes(spark):
     report = expectations.verify(df, max_null_frac={"v": 0.29})
     [e] = report
     assert e["passed"] and e["measured"]["n_nulls"] == 29
+
+
+def test_verify_rejects_malformed_bounds_and_specs(spark):
+    df = spark.createDataFrame([Row(v=1)])
+    with pytest.raises(ValueError, match="not a number in \\[0, 1\\]"):
+        expectations.verify(df, max_null_frac={"v": 5})  # percent typo
+    with pytest.raises(ValueError, match="not a number in \\[0, 1\\]"):
+        expectations.verify(df, max_null_frac={"v": -0.1})
+    with pytest.raises(ValueError, match="must be a 4-tuple"):
+        expectations.verify(df, references={"r": ("v", df, "v")})
+
+
+def test_column_profile_without_distinct_skips_the_expand(spark):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=None, b="x")])
+    rows = {
+        r["col_name"]: r.asDict()
+        for r in expectations.column_profile(
+            df, ["a", "b"], with_distinct=False
+        ).collect()
+    }
+    assert rows["a"]["n_nulls"] == 1 and rows["a"]["n_distinct"] is None
+    assert rows["b"]["n_nulls"] == 0 and rows["b"]["n_distinct"] is None
+    # the cheap mode must not plan the multi-distinct Expand
+    plan = (
+        expectations.column_profile(df, ["a", "b"], with_distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    full = (
+        expectations.column_profile(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in full  # the exact-profile price, still there on demand

@@ -30,10 +30,6 @@ _values = st.one_of(
 )
 
 
-
-
-
-
 @_settings
 @given(
     groups=st.dictionaries(

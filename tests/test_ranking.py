@@ -678,8 +678,6 @@ def test_pr_curve_grouped_equals_per_slice(spark):
 # ------------------------------------------------------ rank_select_by_group
 
 
-
-
 def test_rank_select_matches_sorted_reference_with_ties(spark):
     vals = {"a": [5, 1, 3, 3, 3, 9, 1, 7], "b": [2, 2, 2, 2], "c": [42]}
     rows = [Row(g=g, v=v) for g, vs in vals.items() for v in vs]
@@ -762,8 +760,6 @@ def test_rank_select_rejects_output_collisions_and_nonnumeric(spark):
         ranking.rank_select_by_group(df2, "grp", "v", {"grp": "1"})
     with pytest.raises(ValueError, match="non-numeric type"):
         ranking.rank_select_by_group(df, "v", "s", {"med": "1"})
-
-
 
 
 def test_rank_select_weighted_matches_reference(spark):
