@@ -289,8 +289,18 @@ def verify(
     def _check_bound(label: str, subject: str, bound) -> None:
         # a typo'd bound silently disables (5 meaning 5%) or inverts
         # (negative) the expectation — gate theater, the opposite of
-        # fail-fast (review)
-        if not isinstance(bound, (int, float)) or not 0.0 <= bound <= 1.0:
+        # fail-fast (review). numbers.Real admits Decimal-free numerics
+        # (numpy floats included); bool is excluded explicitly — a
+        # caller passing True as an enable flag would otherwise become
+        # bound 1.0 and wave everything through (second review pass).
+        import decimal
+        import numbers
+
+        if (
+            isinstance(bound, bool)
+            or not isinstance(bound, (numbers.Real, decimal.Decimal))
+            or not 0 <= bound <= 1
+        ):
             raise ValueError(
                 f"verify: {label}[{subject!r}] bound {bound!r} is not a "
                 "number in [0, 1] — bounds are fractions, not percentages"

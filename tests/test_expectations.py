@@ -231,3 +231,13 @@ def test_column_profile_without_distinct_skips_the_expand(spark):
         .toString()
     )
     assert "Expand" in full  # the exact-profile price, still there on demand
+
+
+def test_verify_bound_types_bool_rejected_decimal_accepted(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame([Row(v=1)])
+    with pytest.raises(ValueError, match="not a number in \\[0, 1\\]"):
+        expectations.verify(df, max_null_frac={"v": True})
+    report = expectations.verify(df, max_null_frac={"v": Decimal("0.05")})
+    assert report[0]["passed"]
