@@ -110,7 +110,9 @@ _CHECK_FIRST = [
     # data-quality cohort (workloads_r17.py: table_profile,
     # fk_orphan_report, key_uniqueness, staged r14) and the r15-
     # staged order-statistics cohort (workloads_r18.py:
-    # rank_quartiles, range_splitters, token_mass_median) stay at
+    # rank_quartiles, range_splitters, token_mass_median) and the
+    # r15-staged robust-statistics cohort (workloads_r19.py:
+    # group_mad, winsorized_mean, iqr_outlier_report) stay at
     # the staged-green evidence tier PERMANENTLY — decided and documented
     # in COVERAGE.md §staged-tier (r13 VERDICT #5, playbook expanded
     # r15 per the r14 VERDICT #3); the judge's check.py --staged

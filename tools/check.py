@@ -121,7 +121,7 @@ def staged_queries() -> dict:
     """The CURRENT staged cohorts' queries — as of round 15, the
     PERMANENTLY staged-tier set (COVERAGE.md §staged-tier): the r15
     trio registered in round 15, leaving vocab_overlap (via
-    QUERIES_R15_STAGED) plus the full r16, r17 and r18 cohorts. This is the
+    QUERIES_R15_STAGED) plus the full r16, r17, r18 and r19 cohorts. This is the
     ONE place the staged-module pointer lives: main()'s --staged merge
     AND the docs-consistency oracle sweeps import it, so a
     registration round bumps exactly one import and the staged oracles
@@ -134,6 +134,7 @@ def staged_queries() -> dict:
         workloads_r16,
         workloads_r17,
         workloads_r18,
+        workloads_r19,
     )
 
     return {
@@ -141,6 +142,7 @@ def staged_queries() -> dict:
         **workloads_r16.QUERIES_R16,
         **workloads_r17.QUERIES_R17,
         **workloads_r18.QUERIES_R18,
+        **workloads_r19.QUERIES_R19,
     }
 
 
@@ -151,6 +153,7 @@ def staged_oracles() -> dict:
         workloads_r16,
         workloads_r17,
         workloads_r18,
+        workloads_r19,
     )
 
     return {
@@ -158,6 +161,7 @@ def staged_oracles() -> dict:
         **workloads_r16.ORACLES_R16,
         **workloads_r17.ORACLES_R17,
         **workloads_r18.ORACLES_R18,
+        **workloads_r19.ORACLES_R19,
     }
 
 

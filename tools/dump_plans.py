@@ -89,6 +89,7 @@ STAGED_PICKS = [
     ("table_profile", "one-scan multi-distinct Expand profile + stack unpivot"),
     ("fk_orphan_report", "distinct-key compression anti join (no fact-row join)"),
     ("range_splitters", "two-scan cell-refined equi-depth splitters (r18)"),
+    ("group_mad", "two-phase rank-selection MAD (r19 robust stats)"),
 ]
 
 
