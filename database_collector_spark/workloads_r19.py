@@ -141,7 +141,10 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.max("q05").alias("q05_cents"),
             F.max("q95").alias("q95_cents"),
-            F.sum("w").cast("decimal(38,0)").alias("wsum"),
+            # cast the ADDENDS, not the result: a long-typed sum could
+            # wrap silently past 2^63 while DuckDB's HUGEINT stays
+            # exact (the q_trimmed_mean precedent; review)
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("wsum"),
         )
         .select(
             "l_returnflag",
