@@ -68,7 +68,20 @@ def _gini_ref(xs):
     if s == 0:
         return None
     n = len(xs)
-    return round(sum(abs(a - b) for a in xs for b in xs) / (2 * n * s), 6)
+    g = sum(abs(a - b) for a in xs for b in xs) / (2 * n * s)
+    # round like BOTH engines, not like Python: Spark's Round(double, 6)
+    # and DuckDB's round() quantize the double's SHORTEST decimal repr
+    # half-UP, while Python's round() is half-even on the exact binary
+    # value — on an exact 6th-decimal midpoint (e.g. gini([100, 431,
+    # 644, 745]) = 2148/7680 = 0.2796875, found by fuzzing) the two
+    # differ by 1e-6 with the engines agreeing with each other
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(g)).quantize(
+            decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 @_settings
