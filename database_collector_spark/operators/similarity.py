@@ -709,38 +709,61 @@ def embedding_covariance(
     Plan: ONE aggregate whose shuffle carries a single row of
     dims·(dims+3)/2 + 1 numbers regardless of corpus size (no pair
     explode — the dims(dims+1)/2 products are codegen column
-    expressions); the (i, j) long form is an in-row explode of that one
-    row. This is the map-side-combine shape that makes covariance of a
-    100 TB embedding table cost one narrow scan.
+    expressions). The coordinates are bound ONCE in an inner projection
+    (x_i = round(element_at(...)·scale)) so each product multiplies two
+    column refs — inlining the element_at chain into every product made
+    the aggregate evaluate it dims+1 times per coordinate (the
+    hashed_classifier two-step-binding rule; measured ~2x the whole
+    gate at sf0.1). The (i, j) long form then comes from a broadcast
+    join of the one-row (n, s[], sx[]) arrays against a dims(dims+1)/2-
+    row (k, i, j) index LocalRelation + element_at picks — the earlier
+    in-row explode of a dims(dims+1)/2-struct literal array built a
+    ~700-node expression tree whose planning/codegen dominated the
+    whole query (measured 2.3 s of a 4 s gate at sf0.1 for 136 structs;
+    the index-table form is O(pairs) DATA, O(1) expression size). This
+    is the map-side-combine shape that makes covariance of a 100 TB
+    embedding table cost one narrow scan.
 
     Output: (i, j, n, s_i, s_j, s_ij) for 0 <= i <= j < dims.
     """
-    x = [
-        F.round(F.element_at(F.col(vec_col), d + 1).cast("double") * scale).cast(
-            "long"
-        )
-        for d in range(dims)
-    ]
+    proj = embeddings.select(
+        *[
+            F.round(
+                F.element_at(F.col(vec_col), d + 1).cast("double") * scale
+            )
+            .cast("long")
+            .alias(f"x_{d}")
+            for d in range(dims)
+        ]
+    )
     aggs = [F.count("*").alias("n")]
     for i in range(dims):
-        aggs.append(F.sum(x[i]).alias(f"s_{i}"))
+        aggs.append(F.sum(F.col(f"x_{i}")).alias(f"s_{i}"))
+    kmap: list[tuple[int, int, int]] = []
     for i in range(dims):
         for j in range(i, dims):
-            aggs.append(F.sum(x[i] * x[j]).alias(f"sx_{i}_{j}"))
-    one = embeddings.agg(*aggs)
-    pairs = [
-        F.struct(
-            F.lit(i).alias("i"),
-            F.lit(j).alias("j"),
-            F.col(f"s_{i}").alias("s_i"),
-            F.col(f"s_{j}").alias("s_j"),
-            F.col(f"sx_{i}_{j}").alias("s_ij"),
-        )
-        for i in range(dims)
-        for j in range(i, dims)
-    ]
-    return one.select("n", F.explode(F.array(*pairs)).alias("p")).select(
-        "p.i", "p.j", "n", "p.s_i", "p.s_j", "p.s_ij"
+            aggs.append(
+                F.sum(F.col(f"x_{i}") * F.col(f"x_{j}")).alias(
+                    f"sx_{len(kmap)}"
+                )
+            )
+            kmap.append((len(kmap), i, j))
+    one = proj.agg(*aggs)
+    arrs = one.select(
+        "n",
+        F.array(*[F.col(f"s_{i}") for i in range(dims)]).alias("_s"),
+        F.array(*[F.col(f"sx_{k}") for k, _, _ in kmap]).alias("_sx"),
+    )
+    # bounded parameter table (the assign_centroids cent_row precedent):
+    # dims(dims+1)/2 rows, joined broadcast-nested-loop against ONE row
+    idx = embeddings.sparkSession.createDataFrame(kmap, "k int, i int, j int")
+    return arrs.crossJoin(F.broadcast(idx)).select(
+        "i",
+        "j",
+        "n",
+        F.element_at("_s", F.col("i") + 1).alias("s_i"),
+        F.element_at("_s", F.col("j") + 1).alias("s_j"),
+        F.element_at("_sx", F.col("k") + 1).alias("s_ij"),
     )
 
 

@@ -404,21 +404,36 @@ SQL_KENDALL_TAU_BANDED = _sql_kendall_tau()
 
 def q_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 (lower) quartiles of extended price cents per
-    return flag WITHOUT a per-group value buffer
-    (operators/ranking.py::quantiles_by_group — per-(group, value)
-    count compression + the shared prefix_count_below core + all-
-    integer rank selection k_m = (m·n + 3) div 4; Spark's built-in
-    exact percentile holds EVERY group value in its agg buffer, a
-    memory cliff when one group spans a large corpus share — this is
-    the 100 TB-honest exact form, and the registered exact_percentiles
-    gate keeps the interpolated built-in semantics for contrast)."""
+    return flag WITHOUT a per-group value buffer — all-integer rank
+    selection k_m = (m·n + 3) div 4 at three FIXED target ranks, so it
+    rides ``ranking.rank_select_by_group``'s two-scan cell refinement
+    (r15 optimization round, the approx_quantiles precedent): scan 1
+    folds the corpus map-side onto the fixed 65536-cell log grid (NO
+    corpus shuffle — the previous ``quantiles_by_group`` prefix-core
+    form shuffled the per-(group, value) compressed table, which is
+    corpus-sized when prices are ~all-distinct, and this one was:
+    ~99.99% distinct cents at sf0.1), scan 2 re-reads only the <= 3
+    candidate cells per group. Values are hash-identical (type-1 ranks,
+    ties whole; differential green at sf0.001/0.01/0.1); Spark's
+    built-in exact percentile still holds EVERY group value in its agg
+    buffer — the memory cliff both forms exist to avoid — and the
+    registered exact_percentiles gate keeps the interpolated built-in
+    semantics for contrast. The running-counts prefix-core form stays
+    exercised by quantiles_refined (narrow-domain hatch armed)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    return ranking.quantiles_by_group(li, "l_returnflag", "cents").orderBy(
-        "l_returnflag"
-    )
+    return ranking.rank_select_by_group(
+        li,
+        "l_returnflag",
+        "cents",
+        {
+            "p25": "(1 * n + 3) div 4",
+            "p50": "(2 * n + 3) div 4",
+            "p75": "(3 * n + 3) div 4",
+        },
+    ).orderBy("l_returnflag")
 
 
 SQL_QUANTILES_BY_GROUP = """

@@ -1032,6 +1032,12 @@ def test_quantiles_by_group_has_no_per_group_value_buffer(spark):
     _assert_single_partition_is_guard_only(plan)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # r15 optimization round: the gate rides rank_select_by_group's
+    # two-scan cell refinement — candidate joins broadcast (never a
+    # sort-merge of the compressed corpus), and the fixed 65536-cell
+    # grid means no corpus-wide shuffle of per-(group, value) rows
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_ndcg_quality_windows_are_group_limit_pushed(spark):
