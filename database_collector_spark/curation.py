@@ -87,12 +87,21 @@ def curate(
         from database_collector_spark.operators import expectations as exp
 
         exp.verify(docs, **expectations)
-    scored = text.quality_score(docs).select("doc_id", "quality_score")
-    kept = (
-        docs.join(scored, "doc_id")
-        .filter(F.col("quality_score") >= quality_min)
-        .drop("quality_score")
+    # quality tier as ONE inline filter (r15 optimization round): the
+    # previous shape scored into a (doc_id, quality_score) frame and
+    # joined it back — a corpus self-join whose quality_score filter
+    # was then pushed below the scoring projection, re-deriving the
+    # tokenize folds a second time for the predicate (the
+    # clf_truth_frame duplication class). Filtering directly on the
+    # shared score expression evaluates the folds ONCE per row, joins
+    # nothing, and matches the oracle twins' shape exactly (they filter
+    # a scored CTE — no doc_id join; the join form also silently
+    # dropped NULL-doc_id rows the oracle keeps). The score columns
+    # were dropped immediately afterwards anyway.
+    q = text.quality_score_col(
+        F.size(text.tokens_col()), text.stopword_count_col()
     )
+    kept = docs.filter(q >= quality_min)
     if repetition_max is not None:
         # fused scalar filter, not a join against a stats table: the
         # TOKEN array binds first (grams_of's lambda referencing an
@@ -115,6 +124,13 @@ def curate(
     if near_dup:
         from database_collector_spark.operators import graph
 
+        # the near-dup tier consumes the survivor frame from MULTIPLE
+        # branches (signature build, jaccard verify, the final
+        # anti-join) — materialize it once (r15 optimization round;
+        # this was already this docstring's own advice to callers, now
+        # done where the fan-out actually happens). Lazy: plan
+        # construction must not run a job.
+        kept = kept.localCheckpoint(eager=False)
         pairs = dedup.minhash_lsh_dedup(kept)
         comp = graph.connected_components(pairs)
         nd_drop = comp.filter(F.col("node") != F.col("component")).select(

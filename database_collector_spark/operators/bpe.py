@@ -104,9 +104,10 @@ def train(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
     vocab (persisted); each round is a vocab-sized aggregate + a 1-row
     collect."""
     spark = docs.sparkSession
-    vocab = word_vocab(docs, text_col).persist()
+    base = word_vocab(docs, text_col).persist()
     try:
         merges: list[tuple[int, str, str, str, int]] = []
+        vocab = base
         for rank in range(1, n_merges + 1):
             top = _top_pair(vocab)
             if top is None:
@@ -114,12 +115,19 @@ def train(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
             merges.append(
                 (rank, top.sym_a, top.sym_b, top.sym_a + top.sym_b, top.pair_count)
             )
-            nxt = apply_merge(vocab, top.sym_a, top.sym_b).persist()
-            nxt.count()  # materialize before dropping the parent
-            vocab.unpersist()
-            vocab = nxt
+            # merges stay a LAZY replace chain over the one persisted
+            # base vocab (r15 optimization round): round r's top-pair
+            # scan evaluates r cheap string replaces inline instead of
+            # paying a persist + count materialization job per round —
+            # half the driver jobs of the old per-round persist, and no
+            # round-r copy of the vocab held in storage. Total replace
+            # work is n_merges^2/2 per vocab row, fine for the bounded
+            # merge counts this trainer targets (the oracle unrolls the
+            # same chain as CTEs); a very-long-merge-table trainer
+            # would re-checkpoint every few rounds instead.
+            vocab = apply_merge(vocab, top.sym_a, top.sym_b)
     finally:
-        vocab.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         merges, "rank int, sym_a string, sym_b string, merged string, pair_count bigint"
     )

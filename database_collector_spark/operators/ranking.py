@@ -492,19 +492,32 @@ def prefix_count_below(
     # rows in strictly earlier buckets = cumulative count at the
     # bucket's FIRST cell — no second corpus-wide aggregate needed.
     # The extra counters take the cumulative at the SAME first cell:
-    # min(_cum_before) and the min-_cell row coincide because every
-    # cumulative is non-decreasing in _cell, so min_by on _cell keeps
-    # the whole family consistent with the primary's min().
-    before_bucket = cellmap.groupBy(*keys, "_b").agg(
-        F.min("_cum_before").alias("_before_b"),
+    # every cumulative is non-decreasing in _cell, so a per-bucket MIN
+    # of each cumulative column equals its value at the bucket's first
+    # cell, keeping the whole family consistent with the primary.
+    # FUSED into the cell map itself (r15 optimization round): the
+    # per-bucket min rides a partition-only window over the SAME
+    # bounded cell table — HashPartitioning(keys) from the histogram
+    # aggregate already satisfies the (keys, _b) clustering, so the
+    # window adds no exchange — and the _before_b columns travel in the
+    # ONE broadcast cell map. The previous shape built a separate
+    # before_bucket table and joined it back as a SECOND broadcast
+    # join: one more broadcast build per call and one more map-side
+    # join pass over the compressed corpus frame (2x per spearman
+    # gate, 1x per AUC/KS/Gini/quantile gate) for values derivable on
+    # the bounded side.
+    w_bucket = Window.partitionBy(*keys, "_b")
+    cellmap = cellmap.select(
+        *keys,
+        "_cell",
+        "_b",
+        F.min("_cum_before").over(w_bucket).alias("_before_b"),
         *[
-            F.min_by(f"_cum_beforex{i}", "_cell").alias(f"_before_bx{i}")
+            F.min(f"_cum_beforex{i}").over(w_bucket).alias(f"_before_bx{i}")
             for i in x_ids
         ],
     )
-    bucketed = celled.join(
-        F.broadcast(cellmap.select(*keys, "_cell", "_b")), [*keys, "_cell"]
-    )
+    bucketed = celled.join(F.broadcast(cellmap), [*keys, "_cell"])
     ww = (
         Window.partitionBy(*keys, "_b")
         .orderBy(val_col)
@@ -525,7 +538,7 @@ def prefix_count_below(
     ]
     if bucket_col is not None:
         out.append(F.col("_b").alias(bucket_col))
-    return bucketed.join(F.broadcast(before_bucket), [*keys, "_b"]).select(*out)
+    return bucketed.select(*out)
 
 
 def auc_exact(
@@ -708,6 +721,13 @@ def spearman_by_group(
             (2 * F.col("_below") + F.col("c") + 1).cast("long").alias(rank_name),
         )
 
+    # NOTE (r15 optimization round): fusing the two marginal passes into
+    # ONE prefix_count_below keyed by (g, axis) over a union was built
+    # and MEASURED SLOWER (7.7 s -> 10.2 s at sf0.1; 5 s -> 14 s at
+    # sf0.01): the fused frame needs a checkpoint barrier before the two
+    # join-backs, serializing work the two-pass form runs as independent
+    # overlapping jobs, and the RDD-scan consumers lose AQE's size-based
+    # broadcast planning. Kept two-pass deliberately.
     rx = _dbl_ranks("x", "rx")
     ry = _dbl_ranks("y", "ry")
     nn = joint.groupBy("g").agg(F.sum("cnt").cast("long").alias("n"))

@@ -111,32 +111,53 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def stopword_count_col(text_col: str = "text") -> F.Column:
+    """Per-row count of whitespace tokens that are stopwords (union of
+    every language's list) — the ONE stopword-count definition shared
+    by ``quality_score`` and the inline quality filter below."""
+    all_stops = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_list = ",".join(f"'{w}'" for w in all_stops)
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), "
+        f"x -> array_contains(array({stop_list}), x)))"
+    )
+
+
+def quality_score_col(
+    n_tokens: F.Column, n_stopwords: F.Column
+) -> F.Column:
+    """score = round(0.5·min(n_tokens/100, 1) + 0.5·stopword_ratio, 4)
+    from the two exact integer counts — the ONE formula behind
+    ``quality_score`` and curation's inline quality filter, so the two
+    cannot drift. All components are integer-count rationals ->
+    engine-exact."""
+    return F.round(
+        0.5 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.5 * (n_stopwords / n_tokens),
+        4,
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic document quality: length saturation + stopword ratio.
 
     score = 0.5 * min(n_tokens/100, 1) + 0.5 * stopword_ratio, rounded.
     All components are integer-count rationals -> engine-exact.
     """
-    all_stops = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
-    stop_list = ",".join(f"'{w}'" for w in all_stops)
     t = tokens_col()
     base = docs.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
-        F.expr(
-            f"size(filter(split(text, ' '), x -> array_contains(array({stop_list}), x)))"
-        ).alias("n_stopwords"),
+        stopword_count_col().alias("n_stopwords"),
     )
     return base.select(
         "doc_id",
         "n_tokens",
         "n_stopwords",
         F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        F.round(
-            0.5 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
-            + 0.5 * (F.col("n_stopwords") / F.col("n_tokens")),
-            4,
-        ).alias("quality_score"),
+        quality_score_col(F.col("n_tokens"), F.col("n_stopwords")).alias(
+            "quality_score"
+        ),
     )
 
 

@@ -235,7 +235,9 @@ def clear_session_memo(spark: SparkSession) -> None:
                     raise
 
 
-def clf_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clf_truth_frame(
+    spark: SparkSession, sf_dir: str, *, memo: bool = False
+) -> DataFrame:
     """(doc_id, n_feats, logit_milli, y): the hashed quality
     classifier's raw outputs joined 1:1 (vec_id = doc_id) with the
     binary ground truth (embedding label >= 5; NULL labels are
@@ -249,16 +251,38 @@ def clf_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer can accidentally join the prediction instead of the truth
     (r12 review: this footgun was previously re-solved by comment at
     three call sites: both calibration gates and the staged fixed-bin
-    monitor). MEMOIZED + persisted per (session, sf_dir) — see
-    ``_session_memo``: the first consumer pays the classifier corpus
-    fold, every later gate reads the materialized scored frame."""
+    monitor).
+
+    ``memo=True`` additionally memoizes + persists the frame per
+    (session, sf_dir) — see ``_session_memo`` — the feature-store tier
+    for a long-lived evaluation service scoring many reads against one
+    fold (``examples/classifier_eval.py``). The REGISTERED GATES call
+    with the default ``memo=False`` (r15 optimization round,
+    bench-integrity rule): every bench/oracle invocation of a declared
+    query recomputes its full pipeline from the parquet inputs — a
+    module-level cache in front of declared queries would time cache
+    reads, not the engine. The honest fold is cheap anyway (~0.7 s at
+    sf0.1 warm; the r14 numbers that motivated the memo were cold-box
+    full-gate costs, not the fold)."""
 
     def build() -> DataFrame:
         docs = _t(spark, sf_dir, "documents")
+        # lazy localCheckpoint BEFORE the n_feats filter (r15
+        # optimization round): a filter on a column COMPUTED by the
+        # classifier fold gets pushed below the projection, where the
+        # optimizer re-derives the tokenize+md5 fold a second time for
+        # the predicate (guide §4.4's duplication, Catalyst-expression
+        # flavor) — measured 0.6 s -> 2.0 s at sf0.1 from that filter
+        # alone, and every downstream consumer branch multiplied it
+        # again. The checkpoint materializes the narrow scored frame
+        # once per invocation (the feature-store write, in-memory
+        # tier); the filter and the truth join then read materialized
+        # columns. Whole frame: 5.5 s -> 0.7 s at sf0.1.
         clf = (
             text.hashed_classifier(docs, n_buckets=4096, salt="clf", bigrams=True)
-            .where(F.col("n_feats") > 0)
             .select("doc_id", "n_feats", "logit_milli")
+            .localCheckpoint(eager=False)
+            .where(F.col("n_feats") > 0)
         )
         lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             F.col("vec_id").alias("doc_id"),
@@ -266,6 +290,8 @@ def clf_truth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return clf.join(lab, "doc_id").where(F.col("y").isNotNull())
 
+    if not memo:
+        return build()
     return _session_memo(spark, f"clf_truth:{sf_dir}", build)
 
 

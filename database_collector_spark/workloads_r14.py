@@ -95,21 +95,28 @@ scored AS (
 """
 
 
-def _clf_lang_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _clf_lang_frame(
+    spark: SparkSession, sf_dir: str, *, memo: bool = False
+) -> DataFrame:
     """(lang, doc_id, n_feats, logit_milli, y) — clf_truth_frame joined
     with the document language, the shared input of the per-lang eval
     gates below (NULL langs excluded, the grouped-operator contract).
-    Memoized + persisted like its base (workloads_r12._session_memo):
-    the lang join's documents re-scan is paid once, not per gate."""
+    ``memo=True`` memoizes + persists like its base
+    (workloads_r12._session_memo — the opt-in feature-store tier);
+    registered gates use the default memo=False so every bench/oracle
+    invocation computes from parquet (r15 optimization round,
+    bench-integrity rule — see clf_truth_frame)."""
 
     def build() -> DataFrame:
         lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
         return (
-            clf_truth_frame(spark, sf_dir)
+            clf_truth_frame(spark, sf_dir, memo=memo)
             .join(lang, "doc_id")
             .where(F.col("lang").isNotNull())
         )
 
+    if not memo:
+        return build()
     return _session_memo(spark, f"clf_lang:{sf_dir}", build)
 
 

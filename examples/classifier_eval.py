@@ -161,53 +161,92 @@ def run_eval(spark, sf_dir: str, n_bins: int) -> dict:
 def demo_feature_store_memo(
     spark, sf_dir: str
 ) -> list[tuple[str, str, float, int]]:
-    """The feature-store pattern one level up (r14 VERDICT #5): run
-    four memo-consuming DRIVER GATES against one SparkSession and time
-    them. Every one of these evaluates the SAME hashed-classifier
-    scored frame (workloads_r12.clf_truth_frame); the session memo
-    scores it ONCE — the first gate pays the cold corpus fold
-    (classifier tokenization + truth join, persisted MEMORY_AND_DISK),
-    every later gate reads the materialized features, exactly like a
-    production feature store where evaluations read a scored table
-    instead of re-running the model.
+    """The feature-store pattern one level up (r14 VERDICT #5, reshaped
+    r15): score the hashed-classifier feature frame ONCE via the OPT-IN
+    session memo (``clf_truth_frame(memo=True)`` /
+    ``_clf_lang_frame(memo=True)``) and run four evaluation reads
+    against the persisted frame — exactly like a production feature
+    store where evaluations read a scored table instead of re-running
+    the model. The first read pays the cold corpus fold (classifier
+    tokenization + truth join, persisted MEMORY_AND_DISK); the second
+    pays only the lang join layered on the warm truth frame; the last
+    two are pure warm reads.
 
-    TWO memoized frames are exercised, each folded exactly once: gate
-    1 pays the classifier fold (truth frame), gate 2 pays only the
-    lang join layered on the warm truth frame (lang frame), gates 3-4
-    read the lang frame warm with no per-gate scans of their own. The
-    memo is cleared at
-    entry so the labels are honest even when the session already
-    scored this sf_dir. Returns [(gate, label, seconds, rows)] in
-    execution order. Teardown contract: the CALLER evicts via
-    ``clear_session_memo(spark)`` when the session retires (``main()``
-    below does; a process that forgets gets the atexit safety net, but
-    in a long-lived multi-session service that means holding the
-    frames until exit).
+    NOTE the ``memo=True``: since the r15 optimization round the
+    REGISTERED GATES never memoize — every declared-query invocation
+    recomputes from parquet (the bench-integrity contract) — so the
+    memo is purely this user-level opt-in tier for long-lived
+    evaluation services. The memo is cleared at entry so the labels are
+    honest even when the session already scored this sf_dir. Returns
+    [(name, label, seconds, rows)] in execution order. Teardown
+    contract: the CALLER evicts via ``clear_session_memo(spark)`` when
+    the session retires (``main()`` below does; a process that forgets
+    gets the atexit safety net, but in a long-lived multi-session
+    service that means holding the frames until exit).
     """
     import time
 
-    from database_collector_spark.workloads_r12 import (
-        QUERIES_R12,
-        clear_session_memo,
-    )
-    from database_collector_spark.workloads_r14 import QUERIES_R14
+    from pyspark.sql import functions as F
 
-    # cold-start guarantee: without this, a session that already ran
-    # any memo-consuming gate would make the 'cold fold' label a lie
+    from database_collector_spark.operators import ranking
+    from database_collector_spark.workloads_r12 import (
+        clear_session_memo,
+        clf_truth_frame,
+    )
+    from database_collector_spark.workloads_r14 import _clf_lang_frame
+
+    # cold-start guarantee: without this, a session that already built
+    # the memoized frames would make the 'cold fold' label a lie
     clear_session_memo(spark)
-    # gates 2-4 read ONLY memoized frames (review: cohen_kappa was a
-    # bad 'warm' exhibit — it builds its own unmemoized lang join per
-    # call; ks/mcc/ece consume the memoized _clf_lang_frame verbatim)
-    gates = [
-        ("calibration_curve", "cold: classifier fold", QUERIES_R12["calibration_curve"]),
-        ("ks_separation", "cold: + lang join on the warm frame", QUERIES_R14["ks_separation"]),
-        ("mcc_by_lang", "warm read", QUERIES_R14["mcc_by_lang"]),
-        ("ece_quality", "warm read", QUERIES_R14["ece_quality"]),
+    reads = [
+        (
+            "auc_overall",
+            "cold: classifier fold",
+            lambda: ranking.auc_exact(
+                clf_truth_frame(spark, sf_dir, memo=True).select(
+                    F.expr("logit_milli div n_feats").alias("score"), "y"
+                ),
+                score_col="score",
+                label_col="y",
+            ),
+        ),
+        (
+            "auc_by_lang",
+            "cold: + lang join on the warm frame",
+            lambda: ranking.auc_by_group(
+                _clf_lang_frame(spark, sf_dir, memo=True).select(
+                    "lang",
+                    F.expr("logit_milli div n_feats").alias("score"),
+                    "y",
+                ),
+                "lang",
+                score_col="score",
+                label_col="y",
+            ),
+        ),
+        (
+            "class_balance",
+            "warm read",
+            lambda: _clf_lang_frame(spark, sf_dir, memo=True)
+            .groupBy("lang", "y")
+            .count(),
+        ),
+        (
+            "score_moments",
+            "warm read",
+            lambda: _clf_lang_frame(spark, sf_dir, memo=True)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("logit_milli").alias("s1"),
+                F.sum(F.col("logit_milli") * F.col("logit_milli")).alias("s2"),
+            ),
+        ),
     ]
     timings = []
-    for name, label, fn in gates:
+    for name, label, mk in reads:
         t0 = time.time()
-        rows = fn(spark, sf_dir).collect()
+        rows = mk().collect()
         timings.append((name, label, time.time() - t0, len(rows)))
     return timings
 
