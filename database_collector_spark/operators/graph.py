@@ -458,6 +458,12 @@ def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> 
     reversed rows are normalized away. Output: (node, n_triangles) for
     nodes in >= 1 triangle.
     """
+    # NOTE (r15 optimization round): lazily checkpointing `e` and
+    # `oriented` for their three-way fan-outs was tried and MEASURED
+    # SLOWER (3.6 -> 4.2 s at sf0.1): the distinct's Exchange is
+    # byte-identical across the branches, so Spark's ReusedExchange
+    # already deduplicates the recomputation, and the checkpoints only
+    # added materialization barriers. Kept checkpoint-free deliberately.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -540,6 +546,11 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # alive-count bookkeeping stays in the DRIVER (r15 optimization
+    # round): |alive| after a round is |alive| − n_drop, so the old
+    # per-round nodes.count() job (plus the nodes anti-join + checkpoint
+    # it ran on) is pure re-derivation. One initial count seeds it.
+    alive = nodes.count()
     peeled = None  # (node, peel_round)
     for r in range(1, max_iter + 1):
         deg = (
@@ -548,26 +559,33 @@ def kcore_peel(
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
-        drop = (
-            nodes.join(deg, "node", "left")
-            .where(F.coalesce("deg", F.lit(0)) < k)
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
+        # survivors = nodes with alive-degree >= k; dropped = alive
+        # nodes NOT in it — this also catches nodes whose last edge
+        # vanished (absent from deg entirely). The survivor frame IS
+        # next round's alive set, so the old per-round
+        # nodes-minus-drop anti-join + checkpoint is gone: one fewer
+        # corpus-side join pass and one fewer materialization per round
+        # at any scale.
+        surv = deg.where(F.col("deg") >= k).select("node")
+        drop = nodes.join(surv, "node", "left_anti").localCheckpoint(eager=True)
         n_drop = drop.count()
         if n_drop == 0:
             break
         tagged = drop.select("node", F.lit(r).alias("peel_round"))
         peeled = tagged if peeled is None else peeled.union(tagged)
-        nodes = nodes.join(drop, "node", "left_anti").localCheckpoint(eager=True)
+        alive -= n_drop
+        if alive == 0:
+            # graph emptied at exactly this round: fully determined —
+            # skip the now-pointless edge filter and survivor pass
+            nodes = nodes.join(drop, "node", "left_anti")
+            break
+        nodes = surv.localCheckpoint(eager=True)
         e = (
             e.join(drop.select(F.col("node").alias("a")), "a", "left_anti")
             .join(drop.select(F.col("node").alias("b")), "b", "left_anti")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        if nodes.count() == 0:
-            break  # graph emptied at exactly this round: fully determined
     else:
         raise RuntimeError(f"k-core peel did not converge in {max_iter} rounds")
     survivors = nodes.select(

@@ -710,11 +710,17 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("acct-"), k.cast("string")).alias("name"),
         F.concat(F.lit("+1 "), dashed).alias("phone"),
     )
+    # ~6 downstream derivations read this frame (two blocking self-joins
+    # per key inside resolve_entities, the singleton left-join, and the
+    # final join-back) — lazily checkpointed so the variant union + the
+    # regex normalizers run once, not per branch (r15 optimization
+    # round; the clf_truth_frame rationale)
     rec = (
         v0.unionByName(v1)
         .unionByName(v2)
         .withColumn("name_n", entity.normalize_name(F.col("name")))
         .withColumn("phone_n", entity.normalize_phone(F.col("phone")))
+        .localCheckpoint(eager=False)
     )
     res = entity.resolve_entities(
         rec.select("record_id", "name_n", "phone_n"),
