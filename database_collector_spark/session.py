@@ -26,6 +26,15 @@ def get_spark(
     At 100 TB, ``spark.sql.shuffle.partitions`` should be ~2-3x total cores
     and AQE coalesces the tail; locally we match core count so small-SF tests
     don't pay 200-partition scheduling overhead.
+
+    Cluster-side knobs deliberately NOT set here (no-ops at fixture
+    scale, so any local "win" from them would be untestable): raise
+    ``spark.sql.files.maxPartitionBytes`` toward 512m-1g for large
+    sequential parquet scans (fewer map tasks feeding each shuffle) and
+    consider ``spark.io.compression.codec=zstd`` for shuffle-heavy jobs
+    (better ratio than lz4 for a bit more CPU — measure shuffle bytes
+    vs stage time on the real corpus first). Pass them via
+    ``extra_conf`` in a cluster deployment.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
