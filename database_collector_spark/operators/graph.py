@@ -49,6 +49,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 20,
     algorithm: str = "auto",
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Undirected connected components of an edge list.
 
@@ -67,6 +68,17 @@ def connected_components(
     "minlabel" pins pure min-label propagation (no escalation — the
     strictly-predictable-plan choice); "star" runs the
     large-star/small-star variant directly.
+
+    Small-graph fast path (r16, "auto" only): when the two-orientation
+    edge set has fewer than ``small_graph_threshold`` rows (the same
+    driver-side count the coalesce(1) gate already paid), the whole
+    fixpoint runs as ONE single-task union-find job over the one
+    partition — dedup pair graphs are tiny at every corpus scale
+    (near-dup pairs), and the iterative loop cost 2 driver jobs x
+    diameter rounds for a graph that fits one task. Identical results
+    by construction (union by min id ⇒ representative = min reachable
+    id). Set ``small_graph_threshold=0`` to force the distributed loop;
+    graphs at or above the threshold always use it.
     """
     if algorithm not in ("auto", "minlabel", "star"):
         raise ValueError(
@@ -91,7 +103,12 @@ def connected_components(
     # them to one partition so each fixpoint round is one task, not
     # shuffle-partitions tasks of a few rows each (size-gated: a big graph
     # keeps its parallelism)
-    if edges.count() < 100_000:
+    n_edges = edges.count()
+    if algorithm == "auto" and n_edges < small_graph_threshold:
+        # r16 fast path: the graph fits one task — run the whole
+        # fixpoint as ONE job instead of 2 driver jobs x diameter rounds
+        return _local_components(edges)
+    if n_edges < 100_000:
         edges = edges.coalesce(1)
     # fused round 0: initially every neighbor's label IS its id, so the
     # first propagation needs no join — label = min(node, neighbors)
@@ -155,6 +172,55 @@ def connected_components(
             stacklevel=2,
         )
     return labels
+
+
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Single-task union-find over a SMALL two-orientation edge set —
+    the size-gated fast path of ``connected_components`` (r16). The
+    caller has already proven |edges| < threshold with the driver-side
+    count it needed anyway, so the whole graph fits one partition and
+    the fixpoint collapses to ONE job: a deterministic min-id
+    union-find inside a mapInPandas task (guide §4.2 — an iterative
+    fixpoint is exactly where columnar SQL can't go, and the data is
+    bounded by the gate). Union always attaches the larger root under
+    the smaller, so every representative is the component's minimum
+    node id — identical to min-label propagation's fixpoint. One row
+    per distinct node (every node appears as ``u`` in the
+    two-orientation set), like the distributed loop."""
+    node_t = edges.schema["u"].dataType.simpleString()
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in batches:
+            for u, v in zip(b["u"], b["v"]):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "component": [find(n) for n in nodes]}
+        )
+
+    return edges.coalesce(1).mapInPandas(
+        uf, f"node {node_t}, component {node_t}"
+    )
 
 
 def _star_components(
@@ -540,46 +606,55 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     # alive-count bookkeeping stays in the DRIVER (r15 optimization
     # round): |alive| after a round is |alive| − n_drop, so the old
-    # per-round nodes.count() job (plus the nodes anti-join + checkpoint
-    # it ran on) is pure re-derivation. One initial count seeds it.
-    alive = nodes.count()
+    # per-round nodes.count() job is pure re-derivation. r16: the
+    # degree aggregate is CHECKPOINTED once per round and every other
+    # per-round frame (survivors, drop set, next alive set) is a cheap
+    # filter/anti-join over that materialization — the r15 shape
+    # re-ran the degree shuffle for the drop count AND the survivor
+    # checkpoint (two full passes over the edge set per round where
+    # one suffices). The initial node set is the round-1 degree
+    # table's key column, so the separate union-distinct node
+    # build is gone too. Per round: ONE pass over the edge set for
+    # degrees (job 1, materialized lazily by the drop count) + ONE
+    # pass for the edge filter checkpoint (job 2).
     peeled = None  # (node, peel_round)
+    nodes = None
+    alive = 0
     for r in range(1, max_iter + 1):
         deg = (
             e.select(F.col("a").alias("node"))
             .union(e.select(F.col("b").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=False)
         )
+        if r == 1:
+            nodes = deg.select("node")
+            alive = deg.count()
         # survivors = nodes with alive-degree >= k; dropped = alive
         # nodes NOT in it — this also catches nodes whose last edge
-        # vanished (absent from deg entirely). The survivor frame IS
-        # next round's alive set, so the old per-round
-        # nodes-minus-drop anti-join + checkpoint is gone: one fewer
-        # corpus-side join pass and one fewer materialization per round
-        # at any scale.
+        # vanished (absent from deg entirely).
         surv = deg.where(F.col("deg") >= k).select("node")
-        drop = nodes.join(surv, "node", "left_anti").localCheckpoint(eager=True)
+        drop = nodes.join(surv, "node", "left_anti").localCheckpoint(eager=False)
         n_drop = drop.count()
         if n_drop == 0:
             break
         tagged = drop.select("node", F.lit(r).alias("peel_round"))
         peeled = tagged if peeled is None else peeled.union(tagged)
+        if r % 8 == 0:
+            # the union chain grows linearly in rounds; re-flatten its
+            # plan every 8 rounds (lazy — materializes with the final
+            # action) so a deep peel cannot accrete an O(rounds) plan
+            peeled = peeled.localCheckpoint(eager=False)
         alive -= n_drop
         if alive == 0:
             # graph emptied at exactly this round: fully determined —
             # skip the now-pointless edge filter and survivor pass
             nodes = nodes.join(drop, "node", "left_anti")
             break
-        nodes = surv.localCheckpoint(eager=True)
+        nodes = surv
         e = (
             e.join(drop.select(F.col("node").alias("a")), "a", "left_anti")
             .join(drop.select(F.col("node").alias("b")), "b", "left_anti")

@@ -41,7 +41,12 @@ def test_cc_max_iter_bounds_work(spark):
 
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        got = _components(spark, [(1, 2), (2, 3), (3, 4)], max_iter=1)
+        # small_graph_threshold=0 forces the distributed loop (the
+        # bounded-work/truncation contract under test lives there; the
+        # r16 union-find fast path always reaches the exact fixpoint)
+        got = _components(
+            spark, [(1, 2), (2, 3), (3, 4)], max_iter=1, small_graph_threshold=0
+        )
     assert any("max_iter" in str(w.message) for w in caught)
     assert set(got) == {1, 2, 3, 4}
     assert got[2] == 1  # direct neighbor adopted the min
@@ -58,7 +63,9 @@ def test_cc_auto_fallback_closes_adversarial_chain(spark):
     edges = [(i, i + 1) for i in range(1, 64)]
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        got = _components(spark, edges)
+        # threshold=0: the escalation contract lives in the distributed
+        # loop; the default would take the r16 union-find fast path
+        got = _components(spark, edges, small_graph_threshold=0)
     assert not any("max_iter" in str(w.message) for w in caught)
     assert got == {i: 1 for i in range(1, 65)}
 
@@ -146,9 +153,38 @@ def test_cc_auto_escalation_spends_only_remaining_budget(spark):
     edges = [(i, i + 1) for i in range(1, 64)]
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        got = _components(spark, edges, max_iter=9)
+        got = _components(
+            spark, edges, max_iter=9, small_graph_threshold=0
+        )
     assert any("max_iter" in str(w.message) for w in caught)
     assert set(got) == set(range(1, 65))
+
+
+def test_cc_small_graph_fast_path_matches_distributed(spark):
+    # the r16 size-gated union-find fast path must be value-identical to
+    # the distributed loop, forced BOTH ways on every topology class:
+    # isolated pairs, a clique with mixed orientations, a chain past the
+    # default diameter budget, self-loops, and duplicate edges
+    topologies = [
+        [(1, 2), (3, 4)],
+        [(7, 6), (6, 8), (8, 7), (10, 9)],
+        [(i, i + 1) for i in range(1, 40)],
+        [(5, 5), (5, 6), (2, 2)],
+        [(1, 2), (2, 1), (1, 2), (2, 3)],
+    ]
+    for edges in topologies:
+        fast = _components(spark, edges)  # default gate -> fast path
+        dist = _components(spark, edges, small_graph_threshold=0)
+        assert fast == dist, edges
+
+
+def test_cc_fast_path_string_ids(spark):
+    # the fast path derives its output schema from the node type
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    rows = {r["node"]: r["component"] for r in graph.connected_components(df).collect()}
+    assert rows == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_triangle_counts_hand_graph(spark):
