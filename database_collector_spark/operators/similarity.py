@@ -244,18 +244,33 @@ def kmeans_centroids(
     of the posexploded components — at 100 TB that shuffle moves
     k*dim*|partitions| partial rows, not |vectors|*dim.
     """
+    return kmeans_fit(embeddings, k=k, iters=iters, dim=dim)[1]
+
+
+def kmeans_fit(
+    embeddings: DataFrame, *, k: int = 8, iters: int = 3, dim: int = EMBED_DIM
+) -> tuple[DataFrame, list[list[int]]]:
+    """``kmeans_centroids`` that ALSO returns the trainer's materialized
+    quantized frame (vec_id, qe, qnorm2) — r16: every IVF gate's final
+    assignment re-derived with_quantized from a fresh corpus scan right
+    after the trainer had checkpointed the identical frame; reusing the
+    checkpoint drops one full corpus scan + quantize fold per gate
+    (within ONE gate invocation — the frame dies with the returned
+    DataFrame, nothing is memoized across queries)."""
     # materialize the quantized corpus once: every iteration re-reads it,
     # and the checkpoint also keeps each iteration's plan flat (at lake
-    # scale this is the persist() MLlib's trainer does on its input)
+    # scale this is the persist() MLlib's trainer does on its input).
+    # Lazy: the seed collect below is the first action and materializes
+    # it — the old eager form paid a separate materialization job first.
     base = (
         with_quantized(embeddings)
         .select("vec_id", "qe", "qnorm2")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cents: list[list[int]] = [
         list(r["qe"]) for r in base.orderBy("vec_id").limit(k).collect()
     ]
-    return _lloyd(base, cents, iters=iters, dim=dim)
+    return base, _lloyd(base, cents, iters=iters, dim=dim)
 
 
 def _lloyd(
@@ -358,18 +373,97 @@ def pq_train_quantized(
     integers rather than raw embeddings (the IVF-PQ residual path: qe =
     vector − its coarse centroid, still exact BIGINTs, so the whole
     residual-codebook chain stays cross-engine replayable)."""
+    return pq_fit_quantized(quantized, m=m, k=k, iters=iters, dim=dim)[1]
+
+
+def pq_fit_quantized(
+    quantized: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = EMBED_DIM,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """``pq_train_quantized`` that ALSO returns the trainer's
+    materialized input frame (all input columns preserved) so the
+    encode/search steps of a gate reuse the one materialization instead
+    of re-deriving the quantized corpus (within ONE gate invocation —
+    nothing is memoized across queries).
+
+    r16 LOCKSTEP trainer: the m subspaces are independent Lloyd
+    problems, but running them sequentially paid m seed collects plus
+    m x iters per-iteration driver round-trips. All m subspaces now
+    advance in lockstep — ONE (vector x subspace)-row frame (posexplode
+    of the m slices, checkpointed once), ONE broadcast codebook frame
+    per iteration, and ONE aggregate/collect per iteration returning
+    every subspace's new centroids (m·k·sub bounded rows). Driver jobs:
+    1 seed collect + ``iters`` collects, down from m·(1 + iters);
+    per-iteration arithmetic (exact integer distances, ties to the
+    lowest code, round-half-away re-quantization, empty cluster keeps
+    its centroid) is expression-identical to the sequential form, so
+    the books are bit-identical."""
     sub = dim // m
-    full = quantized.select("vec_id", "qe").localCheckpoint(eager=True)
-    books: list[list[list[int]]] = []
-    for j in range(m):
-        base_j = (
-            full.select("vec_id", F.slice("qe", j * sub + 1, sub).alias("qe"))
-            .withColumn("qnorm2", _dot("qe", "qe"))
-            .localCheckpoint(eager=True)
+    full = quantized.localCheckpoint(eager=False)
+    # ONE seed collect serves every subspace: subspace j's seeds are
+    # the j-th slices of the SAME k lowest-vec_id vectors
+    seed_rows = full.select("vec_id", "qe").orderBy("vec_id").limit(k).collect()
+    k_eff = len(seed_rows)
+    books: list[list[list[int]]] = [
+        [list(r["qe"])[j * sub : (j + 1) * sub] for r in seed_rows]
+        for j in range(m)
+    ]
+    slices = F.array(*[F.slice("qe", j * sub + 1, sub) for j in range(m)])
+    base = (
+        full.select("vec_id", F.posexplode(slices).alias("j", "qe"))
+        .withColumn("qnorm2", _dot("qe", "qe"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        comp = (
+            _assign_books(base, books)
+            .select("j", "cid", F.posexplode("qe").alias("pos", "val"))
+            .groupBy("j", "cid", "pos")
+            .agg(
+                F.round(F.sum("val").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("comp")
+            )
+            .collect()
         )
-        seeds = [list(r["qe"]) for r in base_j.orderBy("vec_id").limit(k).collect()]
-        books.append(_lloyd(base_j, seeds, iters=iters, dim=sub))
-    return books
+        new: dict[tuple[int, int], list[int]] = {}
+        for r in comp:
+            new.setdefault((r["j"], r["cid"]), [0] * sub)[r["pos"]] = r["comp"]
+        books = [
+            [new.get((j, ci), books[j][ci]) for ci in range(k_eff)]
+            for j in range(m)
+        ]
+    return full, books
+
+
+def _assign_books(base: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+    """Nearest codebook centroid per (vector, subspace) row — the
+    lockstep twin of ``assign_centroids``: one broadcast one-row books
+    frame, the same exact integer squared distances, ties to the lowest
+    code. ``base`` carries (j, qe = the j-th subvector, qnorm2)."""
+    spark = base.sparkSession
+    dists = F.transform(
+        F.element_at(F.col("books"), F.col("j") + 1),
+        lambda c, i: F.col("qnorm2")
+        - 2
+        * F.aggregate(
+            F.zip_with("qe", c, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        + F.element_at(F.element_at(F.col("bnorms"), F.col("j") + 1), i + 1),
+    )
+    return (
+        base.crossJoin(F.broadcast(_books_frame(spark, books)))
+        .withColumn(
+            "cid", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        .drop("books", "bnorms")
+    )
 
 
 def _books_frame(spark, books: list[list[list[int]]]):
@@ -1129,12 +1223,12 @@ def ivf_index_save(
     ann_index_roundtrip gate hashes that claim against the no-persist
     closed form)."""
     spark = embeddings.sparkSession
-    cents = kmeans_centroids(embeddings, k=k, iters=iters)
+    # r16: the cells write reuses the trainer's checkpointed quantized
+    # frame instead of re-deriving with_quantized from a second scan
+    qbase, cents = kmeans_fit(embeddings, k=k, iters=iters)
     cent_df = _centroid_frame(spark, cents)
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    cells = assign_centroids(
-        with_quantized(embeddings).select("vec_id", "qe", "qnorm2"), cents
-    )
+    cells = assign_centroids(qbase, cents)
     cells.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
 
 
@@ -1228,11 +1322,20 @@ def residualize(embeddings: DataFrame, cents: list[list[int]]) -> DataFrame:
     consumer computes residuals identically. Zero shuffle: quantize is
     in-row, assignment is a broadcast projection, the centroid join is
     a broadcast of k rows, the subtraction is one zip_with."""
-    cent_df = _centroid_frame(embeddings.sparkSession, cents)
+    return residualize_quantized(
+        with_quantized(embeddings).select("vec_id", "qe", "qnorm2"), cents
+    )
+
+
+def residualize_quantized(base: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """``residualize`` over a frame already carrying (vec_id, qe,
+    qnorm2) — r16: lets the IVF-PQ gate reuse the coarse trainer's
+    checkpointed quantized frame instead of re-deriving with_quantized
+    from a second corpus scan. Same one definition of the residual
+    arithmetic (broadcast centroid join + one zip_with)."""
+    cent_df = _centroid_frame(base.sparkSession, cents)
     return (
-        assign_centroids(
-            with_quantized(embeddings).select("vec_id", "qe", "qnorm2"), cents
-        )
+        assign_centroids(base.select("vec_id", "qe", "qnorm2"), cents)
         .join(F.broadcast(cent_df), "cid")
         .select(
             "vec_id", "cid", F.zip_with("qe", "c", lambda x, y: x - y).alias("qe")
@@ -1270,16 +1373,16 @@ def ivfpq_index_save(
     tests/test_persistence_ops.py::test_ivfpq_index_roundtrip_serves_
     identical_probe)."""
     spark = embeddings.sparkSession
-    cents = kmeans_centroids(embeddings, k=k, iters=iters)
+    # r16: one corpus scan for the whole build — the coarse trainer's
+    # checkpointed quantized frame feeds residualization, and the PQ
+    # fit's checkpointed residual frame feeds the encode-write below
+    # (the old shape re-derived with_quantized and the residual lineage)
+    qbase, cents = kmeans_fit(embeddings, k=k, iters=iters)
     _centroid_frame(spark, cents).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
-    # checkpoint: both PQ training and the encode-write below consume the
-    # residuals — without it the full quantize+assign+join lineage (the
-    # expensive corpus pass of the build job) would execute twice
-    resid = residualize(embeddings, cents).localCheckpoint(eager=True)
-    books = pq_train_quantized(
-        resid.select("vec_id", "qe"), m=m, k=codes_k, iters=pq_iters
+    resid, books = pq_fit_quantized(
+        residualize_quantized(qbase, cents), m=m, k=codes_k, iters=pq_iters
     )
     spark.createDataFrame(
         [(j, ci, c) for j, b in enumerate(books) for ci, c in enumerate(b)],
@@ -1357,12 +1460,18 @@ def semdedup_prune(
     ``dropped = true`` for the semantic near-duplicates a curation pass
     would remove.
     """
-    cents = kmeans_centroids(embeddings, k=k, iters=iters, dim=dim)
-    assigned = assign_centroids(
-        with_quantized(embeddings).select("vec_id", "qe", "qnorm2"),
-        cents,
-        keep_dist="d2c",
-    ).select("vec_id", "cid", "qe", "qnorm2", "d2c")
+    # r16: reuse the trainer's checkpointed quantized frame for the
+    # final assignment (the old form re-derived with_quantized from a
+    # fresh corpus scan), and lazily checkpoint the assigned frame —
+    # its three consumers below (self-join sides a and b + the final
+    # join-back) are NON-identical plans, so ReusedExchange cannot
+    # deduplicate them and each re-ran the k*dim distance fold
+    base, cents = kmeans_fit(embeddings, k=k, iters=iters, dim=dim)
+    assigned = (
+        assign_centroids(base, cents, keep_dist="d2c")
+        .select("vec_id", "cid", "qe", "qnorm2", "d2c")
+        .localCheckpoint(eager=False)
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y),

@@ -587,10 +587,11 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment or centroid arithmetic changes at least one of them.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(emb, k=8, iters=3)
-    assigned = similarity.assign_centroids(
-        similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"), cents
-    )
+    # kmeans_fit returns the trainer's checkpointed quantized frame —
+    # the final assignment reuses it instead of re-deriving
+    # with_quantized from a second corpus scan (r16)
+    base, cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    assigned = similarity.assign_centroids(base, cents)
     checksum = F.element_at(
         F.array(*[F.lit(int(sum(c))).cast("long") for c in cents]),
         F.col("cid") + 1,
@@ -671,10 +672,11 @@ def q_ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets). One probe touches one cell partition at any corpus size.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(emb, k=8, iters=3)
-    base = similarity.assign_centroids(
-        similarity.with_quantized(emb).select("vec_id", "qe", "qnorm2"), cents
-    )
+    # reuse the trainer's checkpointed quantized frame (r16; see
+    # q_ann_ivf_kmeans) — the probe's two branches (queries + cells)
+    # then both read the one materialization
+    qbase, cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    base = similarity.assign_centroids(qbase, cents)
     # probe body shared with the persisted-index round-trip gate — ONE
     # definition (similarity.cell_cosine_probe), so the two cannot drift
     return similarity.cell_cosine_probe(base.filter(F.col("vec_id") < 10), base)
@@ -716,11 +718,12 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 10 != 0)
     newb = emb.filter(F.col("vec_id") % 10 == 0)
-    cents = similarity.kmeans_centroids(corpus, k=8, iters=3)
-    a_old = similarity.assign_centroids(
-        similarity.with_quantized(corpus).select("vec_id", "qe", "qnorm2"),
-        cents,
-    ).withColumn("is_new", F.lit(0))
+    # reuse the trainer's checkpointed quantized corpus frame for the
+    # old-side re-assignment (r16; see q_ann_ivf_kmeans)
+    cbase, cents = similarity.kmeans_fit(corpus, k=8, iters=3)
+    a_old = similarity.assign_centroids(cbase, cents).withColumn(
+        "is_new", F.lit(0)
+    )
     a_new = similarity.incremental_assign(newb, cents).withColumn(
         "is_new", F.lit(1)
     )

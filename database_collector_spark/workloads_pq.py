@@ -29,19 +29,21 @@ DIM = similarity.EMBED_DIM
 SUB = DIM // PQ_M
 
 
-_BOOKS_CACHE: dict[str, list[list[list[int]]]] = {}
-
-
-def _books(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
-    # train once per corpus and reuse across the codes/ADC gates — the
-    # production shape too (codebooks are a training artifact, not
-    # per-query work), and training is deterministic so caching cannot
-    # change any result
-    if sf_dir not in _BOOKS_CACHE:
-        _BOOKS_CACHE[sf_dir] = similarity.pq_train(
-            _t(spark, sf_dir, "embeddings"), m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=DIM
-        )
-    return _BOOKS_CACHE[sf_dir]
+def _fit(spark: SparkSession, sf_dir: str):
+    # r16 bench-integrity: the former _BOOKS_CACHE (train once per
+    # corpus, reuse across the codes/ADC gates AND across the bench's
+    # min-of-2 runs) was a module-level memo keyed on the testdata path
+    # — the exact cross-query result-reuse shape the optimization-round
+    # rules ban (the r15 classifier memo class). Every gate invocation
+    # now trains from the parquet inputs; the honest cost is kept low
+    # by the lockstep trainer (1 seed + iters driver jobs instead of
+    # m·(1 + iters)) and by reusing its checkpointed quantized frame
+    # for the encode/query steps.
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_fit_quantized(
+        similarity.with_quantized(emb).select("vec_id", "qe"),
+        m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=DIM,
+    )
 
 
 def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,8 +51,8 @@ def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram per subspace with a member checksum — any divergence in
     any subspace's training or any vector's nearest-code election moves
     at least one row."""
-    emb = _t(spark, sf_dir, "embeddings")
-    enc = similarity.pq_encode(emb, _books(spark, sf_dir))
+    quant, books = _fit(spark, sf_dir)
+    enc = similarity.pq_encode_quantized(quant, books)
     return (
         enc.select("vec_id", F.posexplode("codes").alias("subspace", "code"))
         .groupBy("subspace", "code")
@@ -63,13 +65,10 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact asymmetric distances (query subvectors vs the
     centroids its codes name), per-query window rank with vec_id
     tie-break."""
-    emb = _t(spark, sf_dir, "embeddings")
-    books = _books(spark, sf_dir)
-    enc = similarity.pq_encode(emb, books)
-    queries = (
-        similarity.with_quantized(emb)
-        .filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("q_id"), F.col("qe").alias("q_qe"))
+    quant, books = _fit(spark, sf_dir)
+    enc = similarity.pq_encode_quantized(quant, books)
+    queries = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("qe").alias("q_qe")
     )
     return similarity.pq_adc_topk(enc, queries, books, topk=3)
 
@@ -190,16 +189,10 @@ WHERE rank <= 3
 """
 
 
-_SQ8_STATS_CACHE: dict[str, list[tuple[int, int]]] = {}
-
-
 def _sq8_stats(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
-    # dim-sized training artifact, deterministic — cached like PQ books
-    if sf_dir not in _SQ8_STATS_CACHE:
-        _SQ8_STATS_CACHE[sf_dir] = similarity.sq8_stats(
-            _t(spark, sf_dir, "embeddings")
-        )
-    return _SQ8_STATS_CACHE[sf_dir]
+    # r16 bench-integrity: cache removed (see _books) — the per-dim
+    # min/max grid is one bounded aggregate, recomputed per invocation
+    return similarity.sq8_stats(_t(spark, sf_dir, "embeddings"))
 
 
 def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -778,25 +778,27 @@ SELECT doc_id, source, rank FROM ranked WHERE rank <= {_QUOTA_CAP}
 # ------------------------------------------------------ IVF-PQ (IVFADC)
 
 
-_IVFPQ_CACHE: dict[str, tuple] = {}
 # artifact paths already built this process (IVF index, signature store;
 # the dir is pid-suffixed, so cross-process runs never share a stale build)
 _BUILT_ARTIFACTS: set[str] = set()
 
 
 def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
-    """Train-once cache of the (coarse centroids, residual PQ books)
-    pair per corpus — the workloads_pq._BOOKS_CACHE pattern: training is
-    deterministic, so caching cannot change any result, and the harness
-    invokes gates repeatedly (three SFs, bench min-of-2, LIMIT-0
-    sweeps)."""
-    if sf_dir not in _IVFPQ_CACHE:
-        emb = _t(spark, sf_dir, "embeddings")
-        cents = similarity.kmeans_centroids(emb, k=8, iters=3)
-        resid = similarity.residualize(emb, cents).select("vec_id", "qe")
-        books = similarity.pq_train_quantized(resid, m=4, k=4, iters=2)
-        _IVFPQ_CACHE[sf_dir] = (cents, books)
-    return _IVFPQ_CACHE[sf_dir]
+    """Train the (coarse centroids, residual frame, residual PQ books)
+    triple. r16 bench-integrity: the former _IVFPQ_CACHE (train once
+    per corpus, reuse across gate invocations and the bench's min-of-2
+    runs) was a module-level memo keyed on the testdata path — the
+    banned cross-query result-reuse shape (the r15 classifier-memo
+    class). Every invocation now trains from the parquet inputs, with
+    ONE corpus scan: the coarse trainer's checkpointed quantized frame
+    feeds residualization, and the residual-PQ trainer's checkpointed
+    residual frame feeds encode + queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qbase, cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    resid, books = similarity.pq_fit_quantized(
+        similarity.residualize_quantized(qbase, cents), m=4, k=4, iters=2
+    )
+    return cents, resid, books
 
 
 def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,9 +819,7 @@ def q_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate gates (ann_ivf_kmeans_probe, ann_pq_adc): at 100 TB the
     index you actually deploy is this composite — cells bound the scan,
     codes bound the memory."""
-    emb = _t(spark, sf_dir, "embeddings")
-    cents, books = _ivfpq_artifacts(spark, sf_dir)
-    resid = similarity.residualize(emb, cents)
+    cents, resid, books = _ivfpq_artifacts(spark, sf_dir)
     enc = similarity.pq_encode_quantized(resid, books)
     queries = resid.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "cid", F.col("qe").alias("q_qe")
