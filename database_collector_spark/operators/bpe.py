@@ -98,12 +98,16 @@ def apply_merge(vocab: DataFrame, sym_a: str, sym_b: str) -> DataFrame:
     return vocab.withColumn("seq", F.replace(F.col("seq"), F.lit(find), F.lit(repl)))
 
 
-def train(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
-    """Learn ``n_merges`` BPE merges; returns the ordered merge table
-    (rank, sym_a, sym_b, merged, pair_count). One corpus pass builds the
-    vocab (persisted); each round is a vocab-sized aggregate + a 1-row
-    collect."""
-    spark = docs.sparkSession
+def train_merges(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns the ordered merge list
+    [(rank, sym_a, sym_b, merged, pair_count)] as plain driver values —
+    the APPLY-side gates (encode_corpus / fertility_report) consume the
+    pairs directly, without a createDataFrame + re-collect round trip
+    (r16: the list already lives on the driver when training ends).
+    One corpus pass builds the vocab (persisted); each round is a
+    vocab-sized aggregate + a 1-row collect."""
     base = word_vocab(docs, text_col).persist()
     try:
         merges: list[tuple[int, str, str, str, int]] = []
@@ -120,16 +124,30 @@ def train(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
             # scan evaluates r cheap string replaces inline instead of
             # paying a persist + count materialization job per round —
             # half the driver jobs of the old per-round persist, and no
-            # round-r copy of the vocab held in storage. Total replace
-            # work is n_merges^2/2 per vocab row, fine for the bounded
-            # merge counts this trainer targets (the oracle unrolls the
-            # same chain as CTEs); a very-long-merge-table trainer
-            # would re-checkpoint every few rounds instead.
+            # round-r copy of the vocab held in storage. The oracle
+            # unrolls the same chain as CTEs.
             vocab = apply_merge(vocab, top.sym_a, top.sym_b)
+            # r16 (r15 ADVICE): the chain's O(n_merges²/2) inline
+            # replace work and O(rank) plan depth need an actual guard,
+            # not a comment — re-flatten the plan every 16 rounds with a
+            # lazy checkpoint (materialized by the next round's top-pair
+            # scan), so a long-merge trainer stays O(16·|vocab|) replace
+            # work per round with bounded plan depth.
+            if rank % 16 == 0:
+                vocab = vocab.localCheckpoint(eager=False)
     finally:
         base.unpersist()
-    return spark.createDataFrame(
-        merges, "rank int, sym_a string, sym_b string, merged string, pair_count bigint"
+    return merges
+
+
+def train(docs: DataFrame, n_merges: int, text_col: str = "text") -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the ordered merge table
+    (rank, sym_a, sym_b, merged, pair_count). See :func:`train_merges`
+    for the training-loop shape (this wraps it in a DataFrame for the
+    merge-table gates)."""
+    return docs.sparkSession.createDataFrame(
+        train_merges(docs, n_merges, text_col),
+        "rank int, sym_a string, sym_b string, merged string, pair_count bigint",
     )
 
 
@@ -142,7 +160,10 @@ def encode(vocab: DataFrame) -> DataFrame:
 
 
 def encode_corpus(
-    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    extra_cols: list | None = None,
 ) -> DataFrame:
     """Tokenize every document with an already-learned merge list: the
     APPLY side of BPE. Each word is char-spaced into the double-space
@@ -155,7 +176,13 @@ def encode_corpus(
     real vocabularies would ship via a broadcast join on a precomputed
     word->n_tokens table — word_vocab gives exactly that shape). This
     expression form is the zero-shuffle scan-speed path: returns
-    (id cols.., n_words, n_bpe_tokens) as a pure projection."""
+    (id cols.., n_words, n_bpe_tokens) as a pure projection.
+
+    ``extra_cols`` appends caller-supplied column expressions to the
+    projection (r16: fertility_report carries its group key and char
+    count here instead of equi-joining the counts back onto the corpus
+    — a doc_id self-join of two full corpus scans for columns that were
+    already on the row)."""
 
     def seq_of(word: F.Column) -> F.Column:
         seq = F.concat(
@@ -177,6 +204,7 @@ def encode_corpus(
         "doc_id",
         F.size(toks).alias("n_words"),
         n_tokens.alias("n_bpe_tokens"),
+        *(extra_cols or []),
     )
 
 
@@ -195,19 +223,28 @@ def fertility_report(
     typically languages or sources.
 
     Composition: :func:`encode_corpus`'s zero-shuffle projection
-    supplies exact integer (n_words, n_bpe_tokens) per doc; joined back
-    to the group key and character count, the report is ONE |groups|-row
-    aggregate of integer sums — fertility and chars/token are the only
-    doubles, derived from exact totals and rounded (corpus-size-free
-    state, scan-speed cost).
+    supplies exact integer (n_words, n_bpe_tokens) per doc WITH the
+    group key and character count carried on the same row (r16: the
+    old doc_id equi-join of the counts back onto the corpus scanned the
+    corpus twice and shuffled it once, for columns already present);
+    the report is ONE |groups|-row aggregate of integer sums —
+    fertility and chars/token are the only doubles, derived from exact
+    totals and rounded (corpus-size-free state, scan-speed cost). The
+    NULL-doc_id filter preserves the old inner-join semantics (a NULL
+    key never matched).
 
     Output per group: (group, n_docs, n_words, n_chars, n_bpe_tokens,
     fertility, chars_per_token).
     """
-    counts = encode_corpus(docs, merges, text_col=text_col)
-    keyed = docs.select(
-        "doc_id", F.col(by).alias("grp"), F.length(text_col).alias("n_chars")
-    ).join(counts, "doc_id")
+    keyed = encode_corpus(
+        docs.where(F.col("doc_id").isNotNull()),
+        merges,
+        text_col=text_col,
+        extra_cols=[
+            F.col(by).alias("grp"),
+            F.length(text_col).alias("n_chars"),
+        ],
+    )
     return (
         keyed.groupBy("grp")
         .agg(

@@ -664,8 +664,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle projection). Output: per-doc word and BPE-token
     counts, all integer."""
     docs = _t(spark, sf_dir, "documents")
-    merge_rows = bpe.train(docs, n_merges=4).orderBy("rank").collect()
-    merges = [(r["sym_a"], r["sym_b"]) for r in merge_rows]
+    # train_merges returns the rank-ordered driver-side list directly —
+    # no createDataFrame + re-collect of a table the driver already has
+    merges = [(a, b) for _, a, b, _, _ in bpe.train_merges(docs, n_merges=4)]
     return bpe.encode_corpus(docs, merges)
 
 
