@@ -156,6 +156,42 @@ def rrf_fuse(
     )
 
 
+def exact_ratio_round(num: F.Column, den: F.Column, digits: int = 6) -> F.Column:
+    """round(num/den, digits) for NON-NEGATIVE exact integer/decimal
+    operands with den > 0, computed as EXACT integer half-up in
+    DECIMAL(38,0): q = (2·10^d·num + den) intdiv (2·den), then ONE
+    long→double cast and /10^d — the engine-proof quantization of the
+    token_gini fix (r16 rounding-class sweep). ``round(double, 6)``
+    diverges between Spark (half-up on the double's shortest decimal
+    repr) and DuckDB (binary-double rounding) exactly when the ratio
+    lands on a representable decimal midpoint — reachable for ratios of
+    exact integers (2148/7680 = 0.2796875 was the driver-caught gini
+    case), so every exact-rational final metric routes through here.
+    The DuckDB oracle twin is the mirrored HUGEINT expression
+    ``CAST((2·10^d·num + den) // (2·den) AS DOUBLE) / 10^d``.
+
+    The integral divisions are built from pmod (no Column-level ``div``
+    operator exists): t − pmod(t, b) is an exact multiple of b, so the
+    decimal division is exact; valid for the non-negative operands this
+    contract requires (callers with signed ratios must decompose the
+    sign first — integral division and pmod disagree across engines on
+    negatives). Computed as long division in TWO steps — integer part
+    first, then the remainder quantized — so the 2·10^d multiplier
+    touches only the remainder (< den): identically equal to the
+    one-step ``(2·10^d·num + den) div (2·den)`` with 10^d more
+    overflow headroom on large numerators (the chi2 dev² class)."""
+    d38 = "decimal(38,0)"
+    p = F.lit(10**digits).cast(d38)
+    t = num.cast(d38)
+    b = den.cast(d38)
+    rem = F.pmod(t, b)
+    ip = (t - rem) / b  # exact integer (decimal)
+    t2 = F.lit(2).cast(d38) * p * rem + b
+    b2 = F.lit(2).cast(d38) * b
+    fr = (t2 - F.pmod(t2, b2)) / b2  # exact integer in [0, 10^d]
+    return (ip * p + fr).cast("double") / F.lit(float(10**digits))
+
+
 def prefix_count_below(
     counts: DataFrame,
     keys: list[str],
@@ -242,7 +278,13 @@ def prefix_count_below(
     within-bucket windows are shared, so a caller needing running
     counts of two weight columns over the same value order (KS's
     per-class CDFs, Gini's count + value-weighted prefix) pays ONE
-    bucket construction instead of chaining two calls — at corpus
+    bucket construction instead of chaining two calls. Every extra
+    counter column must be NON-NEGATIVE: the fused per-bucket MIN of
+    each cumulative (see the in-code note below) equals the value at
+    the bucket's first cell only while the cumulative is non-decreasing
+    in the cell index — a signed counter would silently produce wrong
+    prefix values (r15 ADVICE; current callers guard this in-plan,
+    e.g. gini's ``_int_domain_guard(lo=0)``) — at corpus
     scale with an ~all-distinct value domain the compressed table is
     corpus-sized, so the second chained pass is a real second
     corpus-wide shuffle this parameter removes. Bucket boundaries are
@@ -627,15 +669,21 @@ def _auc_core(base, keys: list[str], coarse_buckets: int) -> DataFrame:
             * (2 * F.col("neg_below") + F.col("neg")).cast(dec)
         ).alias("u2_term"),
     )
+    dpn = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return u2.groupBy(*keys).agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
         F.when(
             (F.sum("pos") > 0) & (F.sum("neg") > 0),
-            F.round(
-                F.sum("u2_term").cast("double")
-                / (2.0 * F.sum("pos") * F.sum("neg")),
-                6,
+            # 2U/(2·n_pos·n_neg) as EXACT integer half-up at 6 decimals
+            # (r16 rounding-class sweep — the token_gini midpoint class;
+            # AUC is a ratio of exact integers, so round(double, 6)
+            # midpoints are reachable)
+            exact_ratio_round(
+                F.sum("u2_term"),
+                F.lit(2).cast("decimal(38,0)")
+                * dpn(F.sum("pos"))
+                * dpn(F.sum("neg")),
             ),
         ).alias("auc"),
     )
@@ -657,18 +705,23 @@ def spearman_by_group(
     Scale shape (the auc_exact discipline applied per group): ONE
     groupBy collapses the corpus to per-(group, x, y) joint counts
     (value-domain compression); each column's doubled average rank
-    2*avgrank = 2*|<v| + |=v| + 1 depends only on the per-(group,
-    value) marginal counts, and the running |<v| comes from
-    ``prefix_count_below``'s two-level distributed prefix sum — values
-    map to deterministic count-equalized monotone buckets per group
-    (see that docstring for the cell-histogram construction and its
-    balance bound), the within-bucket windows run partitioned by
-    (group, bucket) (parallel), and the coarser windows run over the
-    bounded per-group cell-histogram table. A naive
-    Window.partitionBy(group) rank would funnel each group through ONE
-    task — with few groups (this gate's l_returnflag has 3) that is a
-    single-node sort of a third of the corpus, not a distributed plan.
-    Bucket boundaries only affect partitioning, never the result.
+    2*avgrank = 2*|<v| + |=v| + 1 is then computed DIRECTLY on the
+    joint table (r16 fused fold) — values map to deterministic
+    count-equalized monotone buckets per group per axis (the
+    prefix_count_below cell-histogram construction over bounded
+    broadcast tables; see that docstring for the balance bound), and
+    the strictly-below / tie weights come from RANGE-frame window sums
+    over the joint rows partitioned by (group, bucket): every value's
+    complete tie class shares one bucket, so below = before_bucket +
+    cum_upto_value − ties. No marginal aggregates and no rank
+    join-backs exist — the corpus-side plan is exactly two window
+    exchanges (one per axis) plus the moment aggregate, where the
+    join-back form paid two marginal shuffles AND two corpus-sized
+    equi-join shuffles. A naive Window.partitionBy(group) rank would
+    funnel each group through ONE task — with few groups (this gate's
+    l_returnflag has 3) that is a single-node sort of a third of the
+    corpus, not a distributed plan. Bucket boundaries only affect
+    partitioning, never the result.
 
     Exactness: doubled average ranks are INTEGERS for every tie
     pattern, and their row-weighted sum per group is identically
@@ -699,49 +752,159 @@ def spearman_by_group(
     ).select(
         F.col(group_col).alias("g"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
     )
-    # three downstream branches (two marginals + the final join) reuse
-    # the compressed joint table; without the checkpoint each branch
-    # re-derives it from a full corpus scan
+    # the bounded side branches (joint rng/cell histograms x2, n-per-g)
+    # and the final ranked pass all reuse the compressed joint table;
+    # without the checkpoint each branch re-derives it from a corpus scan
     joint = (
         base.groupBy("g", "x", "y")
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=False)
     )
+    # FUSED joint rank fold (r16 optimization round): both doubled
+    # average ranks are computed DIRECTLY on the joint table — no
+    # marginal aggregates and no rank join-backs. The r15 two-pass form
+    # built per-axis marginal tables (the y marginal is ~corpus-sized
+    # for near-all-distinct values), ran prefix_count_below over each,
+    # and equi-joined both rank tables back onto the joint frame — two
+    # corpus-sized join shuffles plus two marginal shuffles. Here the
+    # strictly-below and tie counts come from RANGE-frame windows over
+    # the joint rows themselves (all rows of equal value share a bucket,
+    # so the tie class is complete within one window partition):
+    #     2*avgrank = 2*below + ties + 1
+    #               = 2*(before_bucket + cum_upto_val) - ties_at_val + 1
+    # with the same deterministic count-equalized log-grid buckets as
+    # prefix_count_below (boundaries only affect partitioning, never
+    # results — see that docstring). The corpus-side plan is exactly two
+    # window exchanges (one per axis) + the moment aggregate. (The r15
+    # union-based fusion attempt was slower because it needed a
+    # checkpoint barrier before two join-backs; this form has NO
+    # join-backs, so no barrier exists to pay.)
+    n_cells = 65536
+    inf = float("inf")
 
-    def _dbl_ranks(val: str, rank_name: str) -> DataFrame:
-        # (g, val, doubled average rank) from marginal counts alone,
-        # ranked by the shared two-level prefix sum
-        m = joint.groupBy("g", val).agg(F.sum("cnt").alias("c"))
-        below = prefix_count_below(
-            m, ["g"], val, "c", coarse_buckets=coarse_buckets, out_col="_below"
+    def _u(c: str):
+        vd = F.col(c).cast("double")
+        return F.signum(vd) * F.log1p(F.abs(vd))
+
+    def _finite_u(c: str):
+        vd = F.col(c).cast("double")
+        return F.when(~F.isnan(vd) & (vd > -inf) & (vd < inf), _u(c))
+
+    # ONE bounded rng aggregate for both axes, with prefix_count_below's
+    # in-plan key-domain guard (broadcast cell maps require a bounded
+    # group domain; see that docstring for the contract)
+    rng = joint.groupBy("g").agg(
+        F.min(_finite_u("x")).alias("_lox"),
+        F.max(_finite_u("x")).alias("_hix"),
+        F.min(_finite_u("y")).alias("_loy"),
+        F.max(_finite_u("y")).alias("_hiy"),
+    )
+    guard_msg = (
+        "spearman_by_group: group domain exceeds 256 groups — the "
+        "broadcast cell maps would hold up to |domain| x 65536 rows. "
+        "Use a plain per-group window rank instead: with this many "
+        "groups the groups themselves supply the parallelism."
+    )
+    w_all = Window.partitionBy()
+    rng = rng.select(
+        "g",
+        F.when(F.count("*").over(w_all) > 256, F.raise_error(F.lit(guard_msg)))
+        .otherwise(F.col("_lox"))
+        .alias("_lox"),
+        "_hix",
+        "_loy",
+        "_hiy",
+    )
+
+    def _cell(c: str, lo: str, hi: str):
+        vd = F.col(c).cast("double")
+        width = (F.col(hi) - F.col(lo)) / n_cells
+        return (
+            F.when(F.isnan(vd) | (vd == inf), F.lit(n_cells - 1))
+            .when(vd == -inf, F.lit(0))
+            .when(
+                width > 0,
+                F.least(
+                    F.lit(n_cells - 1),
+                    F.greatest(F.lit(0), F.floor((_u(c) - F.col(lo)) / width)),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
         )
-        return below.select(
+
+    celled = joint.join(F.broadcast(rng), "g").select(
+        "g",
+        "x",
+        "y",
+        "cnt",
+        _cell("x", "_lox", "_hix").alias("_cx"),
+        _cell("y", "_loy", "_hiy").alias("_cy"),
+    )
+
+    def _cellmap(cell_col: str, b_col: str, before_col: str) -> DataFrame:
+        # bounded (<= |groups| x 65536 rows): per-cell joint-row counts
+        # -> count-equalized bucket id + exact weight-below-bucket, the
+        # prefix_count_below construction with joint rows as the load
+        w_cell = (
+            Window.partitionBy("g")
+            .orderBy(cell_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_tot = Window.partitionBy("g")
+        cm = (
+            celled.groupBy("g", cell_col)
+            .agg(F.sum("cnt").alias("_hc"), F.count("*").alias("_hn"))
+            .select(
+                "g",
+                cell_col,
+                F.coalesce(F.sum("_hc").over(w_cell), F.lit(0)).alias("_cum"),
+                F.coalesce(F.sum("_hn").over(w_cell), F.lit(0)).alias("_cum_n"),
+                F.sum("_hn").over(w_tot).alias("_tot_n"),
+            )
+            .select(
+                "g",
+                cell_col,
+                "_cum",
+                F.expr(f"(_cum_n * {coarse_buckets}) div _tot_n").alias(b_col),
+            )
+        )
+        w_bucket = Window.partitionBy("g", b_col)
+        return cm.select(
             "g",
-            val,
-            (2 * F.col("_below") + F.col("c") + 1).cast("long").alias(rank_name),
+            cell_col,
+            b_col,
+            F.min("_cum").over(w_bucket).alias(before_col),
         )
 
-    # NOTE (r15 optimization round): fusing the two marginal passes into
-    # ONE prefix_count_below keyed by (g, axis) over a union was built
-    # and MEASURED SLOWER (7.7 s -> 10.2 s at sf0.1; 5 s -> 14 s at
-    # sf0.01): the fused frame needs a checkpoint barrier before the two
-    # join-backs, serializing work the two-pass form runs as independent
-    # overlapping jobs, and the RDD-scan consumers lose AQE's size-based
-    # broadcast planning. Kept two-pass deliberately.
-    rx = _dbl_ranks("x", "rx")
-    ry = _dbl_ranks("y", "ry")
+    ranked = (
+        celled.join(F.broadcast(_cellmap("_cx", "_bx", "_befx")), ["g", "_cx"])
+        .join(F.broadcast(_cellmap("_cy", "_by", "_befy")), ["g", "_cy"])
+    )
+
+    def _dbl_rank(val: str, b_col: str, before_col: str):
+        # 2*below + ties + 1 from two range-frame sums over ONE window
+        # order: cum = weight at values <= val (peers included), ties =
+        # weight of the val's tie class -> 2*(before+cum) - ties + 1
+        w = Window.partitionBy("g", b_col).orderBy(val)
+        cum = F.sum("cnt").over(
+            w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ties = F.sum("cnt").over(
+            w.rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        return (2 * (F.col(before_col) + cum) - ties + 1).cast("long")
+
+    ranked = ranked.withColumn("rx", _dbl_rank("x", "_bx", "_befx")).withColumn(
+        "ry", _dbl_rank("y", "_by", "_befy")
+    )
     nn = joint.groupBy("g").agg(F.sum("cnt").cast("long").alias("n"))
     dec = "decimal(19,0)"
-    centered = (
-        joint.join(rx, ["g", "x"])
-        .join(ry, ["g", "y"])
-        .join(F.broadcast(nn), "g")
-        .select(
-            "g",
-            "cnt",
-            (F.col("rx") - F.col("n") - 1).cast(dec).alias("dx"),
-            (F.col("ry") - F.col("n") - 1).cast(dec).alias("dy"),
-        )
+    centered = ranked.join(F.broadcast(nn), "g").select(
+        "g",
+        "cnt",
+        (F.col("rx") - F.col("n") - 1).cast(dec).alias("dx"),
+        (F.col("ry") - F.col("n") - 1).cast(dec).alias("dy"),
     )
     s = centered.groupBy("g").agg(
         F.sum("cnt").cast("long").alias("n"),
@@ -896,7 +1059,8 @@ def calibration_curve(
             "bin",
             "n_docs",
             "n_pos",
-            F.round(F.col("n_pos") / F.col("n_docs"), 6).alias("pos_rate"),
+            # exact integer half-up (r16 rounding-class sweep)
+            exact_ratio_round(F.col("n_pos"), F.col("n_docs")).alias("pos_rate"),
             "lo_score",
             "hi_score",
         )
@@ -976,7 +1140,8 @@ def fixed_bin_calibration(
             "bin",
             "n_docs",
             "n_pos",
-            F.round(F.col("n_pos") / F.col("n_docs"), 6).alias("pos_rate"),
+            # exact integer half-up (r16 rounding-class sweep)
+            exact_ratio_round(F.col("n_pos"), F.col("n_docs")).alias("pos_rate"),
             "lo_score",
             "hi_score",
         )
@@ -1825,10 +1990,12 @@ def pr_curve(
             "threshold",
             "pred_pos",
             "tp",
-            F.round(F.col("tp") / F.col("pred_pos"), 6).alias("precision"),
-            F.round(
-                F.when(F.col("_all_pos") > 0, F.col("tp") / F.col("_all_pos")),
-                6,
+            # exact integer half-up (r16 rounding-class sweep): both are
+            # ratios of exact integer counts, the reachable-midpoint class
+            exact_ratio_round(F.col("tp"), F.col("pred_pos")).alias("precision"),
+            F.when(
+                F.col("_all_pos") > 0,
+                exact_ratio_round(F.col("tp"), F.col("_all_pos")),
             ).alias("recall"),
         )
     )
@@ -2366,16 +2533,19 @@ def reciprocal_rank(
         if gkeys
         else firsts.crossJoin(n_rel)
     )
+    # exact integer half-up (r16 rounding-class sweep): 1/rank IS the
+    # reachable-midpoint class (1/640 = 0.0015625 — a 7-digit decimal
+    # midpoint — occurs the first time a relevant doc ranks 640th)
     rr = F.when(
         F.col("first_rel_rank").isNotNull(),
-        F.lit(1.0) / F.col("first_rel_rank"),
+        exact_ratio_round(F.lit(1), F.col("first_rel_rank")),
     ).otherwise(F.lit(0.0))
     return joined.select(
         *gkeys,
         F.coalesce(F.col("n_ranked"), F.lit(0)).alias("n_ranked"),
         F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
         "first_rel_rank",
-        F.round(F.when(F.col("n_rel") > 0, rr), 6).alias("rr"),
+        F.when(F.col("n_rel") > 0, rr).alias("rr"),
     )
 
 
@@ -2560,10 +2730,12 @@ def chi2_association(
         "n_a",
         "n_b",
         "n",
-        F.round(rc.cast("double") / F.col("n"), 6).alias("expected"),
-        F.round(
-            (dev * dev).cast("double") / (d(F.col("n")) * rc).cast("double"), 6
-        ).alias("contrib"),
+        # exact integer half-up (r16 rounding-class sweep): expected and
+        # contrib are ratios of exact integers; the helper's two-step
+        # long division keeps contrib's dev² numerator inside the same
+        # DECIMAL(38,0) envelope the double form already required
+        exact_ratio_round(rc, d(F.col("n"))).alias("expected"),
+        exact_ratio_round(dev * dev, d(F.col("n")) * rc).alias("contrib"),
     )
 
 
@@ -2696,8 +2868,14 @@ def gini_by_group(
 
     with below_cnt / below_sum from ONE shared ``prefix_count_below``
     pass (count + v-weighted counters over the same cell grid) on the
-    lazily-checkpointed compressed table. All products in DECIMAL(38,0); G = num/(n·S) is
-    ONE division over exact operands, rounded at 6; NULL when S = 0
+    lazily-checkpointed compressed table. All products in DECIMAL(38,0);
+    G = num/(n·S) is quantized to 6 decimals by EXACT integer half-up
+    division — ``(2·10⁶·num + den) div (2·den)`` over DECIMAL(38,0)
+    operands, then one long→double cast and /1e6 — because
+    ``round(double, 6)`` diverges between engines on reachable decimal
+    midpoints (Spark rounds the shortest decimal repr half-up, DuckDB
+    rounds the binary double; gini is a ratio of exact integers so
+    midpoints like 2148/7680 = 0.2796875 occur). NULL when S = 0
     (all-zero values — inequality of nothing). Values must be >= 0
     integers — ENFORCED in-plan (raise_error per row): a negative value
     silently breaks the |x_i − x_j| identity, and a float value breaks
@@ -2756,16 +2934,24 @@ def gini_by_group(
         F.sum("_w").cast("decimal(38,0)").alias("total"),
         F.sum(term).alias("_num"),
     )
-    return agg.select(
+    # exact half-up quantization at 6 decimals: for num, den >= 0,
+    # (2e6·num + den) div (2·den) = floor(1e6·num/den + 1/2). Integral
+    # division over DECIMAL(38,0) is engine-exact (DuckDB twin: `//`
+    # over HUGEINT); the final e6/1e6 is ONE correctly-rounded IEEE op,
+    # identical in both engines — unlike round(double, 6), which the two
+    # engines define differently on decimal midpoints. Bounds: den =
+    # n·total <= ~1e26 at the motivating 1e12-value x 1e7-count domain,
+    # so 2e6·num <= 2e6·den stays inside DECIMAL(38,0).
+    return agg.withColumn("_den", d(F.col("n")) * F.col("total")).select(
         *gkeys,
         "n",
         "total",
-        F.round(
-            F.when(
-                F.col("total") > 0,
-                F.col("_num").cast("double")
-                / (d(F.col("n")) * F.col("total")).cast("double"),
-            ),
-            6,
+        F.when(
+            F.col("total") > 0,
+            F.expr(
+                "(cast(2000000 as decimal(38,0)) * _num + _den) "
+                "div (cast(2 as decimal(38,0)) * _den)"
+            ).cast("double")
+            / F.lit(1000000.0),
         ).alias("gini"),
     )

@@ -114,8 +114,12 @@ u AS (
   FROM per
 )
 SELECT lang, CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       -- exact integer half-up (r16 rounding-class sweep; see
+       -- ranking.exact_ratio_round — 2U and 2·n_pos·n_neg are exact
+       -- integers, the reachable-midpoint class)
        CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
-         round(SUM(u2_term) / (2.0 * SUM(pos) * SUM(neg)), 6) END AS auc
+         CAST((2000000 * SUM(u2_term) + 2 * SUM(pos) * SUM(neg))
+              // (4 * SUM(pos) * SUM(neg)) AS DOUBLE) / 1000000.0 END AS auc
 FROM u GROUP BY lang ORDER BY lang
 """
 
@@ -263,7 +267,15 @@ def clf_truth_frame(
     module-level cache in front of declared queries would time cache
     reads, not the engine. The honest fold is cheap anyway (~0.7 s at
     sf0.1 warm; the r14 numbers that motivated the memo were cold-box
-    full-gate costs, not the fold)."""
+    full-gate costs, not the fold).
+
+    Storage-retention note (r15 ADVICE): with ``memo=False`` each
+    invocation creates a fresh lazy localCheckpoint whose executor
+    blocks are freed only when the returned DataFrame is
+    garbage-collected. Fine for bench runs and batch jobs; a LONG-LIVED
+    service invoking many gates should either use ``memo=True`` + an
+    explicit ``clear_session_memo(spark)`` on teardown, or drop
+    references promptly so GC can release the blocks."""
 
     def build() -> DataFrame:
         docs = _t(spark, sf_dir, "documents")
@@ -337,7 +349,11 @@ wb AS (
 SELECT CAST((below * {_CAL_BINS}) // n AS BIGINT) AS bin,
        CAST(SUM(cnt) AS BIGINT) AS n_docs,
        CAST(SUM(pos) AS BIGINT) AS n_pos,
-       round(CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS pos_rate,
+       -- exact integer half-up at 6 decimals (r16 rounding-class sweep;
+       -- mirrors ranking.exact_ratio_round — round(double, 6) diverges
+       -- between the engines on reachable decimal midpoints)
+       CAST((2000000 * SUM(pos) + SUM(cnt)) // (2 * SUM(cnt)) AS DOUBLE)
+         / 1000000.0 AS pos_rate,
        round(MIN(s), 6) AS lo_score,
        round(MAX(s), 6) AS hi_score
 FROM wb, tot GROUP BY 1 ORDER BY bin
@@ -637,7 +653,10 @@ SELECT source,
        CAST((below * {_CAL_SRC_BINS}) // n AS BIGINT) AS bin,
        CAST(SUM(cnt) AS BIGINT) AS n_docs,
        CAST(SUM(pos) AS BIGINT) AS n_pos,
-       round(CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS pos_rate,
+       -- exact integer half-up (r16 rounding-class sweep; see
+       -- ranking.exact_ratio_round)
+       CAST((2000000 * SUM(pos) + SUM(cnt)) // (2 * SUM(cnt)) AS DOUBLE)
+         / 1000000.0 AS pos_rate,
        round(MIN(s), 6) AS lo_score,
        round(MAX(s), 6) AS hi_score
 FROM wb GROUP BY source, bin ORDER BY source, bin
@@ -705,7 +724,14 @@ def q_source_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.coalesce(
         F.size(F.expr("filter(split(text, ' '), t -> t <> '')")), F.lit(0)
     ).cast("long")
-    scored = docs.select("doc_id", "source", score.alias("score"))
+    # r16: the tokenize+count fold is read by THREE non-identical
+    # branches (the percentile-floor window, the per-source doc count,
+    # the survivor rollup) — ReusedExchange cannot dedupe them, so the
+    # lazy checkpoint runs the corpus fold once (the entity_resolution
+    # rationale; the frame is 3 narrow columns, corpus-compressed)
+    scored = docs.select(
+        "doc_id", "source", score.alias("score")
+    ).localCheckpoint(eager=False)
     kept = curation.relative_percentile_filter(scored, cut=_GOV_CUT)
     per_src = scored.groupBy("source").agg(F.count("*").alias("n_docs"))
     kept_src = kept.groupBy("source").agg(

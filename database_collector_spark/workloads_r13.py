@@ -241,7 +241,10 @@ b AS (
 SELECT CAST(bin AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(y) AS BIGINT) AS n_pos,
-       round(CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 6) AS pos_rate,
+       -- exact integer half-up (r16 rounding-class sweep; see
+       -- ranking.exact_ratio_round)
+       CAST((2000000 * SUM(y) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / 1000000.0 AS pos_rate,
        CAST(MIN(s) AS BIGINT) AS lo_score,
        CAST(MAX(s) AS BIGINT) AS hi_score
 FROM b GROUP BY bin ORDER BY bin

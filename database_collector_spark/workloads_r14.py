@@ -197,9 +197,13 @@ suf AS (
 )
 SELECT bin, lo_score AS threshold,
        CAST(pred_pos AS BIGINT) AS pred_pos, CAST(tp AS BIGINT) AS tp,
-       round(CAST(tp AS DOUBLE) / pred_pos, 6) AS precision,
+       -- exact integer half-up (r16 rounding-class sweep; see
+       -- ranking.exact_ratio_round)
+       CAST((2000000 * tp + pred_pos) // (2 * pred_pos) AS DOUBLE)
+         / 1000000.0 AS precision,
        CASE WHEN all_pos > 0 THEN
-         round(CAST(tp AS DOUBLE) / all_pos, 6) END AS recall
+         CAST((2000000 * tp + all_pos) // (2 * all_pos) AS DOUBLE)
+           / 1000000.0 END AS recall
 FROM suf ORDER BY bin
 """
 
@@ -489,10 +493,13 @@ SELECT COALESCE(f.lang, n.lang) AS lang,
        COALESCE(f.n_ranked, 0) AS n_ranked,
        COALESCE(n.n_rel, 0) AS n_rel,
        f.first_rel_rank,
+       -- exact integer half-up (r16 rounding-class sweep): 1/rank is
+       -- the reachable-midpoint class (1/640 = 0.0015625 exactly)
        CASE WHEN n.n_rel > 0 THEN
-         round(CASE WHEN f.first_rel_rank IS NOT NULL
-               THEN CAST(1 AS DOUBLE) / f.first_rel_rank
-               ELSE CAST(0 AS DOUBLE) END, 6) END AS rr
+         CASE WHEN f.first_rel_rank IS NOT NULL
+              THEN CAST((2000000 + f.first_rel_rank)
+                        // (2 * f.first_rel_rank) AS DOUBLE) / 1000000.0
+              ELSE CAST(0 AS DOUBLE) END END AS rr
 FROM firsts f FULL OUTER JOIN nrel n ON f.lang = n.lang
 ORDER BY 1
 """
@@ -609,12 +616,23 @@ cells AS (
   LEFT JOIN obs o ON o.a = ma.a AND o.b = mb.b
 )
 SELECT a, b, observed, n_a, n_b, n,
-       round(CAST(n_a * n_b AS DOUBLE) / n, 6) AS expected,
-       round(
-         CAST(CAST(observed * n - n_a * n_b AS HUGEINT)
-              * (observed * n - n_a * n_b) AS DOUBLE)
-         / CAST(CAST(n AS HUGEINT) * n_a * n_b AS DOUBLE),
-         6) AS contrib
+       -- exact integer half-up (r16 rounding-class sweep; mirrors
+       -- ranking.exact_ratio_round — both are ratios of exact integers).
+       -- contrib uses the helper's two-step long division so the 2e6
+       -- multiplier only touches the remainder (< den), keeping the
+       -- dev² numerator inside the HUGEINT envelope.
+       CAST((2000000 * (n_a * n_b) + n) // (2 * n) AS DOUBLE)
+         / 1000000.0 AS expected,
+       CAST((
+         (CAST(observed * n - n_a * n_b AS HUGEINT)
+            * (observed * n - n_a * n_b))
+           // (CAST(n AS HUGEINT) * n_a * n_b) * 1000000
+         + (2000000 * ((CAST(observed * n - n_a * n_b AS HUGEINT)
+                          * (observed * n - n_a * n_b))
+                        % (CAST(n AS HUGEINT) * n_a * n_b))
+            + CAST(n AS HUGEINT) * n_a * n_b)
+           // (2 * CAST(n AS HUGEINT) * n_a * n_b)
+       ) AS DOUBLE) / 1000000.0 AS contrib
 FROM cells ORDER BY a, b
 """
 

@@ -215,9 +215,13 @@ SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
        -- DECIMAL(38,0) matches the operator's overflow-proof total
        -- (both engines then canonicalize the column identically)
        CAST(SUM(w) AS DECIMAL(38,0)) AS total,
+       -- exact half-up quantization at 6 decimals in HUGEINT integer
+       -- arithmetic, mirroring the operator's DECIMAL(38,0) `div` —
+       -- round(double, 6) diverges between the engines on reachable
+       -- decimal midpoints (gini is a ratio of exact integers)
        CASE WHEN SUM(w) > 0 THEN
-         round(CAST(SUM(cnt * (v * bc - bs)) AS DOUBLE)
-               / CAST(SUM(cnt) * SUM(w) AS DOUBLE), 6) END AS gini
+         CAST((2000000 * SUM(cnt * (v * bc - bs)) + SUM(cnt) * SUM(w))
+              // (2 * SUM(cnt) * SUM(w)) AS DOUBLE) / 1000000.0 END AS gini
 FROM below GROUP BY source ORDER BY source
 """
 

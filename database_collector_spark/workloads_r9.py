@@ -353,8 +353,11 @@ u AS (
   FROM per
 )
 SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       -- exact integer half-up (r16 rounding-class sweep; see
+       -- ranking.exact_ratio_round)
        CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
-         round(SUM(u2_term) / (2.0 * SUM(pos) * SUM(neg)), 6) END AS auc
+         CAST((2000000 * SUM(u2_term) + 2 * SUM(pos) * SUM(neg))
+              // (4 * SUM(pos) * SUM(neg)) AS DOUBLE) / 1000000.0 END AS auc
 FROM u
 """
 
@@ -371,8 +374,9 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_collector_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merge_rows = bpe.train(docs, n_merges=4).orderBy("rank").collect()
-    merges = [(r["sym_a"], r["sym_b"]) for r in merge_rows]
+    # train_merges returns the rank-ordered driver-side list directly —
+    # no createDataFrame + re-collect of a table the driver already has
+    merges = [(a, b) for _, a, b, _, _ in bpe.train_merges(docs, n_merges=4)]
     return bpe.fertility_report(docs, merges, by="lang")
 
 

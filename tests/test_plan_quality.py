@@ -888,21 +888,24 @@ def test_spearman_has_no_single_partition_rank_funnel(spark):
     assert specs, "no windows found — pin is vacuous"
     for first_arg, second_arg in specs:
         assert first_arg == "g", f"window not partitioned by group: {first_arg}"
-        assert second_arg in ("_b", "_cell"), (
+        # r16 fused joint fold: the corpus-side rank windows partition by
+        # (g, per-axis bucket _bx/_by) and the bounded cell-histogram
+        # windows by (g, ORDER BY per-axis cell _cx/_cy). A reverted
+        # per-group corpus rank would show (g, <value col>) instead.
+        assert second_arg in ("_b", "_cell", "_bx", "_by", "_cx", "_cy"), (
             f"window's second spec arg is {second_arg}, not a bounded "
             "cell/bucket key — a per-group corpus-sized rank window has "
             "returned"
         )
     # the order-less whole-partition windows (no attribute after the
     # partition key, so the regex above skips them) are allowed only
-    # for the two marginal histograms' per-group totals over the
-    # BOUNDED cell table — a corpus-sized partition-only window would
-    # bump this count with every other assertion still green
+    # for the two axis histograms' per-group totals over the BOUNDED
+    # cell table — a corpus-sized partition-only window would bump this
+    # count with every other assertion still green
     no_order = re.findall(r"windowspecdefinition\(g#\d+L?, specifiedwindowframe", plan)
     assert len(no_order) <= 4, (
         f"{len(no_order)} order-less per-group windows (expected <=4: "
-        "one bounded cell-table total per marginal, each appearing in "
-        "both consumers of its cellmap subtree)"
+        "one bounded cell-table total per axis cellmap)"
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan

@@ -155,12 +155,15 @@ def test_krippendorff_equals_reference_on_fleiss_style_table(spark):
 # ------------------------------------------------------------------ Gini
 
 def _gini_ref(xs):
+    # exact rational half-up at 6 decimals (integer arithmetic), the
+    # operator's own quantization — see test_r15_properties._gini_ref
     s = sum(xs)
     if s == 0:
         return None
     n = len(xs)
-    delta = sum(abs(a - b) for a in xs for b in xs)
-    return round(delta / (2 * n * s), 6)
+    num = sum(a - b for a in xs for b in xs if a > b)
+    den = n * s
+    return (2_000_000 * num + den) // (2 * den) / 1e6
 
 
 def test_gini_matches_reference(spark):

@@ -64,24 +64,19 @@ def test_krippendorff_fuzz_matches_reference(spark, votes):
 
 
 def _gini_ref(xs):
+    # EXACT rational half-up at 6 decimals, all in Python integers —
+    # the operator quantizes the same way in-plan ((2e6·num + den) div
+    # (2·den) over DECIMAL(38,0)), so the reference asserts the exact
+    # mathematical value, not "whatever the engines happen to round"
+    # (the r15 midpoint flake: gini([100, 431, 644, 745]) = 2148/7680 =
+    # 0.2796875 exactly, where round(double, 6) differs per engine).
     s = sum(xs)
     if s == 0:
         return None
     n = len(xs)
-    g = sum(abs(a - b) for a in xs for b in xs) / (2 * n * s)
-    # round like BOTH engines, not like Python: Spark's Round(double, 6)
-    # and DuckDB's round() quantize the double's SHORTEST decimal repr
-    # half-UP, while Python's round() is half-even on the exact binary
-    # value — on an exact 6th-decimal midpoint (e.g. gini([100, 431,
-    # 644, 745]) = 2148/7680 = 0.2796875, found by fuzzing) the two
-    # differ by 1e-6 with the engines agreeing with each other
-    import decimal
-
-    return float(
-        decimal.Decimal(repr(g)).quantize(
-            decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
-        )
-    )
+    num = sum(a - b for a in xs for b in xs if a > b)  # = Σ|a−b| / 2
+    den = n * s
+    return (2_000_000 * num + den) // (2 * den) / 1e6
 
 
 @_settings

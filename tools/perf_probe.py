@@ -32,7 +32,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--runs", type=int, default=2)
+    # >= 1 enforced: --runs 0 would leave jobs_after unbound and min([])
+    # raising (r15 ADVICE)
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--runs must be >= 1")
+        return n
+
+    ap.add_argument("--runs", type=_positive_int, default=2)
     ap.add_argument("--plan", default=None, help="directory for explain dumps")
     ap.add_argument("--suffix", default="before", choices=["before", "after"])
     args = ap.parse_args()
