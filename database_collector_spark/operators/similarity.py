@@ -1423,6 +1423,52 @@ def ivfpq_index_load(
     return cents, books, codes
 
 
+def _semdedup_tile_kernel(threshold: float):
+    """Arrow-batched numpy tile kernel for the SemDeDup dominance scan:
+    consumes (vecs_a, vecs_b) struct-list tiles of SAME-CELL members and
+    emits the vec_ids dropped by the keep-farthest rule — cos >=
+    threshold against a dominating member (larger d2c, ties to the
+    lower vec_id). Exactness matches the expression form bit-for-bit:
+    integer dot products are exact in float64 (components < 2^21 ⇒
+    64-dim sums < 2^48, the embedding_near_dup argument), np.sqrt and
+    the divide are the same correctly-rounded IEEE ops Spark executes,
+    and the dominance compare runs in int64."""
+    import pandas as pd
+
+    def kern(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for vecs_a, vecs_b in zip(pdf["vecs_a"], pdf["vecs_b"]):
+                ia = np.array([v["vec_id"] for v in vecs_a], dtype=np.int64)
+                ib = np.array([v["vec_id"] for v in vecs_b], dtype=np.int64)
+                ma = np.array([v["qe"] for v in vecs_a], dtype=np.float64)
+                mb = np.array([v["qe"] for v in vecs_b], dtype=np.float64)
+                na = np.sqrt(np.array([v["qnorm2"] for v in vecs_a], dtype=np.float64))
+                nb = np.sqrt(np.array([v["qnorm2"] for v in vecs_b], dtype=np.float64))
+                da = np.array([v["d2c"] for v in vecs_a], dtype=np.int64)
+                db = np.array([v["d2c"] for v in vecs_b], dtype=np.int64)
+                # same op order as the expression form: dot / (sqrt*sqrt)
+                cos = (ma @ mb.T) / (na[:, None] * nb[None, :])
+                m = (cos >= threshold) & (ia[:, None] != ib[None, :])
+                dom_b_over_a = (db[None, :] > da[:, None]) | (
+                    (db[None, :] == da[:, None]) & (ib[None, :] < ia[:, None])
+                )
+                dom_a_over_b = (da[:, None] > db[None, :]) | (
+                    (da[:, None] == db[None, :]) & (ia[:, None] < ib[None, :])
+                )
+                drop_a = ia[np.any(m & dom_b_over_a, axis=1)]
+                drop_b = ib[np.any(m & dom_a_over_b, axis=0)]
+                if drop_a.size or drop_b.size:
+                    out.append(drop_a)
+                    out.append(drop_b)
+            if out:
+                yield pd.DataFrame({"vec_id": np.unique(np.concatenate(out))})
+
+    return kern
+
+
 def semdedup_prune(
     embeddings: DataFrame,
     *,
@@ -1430,6 +1476,7 @@ def semdedup_prune(
     iters: int = 3,
     threshold: float = 0.45,
     dim: int = EMBED_DIM,
+    block_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, public):
     cluster the corpus with the deterministic integer k-means
@@ -1449,12 +1496,22 @@ def semdedup_prune(
     cross-engine double idiom).
 
     Plan shape at 100 TB: assignment is a zero-shuffle projection;
-    the candidate relation is a self-equi-join ON cid — work is
-    sum(|cell|^2) like every blocked dedup tier here, bounded by the
-    quantizer's cell sizes (SemDeDup's published cost; cap cells by
-    raising k). The dominance test folds into the join condition, and
-    the final drop-flag is one aggregated semi-join — never a global
-    all-pairs.
+    the candidate relation is a same-cell blocked tile join — vectors
+    group into (cid, block) dense row blocks (one narrow shuffle), block
+    pairs join ON the cid equi-key, and each tile's full dominance scan
+    runs as ONE Arrow-batched numpy matmul inside mapInPandas (r16; the
+    embedding_near_dup blocked-GEMM formulation — the prior per-pair
+    ``aggregate(zip_with(...))`` expression allocated an intermediate
+    array per candidate pair, O(Σ|cell|²) interpreted work). Total work
+    is still sum(|cell|^2), SemDeDup's published cost, bounded by the
+    quantizer's cell sizes (cap cells by raising k); each tile is an
+    independent bounded task at any corpus size.
+
+    Exactness is unchanged (the kernel docstring has the bit-for-bit
+    argument); zero-norm members are excluded from the blocks — they
+    have no cosine to anything, so they are never dup candidates and
+    never dominate (the old join's qnorm2 > 0 guard, moved before the
+    block build).
 
     Output: (vec_id, cid, d2c, dropped) — one row per input vector,
     ``dropped = true`` for the semantic near-duplicates a curation pass
@@ -1463,46 +1520,37 @@ def semdedup_prune(
     # r16: reuse the trainer's checkpointed quantized frame for the
     # final assignment (the old form re-derived with_quantized from a
     # fresh corpus scan), and lazily checkpoint the assigned frame —
-    # its three consumers below (self-join sides a and b + the final
-    # join-back) are NON-identical plans, so ReusedExchange cannot
-    # deduplicate them and each re-ran the k*dim distance fold
+    # its consumers below (the block build + the final join-back) are
+    # NON-identical plans, so ReusedExchange cannot deduplicate them
     base, cents = kmeans_fit(embeddings, k=k, iters=iters, dim=dim)
     assigned = (
         assign_centroids(base, cents, keep_dist="d2c")
         .select("vec_id", "cid", "qe", "qnorm2", "d2c")
         .localCheckpoint(eager=False)
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    cos = dot / (
-        F.sqrt(F.col("a.qnorm2").cast("double"))
-        * F.sqrt(F.col("b.qnorm2").cast("double"))
-    )
-    dominated = (F.col("b.d2c") > F.col("a.d2c")) | (
-        (F.col("b.d2c") == F.col("a.d2c"))
-        & (F.col("b.vec_id") < F.col("a.vec_id"))
-    )
-    dropped_ids = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") != F.col("b.vec_id"))
-            # zero-norm guard: an all-zero quantized vector has no cosine
-            # to anything — without this, sqrt(0) in the denominator is a
-            # DIVIDE_BY_ZERO crash under ANSI, and a NULL-vs-NaN
-            # cross-engine divergence without it (DuckDB NaN >= tau is
-            # TRUE). Zero-norm members are simply never dup candidates.
-            & (F.col("a.qnorm2") > 0)
-            & (F.col("b.qnorm2") > 0),
+    blocks = (
+        assigned.where(F.col("qnorm2") > 0)
+        .groupBy(
+            "cid", F.floor(F.col("vec_id") / block_size).alias("blk")
         )
-        .where(dominated & (cos >= threshold))
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+        .agg(
+            F.collect_list(
+                F.struct("vec_id", "qe", "qnorm2", "d2c")
+            ).alias("vecs")
+        )
     )
+    tiles = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.blk") <= F.col("b.blk")),
+        )
+        .select(F.col("a.vecs").alias("vecs_a"), F.col("b.vecs").alias("vecs_b"))
+    )
+    dropped_ids = tiles.mapInPandas(
+        _semdedup_tile_kernel(threshold), schema="vec_id bigint"
+    ).distinct()
     return (
         assigned.join(
             dropped_ids.withColumn("dropped", F.lit(True)), "vec_id", "left"
